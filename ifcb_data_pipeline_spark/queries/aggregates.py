@@ -1,0 +1,414 @@
+"""SURVEY §2.5 aggregation operators over the synthetic tables.
+
+Domain mapping (see queries/__init__): lineitem rows play per-ROI features,
+orders play samples (o_totalprice ≈ ml_analyzed), part plays the class
+dimension, events play the sensor/flag stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.aggregates import grouped_top_k, last_per_group, taxon_rollup
+from . import register
+from ._util import dround, dround_sql, tables
+
+
+# --- A1: per-(sample,class) biovolume/carbon rollup ------------------------
+# Reference: ifcb_summarize_biovolumes (ifcb-data-pipeline.Rmd:476-486),
+# per-liter math at Rmd:1410-1414; carbon is Menden-Deuer & Lessard-style
+# f(volume, is_diatom).  Here: sample=o_orderkey, class=p_brand,
+# Biovolume=l_extendedprice*(1-l_discount), is_diatom ≈ p_type='ECONOMY',
+# ml_analyzed=o_totalprice/1000.
+A1_SQL = """
+WITH per_roi AS (
+    SELECT l.l_orderkey AS sample,
+           p.p_brand    AS class,
+           l.l_extendedprice * (1 - l.l_discount) AS vol,
+           CASE WHEN p.p_type = 'ECONOMY'
+                THEN 0.288 * pow(l.l_extendedprice * (1 - l.l_discount) / 1000.0, 0.811)
+                ELSE 0.216 * pow(l.l_extendedprice * (1 - l.l_discount) / 1000.0, 0.939)
+           END AS carbon
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 1
+)
+SELECT r.sample, r.class,
+       count(*)::BIGINT AS counts,
+       floor((sum(r.vol) / 1e9) * 1000000.0 + 0.5) / 1000000.0 AS biovolume_mm3,
+       floor(sum(r.carbon) * 10000.0 + 0.5) / 10000.0 AS carbon_ug,
+       floor((count(*) * 1000 / (o.o_totalprice / 1000.0)) * 10000.0 + 0.5) / 10000.0 AS counts_per_liter
+FROM per_roi r JOIN orders o ON r.sample = o.o_orderkey
+GROUP BY r.sample, r.class, o.o_totalprice
+"""
+
+
+@register("a1_biovolume_rollup", A1_SQL, survey_ref="SURVEY §2.5 A1; Rmd:476-486,1410-1414")
+def a1_biovolume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    carbon = F.when(
+        F.col("p_type") == "ECONOMY", 0.288 * F.pow(vol / 1000.0, 0.811)
+    ).otherwise(0.216 * F.pow(vol / 1000.0, 0.939))
+    per_roi = (
+        lineitem.where(F.col("l_quantity") > 1)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(
+            F.col("l_orderkey").alias("sample"),
+            F.col("p_brand").alias("class"),
+            vol.alias("vol"),
+            carbon.alias("carbon"),
+        )
+    )
+    rolled = per_roi.groupBy("sample", "class").agg(
+        F.count(F.lit(1)).alias("counts"),
+        F.sum("vol").alias("__vol"),
+        F.sum("carbon").alias("__carbon"),
+    )
+    return (
+        rolled.join(F.broadcast(orders), F.col("sample") == F.col("o_orderkey"))
+        .select(
+            "sample",
+            "class",
+            "counts",
+            dround(F.col("__vol") / 1e9, 6).alias("biovolume_mm3"),
+            dround(F.col("__carbon"), 4).alias("carbon_ug"),
+            dround(
+                F.col("counts") * 1000 / (F.col("o_totalprice") / 1000.0), 4
+            ).alias("counts_per_liter"),
+        )
+    )
+
+
+# --- A2: taxonomic re-aggregation with concat provenance -------------------
+# Reference: ifcb_delivery_data_to_shark.R:328-357 — N:1 class→taxon
+# remap, sum measures, string-concat the contributing classes.
+# Here: taxon = brand "series" (Brand#1x → Brand#1).
+A2_SQL = """
+WITH rolled AS (
+    SELECT l.l_orderkey AS sample, p.p_brand AS class,
+           sum(l.l_quantity) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1, 2
+)
+SELECT sample,
+       substr(class, 1, 7) AS taxon,
+       floor(sum(qty) * 100.0 + 0.5) / 100.0 AS qty,
+       count(*)::BIGINT AS n_classes,
+       string_agg(class, ', ' ORDER BY class) AS class_provenance
+FROM rolled
+GROUP BY sample, substr(class, 1, 7)
+"""
+
+
+@register("a2_taxon_rollup", A2_SQL, survey_ref="SURVEY §2.5 A2; delivery_to_shark.R:328-357")
+def a2_taxon_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    rolled = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("sample"), F.col("p_brand").alias("class"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    remapped = rolled.withColumn("taxon", F.substring("class", 1, 7))
+    out = taxon_rollup(
+        remapped.select("sample", "taxon", "qty", "class"),
+        keys=["sample", "taxon"],
+        sum_cols=["qty"],
+        first_cols=[],
+        concat_cols=["class"],
+    )
+    return out.select(
+        "sample",
+        "taxon",
+        dround(F.col("qty"), 2).alias("qty"),
+        F.size(F.split("class", ", ")).cast("long").alias("n_classes"),
+        F.col("class").alias("class_provenance"),
+    )
+
+
+# --- A3: flag frequency summary -------------------------------------------
+A3_SQL = """
+SELECT event_type AS flag, count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""
+
+
+@register("a3_flag_frequency", A3_SQL, survey_ref="SURVEY §2.5 A3; Rmd:689-698")
+def a3_flag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return events.groupBy(F.col("event_type").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- A4: monthly mean/sd per basin ----------------------------------------
+# Reference: Rmd:1199-1204 (group_by(basin, month) summarise(mean, sd)).
+# Basin ≈ nation name, measurement ≈ o_totalprice.
+A4_SQL = """
+SELECT n.n_name AS basin,
+       month(o.o_orderdate)::INT AS month,
+       floor(avg(o.o_totalprice) * 10000.0 + 0.5) / 10000.0 AS mean_val,
+       floor(stddev_samp(o.o_totalprice) * 10000.0 + 0.5) / 10000.0 AS sd_val,
+       count(*)::BIGINT AS n
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@register("a4_monthly_stats", A4_SQL, survey_ref="SURVEY §2.5 A4; Rmd:1199-1204")
+def a4_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("basin"),
+            F.month("o_orderdate").alias("month"),
+        )
+        .agg(
+            dround(F.avg("o_totalprice"), 4).alias("mean_val"),
+            dround(F.stddev_samp("o_totalprice"), 4).alias("sd_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- A5: grouped top-1 (argmax) -------------------------------------------
+# Reference: ifcb_hab_alert.R:106-119 slice_max per taxon.
+A5_SQL = """
+SELECT p_brand, l_orderkey, l_linenumber, l_extendedprice
+FROM (
+    SELECT p.p_brand, l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+           row_number() OVER (PARTITION BY p.p_brand
+                              ORDER BY l.l_extendedprice DESC, l.l_orderkey, l.l_linenumber) AS rn
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+) WHERE rn = 1
+"""
+
+
+@register("a5_grouped_top1", A5_SQL, survey_ref="SURVEY §2.5 A5; hab_alert.R:106-119")
+def a5_grouped_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return grouped_top_k(
+        joined.select("p_brand", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        partition_by=["p_brand"],
+        order_by=[
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        k=1,
+    )
+
+
+# --- A6: per-sample totals + bloom categorization --------------------------
+# Reference: ifcb_hab_alert.R:121-136 (>120 major, >=70 bloom, >=40 minor).
+A6_SQL = """
+SELECT o_orderkey AS sample,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS total,
+       CASE WHEN sum(l_quantity) > 120 THEN 'major bloom'
+            WHEN sum(l_quantity) >= 70 THEN 'bloom'
+            WHEN sum(l_quantity) >= 40 THEN 'minor bloom'
+            ELSE 'no bloom' END AS category
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
+@register("a6_bloom_categorize", A6_SQL, survey_ref="SURVEY §2.5 A6; hab_alert.R:121-136")
+def a6_bloom_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+    totals = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_orderkey").alias("sample"))
+        .agg(F.sum("l_quantity").alias("__total"))
+    )
+    return totals.select(
+        "sample",
+        dround(F.col("__total"), 2).alias("total"),
+        F.when(F.col("__total") > 120, "major bloom")
+        .when(F.col("__total") >= 70, "bloom")
+        .when(F.col("__total") >= 40, "minor bloom")
+        .otherwise("no bloom")
+        .alias("category"),
+    )
+
+
+# --- A7: global top-1 ------------------------------------------------------
+A7_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 1
+"""
+
+
+@register("a7_global_top1", A7_SQL, survey_ref="SURVEY §2.5 A7; hab_alert.R:162-163")
+def a7_global_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(1)
+    )
+
+
+# --- A8: last-per-group ----------------------------------------------------
+# Reference: latest annotation per sample, delivery_to_shark.R:268-277.
+A8_SQL = """
+SELECT user_id, event_id, event_type, ts FROM (
+    SELECT user_id, event_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+@register("a8_last_per_group", A8_SQL, survey_ref="SURVEY §2.5 A8; delivery_to_shark.R:268-277")
+def a8_last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return last_per_group(
+        events.select("user_id", "event_id", "event_type", "ts"),
+        partition_by=["user_id"],
+        ts_col="ts",
+        tie_break=["event_id"],
+    )
+
+
+# --- A10: duplicate detection ---------------------------------------------
+# Reference: merge_training_datasets/01_create_file_index.R:88-101.
+# Duplicate = same part name+type listed under multiple brands.
+A10_SQL = """
+SELECT p_name, p_type, count(*)::BIGINT AS n,
+       count(DISTINCT p_brand)::BIGINT AS n_brands
+FROM part GROUP BY p_name, p_type HAVING count(*) > 1
+"""
+
+
+@register("a10_duplicate_detection", A10_SQL, survey_ref="SURVEY §2.5 A10; 01_create_file_index.R:88-101")
+def a10_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_name", "p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("p_brand").alias("n_brands"),
+        )
+        .where(F.col("n") > 1)
+    )
+
+
+# --- A11: distinct ---------------------------------------------------------
+A11_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+@register("a11_distinct", A11_SQL, survey_ref="SURVEY §2.5 A11; Rmd:430,988")
+def a11_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+# --- A12: min/max summary (max classifier version per year analog) ---------
+A12_SQL = """
+SELECT year(o_orderdate)::INT AS year,
+       min(o_orderdate) AS first_order, max(o_orderdate) AS last_order,
+       max(o_orderkey) AS max_key
+FROM orders GROUP BY 1
+"""
+
+
+@register("a12_minmax_summary", A12_SQL, survey_ref="SURVEY §2.5 A12; Rmd:171-191")
+def a12_minmax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy(F.year("o_orderdate").alias("year")).agg(
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# --- A13: grid-cell frequency map -----------------------------------------
+# Reference: samples_frequency_map.R:33-40 — 0.3°×0.25° grid counts.
+A13_SQL = f"""
+SELECT floor((10.0 + (user_id % 1200) / 100.0) / 0.3)::BIGINT AS grid_lon,
+       floor((54.0 + (user_id % 600) / 100.0) / 0.25)::BIGINT AS grid_lat,
+       count(*)::BIGINT AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("a13_grid_cell_frequency", A13_SQL, survey_ref="SURVEY §2.5 A13; samples_frequency_map.R:33-40")
+def a13_grid_cell_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import lat_expr, lon_expr
+
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.floor(lon_expr(F.col("user_id")) / 0.3).alias("grid_lon"),
+            F.floor(lat_expr(F.col("user_id")) / 0.25).alias("grid_lat"),
+        )
+        .groupBy("grid_lon", "grid_lat")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- A14: monthly histogram -----------------------------------------------
+A14_SQL = """
+SELECT year(o_orderdate)::INT AS year, month(o_orderdate)::INT AS month,
+       count(*)::BIGINT AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("a14_monthly_histogram", A14_SQL, survey_ref="SURVEY §2.5 A14; samples_frequency_map.R:76-78")
+def a14_monthly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A17: per-sample QC sums + ratio --------------------------------------
+# Reference: delivery_to_shark.R:512-520.
+A17_SQL = """
+SELECT l_orderkey AS sample,
+       floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price,
+       count(*)::BIGINT AS n_items,
+       floor(sum(l_extendedprice) / count(*) * 100.0 + 0.5) / 100.0 AS price_per_item
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+@register("a17_qc_sums", A17_SQL, survey_ref="SURVEY §2.5 A17; delivery_to_shark.R:512-520")
+def a17_qc_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_orderkey").alias("sample"))
+        .agg(
+            dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum("l_extendedprice") / F.count(F.lit(1)), 2).alias(
+                "price_per_item"
+            ),
+        )
+    )
+
+
+# --- A18: provenance summary (count + countDistinct) -----------------------
+A18_SQL = """
+SELECT source AS source_owner, count(*)::BIGINT AS n,
+       count(DISTINCT lang)::BIGINT AS n_langs,
+       count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM documents GROUP BY source
+"""
+
+
+@register("a18_provenance_summary", A18_SQL, survey_ref="SURVEY §2.5 A18; 01_create_file_index.R:61-65")
+def a18_provenance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return documents.groupBy(F.col("source").alias("source_owner")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -1,0 +1,98 @@
+"""Local mirror of the driver's t2 correctness gate.
+
+Runs a registry query on Spark and its oracle SQL on DuckDB (same parquet
+tables registered as views), then compares row count, sorted column names,
+and order-insensitive values (floats to 1e-9 relative tolerance — the
+queries themselves round, so any real mismatch shows up far above this).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+
+import duckdb
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, _dt.timedelta):
+        return v.total_seconds()
+    return v
+
+
+def _sort_key(row):
+    return tuple((x is None, str(x)) for x in row)
+
+
+def compare(spark_df, con, oracle: str, rel_tol: float = 1e-9):
+    """Returns (ok, message)."""
+    sdf = spark_df
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [
+        tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()
+    ]
+
+    ddf = con.execute(oracle)
+    duck_cols_raw = [d[0] for d in ddf.description]
+    duck_all = ddf.fetchall()
+    order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
+    duck_cols = [duck_cols_raw[i] for i in order]
+    duck_rows = [tuple(_norm(r[i]) for i in order) for r in duck_all]
+
+    if spark_cols != duck_cols:
+        return False, f"schema mismatch: spark={spark_cols} duck={duck_cols}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    spark_rows.sort(key=_sort_key)
+    duck_rows.sort(key=_sort_key)
+    for i, (sr, dr) in enumerate(zip(spark_rows, duck_rows)):
+        for c, (sv, dv) in enumerate(zip(sr, dr)):
+            if not _values_equal(sv, dv, rel_tol):
+                return (
+                    False,
+                    f"value mismatch row {i} col {spark_cols[c]}: spark={sv!r} duck={dv!r}",
+                )
+    return True, f"ok ({len(spark_rows)} rows)"
+
+
+def _values_equal(a, b, rel_tol) -> bool:
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        if isinstance(a, str) or isinstance(b, str):  # "NaN" markers
+            return a == b
+        try:
+            return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return a == b
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(
+            _values_equal(x, y, rel_tol) for x, y in zip(a, b)
+        )
+    return a == b
