@@ -1,1 +1,380 @@
+"""SURVEY §2.4 join operators over the synthetic tables.
 
+J4 (as-of) and J5 (interval) are the reference's hand-rolled joins
+(ferrybox tolerance lookup, cruise intervals) re-expressed through the
+``operators.joins`` combinators; the rest exercise the standard Spark join
+strategies (broadcast-hash for dims, sort-merge for fact×fact, semi/anti
+for incremental work queues).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalars import haversine_km
+from ..operators.joins import (
+    asof_join,
+    coalescing_fill_join,
+    interval_join,
+)
+from . import register
+from ._util import LAT_SQL, LON_SQL, dround, lat_expr, lon_expr, tables
+
+
+# --- J1: the 7-way left-join enrichment chain ------------------------------
+# Reference: Rmd:1094-1103 — biovolume rows enriched by sample-keyed side
+# tables.  Fact lineitem enriched by orders, customer, nation, region,
+# supplier, part; all dims broadcast.
+J1_SQL = """
+SELECT l.l_orderkey, l.l_linenumber,
+       o.o_orderstatus, o.o_orderpriority,
+       c.c_mktsegment, n.n_name AS cust_nation, r.r_name AS cust_region,
+       s.s_name AS supp_name, p.p_brand,
+       floor(l.l_extendedprice * (1 - l.l_discount) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem l
+LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r   ON n.n_regionkey = r.r_regionkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+LEFT JOIN part p     ON l.l_partkey = p.p_partkey
+"""
+
+
+@register("j1_enrichment_chain", J1_SQL, survey_ref="SURVEY §2.4 J1; Rmd:1094-1103")
+def j1_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, region, supplier, part = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
+        "supplier", "part",
+    )
+    return (
+        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey, "left")
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_orderstatus",
+            "o_orderpriority",
+            "c_mktsegment",
+            F.col("n_name").alias("cust_nation"),
+            F.col("r_name").alias("cust_region"),
+            F.col("s_name").alias("supp_name"),
+            "p_brand",
+            dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# --- J4: as-of join with ±5 min tolerance ---------------------------------
+# Reference: ifcb_get_ferrybox_data(..., max_time_diff_min=5)
+# (Rmd:264-297).  Left = purchase events (samples), right = view events
+# (sensor readings); nearest view within ±300 s, ties broken by event_id.
+# Oracle mirrors the bucketed operator with a plain range join +
+# row_number — same semantics, different (non-scalable) physical plan.
+J4_SQL = """
+WITH l AS (
+    SELECT event_id AS purchase_id, user_id, ts,
+           epoch_us(ts) // 1000000 AS lsec
+    FROM events WHERE event_type = 'purchase'
+), r AS (
+    SELECT event_id AS view_id, value AS view_value,
+           epoch_us(ts) // 1000000 AS rsec
+    FROM events WHERE event_type = 'view'
+), m AS MATERIALIZED (
+    -- MATERIALIZED: DuckDB 1.0's row-wise cursor degenerates on streamed
+    -- inequality-join plans; forcing materialization keeps fetch O(rows).
+    SELECT l.purchase_id, l.user_id, l.ts, r.view_id, r.view_value,
+           row_number() OVER (
+               PARTITION BY l.purchase_id
+               ORDER BY abs(r.rsec - l.lsec), r.view_id
+           ) AS rn
+    FROM l JOIN r ON abs(r.rsec - l.lsec) <= 300
+)
+SELECT l.purchase_id, l.user_id, l.ts::TIMESTAMP AS ts, m.view_id, m.view_value
+FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (purchase_id)
+"""
+
+
+@register("j4_asof_join", J4_SQL, survey_ref="SURVEY §2.4 J4; Rmd:264-297")
+def j4_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        F.col("ts").alias("view_ts"),
+    )
+    out = asof_join(
+        purchases,
+        views,
+        left_ts="ts",
+        right_ts="view_ts",
+        tolerance_seconds=300,
+        tie_break=["view_id"],
+    )
+    return out.select("purchase_id", "user_id", "ts", "view_id", "view_value")
+
+
+# --- J5: interval (range) join --------------------------------------------
+# Reference: cruise intervals, ifcb_ingest_and_qc.R:216-221.  Cruise-like
+# intervals derived deterministically: per user-bucket g = user_id % 20,
+# [min(ts), min(ts) + 3 days], cruise_no = g.  Every event is matched
+# against every covering interval (multi-match preserved, left-outer).
+J5_SQL = """
+WITH cruises AS (
+    SELECT (user_id % 20)::BIGINT AS cruise_no,
+           min(ts) AS startdate,
+           min(ts) + INTERVAL 3 DAY AS stopdate
+    FROM events GROUP BY 1
+), joined AS MATERIALIZED (
+    -- MATERIALIZED: see J4 note (row-wise fetch on streamed range joins).
+    SELECT e.event_id, e.ts::TIMESTAMP AS ts, c.cruise_no
+    FROM events e
+    LEFT JOIN cruises c ON e.ts >= c.startdate AND e.ts <= c.stopdate
+)
+SELECT * FROM joined
+"""
+
+
+@register("j5_interval_join", J5_SQL, survey_ref="SURVEY §2.4 J5; ingest_and_qc.R:216-221")
+def j5_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    cruises = events.groupBy((F.col("user_id") % 20).alias("cruise_no")).agg(
+        F.min("ts").alias("startdate"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAY")).alias("stopdate"),
+    )
+    return interval_join(
+        events.select("event_id", "ts"),
+        cruises,
+        point_ts="ts",
+        start_col="startdate",
+        stop_col="stopdate",
+        how="left",
+    ).select("event_id", "ts", "cruise_no")
+
+
+# --- J6: coalescing fill-join ---------------------------------------------
+# Reference: two-tier position fallback (Rmd:277-284).  o_totalprice is
+# "missing" for orderstatus 'P' rows; fill from the customer's acctbal.
+J6_SQL = """
+SELECT o.o_orderkey,
+       coalesce(
+           CASE WHEN o.o_orderstatus = 'P' THEN NULL ELSE o.o_totalprice END,
+           c.c_acctbal
+       ) AS totalprice_filled,
+       (o.o_orderstatus = 'P') AS was_filled
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+@register("j6_coalescing_fill_join", J6_SQL, survey_ref="SURVEY §2.4 J6; Rmd:277-284")
+def j6_coalescing_fill_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    left = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_totalprice"))
+        .alias("totalprice_filled"),
+        (F.col("o_orderstatus") == "P").alias("was_filled"),
+    )
+    filled = coalescing_fill_join(
+        left,
+        customer.select(F.col("c_custkey").alias("o_custkey"), "c_acctbal"),
+        on="o_custkey",
+        fill_cols={"totalprice_filled": "c_acctbal"},
+    )
+    return filled.select("o_orderkey", "totalprice_filled", "was_filled")
+
+
+# --- J7: full outer join ---------------------------------------------------
+# Reference: PSD flags ⟗ positions (Rmd:758-759).
+J7_SQL = """
+WITH y95 AS (
+    SELECT o_custkey, count(*)::BIGINT AS n95 FROM orders
+    WHERE year(o_orderdate) = 1995 GROUP BY 1
+), y96 AS (
+    SELECT o_custkey, count(*)::BIGINT AS n96 FROM orders
+    WHERE year(o_orderdate) = 1996 GROUP BY 1
+)
+SELECT coalesce(y95.o_custkey, y96.o_custkey) AS custkey, n95, n96
+FROM y95 FULL OUTER JOIN y96 ON y95.o_custkey = y96.o_custkey
+"""
+
+
+@register("j7_full_outer_join", J7_SQL, survey_ref="SURVEY §2.4 J7; Rmd:758-759")
+def j7_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    y95 = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n95"))
+    )
+    y96 = (
+        orders.where(F.year("o_orderdate") == 1996)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n96"))
+    )
+    return (
+        y95.join(y96, "o_custkey", "full_outer")
+        .select(F.col("o_custkey").alias("custkey"), "n95", "n96")
+    )
+
+
+# --- J8: equi join + haversine distance post-filter ------------------------
+# Reference: compare_microscopy.R:53-77 — same-date join, keep pairs
+# within 5 km.  Here: customer×supplier in the same nation within 200 km
+# of each other (pseudo-coordinates from keys).
+J8_SQL = f"""
+SELECT c.c_custkey, s.s_suppkey,
+       floor((2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians({LAT_SQL.format(k='s.s_suppkey')} - {LAT_SQL.format(k='c.c_custkey')}) / 2), 2)
+           + cos(radians({LAT_SQL.format(k='c.c_custkey')})) * cos(radians({LAT_SQL.format(k='s.s_suppkey')}))
+           * pow(sin(radians({LON_SQL.format(k='s.s_suppkey')} - {LON_SQL.format(k='c.c_custkey')}) / 2), 2)
+       ))) * 10000.0 + 0.5) / 10000.0 AS dist_km
+FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+WHERE 2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians({LAT_SQL.format(k='s.s_suppkey')} - {LAT_SQL.format(k='c.c_custkey')}) / 2), 2)
+           + cos(radians({LAT_SQL.format(k='c.c_custkey')})) * cos(radians({LAT_SQL.format(k='s.s_suppkey')}))
+           * pow(sin(radians({LON_SQL.format(k='s.s_suppkey')} - {LON_SQL.format(k='c.c_custkey')}) / 2), 2)
+       )) <= 200.0
+"""
+
+
+@register("j8_haversine_theta_join", J8_SQL, survey_ref="SURVEY §2.4 J8; compare_microscopy.R:53-77")
+def j8_haversine_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        lat_expr(F.col("c_custkey")).alias("c_lat"),
+        lon_expr(F.col("c_custkey")).alias("c_lon"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        "s_nationkey",
+        lat_expr(F.col("s_suppkey")).alias("s_lat"),
+        lon_expr(F.col("s_suppkey")).alias("s_lon"),
+    )
+    dist = haversine_km(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
+    return (
+        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        .where(dist <= 200.0)
+        .select("c_custkey", "s_suppkey", dround(dist, 4).alias("dist_km"))
+    )
+
+
+# --- J10: semi join --------------------------------------------------------
+# Reference: keep class files whose pid ∈ sample set
+# (ifcb-dashboard-metadata-pipeline.Rmd:717-722).
+J10_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+@register("j10_semi_join", J10_SQL, survey_ref="SURVEY §2.4 J10; dashboard-metadata.Rmd:717-722")
+def j10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return customer.join(urgent, "c_custkey", "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+# --- J11: incremental anti-join (new-work detection) -----------------------
+# Reference: bins without features → bins_to_process
+# (ifcb_ingest_and_qc.R:172-181).  Orders with no returned ('R') lineitem
+# are the "unprocessed" work queue.
+J11_SQL = """
+SELECT o_orderkey, o_orderdate FROM orders
+WHERE NOT EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+)
+"""
+
+
+@register("j11_incremental_anti_join", J11_SQL, survey_ref="SURVEY §2.4 J11; ingest_and_qc.R:172-181")
+def j11_incremental_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    processed = lineitem.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return orders.join(processed, "o_orderkey", "left_anti").select(
+        "o_orderkey", "o_orderdate"
+    )
+
+
+# --- J12: index merge with provenance (multi-match preserved) --------------
+# Reference: 01_create_file_index.R:54-57 (all.x=TRUE, no dedup).
+J12_SQL = """
+SELECT n.n_name, c.c_custkey, c.c_mktsegment
+FROM nation n LEFT JOIN customer c ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@register("j12_provenance_merge", J12_SQL, survey_ref="SURVEY §2.4 J12; 01_create_file_index.R:54-57")
+def j12_provenance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, customer = tables(spark, sf_dir, "nation", "customer")
+    return (
+        nation.join(customer, nation.n_nationkey == customer.c_nationkey, "left")
+        .select("n_name", "c_custkey", "c_mktsegment")
+    )
+
+
+# --- J13: cross-tab full join of two class lists ---------------------------
+# Reference: annotations/compare_classlists.R:18-22.
+J13_SQL = """
+WITH early AS (
+    SELECT DISTINCT p.p_brand FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate < TIMESTAMP '1998-01-01'
+), late AS (
+    SELECT DISTINCT p.p_brand FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+)
+SELECT coalesce(early.p_brand, late.p_brand) AS brand,
+       (early.p_brand IS NOT NULL) AS in_early,
+       (late.p_brand IS NOT NULL) AS in_late
+FROM early FULL OUTER JOIN late ON early.p_brand = late.p_brand
+"""
+
+
+@register("j13_classlist_full_join", J13_SQL, survey_ref="SURVEY §2.4 J13; compare_classlists.R:18-22")
+def j13_classlist_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    early = (
+        joined.where(F.col("l_shipdate") < "1998-01-01")
+        .select("p_brand")
+        .dropDuplicates()
+        .withColumnRenamed("p_brand", "early_brand")
+    )
+    late = (
+        joined.where(F.col("l_shipdate") >= "1998-01-01")
+        .select("p_brand")
+        .dropDuplicates()
+        .withColumnRenamed("p_brand", "late_brand")
+    )
+    return (
+        early.join(late, early.early_brand == late.late_brand, "full_outer")
+        .select(
+            F.coalesce("early_brand", "late_brand").alias("brand"),
+            F.col("early_brand").isNotNull().alias("in_early"),
+            F.col("late_brand").isNotNull().alias("in_late"),
+        )
+    )

@@ -1,1 +1,274 @@
+"""SURVEY §2.6 window functions and §2.7 sorts/set-ops/reshaping."""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import adjacency_flag_filter, gap_fill
+from . import register
+from ._util import dround, tables
+
+
+# --- W1/F5: bubble-adjacency removal ---------------------------------------
+# Reference: Rmd:1270-1297 — rows flagged "bubbles" kill their previous and
+# next neighbor too.  Here: 'error' events kill ±1 neighbors per user,
+# ordered by (ts, event_id) — the explicit ordering Spark requires.
+W1_SQL = """
+WITH flagged AS (
+    SELECT event_id, user_id, ts, event_type,
+           (event_type = 'error') AS hit,
+           coalesce(lag(event_type = 'error') OVER w, FALSE) AS prev_hit,
+           coalesce(lead(event_type = 'error') OVER w, FALSE) AS next_hit
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type FROM flagged
+WHERE NOT (hit OR prev_hit OR next_hit)
+"""
+
+
+@register("w1_adjacency_removal", W1_SQL, survey_ref="SURVEY §2.6 W1 / §2.3 F5; Rmd:1270-1297")
+def w1_adjacency_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return adjacency_flag_filter(
+        events.select("event_id", "user_id", "ts", "event_type"),
+        flag_col="event_type",
+        flag_value="error",
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+    ).select("event_id", "user_id", "event_type")
+
+
+# --- W3: grouped gap-fill (downup) ----------------------------------------
+# Reference: compare_microscopy.R:127-129.  value is "missing" on every
+# 5th event; fill from last/next non-null within the user's timeline.
+W3_SQL = """
+WITH sparse AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+    FROM events
+)
+SELECT event_id, user_id,
+       coalesce(
+           v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       ) AS v_filled
+FROM sparse
+"""
+
+
+@register("w3_gap_fill", W3_SQL, survey_ref="SURVEY §2.6 W3; compare_microscopy.R:127-129")
+def w3_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    sparse = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 5 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    filled = gap_fill(
+        sparse,
+        cols=["v"],
+        partition_by=["user_id"],
+        order_by=["ts", "event_id"],
+        direction="downup",
+    )
+    return filled.select("event_id", "user_id", F.col("v").alias("v_filled"))
+
+
+# --- W4: newest-k for delivery check --------------------------------------
+# Reference: delivery_to_shark.R:149-153 — newest 50 bins.
+W4_SQL = """
+SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+@register("w4_newest_topk", W4_SQL, survey_ref="SURVEY §2.6 W4; delivery_to_shark.R:149-153")
+def w4_newest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.select("event_id", "ts")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+# --- O1: multi-key sort materialized as rank -------------------------------
+# Reference: Rmd:1357 (arrange(desc(verification), sample, class)).  The
+# driver's compare is order-insensitive, so the ordering is materialized
+# into a row_number column.
+O1_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       row_number() OVER (
+           ORDER BY o_orderpriority DESC, o_totalprice DESC, o_orderkey
+       )::BIGINT AS rank
+FROM orders
+WHERE o_totalprice > 400000
+"""
+
+
+@register("o1_multi_key_sort", O1_SQL, survey_ref="SURVEY §2.7 O1; Rmd:1357")
+def o1_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderpriority").desc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+
+
+# --- O3: union by name with schema reconciliation --------------------------
+# Reference: bind_rows(data, data_manual) (Rmd:1135-1139) — the manual
+# frame lacks some columns; missing ones fill with null.
+O3_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority, 'auto' AS provenance
+FROM orders WHERE o_orderstatus = 'O'
+UNION ALL BY NAME
+SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, 'manual' AS provenance
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("o3_union_by_name", O3_SQL, survey_ref="SURVEY §2.7 O3; Rmd:1135-1139")
+def o3_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    auto = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", F.lit("auto").alias("provenance")
+    )
+    manual = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_totalprice", F.lit("manual").alias("provenance")
+    )
+    return auto.unionByName(manual, allowMissingColumns=True)
+
+
+# --- O5: split-apply-union (the unclassified split) ------------------------
+# Reference: Rmd:1313-1357 — 'unclassified' rows split out, reshaped,
+# re-unioned.  Returnflag 'N' rows play the unclassified subset.
+O5_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_quantity AS measure, 'classified' AS kind
+FROM lineitem WHERE l_returnflag <> 'N'
+UNION ALL
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       l_quantity * 0.5 AS measure, 'unclassified' AS kind
+FROM lineitem WHERE l_returnflag = 'N'
+"""
+
+
+@register("o5_split_apply_union", O5_SQL, survey_ref="SURVEY §2.7 O5; Rmd:1313-1357")
+def o5_split_apply_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    classified = lineitem.where(F.col("l_returnflag") != "N").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_quantity").alias("measure"),
+        F.lit("classified").alias("kind"),
+    )
+    unclassified = lineitem.where(F.col("l_returnflag") == "N").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        (F.col("l_quantity") * 0.5).alias("measure"),
+        F.lit("unclassified").alias("kind"),
+    )
+    return classified.unionByName(unclassified)
+
+
+# --- O6: pivot wider / longer ---------------------------------------------
+# Reference: pivot_wider(parameter→columns) compare_microscopy.R:103;
+# pivot_longer delivery_to_shark.R:522-528.
+O6W_SQL = """
+SELECT n.n_name AS nation,
+       floor(coalesce(sum(CASE WHEN o.o_orderstatus = 'O' THEN o.o_totalprice END), 0) * 100.0 + 0.5) / 100.0 AS status_O,
+       floor(coalesce(sum(CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice END), 0) * 100.0 + 0.5) / 100.0 AS status_F,
+       floor(coalesce(sum(CASE WHEN o.o_orderstatus = 'P' THEN o.o_totalprice END), 0) * 100.0 + 0.5) / 100.0 AS status_P
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("o6_pivot_wider", O6W_SQL, survey_ref="SURVEY §2.7 O6; compare_microscopy.R:103")
+def o6_pivot_wider(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer, nation = tables(spark, sf_dir, "orders", "customer", "nation")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    pivoted = (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.sum("o_totalprice"))
+    )
+    return pivoted.select(
+        "nation",
+        dround(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("status_O"),
+        dround(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("status_F"),
+        dround(F.coalesce(F.col("P"), F.lit(0.0)), 2).alias("status_P"),
+    )
+
+
+O6L_SQL = """
+SELECT l_orderkey, l_linenumber, 'quantity' AS parameter, l_quantity AS value
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount' AS parameter, l_discount AS value
+FROM lineitem WHERE l_orderkey % 100 = 0
+"""
+
+
+@register("o6_pivot_longer", O6L_SQL, survey_ref="SURVEY §2.7 O6; delivery_to_shark.R:522-528")
+def o6_pivot_longer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    subset = lineitem.where(F.col("l_orderkey") % 100 == 0)
+    return subset.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'quantity', l_quantity, 'discount', l_discount)"
+            " AS (parameter, value)"
+        ),
+    )
+
+
+# --- O7: set operations ----------------------------------------------------
+# Reference: intersect/setdiff (ingest_and_qc.R:197,493).
+O7_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+@register("o7_set_intersect", O7_SQL, survey_ref="SURVEY §2.7 O7; ingest_and_qc.R:197,493")
+def o7_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+O7E_SQL = """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+"""
+
+
+@register("o7_set_except", O7E_SQL, survey_ref="SURVEY §2.7 O7")
+def o7_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    a = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.subtract(b)  # EXCEPT (set semantics, matches the oracle)
