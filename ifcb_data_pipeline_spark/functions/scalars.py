@@ -13,8 +13,11 @@ from pyspark.sql import functions as F
 def f1_score(precision: Column, recall: Column) -> Column:
     """``2*P*R/(P+R)`` with NaN→null (reference:
     ``ifcb-data-pipeline.Rmd:906-909``)."""
-    f1 = (2 * precision * recall) / (precision + recall)
-    return F.when(F.isnan(f1) | f1.isNull(), F.lit(None).cast("double")).otherwise(f1)
+    denom = precision + recall
+    f1 = (2 * precision * recall) / denom
+    # Guard the denominator explicitly: under ANSI mode (Spark 4 default)
+    # 0/0 raises instead of producing the NaN the reference nulls out.
+    return F.when(denom == 0, F.lit(None).cast("double")).otherwise(f1)
 
 
 def signif(x: Column, digits: int = 6) -> Column:

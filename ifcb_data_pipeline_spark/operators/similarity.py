@@ -1,0 +1,124 @@
+"""Similarity-search operators over embedding columns.
+
+* :func:`cosine_topk` — brute-force top-k (the exactness baseline).  At
+  scale: broadcast the (small) query set, scan the corpus once, per-query
+  top-k via window — one shuffle on query_id, no all-pairs materialization
+  beyond the scored scan.
+* :func:`signlsh_topk` — random-hyperplane (sign) LSH: bucket by the sign
+  pattern against a small anchor set, search only the bucket.  The scale
+  path: candidate generation is an equi-join on the bucket key.
+
+Dot products use ``zip_with`` + ``aggregate`` — JVM-side codegen'd
+higher-order functions, no Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (excluding self)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def sign_bucket(vec, anchors: list[tuple[int, list[float]]]) -> Column:
+    """Bucket id = concatenated signs of dot(vec, anchor_i), anchors
+    ordered by id — a deterministic random-hyperplane LSH code."""
+    bits = [
+        F.when(dot(vec, F.array(*[F.lit(float(x)) for x in a])) > 0, "1").otherwise("0")
+        for _, a in sorted(anchors)
+    ]
+    return F.concat(*bits)
+
+
+def signlsh_topk(
+    vectors: DataFrame,
+    anchors: list[tuple[int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Approximate top-k: only vectors sharing the query's LSH bucket are
+    scored.  The bucket join is an equi-join — the 100 TB-safe plan."""
+    coded = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        sign_bucket(F.col(vec_col), anchors).alias("bucket"),
+    )
+    a = coded.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = coded.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = (
+        a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Per-label centroid, one row per (label, dim) — posexplode +
+    two-phase average; the IVF coarse-quantizer building block."""
+    exploded = vectors.select(
+        F.col(label_col).alias("label"), F.posexplode(vec_col).alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(F.avg("x").alias("centroid"))

@@ -1,1 +1,220 @@
+"""Deduplication query family (BASELINE.json north-star operators).
 
+The sf corpus has no natural duplicates, so every query runs on an
+*augmented corpus*: ``documents`` plus a deterministic mutated copy of
+every 25th doc (id+10000, text truncated to its first 70% of tokens) —
+guaranteed true near-duplicate pairs, constructed identically in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingle_sets,
+    simhash,
+)
+from . import register
+from ._util import tables
+
+# --- shared augmented corpus ----------------------------------------------
+
+CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id AS doc, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000,
+           array_to_string(
+               string_split(lower(text), ' ')[1:greatest(1,
+                   (len(string_split(lower(text), ' ')) * 7) // 10)],
+               ' ')
+    FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+SHINGLES_SQL = (
+    CORPUS_SQL
+    + """,
+toks AS (SELECT doc, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT doc, shingle FROM (
+        SELECT doc, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+    )
+)
+"""
+)
+
+
+def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        F.col("doc_id").alias("doc"), F.lower("text").alias("text")
+    )
+    w = F.split(F.lower(F.col("text")), " ")
+    keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
+    mutated = documents.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc"),
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    return base.unionByName(mutated)
+
+
+# --- DD1: exact dedup ------------------------------------------------------
+DD1_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+hashed AS (SELECT doc, md5(text) AS text_hash FROM corpus),
+groups AS (
+    SELECT text_hash, count(*)::BIGINT AS n_copies, min(doc) AS canonical_id
+    FROM hashed GROUP BY text_hash
+)
+SELECT h.doc, h.text_hash, g.n_copies, (h.doc = g.canonical_id) AS is_canonical
+FROM hashed h JOIN groups g USING (text_hash)
+"""
+
+
+@register("dd1_exact_dedup", DD1_SQL, survey_ref="SURVEY §2.5 A10 generalized; 01_create_file_index.R:88-101")
+def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(corpus_df(spark, sf_dir), text_col="text", id_col="doc")
+
+
+# --- DD2: MinHash + banded LSH ---------------------------------------------
+DD2_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+mh AS (
+    SELECT doc, seed,
+           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
+    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, seed
+),
+bands AS (
+    SELECT doc, (seed // 2)::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, seed // 2
+),
+cand AS (
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+est AS MATERIALIZED (
+    SELECT c.doc_a, c.doc_b,
+           (sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc = c.doc_a
+    JOIN mh y ON y.doc = c.doc_b AND y.seed = x.seed
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+@register("dd2_minhash_lsh", DD2_SQL, survey_ref="north-star dedup: shingle→minhash→band→bucket-join")
+def dd2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    return minhash_lsh_pairs(sigs, bands=8, num_hashes=16, est_threshold=0.5)
+
+
+# --- DD3: SimHash fingerprints --------------------------------------------
+DD3_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+th AS (SELECT doc, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+bitsum AS (
+    SELECT doc, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+    FROM th CROSS JOIN (SELECT unnest(range(32)) AS b) bb
+    GROUP BY doc, b
+)
+SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bitsum GROUP BY doc
+"""
+
+
+@register("dd3_simhash", DD3_SQL, survey_ref="north-star dedup: simhash fingerprint")
+def dd3_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    return simhash(sh, bits=32)
+
+
+# --- DD4: exact n-gram Jaccard via inverted index --------------------------
+DD4_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+sizes AS (SELECT doc, count(*)::BIGINT AS n FROM sh GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+j AS MATERIALIZED (
+    SELECT i.doc_a, i.doc_b, (i.i / (na.n + nb.n - i.i)) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc = i.doc_a
+    JOIN sizes nb ON nb.doc = i.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+"""
+
+
+@register("dd4_ngram_jaccard", DD4_SQL, survey_ref="north-star dedup: n-gram Jaccard verification")
+def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    return ngram_jaccard_pairs(sh, threshold=0.3)
+
+
+# --- DD5: embedding-cosine near-dup ---------------------------------------
+# Augmented embeddings: every 50th vector re-appears scaled ×1.5
+# (cosine-identical ⇒ guaranteed positives).
+DD5_SQL = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + 10000, [x * 1.5 FOR x IN embedding::DOUBLE[]]
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+pairs AS MATERIALIZED (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           floor((list_inner_product(a.v, b.v)
+                  / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
+"""
+
+
+@register("dd5_embedding_cosine_dup", DD5_SQL, survey_ref="north-star dedup: embedding-cosine near-dup")
+def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dround
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    base = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    scaled = embeddings.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias("v"),
+    )
+    e = base.unionByName(scaled)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.aggregate(
+        F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_b = F.aggregate(
+        F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = dround(dot / F.sqrt(norm_a * norm_b), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= 0.95)
+    )

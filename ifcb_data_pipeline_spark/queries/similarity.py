@@ -1,1 +1,140 @@
+"""Similarity-search query family (BASELINE.json north-star operators).
 
+Anchors for the LSH variant are the embeddings of vec_id 0..7, derived
+from the table itself in both engines (no out-of-band literals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import cosine, cosine_topk, dot, label_centroids
+from . import register
+from ._util import dround, tables
+
+_COS_SQL = (
+    "(list_inner_product({a}, {b})"
+    " / sqrt(list_inner_product({a}, {a}) * list_inner_product({b}, {b})))"
+)
+
+# --- SIM1: brute-force cosine top-k ---------------------------------------
+SIM1_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.v", b="c.v")} AS cos_raw
+    FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim1_cosine_topk", SIM1_SQL, survey_ref="north-star ANN: brute-force cosine top-k baseline")
+def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    out = cosine_topk(e.where(F.col("vec_id") < 10), e, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        dround(F.col("cos_sim"), 6).alias("cos_sim"),
+    )
+
+
+# --- SIM2: sign-LSH bucketed ANN ------------------------------------------
+SIM2_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),
+coded AS (
+    SELECT e.vec_id, e.v,
+           string_agg(CASE WHEN list_inner_product(e.v, a.av) > 0
+                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
+    FROM e CROSS JOIN anchors a
+    GROUP BY e.vec_id, e.v
+),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.v", b="c.v")} AS cos_raw
+    FROM coded q JOIN coded c
+      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sim2_signlsh_ann", SIM2_SQL, survey_ref="north-star ANN: sign-LSH bucketed variant")
+def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    anchors = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("aid"), F.col("v").alias("av")
+    )
+    coded = (
+        e.crossJoin(F.broadcast(anchors))
+        .withColumn(
+            "bit", F.when(dot(F.col("v"), F.col("av")) > 0, "1").otherwise("0")
+        )
+        .groupBy("vec_id", "v")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("aid", "bit"))),
+                    lambda s: s.getField("bit"),
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+    q = coded.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = (
+        q.join(c, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank", dround(F.col("cos_raw"), 6).alias("cos_sim"))
+    )
+
+
+# --- SIM3: per-label centroids (IVF coarse quantizer) ----------------------
+SIM3_SQL = """
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT label, (t.i - 1)::INT AS dim,
+       floor(avg(v[t.i]) * 1000000.0 + 0.5) / 1000000.0 AS centroid
+FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+GROUP BY label, t.i
+"""
+
+
+@register("sim3_label_centroids", SIM3_SQL, survey_ref="north-star ANN: IVF centroid build")
+def sim3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    out = label_centroids(e)
+    return out.select(
+        "label", F.col("dim").cast("int").alias("dim"), dround(F.col("centroid"), 6).alias("centroid")
+    )

@@ -1,1 +1,151 @@
+"""Text-analysis query family (BASELINE.json north-star operators)."""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    LANG_MARKERS,
+    lang_id,
+    mean_token_len,
+    punct_ratio,
+    quality_bucket,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+    tokens,
+)
+from . import register
+from ._util import HASH32_SQL, dround, hash32, tables
+
+
+def _in_list_sql(var: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"list_filter({var}, x -> x IN ({quoted}))"
+
+
+# --- TX1: token counting ---------------------------------------------------
+TX1_SQL = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+'))::INT AS n_tokens_ws,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::INT AS n_tokens_bpe,
+       len(list_distinct(string_split(lower(text), ' ')))::INT AS n_types
+FROM documents
+"""
+
+
+@register("tx1_token_count", TX1_SQL, survey_ref="north-star text: token counting")
+def tx1_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_tokens_bpe"),
+        F.size(F.array_distinct(tokens(F.col("text")))).alias("n_types"),
+    )
+
+
+# --- TX2: quality scoring --------------------------------------------------
+_STOP_SQL = _in_list_sql("string_split(lower(text), ' ')",
+                         ["the", "a", "and", "of", "to", "in", "is"])
+
+TX2_SQL = f"""
+WITH scored AS (
+    SELECT doc_id,
+           len(text)::BIGINT AS n_chars_actual,
+           floor((len({_STOP_SQL}) * 1.0
+                  / len(string_split(lower(text), ' '))) * 1000000.0 + 0.5)
+               / 1000000.0 AS stop_ratio,
+           floor((len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 / len(text))
+                 * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+           floor((list_sum(list_transform(string_split(lower(text), ' '),
+                                          x -> len(x))) * 1.0
+                  / len(string_split(lower(text), ' '))) * 1000000.0 + 0.5)
+               / 1000000.0 AS mean_tok_len
+    FROM documents
+)
+SELECT doc_id, n_chars_actual, stop_ratio, punct_ratio, mean_tok_len,
+       CASE WHEN stop_ratio >= 0.5 THEN 'high'
+            WHEN stop_ratio >= 0.25 THEN 'medium'
+            ELSE 'low' END AS quality
+FROM scored
+"""
+
+
+@register("tx2_quality_score", TX2_SQL, survey_ref="north-star text: quality scoring")
+def tx2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop = dround(stopword_ratio(toks), 6)
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        stop.alias("stop_ratio"),
+        dround(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        dround(mean_token_len(toks), 6).alias("mean_tok_len"),
+        quality_bucket(stop).alias("quality"),
+    )
+
+
+# --- TX3: language identification -----------------------------------------
+def _lang_id_sql() -> str:
+    var = "string_split(lower(text), ' ')"
+    scores = [
+        (lang, f"len({_in_list_sql(var, markers)})") for lang, markers in LANG_MARKERS
+    ]
+    # argmax with first-listed precedence on ties: compare strictly-greater
+    # in list order, like the Spark fold.
+    expr_lang, expr_score = f"'{scores[0][0]}'", scores[0][1]
+    for lang, s in scores[1:]:
+        expr_lang = f"CASE WHEN {s} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN {s} > {expr_score} THEN {s} ELSE {expr_score} END"
+    return expr_lang
+
+
+TX3_SQL = f"""
+SELECT doc_id, lang AS labeled_lang, {_lang_id_sql()} AS predicted_lang
+FROM documents
+"""
+
+
+@register("tx3_lang_id", TX3_SQL, survey_ref="north-star text: n-gram language ID heuristic")
+def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+# --- TX4: document fingerprinting ------------------------------------------
+TX4_SQL = f"""
+WITH norm AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+)
+SELECT doc_id,
+       md5(t) AS fp_md5,
+       {HASH32_SQL.format(x="t")} AS fp32,
+       {HASH32_SQL.format(x="array_to_string(string_split(t, ' ')[1:5], ' ')")} AS fp_head,
+       {HASH32_SQL.format(x="array_to_string(string_split(t, ' ')[-5:], ' ')")} AS fp_tail
+FROM norm
+"""
+
+
+@register("tx4_fingerprint", TX4_SQL, survey_ref="north-star text: document fingerprinting")
+def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = F.split(t, " ")
+    head = F.array_join(F.slice(w, 1, 5), " ")
+    tail = F.array_join(F.slice(w, -5, 5), " ")
+    return documents.select(
+        "doc_id",
+        F.md5(t).alias("fp_md5"),
+        hash32(t).alias("fp32"),
+        hash32(head).alias("fp_head"),
+        hash32(tail).alias("fp_tail"),
+    )
