@@ -23,12 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ifcb_data_pipeline_spark.queries import load_all  # noqa: E402
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
-_FLAGSHIP = "a1_biovolume_rollup"
+_FLAGSHIP = "p1_shark_export"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (the per-(sample,class) biovolume rollup — the
-    reference's core aggregation) on /root/testdata/sf0.001."""
+    """Flagship query (the composed SHARK-export pipeline — rollup,
+    enrichment joins, taxa cleaning, QC windows, export math) on
+    /root/testdata/sf0.001."""
     registry = load_all()
     return registry[_FLAGSHIP].fn(spark, _SMOKE_SF_DIR)
 

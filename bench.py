@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+write cost).  The headline set spans the operator families: composed
+pipeline, rollup aggregation, enrichment join chain, as-of join, window
+QC, MinHash dedup, ANN top-k, text scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ifcb_data_pipeline_spark.queries import load_all  # noqa: E402
+from ifcb_data_pipeline_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "p1_shark_export",
+    "p2_hab_alert",
+    "a1_biovolume_rollup",
+    "a4_monthly_stats",
+    "j1_enrichment_chain",
+    "j4_asof_join",
+    "j5_interval_join",
+    "w1_adjacency_removal",
+    "dd2_minhash_lsh",
+    "sim1_cosine_topk",
+    "tx2_quality_score",
+    "p3_dashboard_metadata",
+]
+
+
+def run_query(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    registry = load_all()
+    spark = get_spark("ifcb-bench")
+
+    # Warm the JVM/readers once so per-query timings measure the plan, not
+    # session startup.
+    registry["a3_flag_frequency"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        run_query(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,7 @@ def load_all() -> dict[str, QueryDef]:
         dedup,
         filters,
         joins,
+        multimodal,
         pipelines,
         scalars,
         similarity,

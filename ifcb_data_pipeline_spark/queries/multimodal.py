@@ -1,0 +1,111 @@
+"""Multimodal + streaming registry queries.
+
+mm1 runs the real binary-column plumbing (mapInPandas bin→ROI expansion →
+Arrow-batched feature kernel → rollup); because the stub payload is
+deterministic, the *entire* Python-UDF path is verifiable against a pure
+SQL oracle — the strongest check available for UDF plumbing.
+
+st1 runs an actual Structured Streaming job (availableNow trigger,
+memory sink) over the events parquet and returns the materialized result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import explode_bins_to_rois, extract_features
+from . import register
+from ._util import dround, tables
+
+# --- MM1: bin → ROI → features through mapInPandas -------------------------
+# Fake-ROI math (must mirror operators/multimodal.py):
+#   w = 8 + roi % 16; h = 8 + (roi*3) % 16; area = w*h*0.7
+#   equiv_d = sqrt(4*area/pi); biovolume = area*equiv_d*0.5
+MM1_SQL = """
+WITH bins AS (
+    SELECT o_orderkey::VARCHAR AS sample, ((o_orderkey % 50) + 1)::INT AS n_rois
+    FROM orders WHERE o_orderkey % 100 = 0
+),
+rois AS (
+    SELECT sample, t.roi::INT AS roi_number,
+           (8 + t.roi % 16)::DOUBLE AS w,
+           (8 + (t.roi * 3) % 16)::DOUBLE AS h
+    FROM bins, unnest(range(1, n_rois + 1)) AS t(roi)
+),
+feats AS (
+    SELECT sample, roi_number,
+           w * h * 0.7 AS area,
+           sqrt(4.0 * w * h * 0.7 / pi()) AS equiv_d,
+           (w * h)::INT AS n_bytes,
+           2.0 * (w + h) AS perimeter
+    FROM rois
+)
+SELECT sample,
+       count(*)::BIGINT AS n_rois,
+       floor(sum(area) * 10000.0 + 0.5) / 10000.0 AS total_area,
+       floor(sum(area * equiv_d * 0.5) * 10000.0 + 0.5) / 10000.0 AS total_biovolume,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       floor(max(perimeter) * 10000.0 + 0.5) / 10000.0 AS max_perimeter
+FROM feats GROUP BY sample
+"""
+
+
+@register("mm1_multimodal_features", MM1_SQL, survey_ref="SURVEY §2.1 S2 + §2.9 U-kernels (stubbed decode)")
+def mm1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    bins = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").cast("string").alias("sample"),
+        ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
+    )
+    rois = explode_bins_to_rois(bins)
+    feats = extract_features(rois)
+    return feats.groupBy("sample").agg(
+        F.count(F.lit(1)).alias("n_rois"),
+        dround(F.sum("Area"), 4).alias("total_area"),
+        dround(F.sum("Biovolume"), 4).alias("total_biovolume"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        dround(F.max("Perimeter"), 4).alias("max_perimeter"),
+    )
+
+
+# --- ST1: Structured Streaming windowed aggregation ------------------------
+ST1_SQL = """
+SELECT date_trunc('hour', ts)::TIMESTAMP AS window_start,
+       event_type,
+       count(*)::BIGINT AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st1_stream_windowed_counts", ST1_SQL, survey_ref="SURVEY §2.10; Structured Streaming tumbling window")
+def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Force the runtime confs the batch loader usually sets.
+    tables(spark, sf_dir, "events")
+    # The file source wants a directory: stream sf_dir with a glob filter
+    # so only events.parquet enters the micro-batches.
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    windowed = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("st1_windowed")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return spark.table("st1_windowed")

@@ -1,1 +1,225 @@
+"""Composed end-to-end pipeline queries (SURVEY §3 entry points)."""
 
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.shark_export import shark_export
+from . import register
+from ._util import TAXA_LABEL_SQL, dround, lat_expr, lon_expr, tables
+
+# The taxa-clean cascade twin is generated in queries/scalars.py; reuse it.
+from .scalars import _clean_cascade_sql
+
+_LABEL = TAXA_LABEL_SQL.format(name="p_name", key="p_partkey")
+
+# --- P1: SHARK export flagship --------------------------------------------
+P1_SQL = f"""
+WITH per_roi AS (
+    SELECT l.l_orderkey AS sample,
+           {_clean_cascade_sql(_LABEL)} AS taxon,
+           l.l_extendedprice * (1 - l.l_discount) AS vol
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0
+),
+rolled AS (
+    SELECT sample, taxon, count(*)::BIGINT AS counts, sum(vol) AS vol_sum
+    FROM per_roi GROUP BY sample, taxon
+),
+hdr AS (
+    SELECT * FROM (
+        SELECT o_orderkey AS sample, o_orderdate AS sample_date,
+               o_totalprice / 1000.0 AS ml_analyzed, o_custkey,
+               ((o_orderstatus = 'P')
+                OR coalesce(lag(o_orderstatus = 'P')
+                        OVER (ORDER BY o_orderdate, o_orderkey), FALSE)
+                OR coalesce(lead(o_orderstatus = 'P')
+                        OVER (ORDER BY o_orderdate, o_orderkey), FALSE)) AS qc_drop
+        FROM orders
+    ) WHERE NOT qc_drop
+),
+geo AS (
+    SELECT c.c_custkey, n.n_name AS basin
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT r.sample, r.taxon, g.basin,
+       strftime(h.sample_date, '%Y-%m-%d') AS sdate,
+       month(h.sample_date)::INT AS month,
+       (month(h.sample_date) BETWEEN 5 AND 10) AS in_season,
+       r.counts,
+       floor((1000.0 / h.ml_analyzed) * 10.0 + 0.5) / 10.0 AS coeff,
+       floor((r.counts * 1000.0 / h.ml_analyzed) * 10.0 + 0.5) / 10.0 AS abund_per_l,
+       CASE WHEN r.vol_sum = 0 THEN 0.0
+            ELSE floor((r.vol_sum / pow(10.0, floor(log10(abs(r.vol_sum)))))
+                       * 100000.0 + 0.5) / 100000.0
+                 * pow(10.0, floor(log10(abs(r.vol_sum))))
+       END AS biovol_signif6
+FROM rolled r
+JOIN hdr h ON r.sample = h.sample
+LEFT JOIN geo g ON h.o_custkey = g.c_custkey
+"""
+
+
+@register("p1_shark_export", P1_SQL, survey_ref="SURVEY §3.1; Rmd stages 4-11")
+def p1_shark_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, nation, part = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "nation", "part"
+    )
+    return shark_export(lineitem, orders, customer, nation, part)
+
+
+# --- P2: HAB alert ---------------------------------------------------------
+# Reference: ifcb_hab_alert.R — per-taxon argmax abundance, bloom
+# categorization, warning-level exceedance.  Warning level derived
+# deterministically from the taxon name length.
+P2_SQL = """
+WITH rolled AS (
+    SELECT l.l_orderkey AS sample, p.p_brand AS taxon,
+           count(*)::BIGINT AS counts,
+           count(*) * 1000.0 / (o.o_totalprice / 1000.0) AS counts_per_liter
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_orderkey, p.p_brand, o.o_totalprice
+),
+argmax AS (
+    SELECT sample, taxon, counts,
+           floor(counts_per_liter * 10000.0 + 0.5) / 10000.0 AS counts_per_liter
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY taxon
+                      ORDER BY counts_per_liter DESC, sample) AS rn
+        FROM rolled
+    ) WHERE rn = 1
+),
+totals AS (
+    SELECT sample, sum(counts)::BIGINT AS total_counts FROM rolled GROUP BY sample
+)
+SELECT a.taxon, a.sample, a.counts, a.counts_per_liter,
+       ((length(a.taxon) % 3) * 40 + 40)::INT AS warning_level,
+       (a.counts_per_liter > (length(a.taxon) % 3) * 40 + 40) AS exceeds_warning,
+       t.total_counts,
+       CASE WHEN t.total_counts > 120 THEN 'major bloom'
+            WHEN t.total_counts >= 70 THEN 'bloom'
+            WHEN t.total_counts >= 40 THEN 'minor bloom'
+            ELSE 'no bloom' END AS bloom_category
+FROM argmax a JOIN totals t ON a.sample = t.sample
+"""
+
+
+@register("p2_hab_alert", P2_SQL, survey_ref="SURVEY §3.3; hab_alert.R:106-153")
+def p2_hab_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
+    rolled = (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("sample"),
+            F.col("p_brand").alias("taxon"),
+            F.col("o_totalprice"),
+        )
+        .agg(F.count(F.lit(1)).alias("counts"))
+        .withColumn(
+            "counts_per_liter",
+            F.col("counts") * 1000.0 / (F.col("o_totalprice") / 1000.0),
+        )
+    )
+    w = Window.partitionBy("taxon").orderBy(
+        F.col("counts_per_liter").desc(), F.col("sample")
+    )
+    argmax = (
+        rolled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "sample",
+            "taxon",
+            "counts",
+            dround(F.col("counts_per_liter"), 4).alias("counts_per_liter"),
+        )
+    )
+    totals = rolled.groupBy("sample").agg(F.sum("counts").alias("total_counts"))
+    warning = ((F.length("taxon") % 3) * 40 + 40).cast("int")
+    return (
+        argmax.join(totals, "sample")
+        .select(
+            "taxon",
+            "sample",
+            "counts",
+            "counts_per_liter",
+            warning.alias("warning_level"),
+            (F.col("counts_per_liter") > warning).alias("exceeds_warning"),
+            "total_counts",
+            F.when(F.col("total_counts") > 120, "major bloom")
+            .when(F.col("total_counts") >= 70, "bloom")
+            .when(F.col("total_counts") >= 40, "minor bloom")
+            .otherwise("no bloom")
+            .alias("bloom_category"),
+        )
+    )
+
+
+# --- P3: dashboard metadata assembly ---------------------------------------
+# Reference: ifcb_ingest_and_qc.R:372-406 — per-bin metadata with QC flags,
+# cruise tags, basin labels.
+P3_SQL = """
+WITH cruises AS (
+    SELECT (user_id % 20)::BIGINT AS cruise_no, min(ts) AS startdate,
+           min(ts) + INTERVAL 3 DAY AS stopdate
+    FROM events GROUP BY 1
+),
+meta AS MATERIALIZED (
+    SELECT e.event_id,
+           ('D' || strftime(e.ts, '%Y%m%d') || 'T' || strftime(e.ts, '%H%M%S')
+            || '_IFCB' || (e.user_id % 200)::VARCHAR) AS sample,
+           CASE WHEN e.value * 20 > 600 THEN NULL
+                ELSE (54.0 + (e.user_id % 600) / 100.0) END AS latitude,
+           CASE WHEN e.value * 20 > 600 THEN NULL
+                ELSE (10.0 + (e.user_id % 1200) / 100.0) END AS longitude,
+           (e.event_type = 'error') AS qc_bad,
+           c.cruise_no
+    FROM events e
+    LEFT JOIN cruises c ON e.ts >= c.startdate AND e.ts <= c.stopdate
+)
+SELECT event_id, sample, latitude, longitude, qc_bad, cruise_no,
+       CASE WHEN latitude IS NULL THEN NULL
+            ELSE 'basin_' || floor(latitude / 0.25)::BIGINT::VARCHAR
+       END AS basin,
+       (latitude IS NULL) AS skip
+FROM meta
+"""
+
+
+@register("p3_dashboard_metadata", P3_SQL, survey_ref="SURVEY §3.2; ingest_and_qc.R:372-406")
+def p3_dashboard_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bin_id import make_bin_id
+    from ..operators.joins import interval_join
+
+    (events,) = tables(spark, sf_dir, "events")
+    cruises = events.groupBy((F.col("user_id") % 20).alias("cruise_no")).agg(
+        F.min("ts").alias("startdate"),
+        (F.min("ts") + F.expr("INTERVAL 3 DAY")).alias("stopdate"),
+    )
+    stale = (F.col("value") * 20) > 600
+    meta = events.select(
+        "event_id",
+        "ts",
+        make_bin_id(F.col("ts"), F.col("user_id") % 200).alias("sample"),
+        F.when(stale, None).otherwise(lat_expr(F.col("user_id"))).alias("latitude"),
+        F.when(stale, None).otherwise(lon_expr(F.col("user_id"))).alias("longitude"),
+        (F.col("event_type") == "error").alias("qc_bad"),
+    )
+    tagged = interval_join(meta, cruises, "ts", "startdate", "stopdate", "left")
+    return tagged.select(
+        "event_id",
+        "sample",
+        "latitude",
+        "longitude",
+        "qc_bad",
+        "cruise_no",
+        F.when(
+            F.col("latitude").isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            F.concat(F.lit("basin_"), F.floor(F.col("latitude") / 0.25).cast("string"))
+        ).alias("basin"),
+        F.col("latitude").isNull().alias("skip"),
+    )

@@ -1,0 +1,137 @@
+"""Unit tests for operator combinators and scalar functions (SURVEY §5 T1)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ifcb_data_pipeline_spark.functions.bin_id import make_bin_id, parse_bin_id
+from ifcb_data_pipeline_spark.functions.scalars import signif
+from ifcb_data_pipeline_spark.functions.taxa import clean_taxa_name, species_flag
+from ifcb_data_pipeline_spark.operators.joins import asof_join, interval_join
+from ifcb_data_pipeline_spark.operators.windows import adjacency_flag_filter, gap_fill
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_parse_bin_id_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("D20240423T115846_IFCB127",), ("garbage",)], ["pid"]
+    ).withColumn("p", parse_bin_id(F.col("pid")))
+    rows = {r["pid"]: r["p"] for r in df.collect()}
+    good = rows["D20240423T115846_IFCB127"]
+    assert good["valid"] and good["ifcb_number"] == "IFCB127"
+    assert good["timestamp"] == ts("2024-04-23T11:58:46")
+    assert good["year"] == 2024 and good["time"] == "11:58:46"
+    assert not rows["garbage"]["valid"] and rows["garbage"]["timestamp"] is None
+
+
+def test_make_bin_id_inverse(spark):
+    df = spark.createDataFrame([(ts("2024-04-23T11:58:46"),)], ["t"]).select(
+        make_bin_id(F.col("t"), 127).alias("pid")
+    )
+    assert df.first()["pid"] == "D20240423T115846_IFCB127"
+
+
+def test_clean_taxa_name_reference_cases(spark):
+    # Semantics from ifcb-data-pipeline.Rmd:936-971.
+    cases = {
+        "Nodularia_spumigena_coil,Nodularia_spumigena_filament": "Nodularia spumigena",
+        "Dolichospermum_spp": "Dolichospermum",
+        "Snowella_Woronichinia": "Snowella/Woronichinia",
+        "Mesodinium_rubrum_single_cell": "Mesodinium rubrum",
+        "Chaetoceros_cf_throndsenii": "Chaetoceros  throndsenii".replace("  ", " "),
+    }
+    df = spark.createDataFrame([(k,) for k in cases], ["raw"]).withColumn(
+        "clean", clean_taxa_name(F.col("raw"))
+    )
+    got = {r["raw"]: r["clean"] for r in df.collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_species_flag_precedence(spark):
+    df = spark.createDataFrame(
+        [("Genus_cf_species",), ("Genus_spp",), ("Genus_sp",), ("Some_group",), ("Plain",)],
+        ["raw"],
+    ).withColumn("f", species_flag(F.col("raw")))
+    got = [r["f"] for r in df.collect()]
+    assert got == ["CF", "SPP", "SP", "GRP", None]
+
+
+def test_signif_matches_r_semantics(spark):
+    df = spark.createDataFrame(
+        [(123456.789,), (0.000123456,), (0.0,), (987654321.0,)], ["x"]
+    ).select(signif(F.col("x"), 3).alias("s"))
+    got = [r["s"] for r in df.collect()]
+    assert got[0] == pytest.approx(123000.0)
+    assert got[1] == pytest.approx(0.000123)
+    assert got[2] == 0.0
+    assert got[3] == pytest.approx(988000000.0)
+
+
+def test_asof_join_nearest_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:10:00")), (2, ts("2024-01-01T05:00:00"))],
+        ["id", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            (100, ts("2024-01-01T00:08:30")),
+            (101, ts("2024-01-01T00:12:00")),
+            (102, ts("2024-01-01T09:00:00")),
+        ],
+        ["rid", "rt"],
+    )
+    out = asof_join(left, right, "t", "rt", tolerance_seconds=300, tie_break=["rid"])
+    got = {r["id"]: r["rid"] for r in out.collect()}
+    assert got[1] == 100  # 90 s away beats 120 s away
+    assert got[2] is None  # nothing within ±5 min → null, row kept
+
+
+def test_asof_join_backward_direction(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01T00:10:00"))], ["id", "t"])
+    right = spark.createDataFrame(
+        [(100, ts("2024-01-01T00:09:00")), (101, ts("2024-01-01T00:10:30"))],
+        ["rid", "rt"],
+    )
+    out = asof_join(
+        left, right, "t", "rt", tolerance_seconds=300, direction="backward",
+        tie_break=["rid"],
+    )
+    assert out.first()["rid"] == 100  # forward candidate 30 s away ignored
+
+
+def test_interval_join_multi_match(spark):
+    pts = spark.createDataFrame([(1, ts("2024-01-05T00:00:00"))], ["id", "t"])
+    iv = spark.createDataFrame(
+        [
+            ("c1", ts("2024-01-01T00:00:00"), ts("2024-01-10T00:00:00")),
+            ("c2", ts("2024-01-04T00:00:00"), ts("2024-01-06T00:00:00")),
+            ("c3", ts("2024-02-01T00:00:00"), ts("2024-02-02T00:00:00")),
+        ],
+        ["c", "s", "e"],
+    )
+    out = interval_join(pts, iv, "t", "s", "e")
+    assert sorted(r["c"] for r in out.collect()) == ["c1", "c2"]
+
+
+def test_adjacency_filter_kills_neighbors(spark):
+    rows = [(i, "bubbles" if i == 3 else "ok") for i in range(6)]
+    df = spark.createDataFrame(rows, ["i", "flag"])
+    out = adjacency_flag_filter(df, "flag", "bubbles", order_by=["i"])
+    assert sorted(r["i"] for r in out.collect()) == [0, 1, 5]
+
+
+def test_gap_fill_downup(spark):
+    rows = [(1, 1, None), (1, 2, 5.0), (1, 3, None), (1, 4, None), (2, 1, None)]
+    df = spark.createDataFrame(rows, ["g", "i", "v"])
+    out = gap_fill(df, ["v"], partition_by=["g"], order_by=["i"])
+    got = {(r["g"], r["i"]): r["v"] for r in out.collect()}
+    assert got[(1, 1)] == 5.0  # up-fill
+    assert got[(1, 3)] == 5.0 and got[(1, 4)] == 5.0  # down-fill
+    assert got[(2, 1)] is None  # all-null group stays null

@@ -1,0 +1,87 @@
+"""Source/sink tests over synthetic instrument files (SURVEY §5 T3-lite)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from ifcb_data_pipeline_spark.sources.hdr import read_hdr_directory
+from ifcb_data_pipeline_spark.sources.listing import (
+    list_files,
+    max_version_per_year,
+    size_gated,
+)
+from ifcb_data_pipeline_spark.sources.sinks import write_delivery_tsv
+
+HDR_TEMPLATE = """softwareVersion: 1.2.3
+sampleNumber: {n}
+gpsLatitude: {lat}
+gpsLongitude: {lon}
+gpsTimeFromFix: Apr/23/2024 11:58:40
+mlAnalyzed: {ml}
+runTime: 1199.6
+inhibitTime: 88.2
+other: junk: with: colons
+"""
+
+
+@pytest.fixture(scope="module")
+def hdr_dir():
+    with tempfile.TemporaryDirectory() as tmp:
+        for i, (lat, lon, ml) in enumerate(
+            [(57.1, 11.2, 4.2), (58.0, 12.5, 3.1), (55.5, 14.0, 5.0)]
+        ):
+            name = f"D2024042{i}T11584{i}_IFCB134.hdr"
+            with open(os.path.join(tmp, name), "w") as f:
+                f.write(HDR_TEMPLATE.format(n=i + 1, lat=lat, lon=lon, ml=ml))
+        yield tmp
+
+
+def test_read_hdr_directory(spark, hdr_dir):
+    df = read_hdr_directory(spark, hdr_dir)
+    rows = {r["sample"]: r for r in df.collect()}
+    assert len(rows) == 3
+    r0 = rows["D20240420T115840_IFCB134"]
+    assert r0["gpsLatitude"] == 57.1
+    assert r0["mlAnalyzed"] == 4.2
+    assert r0["ifcb_number"] == "IFCB134"
+    assert r0["timestamp"].year == 2024 and r0["timestamp"].second == 40
+    assert r0["sampleNumber"] == 1
+
+
+def test_listing_and_version_pick(spark):
+    with tempfile.TemporaryDirectory() as tmp:
+        for name, size in [
+            ("D2023_class_v2.mat", 10),
+            ("D2023_class_v5.mat", 10),
+            ("D2024_class_v1.mat", 10),
+            ("D2024_huge_v9.mat", 64),
+        ]:
+            with open(os.path.join(tmp, name), "wb") as f:
+                f.write(b"x" * size)
+        files = list_files(spark, tmp, "*.mat")
+        assert files.count() == 4
+        ok, skipped = size_gated(files, max_bytes=32)
+        assert skipped.count() == 1  # the over-threshold file
+        best = {
+            r["year"]: r["version"]
+            for r in max_version_per_year(ok).collect()
+        }
+        assert best == {2023: 5, 2024: 1}
+
+
+def test_delivery_tsv_null_semantics(spark):
+    df = spark.createDataFrame(
+        [("s1", 1.5, None), ("s2", None, "flagged")],
+        "sample string, value double, flag string",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "data.txt")
+        write_delivery_tsv(df.orderBy("sample"), path)
+        text = open(path).read()
+    lines = text.strip().split("\n")
+    assert lines[0] == "sample\tvalue\tflag"
+    assert "s1\t1.5\t" in lines and "s2\t\tflagged" in lines
