@@ -1,0 +1,266 @@
+"""Remaining SURVEY §2 inventory: geospatial predicates (J9), PSD fits
+(U13), the WoRMS-resolver pattern (C4/C5), and small aggregation shapes
+(A9/A15/A16, F6/F11)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.geo import tag_basins_rect
+from ..operators.psd import psd_flags, psd_powerlaw_fit, size_histogram
+from . import register
+from ._util import dround, hash32, lat_expr, lon_expr, tables
+
+# --- J9: geospatial basin tagging + near-land ------------------------------
+J9_SQL = """
+WITH pts AS (
+    SELECT c_custkey,
+           (54.0 + (c_custkey % 600) / 100.0) AS lat,
+           (10.0 + (c_custkey % 1200) / 100.0) AS lon
+    FROM customer
+),
+tagged AS (
+    SELECT c_custkey, lat, lon,
+           CASE
+             WHEN lat >= 57.5 AND lat <= 59.5 AND lon >= 8.0 AND lon <= 11.0
+               THEN 'Skagerrak'
+             WHEN lat >= 55.5 AND lat <= 57.5 AND lon >= 10.0 AND lon <= 13.0
+               THEN 'Kattegat'
+             WHEN lat >= 54.0 AND lat <= 60.0 AND lon >= 13.0 AND lon <= 22.0
+               THEN 'Baltic Proper'
+             ELSE NULL
+           END AS basin
+    FROM pts
+)
+SELECT c_custkey, lat, lon, basin,
+       (basin = 'Baltic Proper') AS in_baltic,
+       CASE basin
+         WHEN 'Skagerrak' THEN
+           (lat - 57.5 < 0.1 OR 59.5 - lat < 0.1 OR lon - 8.0 < 0.1 OR 11.0 - lon < 0.1)
+         WHEN 'Kattegat' THEN
+           (lat - 55.5 < 0.1 OR 57.5 - lat < 0.1 OR lon - 10.0 < 0.1 OR 13.0 - lon < 0.1)
+         WHEN 'Baltic Proper' THEN
+           (lat - 54.0 < 0.1 OR 60.0 - lat < 0.1 OR lon - 13.0 < 0.1 OR 22.0 - lon < 0.1)
+         ELSE FALSE
+       END AS near_land
+FROM tagged
+"""
+
+
+@register("j9_basin_tagging", J9_SQL, survey_ref="SURVEY §2.4 J9; Rmd:722-736")
+def j9_basin_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        lat_expr(F.col("c_custkey")).alias("lat"),
+        lon_expr(F.col("c_custkey")).alias("lon"),
+    )
+    out = tag_basins_rect(pts)
+    # Align null-handling with SQL: CASE yields NULL in_baltic for NULL
+    # basin; tag_basins_rect yields NULL there too (null == literal).
+    return out.select(
+        "c_custkey", "lat", "lon", "basin", "in_baltic",
+        F.coalesce(F.col("near_land"), F.lit(False)).alias("near_land"),
+    )
+
+
+# --- U13: PSD power-law fit + flags ---------------------------------------
+# "Particles" are lineitem rows; the size measure is l_quantity and the
+# per-sample unit is the supplier (enough rows per group for a fit).
+U13_SQL = """
+WITH hist AS (
+    SELECT l_suppkey AS sample, floor(l_quantity / 5.0)::INT AS bin,
+           count(*)::BIGINT AS n
+    FROM lineitem
+    WHERE floor(l_quantity / 5.0) >= 1
+    GROUP BY 1, 2
+),
+logged AS (
+    SELECT sample, log10(bin::DOUBLE) AS x, log10(n::DOUBLE) AS y FROM hist
+),
+fitted AS (
+    SELECT sample, count(*)::BIGINT AS n_bins,
+           covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
+           avg(y) AS my, avg(x) AS mx
+    FROM logged GROUP BY sample
+)
+SELECT sample, n_bins,
+       floor(pow(10.0, my - (cxy / vx) * mx) * 1000000.0 + 0.5) / 1000000.0 AS a,
+       floor((cxy / vx) * 1000000.0 + 0.5) / 1000000.0 AS k,
+       CASE WHEN vx > 0 AND vy > 0
+            THEN floor((cxy * cxy) / (vx * vy) * 1000000.0 + 0.5) / 1000000.0
+       END AS r_sqr,
+       nullif(concat_ws(', ',
+           CASE WHEN (cxy * cxy) / (vx * vy) < 0.5 THEN 'Poor fit' END,
+           CASE WHEN cxy / vx > -1.0 THEN 'Bubbles' END,
+           CASE WHEN n_bins < 5 THEN 'Incomplete' END), '') AS flag
+FROM fitted
+WHERE n_bins >= 3 AND vx > 0
+"""
+
+
+@register("u13_psd_fit", U13_SQL, survey_ref="SURVEY §2.9 U13; Rmd:651-669, ingest_and_qc.R:500-518")
+def u13_psd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    hist = size_histogram(lineitem, "l_suppkey", "l_quantity", bin_width=5.0)
+    fits = psd_powerlaw_fit(hist)
+    flags = psd_flags(fits)
+    return (
+        fits.join(flags, "sample")
+        .select(
+            "sample",
+            "n_bins",
+            dround(F.col("a"), 6).alias("a"),
+            dround(F.col("k"), 6).alias("k"),
+            dround(F.col("r_sqr"), 6).alias("r_sqr"),
+            "flag",
+        )
+    )
+
+
+# --- C4: external-resolver pattern (WoRMS stand-in) ------------------------
+# Distinct names resolved once, result broadcast-joined back — never a
+# per-row API call (clean_taxa_fn.R:98-177 re-architected).  The hermetic
+# "resolver" derives an aphia_id from the name hash.
+C4_SQL = """
+WITH names AS (
+    SELECT DISTINCT p_brand AS class_name FROM part
+),
+resolved AS (
+    SELECT class_name,
+           (('0x' || substr(md5(class_name), 1, 8))::BIGINT % 900000) AS aphia_id,
+           CASE WHEN ('0x' || substr(md5(class_name), 1, 8))::BIGINT % 3 = 0
+                THEN 'Species' ELSE 'Genus' END AS rank
+    FROM names
+)
+SELECT p.p_partkey, p.p_brand AS class_name, r.aphia_id, r.rank
+FROM part p LEFT JOIN resolved r ON p.p_brand = r.class_name
+"""
+
+
+@register("c4_taxa_resolver", C4_SQL, survey_ref="SURVEY §2.8 C4; clean_taxa_fn.R:98-177")
+def c4_taxa_resolver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    names = part.select(F.col("p_brand").alias("class_name")).dropDuplicates()
+    h = hash32(F.col("class_name"))
+    resolved = names.select(
+        "class_name",
+        (h % 900000).alias("aphia_id"),
+        F.when(h % 3 == 0, "Species").otherwise("Genus").alias("rank"),
+    )
+    return part.join(
+        F.broadcast(resolved), part.p_brand == resolved.class_name, "left"
+    ).select("p_partkey", "class_name", "aphia_id", "rank")
+
+
+# --- C5: trophic-type / is-diatom lookup -----------------------------------
+C5_SQL = """
+SELECT p_partkey, p_type,
+       CASE WHEN p_type = 'ECONOMY' THEN 'AU'
+            WHEN p_type = 'SMALL' THEN 'HT'
+            ELSE 'NS' END AS trophic_type,
+       (p_type = 'ECONOMY') AS is_diatom
+FROM part
+"""
+
+
+@register("c5_trophic_lookup", C5_SQL, survey_ref="SURVEY §2.8 C5")
+def c5_trophic_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    lookup = spark.createDataFrame(
+        [("ECONOMY", "AU", True), ("SMALL", "HT", False)],
+        ["p_type", "trophic_type", "is_diatom"],
+    )
+    return part.join(F.broadcast(lookup), "p_type", "left").select(
+        "p_partkey",
+        "p_type",
+        F.coalesce("trophic_type", F.lit("NS")).alias("trophic_type"),
+        F.coalesce("is_diatom", F.lit(False)).alias("is_diatom"),
+    )
+
+
+# --- A9: count per class ---------------------------------------------------
+A9_SQL = """
+SELECT p.p_brand AS class, count(*)::BIGINT AS n_images
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+@register("a9_class_counts", A9_SQL, survey_ref="SURVEY §2.5 A9; merge_png_datasets.R:52-76")
+def a9_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, part = tables(spark, sf_dir, "lineitem", "part")
+    return (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("class"))
+        .agg(F.count(F.lit(1)).alias("n_images"))
+    )
+
+
+# --- A15/A16: mean-collapse + replicate averaging --------------------------
+A15_SQL = """
+SELECT c.c_mktsegment, p.p_type, year(o.o_orderdate)::INT AS year,
+       floor(avg(l.l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS mean_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1, 2, 3
+"""
+
+
+@register("a15_mean_collapse", A15_SQL, survey_ref="SURVEY §2.5 A15-A16; compare_microscopy.R:99-121")
+def a15_mean_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, orders, customer, part = tables(
+        spark, sf_dir, "lineitem", "orders", "customer", "part"
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("c_mktsegment", "p_type", F.year("o_orderdate").alias("year"))
+        .agg(dround(F.avg("l_extendedprice"), 4).alias("mean_price"))
+    )
+
+
+# --- F6/F11: regional + missing-position filters ---------------------------
+F6_SQL = """
+WITH pts AS (
+    SELECT c_custkey,
+           (54.0 + (c_custkey % 600) / 100.0) AS lat,
+           (10.0 + (c_custkey % 1200) / 100.0) AS lon
+    FROM customer
+)
+SELECT c_custkey FROM pts
+WHERE (lat >= 54.0 AND lat <= 60.0 AND lon >= 13.0 AND lon <= 22.0)
+  AND NOT (lat >= 57.5 AND lat <= 59.5 AND lon >= 8.0 AND lon <= 11.0)
+  AND NOT (lat >= 55.5 AND lat <= 57.5 AND lon >= 10.0 AND lon <= 13.0)
+"""
+
+
+@register("f6_regional_filter", F6_SQL, survey_ref="SURVEY §2.3 F6; Rmd:1159-1168")
+def f6_regional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        lat_expr(F.col("c_custkey")).alias("lat"),
+        lon_expr(F.col("c_custkey")).alias("lon"),
+    )
+    tagged = tag_basins_rect(pts)
+    return tagged.where(F.col("in_baltic")).select("c_custkey")
+
+
+F11_SQL = """
+SELECT event_id FROM events WHERE value * 20 > 600
+"""
+
+
+@register("f11_missing_position_filter", F11_SQL, survey_ref="SURVEY §2.3 F11; Rmd:262")
+def f11_missing_position_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    stale = (F.col("value") * 20) > 600
+    pts = events.select(
+        "event_id", F.when(stale, None).otherwise(lat_expr(F.col("user_id"))).alias("lat")
+    )
+    return pts.where(F.col("lat").isNull()).select("event_id")
