@@ -58,6 +58,41 @@ def make_bin_id(ts: Column, ifcb_number: Column | int) -> Column:
     )
 
 
+LEGACY_PATTERN = r"^IFCB(\d+)_(\d{4})_(\d{3})_(\d{6})$"
+
+
+def parse_legacy_bin_id(pid: Column | str) -> Column:
+    """WHOI legacy format ``IFCB1_2014_188_222013`` (instrument, year,
+    day-of-year, HHMMSS — reference:
+    ``code/annotations/get_whoi_plankton.R:50-67``) → same struct shape as
+    :func:`parse_bin_id` (day-of-year resolved via date arithmetic)."""
+    pid = F.col(pid) if isinstance(pid, str) else pid
+    instr = F.regexp_extract(pid, LEGACY_PATTERN, 1)
+    year = F.regexp_extract(pid, LEGACY_PATTERN, 2)
+    doy = F.regexp_extract(pid, LEGACY_PATTERN, 3)
+    hms = F.regexp_extract(pid, LEGACY_PATTERN, 4)
+    valid = instr != ""
+    date = F.date_add(
+        F.to_date(F.concat(year, F.lit("-01-01"))), doy.cast("int") - 1
+    )
+    ts = F.when(
+        valid,
+        F.to_timestamp(
+            F.concat(F.date_format(date, "yyyyMMdd"), hms), "yyyyMMddHHmmss"
+        ),
+    )
+    return F.struct(
+        ts.alias("timestamp"),
+        F.to_date(ts).alias("date"),
+        F.year(ts).alias("year"),
+        F.month(ts).alias("month"),
+        F.dayofmonth(ts).alias("day"),
+        F.when(valid, F.date_format(ts, "HH:mm:ss")).alias("time"),
+        F.when(valid, F.concat(F.lit("IFCB"), instr)).alias("ifcb_number"),
+        valid.alias("valid"),
+    )
+
+
 def strip_instrument(pid: Column | str) -> Column:
     """``sapply(strsplit(sample, "_"), [, 1)`` — drop the instrument suffix
     (reference: ``ifcb-data-pipeline.Rmd:1083``)."""

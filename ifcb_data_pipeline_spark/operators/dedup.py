@@ -68,17 +68,24 @@ def shingle_sets(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """(doc, seed, mh): min over shingles of md5-hash(shingle#seed)."""
-    seeded = shingles.select(
+    """(doc, seed, mh): min over shingles of md5-hash(shingle#seed).
+
+    Computed as ``num_hashes`` parallel ``min`` aggregates over the
+    shingle rows (columnar, one shuffle on doc), then unpivoted — NOT by
+    exploding shingles × seeds first, which would multiply the fact-table
+    row count by ``num_hashes`` before the shuffle."""
+    aggs = [
+        F.min(
+            _hash32(F.concat_ws("#", "shingle", F.lit(str(seed))))
+        ).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    wide = shingles.groupBy("doc").agg(*aggs)
+    stack_expr = ", ".join(f"{s}, mh_{s}" for s in range(num_hashes))
+    return wide.select(
         "doc",
-        "shingle",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.expr(f"stack({num_hashes}, {stack_expr}) AS (seed, mh)"),
     )
-    hashed = seeded.withColumn(
-        "h",
-        _hash32(F.concat_ws("#", "shingle", F.col("seed").cast("string"))),
-    )
-    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("mh"))
 
 
 def minhash_lsh_pairs(
@@ -93,6 +100,10 @@ def minhash_lsh_pairs(
     plain hash-join on short strings, linear in corpus size.
     """
     rows_per_band = num_hashes // bands
+    # signatures feeds three consumers (banding + both sides of the
+    # agreement join); persist so the corpus→shingle→minhash chain runs
+    # once, not three times.
+    signatures = signatures.persist()
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc", "band")

@@ -378,3 +378,47 @@ def j13_classlist_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("late_brand").isNotNull().alias("in_late"),
         )
     )
+
+
+# --- J4b: backward (last-observation) as-of join ---------------------------
+# The ferrybox fallback semantics when only prior readings are valid —
+# standard TSDB ASOF JOIN direction; same bucketed plan as J4.
+J4B_SQL = """
+WITH l AS (
+    SELECT event_id AS purchase_id, ts, epoch_us(ts) // 1000000 AS lsec
+    FROM events WHERE event_type = 'purchase'
+), r AS (
+    SELECT event_id AS view_id, epoch_us(ts) // 1000000 AS rsec
+    FROM events WHERE event_type = 'view'
+), m AS MATERIALIZED (
+    SELECT l.purchase_id, r.view_id,
+           row_number() OVER (
+               PARTITION BY l.purchase_id
+               ORDER BY l.lsec - r.rsec, r.view_id
+           ) AS rn
+    FROM l JOIN r ON r.rsec <= l.lsec AND l.lsec - r.rsec <= 300
+)
+SELECT l.purchase_id, l.ts::TIMESTAMP AS ts, m.view_id
+FROM l LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (purchase_id)
+"""
+
+
+@register("j4b_asof_backward", J4B_SQL, survey_ref="SURVEY §2.4 J4 (backward direction)")
+def j4b_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "ts"
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    out = asof_join(
+        purchases,
+        views,
+        left_ts="ts",
+        right_ts="view_ts",
+        tolerance_seconds=300,
+        direction="backward",
+        tie_break=["view_id"],
+    )
+    return out.select("purchase_id", "ts", "view_id")

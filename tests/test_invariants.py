@@ -1,0 +1,92 @@
+"""Property-based and data-wide invariant tests (SURVEY §5).
+
+Invariants from the reference's semantics: per-class counts must sum to
+the per-sample ROI count, split-union must preserve rows, per-liter
+math must be consistent, every output row must trace to an input key.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ifcb_data_pipeline_spark.queries import load_all
+from ifcb_data_pipeline_spark.sources.tables import load_table
+
+REGISTRY = load_all()
+
+
+def test_rollup_counts_partition_roi_count(spark, sf_dir):
+    """Σ per-(sample,class) counts == total qualifying per-ROI rows."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    expected = lineitem.where(F.col("l_quantity") > 1).count()
+    rolled = REGISTRY["a1_biovolume_rollup"].fn(spark, sf_dir)
+    assert rolled.agg(F.sum("counts")).first()[0] == expected
+
+
+def test_split_union_preserves_rows(spark, sf_dir):
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = REGISTRY["o5_split_apply_union"].fn(spark, sf_dir)
+    assert out.count() == lineitem.count()
+
+
+def test_per_liter_math_consistency(spark, sf_dir):
+    """counts_per_liter == counts * 1000 / ml for every row (A1 law)."""
+    rolled = REGISTRY["a1_biovolume_rollup"].fn(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sample"),
+        (F.col("o_totalprice") / 1000.0).alias("ml"),
+    )
+    joined = rolled.join(orders, "sample")
+    bad = joined.where(
+        F.abs(
+            F.col("counts_per_liter") - F.col("counts") * 1000.0 / F.col("ml")
+        )
+        > 1e-3
+    )
+    assert bad.count() == 0
+
+
+def test_join_key_integrity(spark, sf_dir):
+    """Every flagship output row traces to a real order (bin)."""
+    out = REGISTRY["p1_shark_export"].fn(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("sample")
+    )
+    orphans = out.join(orders, "sample", "left_anti")
+    assert orphans.count() == 0
+
+
+def test_dedup_exact_groups_consistent(spark, sf_dir):
+    """Each hash group has exactly one canonical row and n_copies
+    equals the group size."""
+    out = REGISTRY["dd1_exact_dedup"].fn(spark, sf_dir)
+    groups = out.groupBy("text_hash").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.first("n_copies").alias("claimed"),
+        F.sum(F.col("is_canonical").cast("int")).alias("n_canonical"),
+    )
+    assert groups.where(
+        (F.col("size") != F.col("claimed")) | (F.col("n_canonical") != 1)
+    ).count() == 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    x=st.floats(
+        min_value=1e-6, max_value=1e12, allow_nan=False, allow_infinity=False
+    )
+)
+def test_signif_property(x):
+    """signif(x, 3) keeps the first 3 significant digits and stays within
+    0.5 ulp-of-third-digit of x (pure-python mirror of the column expr)."""
+    import math
+
+    mag = math.floor(math.log10(abs(x)))
+    rounded = math.floor((x / 10**mag) * 100 + 0.5) / 100 * 10**mag
+    assert abs(rounded - x) <= 0.5 * 10 ** (mag - 2) * 1.0000001
+    # Idempotence.
+    mag2 = math.floor(math.log10(abs(rounded)))
+    again = math.floor((rounded / 10**mag2) * 100 + 0.5) / 100 * 10**mag2
+    assert again == rounded or abs(again - rounded) < 1e-12 * abs(rounded)

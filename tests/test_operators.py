@@ -135,3 +135,17 @@ def test_gap_fill_downup(spark):
     assert got[(1, 1)] == 5.0  # up-fill
     assert got[(1, 3)] == 5.0 and got[(1, 4)] == 5.0  # down-fill
     assert got[(2, 1)] is None  # all-null group stays null
+
+
+def test_parse_legacy_bin_id(spark):
+    from ifcb_data_pipeline_spark.functions.bin_id import parse_legacy_bin_id
+
+    df = spark.createDataFrame(
+        [("IFCB1_2014_188_222013",), ("nope",)], ["pid"]
+    ).withColumn("p", parse_legacy_bin_id(F.col("pid")))
+    rows = {r["pid"]: r["p"] for r in df.collect()}
+    good = rows["IFCB1_2014_188_222013"]
+    # Day 188 of 2014 = July 7.
+    assert good["valid"] and good["ifcb_number"] == "IFCB1"
+    assert good["timestamp"] == ts("2014-07-07T22:20:13")
+    assert not rows["nope"]["valid"]

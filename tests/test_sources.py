@@ -85,3 +85,34 @@ def test_delivery_tsv_null_semantics(spark):
     lines = text.strip().split("\n")
     assert lines[0] == "sample\tvalue\tflag"
     assert "s1\t1.5\t" in lines and "s2\t\tflagged" in lines
+
+
+def test_delivery_note_render(spark):
+    from ifcb_data_pipeline_spark.sources.delivery_note import render_template
+
+    meta = spark.createDataFrame(
+        [(2024, 123, "2024-05-01")], "year int, n_samples long, delivered string"
+    )
+    note = render_template(
+        "SHARK delivery {year}: {n_samples} samples on {delivered}", meta
+    )
+    assert note == "SHARK delivery 2024: 123 samples on 2024-05-01"
+
+
+def test_partitioned_class_sink(spark):
+    import glob
+    import tempfile
+
+    from ifcb_data_pipeline_spark.sources.sinks import write_partitioned_by_class
+
+    df = spark.createDataFrame(
+        [("s1", "Beads", 1.0), ("s2", "Beads", 2.0), ("s3", "Diatoms", 3.0)],
+        "sample string, class string, value double",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out = f"{tmp}/ecotaxa"
+        write_partitioned_by_class(df, out)
+        dirs = sorted(
+            p.split("class=")[1] for p in glob.glob(f"{out}/class=*")
+        )
+        assert dirs == ["Beads", "Diatoms"]
