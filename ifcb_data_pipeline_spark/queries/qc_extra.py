@@ -264,3 +264,67 @@ def f11_missing_position_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.when(stale, None).otherwise(lat_expr(F.col("user_id"))).alias("lat")
     )
     return pts.where(F.col("lat").isNull()).select("event_id")
+
+
+# --- QC flag unification (Rmd:757-766) -------------------------------------
+# PSD flags ⟗ geo flags by sample, unite into one sentence-case string.
+QF_SQL = """
+WITH psd AS (
+    SELECT l_suppkey AS sample, 'bubbles' AS psd_flag
+    FROM lineitem GROUP BY l_suppkey HAVING avg(l_discount) > 0.05
+),
+geo AS (
+    SELECT s_suppkey AS sample, 'near land' AS geo_flag
+    FROM supplier WHERE s_suppkey % 3 = 0
+)
+SELECT coalesce(psd.sample, geo.sample) AS sample,
+       CASE WHEN concat_ws(', ', psd_flag, geo_flag) = '' THEN NULL
+            ELSE upper(substr(concat_ws(', ', psd_flag, geo_flag), 1, 1))
+                 || substr(concat_ws(', ', psd_flag, geo_flag), 2)
+       END AS flag
+FROM psd FULL OUTER JOIN geo ON psd.sample = geo.sample
+"""
+
+
+@register("qf_flag_unification", QF_SQL, survey_ref="SURVEY §3.1 step 7; Rmd:757-766")
+def qf_flag_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem, supplier = tables(spark, sf_dir, "lineitem", "supplier")
+    psd = (
+        lineitem.groupBy(F.col("l_suppkey").alias("sample"))
+        .agg(F.avg("l_discount").alias("avg_disc"))
+        .where(F.col("avg_disc") > 0.05)
+        .select("sample", F.lit("bubbles").alias("psd_flag"))
+    )
+    geo = supplier.where(F.col("s_suppkey") % 3 == 0).select(
+        F.col("s_suppkey").alias("sample"), F.lit("near land").alias("geo_flag")
+    )
+    united = psd.join(geo, "sample", "full_outer")
+    flag = F.concat_ws(", ", "psd_flag", "geo_flag")
+    sentence = F.concat(F.upper(F.substring(flag, 1, 1)), F.expr("substring(concat_ws(', ', psd_flag, geo_flag), 2)"))
+    return united.select(
+        "sample",
+        F.when(flag == "", None).otherwise(sentence).alias("flag"),
+    )
+
+
+# --- S6: JSON scan into a typed map ---------------------------------------
+S6_SQL = """
+SELECT event_id,
+       json_extract_string(props, '$.k')::INT AS k,
+       (json_extract_string(props, '$.k')::INT BETWEEN 0 AND 49) AS k_in_range
+FROM events
+"""
+
+
+@register("s6_json_scan", S6_SQL, survey_ref="SURVEY §2.1 S6; delivery_to_shark.R:265-266")
+def s6_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        F.col("p.k").between(0, 49).alias("k_in_range"),
+    )

@@ -116,3 +116,55 @@ def test_partitioned_class_sink(spark):
             p.split("class=")[1] for p in glob.glob(f"{out}/class=*")
         )
         assert dirs == ["Beads", "Diatoms"]
+
+
+def test_sqlite_manual_annotations(spark):
+    import sqlite3
+    import tempfile
+
+    from ifcb_data_pipeline_spark.operators.aggregates import last_per_group
+    from ifcb_data_pipeline_spark.sources.sqlite import read_sqlite_table
+
+    with tempfile.TemporaryDirectory() as tmp:
+        db = f"{tmp}/annotations.db"
+        con = sqlite3.connect(db)
+        con.execute(
+            "CREATE TABLE annotations (sample_name TEXT, roi_number INT,"
+            " class_name TEXT, annotator TEXT, ts TEXT)"
+        )
+        con.executemany(
+            "INSERT INTO annotations VALUES (?,?,?,?,?)",
+            [
+                ("b1", 1, "Beads", "anna", "2024-01-01T10:00:00"),
+                ("b1", 1, "Diatoms", "bo", "2024-02-01T10:00:00"),
+                ("b2", 3, "Beads", "anna", "2024-01-05T10:00:00"),
+            ],
+        )
+        con.commit()
+        con.close()
+        df = read_sqlite_table(
+            spark, db, "annotations",
+            "sample_name string, roi_number long, class_name string,"
+            " annotator string, ts string",
+        )
+        assert df.count() == 3
+        # A8: latest annotation per sample wins.
+        latest = last_per_group(df, ["sample_name"], "ts")
+        got = {r["sample_name"]: r["class_name"] for r in latest.collect()}
+        assert got == {"b1": "Diatoms", "b2": "Beads"}
+
+
+def test_binary_scan_structure(spark):
+    # The .mat/.h5 decoders need libs absent here; the scan half (file →
+    # (sample, content) rows) must still work.
+    import tempfile
+
+    from ifcb_data_pipeline_spark.sources.binary_formats import _binary_scan
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(f"{tmp}/D20240101T000000_IFCB1_class_v1.h5", "wb") as f:
+            f.write(b"\x89HDF")
+        files = _binary_scan(spark, tmp, "*.h5")
+        row = files.first()
+        assert row["sample"] == "D20240101T000000_IFCB1_class_v1"
+        assert bytes(row["content"]) == b"\x89HDF"
