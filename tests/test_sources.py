@@ -168,3 +168,75 @@ def test_binary_scan_structure(spark):
         row = files.first()
         assert row["sample"] == "D20240101T000000_IFCB1_class_v1"
         assert bytes(row["content"]) == b"\x89HDF"
+
+
+def test_image_sink_and_zip_split(spark):
+    import os
+    import tempfile
+    import zipfile as zf
+
+    from ifcb_data_pipeline_spark.operators.multimodal import explode_bins_to_rois
+    from ifcb_data_pipeline_spark.sources.image_sink import (
+        write_images_by_class,
+        zip_with_splitting,
+    )
+
+    bins = spark.createDataFrame(
+        [("b1", 4), ("b2", 3)], "sample string, n_rois int"
+    )
+    rois = explode_bins_to_rois(bins).withColumn(
+        "class", F.when(F.col("roi_number") % 2 == 0, "Beads").otherwise("Diatoms")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        out = write_images_by_class(rois, f"{tmp}/imgs")
+        classes = sorted(os.listdir(out))
+        assert classes == ["Beads", "Diatoms"]
+        n_files = sum(len(os.listdir(os.path.join(out, c))) for c in classes)
+        assert n_files == 7
+        # Tiny max size forces multiple archive parts.
+        parts = zip_with_splitting(out, f"{tmp}/archive", max_bytes=600)
+        assert len(parts) > 1
+        names = []
+        for p in parts:
+            with zf.ZipFile(p) as z:
+                names.extend(z.namelist())
+        assert len(names) == 7  # every image in exactly one part
+
+
+def test_adc_roi_roundtrip(spark):
+    """Synthesize a bin (.adc + .roi), read it back, verify every image
+    slice (S2 byte-exact roundtrip)."""
+    import tempfile
+
+    from ifcb_data_pipeline_spark.sources.adc_roi import read_roi_images
+
+    with tempfile.TemporaryDirectory() as tmp:
+        blob = bytearray()
+        adc_lines = []
+        expected = {}
+        offset = 0
+        for trig, (w, h) in enumerate([(4, 3), (0, 0), (5, 2)], start=1):
+            img = bytes((trig * 7 + i) % 256 for i in range(w * h))
+            if w > 0:
+                expected[trig] = (img, w, h)
+            # v2 layout: trigger in col 0, width/height/start in 14/15/16.
+            row = ["0"] * 17
+            row[0] = str(trig)
+            row[14], row[15], row[16] = str(w), str(h), str(offset)
+            adc_lines.append(",".join(row))
+            blob += img
+            offset += len(img)
+        sample = "D20240101T120000_IFCB134"
+        with open(f"{tmp}/{sample}.adc", "w") as f:
+            f.write("\n".join(adc_lines))
+        with open(f"{tmp}/{sample}.roi", "wb") as f:
+            f.write(bytes(blob))
+
+        rois = read_roi_images(spark, tmp)
+        got = {r["roi_number"]: r for r in rois.collect()}
+        assert set(got) == set(expected)  # width-0 trigger rows dropped
+        for trig, (img, w, h) in expected.items():
+            r = got[trig]
+            assert bytes(r["image"]) == img
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["sample"] == sample
