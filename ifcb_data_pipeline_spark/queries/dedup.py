@@ -218,3 +218,107 @@ def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= 0.95)
     )
+
+
+# --- DD6: duplicate-cluster assignment (connected components) --------------
+# Near-dup pairs from the LSH stage are edges; each doc gets its
+# cluster's min doc id as label.  Spark side: iterative min-label
+# propagation (converges in <= diameter rounds; pair graphs from dedup
+# are tiny relative to the corpus).  Oracle: recursive CTE closure.
+DD6_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+mh AS (
+    SELECT doc, seed,
+           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
+    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, seed
+),
+bands AS (
+    SELECT doc, (seed // 2)::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, seed // 2
+),
+edges AS (
+    SELECT DISTINCT a.doc AS src, b.doc AS dst
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+bi AS (
+    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+closure AS MATERIALIZED (
+    WITH RECURSIVE reach(node, root) AS (
+        SELECT DISTINCT src AS node, src AS root FROM bi
+        UNION
+        SELECT bi.dst, reach.root FROM reach JOIN bi ON bi.src = reach.node
+    )
+    SELECT node AS doc, min(root) AS cluster FROM reach GROUP BY node
+)
+SELECT doc, cluster, (SELECT count(*) FROM closure c2 WHERE c2.cluster = closure.cluster)::BIGINT AS cluster_size
+FROM closure
+"""
+
+
+@register("dd6_dup_clusters", DD6_SQL, survey_ref="north-star dedup: connected-component cluster labels")
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    rows_per_band = 2
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda s: s.getField("mh").cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = banded.select(F.col("doc").alias("src"), "band", "sig")
+    b = banded.select(F.col("doc").alias("dst"), "band", "sig")
+    edges = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+    )
+    bi = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates()
+    # Min-label propagation to fixpoint (edge set is small: only docs
+    # that collided in LSH; each round is one broadcast-scale join).
+    labels = bi.select("src").dropDuplicates().select(
+        F.col("src").alias("node"), F.col("src").alias("cluster")
+    ).cache()
+    while True:
+        neighbor_min = (
+            bi.join(labels, bi.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("cluster").alias("n_cluster"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("n_cluster"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .cache()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .where(F.col("u.cluster") != F.col("l.cluster"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "cluster").select(
+        F.col("node").alias("doc"), "cluster", "cluster_size"
+    )

@@ -149,3 +149,68 @@ def tx4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash32(head).alias("fp_head"),
         hash32(tail).alias("fp_tail"),
     )
+
+
+# --- TX5: vocabulary building (document frequency) -------------------------
+# Top-50 tokens by document frequency with deterministic tiebreak — the
+# vocab-build pass of a tokenizer-training pipeline.
+TX5_SQL = """
+WITH tok AS (
+    SELECT DISTINCT doc_id, t.tok
+    FROM documents, unnest(string_split(lower(text), ' ')) AS t(tok)
+    WHERE t.tok <> ''
+),
+df AS (
+    SELECT tok AS token, count(*)::BIGINT AS doc_freq FROM tok GROUP BY tok
+)
+SELECT token, doc_freq,
+       row_number() OVER (ORDER BY doc_freq DESC, token)::BIGINT AS rank
+FROM df ORDER BY rank LIMIT 50
+"""
+
+
+@register("tx5_vocabulary", TX5_SQL, survey_ref="north-star text: vocabulary / doc-frequency build")
+def tx5_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .dropDuplicates(["doc_id", "token"])
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 50)
+    )
+
+
+# --- SP1: deterministic train/test split -----------------------------------
+# Hash-based stratified split: reproducible across engines, runs, and
+# cluster sizes (never sample() — nondeterministic under retries).
+SP1_SQL = f"""
+WITH split AS (
+    SELECT doc_id, lang,
+           CASE WHEN {HASH32_SQL.format(x="doc_id::VARCHAR")} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split, count(*)::BIGINT AS n
+FROM split GROUP BY lang, split
+"""
+
+
+@register("sp1_train_test_split", SP1_SQL, survey_ref="north-star: deterministic hash split")
+def sp1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    split = documents.select(
+        "lang",
+        F.when(hash32(F.col("doc_id").cast("string")) % 100 < 80, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,63 @@
+"""Plan-regression tests: the physical properties that make the operators
+100 TB-safe must not silently regress (SCALE.md contract).
+
+Checks the formatted physical plan string — broadcast joins where dims
+are joined, no accidental cartesian products, predicate pushdown reaching
+the parquet scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ifcb_data_pipeline_spark.queries import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["p1_shark_export", "a1_biovolume_rollup", "j1_enrichment_chain", "a4_monthly_stats"],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, name, sf_dir)
+    assert "BroadcastHashJoin" in plan, f"{name}: dim join not broadcast"
+    assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian product"
+
+
+@pytest.mark.parametrize("name", ["j4_asof_join", "j4b_asof_backward", "dd2_minhash_lsh"])
+def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
+    """The as-of join and LSH candidate join must stay hash/sort-merge —
+    a BroadcastNestedLoopJoin here means the bucketing decomposition
+    regressed to a range join."""
+    plan = plan_of(spark, name, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: degenerated to BNLJ"
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = plan_of(spark, "f13_membership_filter", sf_dir)
+    assert "PushedFilters: [" in plan
+    # The status equality must be pushed, not evaluated post-scan only.
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in pushed
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    # f13 projects 3 of orders' 6 columns; the scan must not read the rest.
+    plan = plan_of(spark, "f13_membership_filter", sf_dir)
+    read_schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "o_orderpriority" in read_schema
+    assert "o_totalprice" not in read_schema and "o_custkey" not in read_schema
+
+
+def test_rollup_is_two_phase(spark, sf_dir):
+    plan = plan_of(spark, "a1_biovolume_rollup", sf_dir)
+    assert plan.count("HashAggregate") >= 2  # partial + final
