@@ -412,3 +412,34 @@ def a18_provenance_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+# --- A19 (beyond reference): cube / grouping sets --------------------------
+# The reference has no grouping sets (SURVEY §2.5 note); a 100 TB engine
+# wants them for one-pass multi-granularity rollups.
+A19_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*)::BIGINT AS n,
+       floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("a19_cube_rollup", A19_SQL, survey_ref="beyond reference: grouping sets (SURVEY §2.5 note)")
+def a19_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )

@@ -108,4 +108,5 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination(120)
+    query.stop()  # release the handle so a re-run in-session is clean
     return spark.table("st1_windowed")

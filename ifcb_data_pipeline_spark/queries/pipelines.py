@@ -110,19 +110,21 @@ FROM argmax a JOIN totals t ON a.sample = t.sample
 @register("p2_hab_alert", P2_SQL, survey_ref="SURVEY §3.3; hab_alert.R:106-153")
 def p2_hab_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
-    rolled = (
+    # Aggregate the fact table first, join orders after — the join input
+    # shrinks from |lineitem| to |distinct (order, brand)| before the
+    # fact×fact join (two-phase agg, then broadcast-able other side).
+    counts = (
         lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(
-            F.col("l_orderkey").alias("sample"),
-            F.col("p_brand").alias("taxon"),
-            F.col("o_totalprice"),
+            F.col("l_orderkey").alias("sample"), F.col("p_brand").alias("taxon")
         )
         .agg(F.count(F.lit(1)).alias("counts"))
-        .withColumn(
-            "counts_per_liter",
-            F.col("counts") * 1000.0 / (F.col("o_totalprice") / 1000.0),
-        )
+    )
+    rolled = counts.join(
+        orders.select(F.col("o_orderkey").alias("sample"), "o_totalprice"), "sample"
+    ).withColumn(
+        "counts_per_liter",
+        F.col("counts") * 1000.0 / (F.col("o_totalprice") / 1000.0),
     )
     w = Window.partitionBy("taxon").orderBy(
         F.col("counts_per_liter").desc(), F.col("sample")

@@ -328,3 +328,22 @@ def s6_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k"),
         F.col("p.k").between(0, 49).alias("k_in_range"),
     )
+
+
+# --- U13b: PSD fit via applyInPandas (rows-only gate) ----------------------
+# The per-group numpy variant of u13 — registered without an oracle so
+# the driver records the weaker rows-only check (the value-level parity
+# with the closed form is pytest-verified in tests/test_psd.py).
+@register("u13b_psd_fit_pandas", None, survey_ref="SURVEY §2.9 U13 applyInPandas variant")
+def u13b_psd_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.psd import psd_fit_pandas
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    hist = size_histogram(lineitem, "l_suppkey", "l_quantity", bin_width=5.0)
+    fits = psd_fit_pandas(hist)
+    return fits.select(
+        "sample", "n_bins",
+        dround(F.col("a"), 6).alias("a"),
+        dround(F.col("k"), 6).alias("k"),
+        dround(F.col("r_sqr"), 6).alias("r_sqr"),
+    )
