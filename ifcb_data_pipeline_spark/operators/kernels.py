@@ -1,0 +1,254 @@
+"""Per-image feature kernels in pure numpy — SURVEY §2.9 U2/U3/U4/U7/U8.
+
+Real implementations of the reference's per-ROI morphology features that
+need only numpy (the reference computes them with skimage/scipy:
+``ifcb_features/blob_geometry.py:22-208``, ``texture.py:9-69``,
+``perimeter.py:24-67``; formulas are standard image-moment /
+computational-geometry math).  Segmentation (U1) and the biovolume
+solid-of-revolution (U5) need image libraries absent in this container
+and stay stubbed in ``multimodal.py``.
+
+All functions take a binary mask / grayscale image as a 2-D numpy array
+and return plain floats — deterministic, vectorizable inside the
+Arrow-batched ``mapInPandas`` kernel (:func:`features_from_images`).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+
+# --- U2: moment-based blob geometry ---------------------------------------
+
+def blob_geometry(mask: np.ndarray) -> dict[str, float]:
+    """Area, centroid, bbox/extent, equivalent diameter, ellipse fit
+    (major/minor/eccentricity/orientation from central moments)
+    — reference surface: ``blob_geometry.py:22-86``."""
+    ys, xs = np.nonzero(mask)
+    area = float(len(xs))
+    if area == 0:
+        return {k: 0.0 for k in (
+            "Area", "EquivDiameter", "Extent", "MajorAxisLength",
+            "MinorAxisLength", "Eccentricity", "Orientation",
+            "BoundingBox_xwidth", "BoundingBox_ywidth",
+        )}
+    cx, cy = xs.mean(), ys.mean()
+    # Central second moments with the 1/12 pixel-variance correction
+    # (MATLAB regionprops convention).
+    mxx = ((xs - cx) ** 2).mean() + 1 / 12
+    myy = ((ys - cy) ** 2).mean() + 1 / 12
+    mxy = ((xs - cx) * (ys - cy)).mean()
+    common = math.sqrt((mxx - myy) ** 2 + 4 * mxy**2)
+    major = 2 * math.sqrt(2) * math.sqrt(mxx + myy + common)
+    minor = 2 * math.sqrt(2) * math.sqrt(max(mxx + myy - common, 0.0))
+    ecc = math.sqrt(1 - (minor / major) ** 2) if major > 0 else 0.0
+    if mxy == 0:
+        orient = 0.0 if mxx >= myy else 90.0
+    else:
+        orient = math.degrees(math.atan2(2 * mxy, mxx - myy) / 2)
+    bb_x = float(xs.max() - xs.min() + 1)
+    bb_y = float(ys.max() - ys.min() + 1)
+    return {
+        "Area": area,
+        "EquivDiameter": math.sqrt(4 * area / math.pi),
+        "Extent": area / (bb_x * bb_y),
+        "MajorAxisLength": major,
+        "MinorAxisLength": minor,
+        "Eccentricity": ecc,
+        "Orientation": orient,
+        "BoundingBox_xwidth": bb_x,
+        "BoundingBox_ywidth": bb_y,
+    }
+
+
+# --- U3: convex hull (monotone chain) + hull metrics -----------------------
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain; points (N,2) → hull vertices CCW."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower: list[np.ndarray] = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list[np.ndarray] = []
+    for p in pts[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return np.array(lower[:-1] + upper[:-1], dtype=float)
+
+
+def hull_metrics(mask: np.ndarray) -> dict[str, float]:
+    """ConvexArea (shoelace + half-pixel rasterization correction),
+    ConvexPerimeter, Feret diameters — reference surface:
+    ``blob_geometry.py:145-208``."""
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return {"ConvexArea": 0.0, "ConvexPerimeter": 0.0,
+                "maxFeretDiameter": 0.0, "minFeretDiameter": 0.0}
+    hull = convex_hull(np.column_stack([xs, ys]))
+    if len(hull) < 3:
+        span = math.dist(hull[0], hull[-1]) if len(hull) == 2 else 0.0
+        return {"ConvexArea": float(len(xs)), "ConvexPerimeter": 2 * span,
+                "maxFeretDiameter": span + 1, "minFeretDiameter": 1.0}
+    x, y = hull[:, 0], hull[:, 1]
+    shoelace = 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    per = float(np.sum(np.hypot(np.diff(np.append(x, x[0])),
+                                np.diff(np.append(y, y[0])))))
+    # Rotating-caliper Feret diameters over 1° steps.
+    d = hull - hull.mean(axis=0)
+    angles = np.radians(np.arange(0, 180))
+    cos, sin = np.cos(angles), np.sin(angles)
+    proj = d[:, 0][:, None] * cos[None, :] + d[:, 1][:, None] * sin[None, :]
+    widths = proj.max(axis=0) - proj.min(axis=0) + 1  # pixel-width corrected
+    return {
+        "ConvexArea": float(shoelace + per / 2 + 1),  # rasterized hull area
+        "ConvexPerimeter": per,
+        "maxFeretDiameter": float(widths.max()),
+        "minFeretDiameter": float(widths.min()),
+    }
+
+
+# --- U4: perimeter estimate ------------------------------------------------
+
+def perimeter_estimate(mask: np.ndarray) -> float:
+    """Boundary length from 4-connected edge crossings (the reference uses
+    a weighted 3×3 Benkrid kernel, ``perimeter.py:24-67``; this estimator
+    counts exposed pixel edges, exact for axis-aligned shapes)."""
+    m = mask.astype(bool)
+    padded = np.pad(m, 1)
+    edges = 0
+    edges += np.count_nonzero(padded[1:-1, 1:-1] & ~padded[:-2, 1:-1])
+    edges += np.count_nonzero(padded[1:-1, 1:-1] & ~padded[2:, 1:-1])
+    edges += np.count_nonzero(padded[1:-1, 1:-1] & ~padded[1:-1, :-2])
+    edges += np.count_nonzero(padded[1:-1, 1:-1] & ~padded[1:-1, 2:])
+    return float(edges)
+
+
+# --- U7: texture statistics ------------------------------------------------
+
+def texture_stats(img: np.ndarray, mask: np.ndarray) -> dict[str, float]:
+    """Mean, contrast, smoothness, third moment, uniformity, entropy over
+    the masked pixels (reference surface: ``texture.py:9-69``; intensities
+    normalized to [0,1] over 256 levels)."""
+    vals = img[mask.astype(bool)].astype(np.float64)
+    if vals.size == 0:
+        return {k: 0.0 for k in (
+            "texture_average_gray_level", "texture_average_contrast",
+            "texture_smoothness", "texture_third_moment",
+            "texture_uniformity", "texture_entropy",
+        )}
+    v = vals / 255.0
+    mean = v.mean()
+    var = v.var()
+    third = ((v - mean) ** 3).mean()
+    hist, _ = np.histogram(vals, bins=256, range=(0, 256))
+    p = hist / hist.sum()
+    p = p[p > 0]
+    return {
+        "texture_average_gray_level": float(mean),
+        "texture_average_contrast": float(math.sqrt(var)),
+        "texture_smoothness": float(1 - 1 / (1 + var)),
+        "texture_third_moment": float(third),
+        "texture_uniformity": float(np.sum(p**2)),
+        "texture_entropy": float(-np.sum(p * np.log2(p))),
+    }
+
+
+# --- U8: Hu invariant moments ---------------------------------------------
+
+def hu_moments(mask: np.ndarray) -> list[float]:
+    """φ1-φ7 scale/translation/rotation-invariant moments
+    (reference surface: ``blob_geometry.py:88-143``)."""
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return [0.0] * 7
+    x = xs.astype(np.float64)
+    y = ys.astype(np.float64)
+    m00 = float(len(x))
+    cx, cy = x.mean(), y.mean()
+
+    def mu(p, q):
+        return float((((x - cx) ** p) * ((y - cy) ** q)).sum())
+
+    def eta(p, q):
+        return mu(p, q) / (m00 ** (1 + (p + q) / 2))
+
+    n20, n02, n11 = eta(2, 0), eta(0, 2), eta(1, 1)
+    n30, n03 = eta(3, 0), eta(0, 3)
+    n21, n12 = eta(2, 1), eta(1, 2)
+    phi1 = n20 + n02
+    phi2 = (n20 - n02) ** 2 + 4 * n11**2
+    phi3 = (n30 - 3 * n12) ** 2 + (3 * n21 - n03) ** 2
+    phi4 = (n30 + n12) ** 2 + (n21 + n03) ** 2
+    phi5 = (n30 - 3 * n12) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) + (3 * n21 - n03) * (n21 + n03) * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    phi6 = (n20 - n02) * ((n30 + n12) ** 2 - (n21 + n03) ** 2) + 4 * n11 * (
+        n30 + n12
+    ) * (n21 + n03)
+    phi7 = (3 * n21 - n03) * (n30 + n12) * (
+        (n30 + n12) ** 2 - 3 * (n21 + n03) ** 2
+    ) - (n30 - 3 * n12) * (n21 + n03) * (3 * (n30 + n12) ** 2 - (n21 + n03) ** 2)
+    return [phi1, phi2, phi3, phi4, phi5, phi6, phi7]
+
+
+# --- mapInPandas wrapper ---------------------------------------------------
+
+KERNEL_FEATURE_SCHEMA = (
+    "sample string, roi_number int, Area double, EquivDiameter double,"
+    " Extent double, MajorAxisLength double, MinorAxisLength double,"
+    " Eccentricity double, Orientation double, BoundingBox_xwidth double,"
+    " BoundingBox_ywidth double, ConvexArea double,"
+    " ConvexPerimeter double, maxFeretDiameter double,"
+    " minFeretDiameter double, Perimeter double, Solidity double,"
+    " texture_average_gray_level double, texture_average_contrast double,"
+    " texture_smoothness double, texture_third_moment double,"
+    " texture_uniformity double, texture_entropy double,"
+    " moment_invariants array<double>"
+)
+
+
+def features_from_images(rois, threshold: int = 128):
+    """Real U2/U3/U4/U7/U8 features over ROI byte images (mask = pixel >
+    threshold).  Arrow-batched; one python call per batch, numpy inside."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sample, roi, blob, w, h in zip(
+                pdf["sample"], pdf["roi_number"], pdf["image"], pdf["width"], pdf["height"]
+            ):
+                img = np.frombuffer(bytes(blob), dtype=np.uint8)[: w * h].reshape(h, w)
+                mask = img > threshold
+                geo = blob_geometry(mask)
+                hull = hull_metrics(mask)
+                tex = texture_stats(img, mask)
+                area = geo["Area"]
+                rows.append(
+                    {
+                        "sample": sample,
+                        "roi_number": int(roi),
+                        **geo,
+                        **hull,
+                        "Perimeter": perimeter_estimate(mask),
+                        "Solidity": area / hull["ConvexArea"] if hull["ConvexArea"] else 0.0,
+                        **tex,
+                        "moment_invariants": hu_moments(mask),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return rois.mapInPandas(kernel, schema=KERNEL_FEATURE_SCHEMA)

@@ -110,3 +110,24 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination(120)
     query.stop()  # release the handle so a re-run in-session is clean
     return spark.table("st1_windowed")
+
+
+# --- MM2: real morphology kernels over ROI images (rows-only gate) ---------
+# U2/U3/U4/U7/U8 in pure numpy over deterministic ROI bytes; the kernel
+# math is pytest-verified against analytic shapes (tests/test_kernels.py)
+# — not SQL-expressible, so the driver records the rows-only check.
+@register("mm2_real_kernel_features", None, survey_ref="SURVEY §2.9 U2/U3/U4/U7/U8 (numpy kernels)")
+def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kernels import features_from_images
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    bins = orders.where(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").cast("string").alias("sample"),
+        ((F.col("o_orderkey") % 30) + 2).cast("int").alias("n_rois"),
+    )
+    rois = explode_bins_to_rois(bins)
+    feats = features_from_images(rois)
+    return feats.select(
+        "sample", "roi_number", "Area", "Eccentricity", "Solidity",
+        "texture_entropy", F.size("moment_invariants").alias("n_phi"),
+    )

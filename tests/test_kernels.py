@@ -1,0 +1,116 @@
+"""U-kernel tests against shapes with analytically known geometry
+(SURVEY §5 T1: 'synthetic shapes with analytically known geometry')."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ifcb_data_pipeline_spark.operators.kernels import (
+    blob_geometry,
+    convex_hull,
+    features_from_images,
+    hu_moments,
+    hull_metrics,
+    perimeter_estimate,
+    texture_stats,
+)
+
+
+def disk_mask(r: int, pad: int = 2) -> np.ndarray:
+    n = 2 * (r + pad) + 1
+    yy, xx = np.mgrid[:n, :n]
+    c = r + pad
+    return ((xx - c) ** 2 + (yy - c) ** 2 <= r * r).astype(np.uint8)
+
+
+def rect_mask(w: int, h: int, pad: int = 2) -> np.ndarray:
+    m = np.zeros((h + 2 * pad, w + 2 * pad), dtype=np.uint8)
+    m[pad : pad + h, pad : pad + w] = 1
+    return m
+
+
+def test_rectangle_geometry_exact():
+    g = blob_geometry(rect_mask(10, 4))
+    assert g["Area"] == 40.0
+    assert g["BoundingBox_xwidth"] == 10.0 and g["BoundingBox_ywidth"] == 4.0
+    assert g["Extent"] == 1.0
+    assert abs(g["Orientation"]) < 1e-9  # long axis horizontal
+    assert g["MajorAxisLength"] > g["MinorAxisLength"]
+
+
+def test_disk_geometry_analytic():
+    r = 20
+    g = blob_geometry(disk_mask(r))
+    assert g["Area"] == pytest.approx(math.pi * r * r, rel=0.02)
+    assert g["EquivDiameter"] == pytest.approx(2 * r, rel=0.02)
+    assert g["Eccentricity"] < 0.05  # circle ≈ no eccentricity
+    assert g["MajorAxisLength"] == pytest.approx(2 * r, rel=0.05)
+
+
+def test_rectangle_perimeter_exact():
+    # Exposed-edge perimeter of a w×h rectangle is exactly 2(w+h).
+    assert perimeter_estimate(rect_mask(10, 4)) == 28.0
+
+
+def test_convex_hull_square():
+    pts = np.array([[0, 0], [4, 0], [0, 4], [4, 4], [2, 2], [1, 3]])
+    hull = convex_hull(pts)
+    assert len(hull) == 4
+    assert {tuple(p) for p in hull} == {(0, 0), (4, 0), (4, 4), (0, 4)}
+
+
+def test_hull_metrics_disk():
+    r = 20
+    h = hull_metrics(disk_mask(r))
+    assert h["maxFeretDiameter"] == pytest.approx(2 * r + 1, rel=0.03)
+    assert h["minFeretDiameter"] == pytest.approx(2 * r + 1, rel=0.03)
+    assert h["ConvexPerimeter"] == pytest.approx(2 * math.pi * r, rel=0.05)
+
+
+def test_solidity_convex_shape_near_one():
+    mask = disk_mask(15)
+    g = blob_geometry(mask)
+    h = hull_metrics(mask)
+    assert g["Area"] / h["ConvexArea"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_hu_moments_invariance():
+    base = rect_mask(12, 5)
+    translated = np.pad(base, ((7, 0), (3, 0)))
+    rotated = np.rot90(base)
+    phi_base = hu_moments(base)
+    phi_t = hu_moments(translated)
+    phi_r = hu_moments(rotated)
+    for a, b in zip(phi_base, phi_t):
+        assert a == pytest.approx(b, rel=1e-9)  # translation invariant
+    for a, b in zip(phi_base[:4], phi_r[:4]):
+        assert a == pytest.approx(b, rel=1e-6)  # rotation invariant
+
+
+def test_texture_uniform_image():
+    img = np.full((10, 10), 128, dtype=np.uint8)
+    mask = np.ones_like(img)
+    t = texture_stats(img, mask)
+    assert t["texture_average_contrast"] == pytest.approx(0.0, abs=1e-12)
+    assert t["texture_uniformity"] == 1.0
+    assert t["texture_entropy"] == 0.0
+    assert t["texture_smoothness"] == 0.0
+
+
+def test_features_from_images_spark(spark):
+    from ifcb_data_pipeline_spark.operators.multimodal import explode_bins_to_rois
+
+    bins = spark.createDataFrame([("b1", 6)], "sample string, n_rois int")
+    rois = explode_bins_to_rois(bins)
+    feats = features_from_images(rois)
+    rows = feats.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["Area"] >= 0
+        assert len(r["moment_invariants"]) == 7
+        assert 0 <= r["texture_average_gray_level"] <= 1
+        if r["ConvexArea"] > 0:
+            assert 0 < r["Solidity"] <= 1.2
