@@ -252,3 +252,124 @@ def features_from_images(rois, threshold: int = 128):
             yield pd.DataFrame(rows)
 
     return rois.mapInPandas(kernel, schema=KERNEL_FEATURE_SCHEMA)
+
+
+# --- connected components (enables U12 summed-over-blobs features) ---------
+
+def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """4-connected component labeling via two-pass union-find
+    (skimage.measure.label equivalent; pure numpy/python).
+    Returns (labels, n_components); labels are 1..n, 0 = background."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), dtype=np.int32)
+    parent: list[int] = [0]
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nxt = 1
+    for y in range(h):
+        for x in range(w):
+            if not mask[y, x]:
+                continue
+            up = labels[y - 1, x] if y > 0 else 0
+            left = labels[y, x - 1] if x > 0 else 0
+            if up == 0 and left == 0:
+                parent.append(nxt)
+                labels[y, x] = nxt
+                nxt += 1
+            elif up and left:
+                labels[y, x] = min(up, left)
+                union(up, left)
+            else:
+                labels[y, x] = up or left
+    # Second pass: resolve + compact label ids.
+    remap: dict[int, int] = {}
+    out = np.zeros_like(labels)
+    for y, x in zip(*np.nonzero(labels)):
+        root = find(labels[y, x])
+        if root not in remap:
+            remap[root] = len(remap) + 1
+        out[y, x] = remap[root]
+    return out, len(remap)
+
+
+def summed_features(mask: np.ndarray) -> dict[str, float]:
+    """U12: features over ALL blobs (largest-blob features come from U2;
+    the reference sums per-blob values in float64,
+    ``ifcb_features/all.py:446-538``) plus ratio features with 0-guards."""
+    labels, n = label_components(mask)
+    summed_area = 0.0
+    summed_perimeter = 0.0
+    summed_convex_area = 0.0
+    summed_convex_perimeter = 0.0
+    summed_major = 0.0
+    summed_minor = 0.0
+    for i in range(1, n + 1):
+        blob = labels == i
+        g = blob_geometry(blob)
+        hm = hull_metrics(blob)
+        summed_area += g["Area"]
+        summed_perimeter += perimeter_estimate(blob)
+        summed_convex_area += hm["ConvexArea"]
+        summed_convex_perimeter += hm["ConvexPerimeter"]
+        summed_major += g["MajorAxisLength"]
+        summed_minor += g["MinorAxisLength"]
+    return {
+        "numBlobs": float(n),
+        "summedArea": summed_area,
+        "summedPerimeter": summed_perimeter,
+        "summedConvexArea": summed_convex_area,
+        "summedConvexPerimeter": summed_convex_perimeter,
+        "summedMajorAxisLength": summed_major,
+        "summedMinorAxisLength": summed_minor,
+        "Area_over_PerimeterSquared": (
+            summed_area / summed_perimeter**2 if summed_perimeter else float("nan")
+        ),
+        "Area_over_Perimeter": (
+            summed_area / summed_perimeter if summed_perimeter else float("nan")
+        ),
+        "summedConvexPerimeter_over_Perimeter": (
+            summed_convex_perimeter / summed_perimeter
+            if summed_perimeter
+            else float("nan")
+        ),
+    }
+
+
+# --- U9: HOG (histogram of oriented gradients) -----------------------------
+
+def hog_features(img: np.ndarray, cells: int = 3, bins: int = 9) -> list[float]:
+    """3×3 cell grid × 9 orientation bins = 81-vector (reference surface:
+    ``ifcb_features/hog.py:8-57``).  Gradients via central differences;
+    unsigned orientations (0-180°); per-cell magnitude-weighted histogram,
+    L2-normalized over the whole descriptor."""
+    f = img.astype(np.float64)
+    gy, gx = np.gradient(f)
+    mag = np.hypot(gx, gy)
+    ang = np.degrees(np.arctan2(gy, gx)) % 180.0
+    h, w = f.shape
+    out = np.zeros((cells, cells, bins))
+    cell_h, cell_w = max(h // cells, 1), max(w // cells, 1)
+    bin_idx = np.minimum((ang / (180.0 / bins)).astype(int), bins - 1)
+    for cy in range(cells):
+        for cx in range(cells):
+            y0, x0 = cy * cell_h, cx * cell_w
+            y1 = h if cy == cells - 1 else (cy + 1) * cell_h
+            x1 = w if cx == cells - 1 else (cx + 1) * cell_w
+            if y0 >= h or x0 >= w:
+                continue
+            cb = bin_idx[y0:y1, x0:x1].ravel()
+            cm = mag[y0:y1, x0:x1].ravel()
+            out[cy, cx] = np.bincount(cb, weights=cm, minlength=bins)[:bins]
+    v = out.ravel()
+    norm = np.linalg.norm(v)
+    return list(v / norm if norm > 0 else v)

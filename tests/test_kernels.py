@@ -114,3 +114,54 @@ def test_features_from_images_spark(spark):
         assert 0 <= r["texture_average_gray_level"] <= 1
         if r["ConvexArea"] > 0:
             assert 0 < r["Solidity"] <= 1.2
+
+
+def test_label_components_counts_blobs():
+    from ifcb_data_pipeline_spark.operators.kernels import label_components
+
+    m = np.zeros((10, 12), dtype=np.uint8)
+    m[1:4, 1:4] = 1     # blob 1
+    m[6:9, 2:5] = 1     # blob 2 (separated)
+    m[2:5, 7:11] = 1    # blob 3 (overlaps blob 1's rows but not cols)
+    labels, n = label_components(m)
+    assert n == 3
+    assert labels[m == 0].sum() == 0
+    assert int(labels.max()) == 3
+    # U-shape (concave, touching) is a single component.
+    u = np.zeros((6, 6), dtype=np.uint8)
+    u[1:5, 1] = 1
+    u[4, 1:5] = 1
+    u[1:5, 4] = 1
+    _, n_u = label_components(u)
+    assert n_u == 1
+
+
+def test_summed_features_two_rectangles():
+    from ifcb_data_pipeline_spark.operators.kernels import summed_features
+
+    m = np.zeros((12, 20), dtype=np.uint8)
+    m[2:6, 2:8] = 1     # 6×4 → area 24, perimeter 20
+    m[8:11, 10:15] = 1  # 5×3 → area 15, perimeter 16
+    s = summed_features(m)
+    assert s["numBlobs"] == 2.0
+    assert s["summedArea"] == 39.0
+    assert s["summedPerimeter"] == 36.0
+    assert s["Area_over_Perimeter"] == pytest.approx(39.0 / 36.0)
+
+
+def test_hog_properties():
+    from ifcb_data_pipeline_spark.operators.kernels import hog_features
+
+    # Vertical stripe image: gradients are horizontal → energy
+    # concentrates in the 0° orientation bin of every cell.
+    img = np.zeros((30, 30), dtype=np.uint8)
+    img[:, 15:] = 200
+    v = np.array(hog_features(img))
+    assert len(v) == 81
+    assert np.linalg.norm(v) == pytest.approx(1.0)
+    cells = v.reshape(3, 3, 9)
+    # The dominant bin per center-column cell is bin 0 (0°).
+    assert cells[1, 1].argmax() == 0
+    # Uniform image → zero descriptor.
+    flat = np.array(hog_features(np.full((30, 30), 7, dtype=np.uint8)))
+    assert np.all(flat == 0)
