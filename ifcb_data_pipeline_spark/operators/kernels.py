@@ -373,3 +373,51 @@ def hog_features(img: np.ndarray, cells: int = 3, bins: int = 9) -> list[float]:
     v = out.ravel()
     norm = np.linalg.norm(v)
     return list(v / norm if norm > 0 else v)
+
+
+# --- U10: ring/wedge FFT power spectrum ------------------------------------
+
+def ringwedge_features(
+    img: np.ndarray, size: int = 301, n_rings: int = 50, n_wedges: int = 48
+) -> dict[str, object]:
+    """Power-spectrum ring/wedge integrals (reference surface:
+    ``ifcb_features/ringwedge.py:13-108``): the image is centered on a
+    ``size``×``size`` canvas, |FFT|² is accumulated into ``n_rings``
+    radial annuli and ``n_wedges`` half-plane angular sectors, plus the
+    center-to-total power ratio."""
+    h, w = img.shape
+    canvas = np.zeros((size, size), dtype=np.float64)
+    y0 = (size - min(h, size)) // 2
+    x0 = (size - min(w, size)) // 2
+    canvas[y0 : y0 + min(h, size), x0 : x0 + min(w, size)] = img[
+        :size, :size
+    ].astype(np.float64)
+    spec = np.fft.fftshift(np.abs(np.fft.fft2(canvas)) ** 2)
+    c = size // 2
+    yy, xx = np.mgrid[:size, :size]
+    dy, dx = yy - c, xx - c
+    r = np.hypot(dx, dy)
+    r_max = r[0, c]  # half height — the inscribed-circle radius
+    ring_idx = np.minimum((r / r_max * n_rings).astype(int), n_rings)
+    # Wedges over the upper half plane (spectrum is symmetric).
+    theta = np.arctan2(dy, dx) % np.pi
+    wedge_idx = np.minimum((theta / np.pi * n_wedges).astype(int), n_wedges - 1)
+
+    in_circle = r <= r_max
+    rings = np.bincount(
+        ring_idx[in_circle].ravel(),
+        weights=spec[in_circle].ravel(),
+        minlength=n_rings + 1,
+    )[:n_rings]
+    upper = in_circle & (dy <= 0)
+    wedges = np.bincount(
+        wedge_idx[upper].ravel(), weights=spec[upper].ravel(), minlength=n_wedges
+    )[:n_wedges]
+    total = float(spec.sum())
+    center = float(spec[c, c])
+    return {
+        "RWhalfpowerintegral": float(rings.sum()),
+        "RWcenter2total_powerratio": center / total if total > 0 else 0.0,
+        "Ring": [float(x) for x in rings],
+        "Wedge": [float(x) for x in wedges],
+    }

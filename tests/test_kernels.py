@@ -165,3 +165,27 @@ def test_hog_properties():
     # Uniform image → zero descriptor.
     flat = np.array(hog_features(np.full((30, 30), 7, dtype=np.uint8)))
     assert np.all(flat == 0)
+
+
+def test_ringwedge_properties():
+    from ifcb_data_pipeline_spark.operators.kernels import ringwedge_features
+
+    rng_img = ((np.indices((40, 40)).sum(axis=0) * 37) % 251).astype(np.uint8)
+    rw = ringwedge_features(rng_img)
+    assert len(rw["Ring"]) == 50 and len(rw["Wedge"]) == 48
+    assert all(x >= 0 for x in rw["Ring"])
+    assert 0 <= rw["RWcenter2total_powerratio"] <= 1
+    # A full-canvas constant image (no windowing) has all power at DC:
+    # ring 0 carries everything, every other ring is ~0.
+    flat = ringwedge_features(np.full((301, 301), 9, dtype=np.uint8))
+    assert flat["Ring"][0] == pytest.approx(flat["RWhalfpowerintegral"], rel=1e-9)
+    assert sum(flat["Ring"][1:]) <= 1e-6 * flat["Ring"][0]
+    # Horizontal-stripe image: power concentrates along the vertical
+    # frequency axis → the wedge containing 90° dominates.
+    stripes = np.zeros((40, 40), dtype=np.uint8)
+    stripes[::4, :] = 200
+    rw_s = ringwedge_features(stripes)
+    wedges = np.array(rw_s["Wedge"])
+    # exclude DC-heavy wedge effects by checking argmax near vertical
+    dominant_angle = (wedges.argmax() + 0.5) / 48 * 180
+    assert 60 <= dominant_angle <= 120
