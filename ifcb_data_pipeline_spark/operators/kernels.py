@@ -421,3 +421,112 @@ def ringwedge_features(
         "Ring": [float(x) for x in rings],
         "Wedge": [float(x) for x in wedges],
     }
+
+
+# --- U1: segmentation (gradient-hysteresis variant) ------------------------
+
+def _dilate3(m: np.ndarray) -> np.ndarray:
+    p = np.pad(m.astype(bool), 1)
+    out = np.zeros_like(p)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            out |= np.roll(np.roll(p, dy, 0), dx, 1)
+    return out[1:-1, 1:-1]
+
+
+def _erode3(m: np.ndarray) -> np.ndarray:
+    return ~_dilate3(~m.astype(bool))
+
+
+def fill_holes(mask: np.ndarray) -> np.ndarray:
+    """Fill enclosed background regions (holes = inverse components not
+    touching the border)."""
+    inv = ~mask.astype(bool)
+    # Pad with background=True so the outer background is one component
+    # touching the border; anything not reaching it is a hole.
+    labels, n = label_components(
+        np.pad(inv, 1, constant_values=True).astype(np.uint8)
+    )
+    border_labels = set(labels[0, :]) | set(labels[-1, :]) | set(
+        labels[:, 0]
+    ) | set(labels[:, -1])
+    holes = (labels[1:-1, 1:-1] > 0) & ~np.isin(
+        labels[1:-1, 1:-1], list(border_labels)
+    )
+    return mask.astype(bool) | holes
+
+
+def hysteresis(weak: np.ndarray, strong: np.ndarray) -> np.ndarray:
+    """Keep weak components containing at least one strong pixel (the
+    reference's two-threshold linking, ``segmentation.py:117-186``)."""
+    labels, n = label_components(weak.astype(np.uint8))
+    if n == 0:
+        return np.zeros_like(weak, dtype=bool)
+    keep = set(np.unique(labels[strong.astype(bool) & (labels > 0)]))
+    return np.isin(labels, list(keep)) & (labels > 0)
+
+
+def remove_small_blobs(mask: np.ndarray, min_area: int = 40) -> np.ndarray:
+    labels, n = label_components(mask.astype(np.uint8))
+    keep = [
+        i for i in range(1, n + 1) if np.count_nonzero(labels == i) >= min_area
+    ]
+    return np.isin(labels, keep)
+
+
+def segment_roi(
+    img: np.ndarray,
+    t_strong: float = 0.3,
+    t_weak: float = 0.09,
+    min_area: int = 40,
+) -> np.ndarray:
+    """U1 blob mask: gradient-magnitude hysteresis (thresholds as
+    fractions of the max gradient — the reference thresholds its phase
+    congruency map at 0.3/0.09, ``segmentation.py:14-17``) → binary
+    closing → hole fill → erosion → small-blob removal."""
+    g = img.astype(np.float64)
+    gy, gx = np.gradient(g)
+    mag = np.hypot(gx, gy)
+    if mag.max() == 0:
+        return np.zeros_like(img, dtype=bool)
+    mag = mag / mag.max()
+    linked = hysteresis(mag >= t_weak, mag >= t_strong)
+    closed = _erode3(_dilate3(linked))
+    filled = fill_holes(closed)
+    eroded = _erode3(filled)
+    return remove_small_blobs(eroded, min_area=min_area)
+
+
+# --- U6: symmetry via point-set reflections + modified Hausdorff -----------
+
+def modified_hausdorff(a: np.ndarray, b: np.ndarray) -> float:
+    """MHD (Dubuisson & Jain): max of the two mean nearest-neighbor
+    distances between point sets (N,2)."""
+    if len(a) == 0 or len(b) == 0:
+        return float("inf")
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
+    return float(
+        max(np.sqrt(d2.min(axis=1)).mean(), np.sqrt(d2.min(axis=0)).mean())
+    )
+
+
+def symmetry_features(mask: np.ndarray) -> dict[str, float]:
+    """B180/B90/Bflip: modified-Hausdorff distances between the boundary
+    point set and its 180°/90° rotations and mirror about the centroid
+    (reference surface: ``perimeter.py:69-104``, ``all.py:276-316``).
+    Point-set reflections are exact — no raster rotation needed."""
+    edge = mask.astype(bool) & ~_erode3(mask)
+    ys, xs = np.nonzero(edge)
+    if len(xs) == 0:
+        return {"symmetry_b180": 0.0, "symmetry_b90": 0.0, "symmetry_bflip": 0.0}
+    pts = np.column_stack([xs, ys]).astype(np.float64)
+    c = pts.mean(axis=0)
+    d = pts - c
+    rot180 = c - d
+    rot90 = c + np.column_stack([-d[:, 1], d[:, 0]])
+    flip = c + np.column_stack([-d[:, 0], d[:, 1]])
+    return {
+        "symmetry_b180": modified_hausdorff(pts, rot180),
+        "symmetry_b90": modified_hausdorff(pts, rot90),
+        "symmetry_bflip": modified_hausdorff(pts, flip),
+    }

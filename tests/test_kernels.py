@@ -189,3 +189,51 @@ def test_ringwedge_properties():
     # exclude DC-heavy wedge effects by checking argmax near vertical
     dominant_angle = (wedges.argmax() + 0.5) / 48 * 180
     assert 60 <= dominant_angle <= 120
+
+
+def test_segmentation_recovers_bright_disk():
+    from ifcb_data_pipeline_spark.operators.kernels import segment_roi
+
+    img = np.full((60, 60), 30, dtype=np.uint8)
+    yy, xx = np.mgrid[:60, :60]
+    disk = (xx - 30) ** 2 + (yy - 30) ** 2 <= 15 * 15
+    img[disk] = 220
+    mask = segment_roi(img)
+    inter = np.count_nonzero(mask & disk)
+    union = np.count_nonzero(mask | disk)
+    assert inter / union > 0.8  # IoU with the true disk
+
+
+def test_fill_holes_and_small_blob_removal():
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        fill_holes,
+        remove_small_blobs,
+    )
+
+    ring = np.zeros((20, 20), dtype=np.uint8)
+    ring[5:15, 5:15] = 1
+    ring[8:12, 8:12] = 0  # hole
+    filled = fill_holes(ring)
+    assert filled[10, 10]  # hole closed
+    specks = np.zeros((20, 20), dtype=np.uint8)
+    specks[1:3, 1:3] = 1          # 4 px — removed
+    specks[5:15, 5:15] = 1        # 100 px — kept
+    out = remove_small_blobs(specks, min_area=40)
+    assert not out[1, 1] and out[10, 10]
+
+
+def test_symmetry_square_vs_asymmetric():
+    from ifcb_data_pipeline_spark.operators.kernels import symmetry_features
+
+    square = np.zeros((30, 30), dtype=np.uint8)
+    square[5:25, 5:25] = 1
+    s = symmetry_features(square)
+    # A square is symmetric under 180°, 90° and mirror.
+    assert s["symmetry_b180"] < 0.3
+    assert s["symmetry_b90"] < 0.3
+    assert s["symmetry_bflip"] < 0.3
+    lshape = np.zeros((30, 30), dtype=np.uint8)
+    lshape[5:25, 5:10] = 1
+    lshape[20:25, 5:25] = 1
+    a = symmetry_features(lshape)
+    assert a["symmetry_b90"] > s["symmetry_b90"]  # L is less 90°-symmetric
