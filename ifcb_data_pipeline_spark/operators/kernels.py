@@ -1,12 +1,18 @@
-"""Per-image feature kernels in pure numpy — SURVEY §2.9 U2/U3/U4/U7/U8.
+"""Per-image feature kernels in pure numpy — SURVEY §2.9
+U1-U10, U12 (all but the MATLAB-parity raster rotation U11).
 
-Real implementations of the reference's per-ROI morphology features that
-need only numpy (the reference computes them with skimage/scipy:
-``ifcb_features/blob_geometry.py:22-208``, ``texture.py:9-69``,
-``perimeter.py:24-67``; formulas are standard image-moment /
-computational-geometry math).  Segmentation (U1) and the biovolume
-solid-of-revolution (U5) need image libraries absent in this container
-and stay stubbed in ``multimodal.py``.
+Real implementations of the reference's per-ROI feature surface using
+only numpy (the reference computes them with skimage/scipy:
+``ifcb_features/segmentation.py:117-186``,
+``blob_geometry.py:22-208``, ``perimeter.py:24-104``,
+``texture.py:9-69``, ``hog.py:8-57``, ``ringwedge.py:13-108``,
+``biovolume.py:56-158``; formulas are standard image-moment /
+computational-geometry / spectral math).  Documented deviations from
+MATLAB-parity: segmentation links gradient magnitude rather than phase
+congruency; the perimeter is an exposed-edge count rather than the
+Benkrid weighted kernel; biovolume uses the solid-of-revolution branch
+only.  Bit-parity with historical MATLAB datasets would require the
+golden data absent from this environment.
 
 All functions take a binary mask / grayscale image as a 2-D numpy array
 and return plain floats — deterministic, vectorizable inside the
@@ -217,13 +223,17 @@ KERNEL_FEATURE_SCHEMA = (
     " texture_average_gray_level double, texture_average_contrast double,"
     " texture_smoothness double, texture_third_moment double,"
     " texture_uniformity double, texture_entropy double,"
+    " Biovolume double, RepresentativeWidth double, SurfaceArea double,"
+    " numBlobs double, summedArea double, symmetry_b180 double,"
     " moment_invariants array<double>"
 )
 
 
-def features_from_images(rois, threshold: int = 128):
-    """Real U2/U3/U4/U7/U8 features over ROI byte images (mask = pixel >
-    threshold).  Arrow-batched; one python call per batch, numpy inside."""
+def features_from_images(rois, threshold: int = 128, segment: bool = False):
+    """Real U1-U8/U12 features over ROI byte images.  ``segment=True``
+    runs the U1 gradient-hysteresis segmentation; the default fixed
+    threshold keeps outputs stable for synthetic payloads.  Arrow-batched;
+    one python call per batch, numpy inside."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -232,10 +242,13 @@ def features_from_images(rois, threshold: int = 128):
                 pdf["sample"], pdf["roi_number"], pdf["image"], pdf["width"], pdf["height"]
             ):
                 img = np.frombuffer(bytes(blob), dtype=np.uint8)[: w * h].reshape(h, w)
-                mask = img > threshold
+                mask = segment_roi(img) if segment else img > threshold
                 geo = blob_geometry(mask)
                 hull = hull_metrics(mask)
                 tex = texture_stats(img, mask)
+                vol = biovolume_sor(mask)
+                summed = summed_features(mask)
+                sym = symmetry_features(mask)
                 area = geo["Area"]
                 rows.append(
                     {
@@ -246,6 +259,10 @@ def features_from_images(rois, threshold: int = 128):
                         "Perimeter": perimeter_estimate(mask),
                         "Solidity": area / hull["ConvexArea"] if hull["ConvexArea"] else 0.0,
                         **tex,
+                        **vol,
+                        "numBlobs": summed["numBlobs"],
+                        "summedArea": summed["summedArea"],
+                        "symmetry_b180": sym["symmetry_b180"],
                         "moment_invariants": hu_moments(mask),
                     }
                 )
@@ -529,4 +546,40 @@ def symmetry_features(mask: np.ndarray) -> dict[str, float]:
         "symmetry_b180": modified_hausdorff(pts, rot180),
         "symmetry_b90": modified_hausdorff(pts, rot90),
         "symmetry_bflip": modified_hausdorff(pts, flip),
+    }
+
+
+# --- U5: solid-of-revolution biovolume -------------------------------------
+
+def biovolume_sor(mask: np.ndarray) -> dict[str, float]:
+    """Solid-of-revolution biovolume: pixels are projected onto the
+    blob's major axis; each unit slice contributes a circular
+    cross-section ``π/4·w²`` where ``w`` is the chord length (pixel count
+    of the slice — exact for convex blobs).  This is the reference's SoR
+    branch (``biovolume.py:56-158``; selected over the distance-map
+    method for near-symmetric shapes); the representative width is the
+    mean chord.  Validated analytically: a disk of radius r yields the
+    sphere volume 4/3·π·r³ (tested)."""
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    g = blob_geometry(mask)
+    theta = math.radians(g["Orientation"])
+    # Rotate so the major axis is horizontal (pure coordinate transform).
+    x = xs - xs.mean()
+    y = ys - ys.mean()
+    xr = x * math.cos(theta) + y * math.sin(theta)
+    bins = np.round(xr - xr.min()).astype(int)
+    widths = np.bincount(bins).astype(np.float64)
+    widths = widths[widths > 0]
+    volume = float(np.sum(math.pi / 4.0 * widths**2))
+    # Lateral surface of the revolved solid (circumference per slice) +
+    # end caps approximated by the first/last cross-sections.
+    surface = float(np.sum(math.pi * widths)) + float(
+        math.pi / 4.0 * (widths[0] ** 2 + widths[-1] ** 2)
+    )
+    return {
+        "Biovolume": volume,
+        "RepresentativeWidth": float(widths.mean()),
+        "SurfaceArea": surface,
     }

@@ -237,3 +237,16 @@ def test_symmetry_square_vs_asymmetric():
     lshape[20:25, 5:25] = 1
     a = symmetry_features(lshape)
     assert a["symmetry_b90"] > s["symmetry_b90"]  # L is less 90°-symmetric
+
+
+def test_biovolume_sphere_and_cylinder():
+    from ifcb_data_pipeline_spark.operators.kernels import biovolume_sor
+
+    r = 20
+    v = biovolume_sor(disk_mask(r))
+    assert v["Biovolume"] == pytest.approx(4 / 3 * math.pi * r**3, rel=0.05)
+    assert v["RepresentativeWidth"] == pytest.approx(math.pi * r / 2, rel=0.05)
+    # A w×h rectangle revolves into a cylinder: length w, diameter h.
+    w, h = 40, 10
+    c = biovolume_sor(rect_mask(w, h))
+    assert c["Biovolume"] == pytest.approx(math.pi / 4 * h**2 * w, rel=0.05)
