@@ -272,3 +272,134 @@ def o7_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = orders.where(F.year("o_orderdate") == 1995).select("o_custkey")
     b = orders.where(F.year("o_orderdate") == 1996).select("o_custkey")
     return a.subtract(b)  # EXCEPT (set semantics, matches the oracle)
+
+
+# --- W5 (beyond reference): gap-based sessionization -----------------------
+# Session = run of a user's events with < 30 min between consecutive
+# events — the canonical stateful-stream operator expressed as windows
+# (lag -> gap flag -> running sum as session id).
+W5_SQL = """
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) // 1000000 AS sec,
+           lag(epoch_us(ts) // 1000000) OVER w AS prev_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT user_id, event_id,
+           CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+                THEN 1 ELSE 0 END AS new_session,
+           sec
+    FROM seq
+),
+sess AS (
+    SELECT user_id, event_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS session_no
+    FROM flagged
+)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@register("w5_sessionization", W5_SQL, survey_ref="beyond reference: gap-based session windows")
+def w5_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    seq = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        sec.alias("sec"),
+        F.lag(sec).over(w).alias("prev_sec"),
+    )
+    flagged = seq.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_sec").isNull() | (F.col("sec") - F.col("prev_sec") >= 1800), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = flagged.withColumn(
+        "session_no", F.sum("new_session").over(w_run).cast("long")
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --- A20 (beyond reference): exact grouped percentiles ---------------------
+A20_SQL = """
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 100.0 + 0.5) / 100.0 AS p50,
+       floor(quantile_cont(l_extendedprice, 0.95) * 100.0 + 0.5) / 100.0 AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a20_grouped_percentiles", A20_SQL, survey_ref="beyond reference: exact grouped percentiles")
+def a20_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import dround
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        dround(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+        dround(F.expr("percentile(l_extendedprice, 0.95)"), 2).alias("p95"),
+    )
+
+
+# --- A21 (beyond reference): conversion funnel -----------------------------
+# Users whose first signup precedes a later purchase, per signup day.
+A21_SQL = """
+WITH signups AS (
+    SELECT user_id, min(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+converted AS (
+    SELECT s.user_id, s.signup_ts,
+           max(CASE WHEN e.event_type = 'purchase' AND e.ts > s.signup_ts
+                    THEN 1 ELSE 0 END) AS converted
+    FROM signups s LEFT JOIN events e ON e.user_id = s.user_id
+    GROUP BY s.user_id, s.signup_ts
+)
+SELECT signup_ts::DATE AS signup_date,
+       count(*)::BIGINT AS n_signups,
+       sum(converted)::BIGINT AS n_converted
+FROM converted GROUP BY 1
+"""
+
+
+@register("a21_conversion_funnel", A21_SQL, survey_ref="beyond reference: signup->purchase funnel")
+def a21_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    signups = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    converted = (
+        signups.join(events, "user_id", "left")
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("signup_ts")),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    return converted.groupBy(
+        F.to_date("signup_ts").alias("signup_date")
+    ).agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.sum("converted").alias("n_converted"),
+    )
