@@ -59,6 +59,7 @@ def load_all() -> dict[str, QueryDef]:
         joins,
         multimodal,
         pipelines,
+        profiling,
         qc_extra,
         scalars,
         similarity,

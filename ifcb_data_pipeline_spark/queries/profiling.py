@@ -1,0 +1,105 @@
+"""Data-profiling / cleaning query family (training-pipeline operators).
+
+dp1 is the schema-profile pass every ingest runs first (null counts,
+ranges, cardinalities — one scan, all aggregates fused); dp2 is
+percentile winsorization (outlier clipping) with the clip bounds
+computed per group in the same job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import register
+from ._util import dround, tables
+
+# --- DP1: column profile ---------------------------------------------------
+DP1_SQL = """
+SELECT 'l_quantity' AS column_name,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       floor(min(l_quantity) * 100.0 + 0.5) / 100.0 AS min_val,
+       floor(max(l_quantity) * 100.0 + 0.5) / 100.0 AS max_val,
+       count(DISTINCT l_quantity)::BIGINT AS n_distinct
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*)::BIGINT,
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       floor(min(l_discount) * 100.0 + 0.5) / 100.0,
+       floor(max(l_discount) * 100.0 + 0.5) / 100.0,
+       count(DISTINCT l_discount)::BIGINT
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*)::BIGINT,
+       sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       floor(min(l_extendedprice) * 100.0 + 0.5) / 100.0,
+       floor(max(l_extendedprice) * 100.0 + 0.5) / 100.0,
+       count(DISTINCT l_extendedprice)::BIGINT
+FROM lineitem
+"""
+
+
+@register("dp1_column_profile", DP1_SQL, survey_ref="north-star: ingest data-profiling pass")
+def dp1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    profiles = []
+    for col in ["l_quantity", "l_discount", "l_extendedprice"]:
+        profiles.append(
+            lineitem.agg(
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(col).isNull().cast("int")).cast("long").alias("n_null"),
+                dround(F.min(col), 2).alias("min_val"),
+                dround(F.max(col), 2).alias("max_val"),
+                F.countDistinct(col).alias("n_distinct"),
+            )
+        )
+    out = profiles[0]
+    for p in profiles[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# --- DP2: percentile winsorization -----------------------------------------
+DP2_SQL = """
+WITH bounds AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.01) AS lo,
+           quantile_cont(l_extendedprice, 0.99) AS hi
+    FROM lineitem GROUP BY l_returnflag
+),
+clipped AS (
+    SELECT l.l_returnflag,
+           greatest(b.lo, least(b.hi, l.l_extendedprice)) AS v,
+           (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi) AS was_clipped
+    FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag,
+       floor(avg(v) * 100.0 + 0.5) / 100.0 AS winsorized_mean,
+       sum(was_clipped::INT)::BIGINT AS n_clipped,
+       count(*)::BIGINT AS n
+FROM clipped GROUP BY l_returnflag
+"""
+
+
+@register("dp2_winsorize", DP2_SQL, survey_ref="north-star: percentile outlier clipping")
+def dp2_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    bounds = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    clipped = lineitem.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        F.greatest("lo", F.least("hi", F.col("l_extendedprice"))).alias("v"),
+        (
+            (F.col("l_extendedprice") < F.col("lo"))
+            | (F.col("l_extendedprice") > F.col("hi"))
+        ).alias("was_clipped"),
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        dround(F.avg("v"), 2).alias("winsorized_mean"),
+        F.sum(F.col("was_clipped").cast("int")).cast("long").alias("n_clipped"),
+        F.count(F.lit(1)).alias("n"),
+    )
