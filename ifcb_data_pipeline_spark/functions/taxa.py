@@ -67,3 +67,38 @@ def species_flag(raw_name: Column | str) -> Column:
         .when(norm.rlike(r"\bgroup\b"), F.lit("GRP"))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def name_type(cleaned: Column | str) -> Column:
+    """C3 name-type classification (``clean_taxa_fn.R:52-64``):
+    group / cf / like / multi / direct, in that precedence."""
+    c = F.col(cleaned) if isinstance(cleaned, str) else cleaned
+    multi = (
+        c.rlike(r"^[A-Z][a-z]+-[A-Z][a-z]+$")
+        | c.rlike(r"^[A-Z].*\s[A-Z]")
+    )
+    return (
+        F.when(c.rlike(r"\bgroup$"), "group")
+        .when(c.rlike(r"\bcf\b"), "cf")
+        .when(c.rlike(r"-like$"), "like")
+        .when(multi, "multi")
+        .otherwise("direct")
+    )
+
+
+def extract_query_names(cleaned: Column | str, ntype: Column) -> Column:
+    """C3 query extraction (``clean_taxa_fn.R:67-94``) → array<string>:
+    cf drops the ' cf ' infix, like strips '-like', multi splits into
+    capital-started name groups, direct strips trailing sp/spp."""
+    c = F.col(cleaned) if isinstance(cleaned, str) else cleaned
+    hyphen_multi = c.rlike(r"^[A-Z][a-z]+-[A-Z][a-z]+$")
+    split_caps = F.split(F.regexp_replace(c, r"\s+([A-Z])", "|$1"), r"\|")
+    return (
+        F.when(ntype == "cf", F.array(F.regexp_replace(c, r"\s+cf\s+", " ")))
+        .when(ntype == "like", F.array(F.regexp_replace(c, r"-like$", "")))
+        .when(ntype == "multi",
+              F.when(hyphen_multi, F.split(c, "-")).otherwise(split_caps))
+        .otherwise(
+            F.array(F.regexp_replace(F.regexp_replace(c, r"\s+spp$", ""), r"\s+sp$", ""))
+        )
+    )

@@ -229,3 +229,78 @@ def c12_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(11.97),
     )
     return customer.select("c_custkey", dround(dist, 4).alias("dist_to_gbg_km"))
+
+
+# --- C3: name-type classification + query extraction -----------------------
+# Reference: clean_taxa_fn.R:52-94.  Synthetic cleaned names built from
+# p_name in 5 shapes (direct / cf / like / multi / group) by p_partkey%5.
+_W1 = "(upper(substr(str_split(p_name, ' ')[1], 1, 1)) || lower(substr(str_split(p_name, ' ')[1], 2)))"
+_W2 = "lower(str_split(p_name, ' ')[2])"
+_W2CAP = "(upper(substr(str_split(p_name, ' ')[2], 1, 1)) || lower(substr(str_split(p_name, ' ')[2], 2)))"
+_NAME = f"""
+CASE p_partkey % 5
+  WHEN 0 THEN {_W1} || ' ' || {_W2}
+  WHEN 1 THEN {_W1} || ' cf ' || {_W2}
+  WHEN 2 THEN {_W1} || '-like'
+  WHEN 3 THEN {_W1} || ' ' || {_W2CAP}
+  ELSE {_W1} || ' ' || {_W2} || ' group'
+END
+"""
+
+C3_SQL = f"""
+WITH named AS (SELECT p_partkey, ({_NAME}) AS cleaned FROM part),
+typed AS (
+    SELECT p_partkey, cleaned,
+           CASE
+             WHEN regexp_matches(cleaned, '\\bgroup$') THEN 'group'
+             WHEN regexp_matches(cleaned, '\\bcf\\b') THEN 'cf'
+             WHEN regexp_matches(cleaned, '-like$') THEN 'like'
+             WHEN regexp_matches(cleaned, '^[A-Z][a-z]+-[A-Z][a-z]+$')
+                  OR regexp_matches(cleaned, '^[A-Z].*\\s[A-Z]') THEN 'multi'
+             ELSE 'direct'
+           END AS name_type
+    FROM named
+)
+SELECT p_partkey, cleaned, name_type,
+       CASE name_type
+         WHEN 'cf' THEN [regexp_replace(cleaned, '\\s+cf\\s+', ' ')]
+         WHEN 'like' THEN [regexp_replace(cleaned, '-like$', '')]
+         WHEN 'multi' THEN
+           CASE WHEN regexp_matches(cleaned, '^[A-Z][a-z]+-[A-Z][a-z]+$')
+                THEN str_split(cleaned, '-')
+                ELSE str_split(regexp_replace(cleaned, '\\s+([A-Z])', '|\\1', 'g'), '|')
+           END
+         ELSE [regexp_replace(regexp_replace(cleaned, '\\s+spp$', ''), '\\s+sp$', '')]
+       END AS query_names
+FROM typed
+"""
+
+
+@register("c3_name_type_split", C3_SQL, survey_ref="SURVEY §2.8 C3; clean_taxa_fn.R:52-94")
+def c3_name_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.taxa import extract_query_names, name_type
+
+    (part,) = tables(spark, sf_dir, "part")
+    w = F.split(F.col("p_name"), " ")
+    w1 = F.concat(
+        F.upper(F.substring(w.getItem(0), 1, 1)),
+        F.lower(F.expr("substring(split(p_name, ' ')[0], 2)")),
+    )
+    w2 = F.lower(w.getItem(1))
+    w2cap = F.concat(
+        F.upper(F.substring(w.getItem(1), 1, 1)),
+        F.lower(F.expr("substring(split(p_name, ' ')[1], 2)")),
+    )
+    k = F.col("p_partkey") % 5
+    cleaned = (
+        F.when(k == 0, F.concat(w1, F.lit(" "), w2))
+        .when(k == 1, F.concat(w1, F.lit(" cf "), w2))
+        .when(k == 2, F.concat(w1, F.lit("-like")))
+        .when(k == 3, F.concat(w1, F.lit(" "), w2cap))
+        .otherwise(F.concat(w1, F.lit(" "), w2, F.lit(" group")))
+    )
+    named = part.select("p_partkey", cleaned.alias("cleaned"))
+    typed = named.withColumn("name_type", name_type(F.col("cleaned")))
+    return typed.withColumn(
+        "query_names", extract_query_names(F.col("cleaned"), F.col("name_type"))
+    )
