@@ -21,16 +21,20 @@ def f1_score(precision: Column, recall: Column) -> Column:
 
 
 def signif(x: Column, digits: int = 6) -> Column:
-    """R's ``signif(x, digits)`` — round to significant digits.
-
-    ``round(x, digits - 1 - floor(log10(abs(x))))`` with 0 passed through
-    (reference uses signif(·, 6) for BIOVOL/C_CONC at
+    """R's ``signif(x, digits)`` — round to significant digits, with 0
+    passed through (reference uses signif(·, 6) for BIOVOL/C_CONC at
     ``ifcb-data-pipeline.Rmd:1398-1414``).
+
+    Uses the repo-wide floor-form rounding
+    ``floor(x·10^d + 0.5)/10^d`` (see ``queries._util.dround``) rather
+    than ``F.round`` — Spark's BigDecimal HALF_UP on the shortest decimal
+    repr diverges from the DuckDB oracle on boundary values like 1005.0,
+    while the floor form is bit-identical IEEE arithmetic in both engines.
     """
     magnitude = F.floor(F.log10(F.abs(x)))
-    rounded = F.round(x / F.pow(F.lit(10.0), magnitude), digits - 1) * F.pow(
-        F.lit(10.0), magnitude
-    )
+    f = F.pow(F.lit(10.0), F.lit(digits - 1))
+    scaled = x / F.pow(F.lit(10.0), magnitude)
+    rounded = F.floor(scaled * f + F.lit(0.5)) / f * F.pow(F.lit(10.0), magnitude)
     return F.when(x == 0, x).otherwise(rounded)
 
 

@@ -27,8 +27,13 @@ _CLEAN_STEPS: list[tuple[str, str]] = [
     ("-like", ""),
     (" like", ""),
     (" bundle", ""),
-    (" larger than 30unidentified", ""),
+    # Reference order preserved EXACTLY (Rmd:946-949): ' larger than 30'
+    # runs before ' larger than 30unidentified' (making the latter dead
+    # code and leaving an 'Xunidentified' residue), while the 'smaller'
+    # pair is ordered the other way round.  Asymmetric, but parity with
+    # historical outputs beats tidiness here.
     (" larger than 30", ""),
+    (" larger than 30unidentified", ""),
     (" smaller than 30unidentified", ""),
     (" smaller than 30", ""),
     (r"\bcf\b", ""),
@@ -54,19 +59,22 @@ def clean_taxa_name(name: Column | str) -> Column:
 
 
 def species_flag(raw_name: Column | str) -> Column:
-    """sflag ∈ {CF, SPP, SP, GRP, null} from the *raw* class name
-    (reference: ``ifcb-data-pipeline.Rmd:994-1021``,
-    ``clean_taxa_fn.R:43-50``).  Checked on '_'→' ' normalized text with
-    word boundaries; precedence CF > SPP > SP > GRP."""
+    """Space-joined sflag from the *raw* class name — reference semantics
+    (``ifcb-data-pipeline.Rmd:994-1010``): CF is detected from
+    ``-like``/``_cf_``/``_like`` substrings of the RAW name (not a cf word
+    boundary), then SPP / GRP / SP word-boundary matches on the '_'→' '
+    normalized name are APPENDED in that order — a label can carry several
+    flags (e.g. ``'CF SPP'``).  Null when nothing matches."""
     col = F.col(raw_name) if isinstance(raw_name, str) else raw_name
     norm = F.regexp_replace(col, "_", " ")
-    return (
-        F.when(norm.rlike(r"\bcf\b"), F.lit("CF"))
-        .when(norm.rlike(r"\bspp\b"), F.lit("SPP"))
-        .when(norm.rlike(r"\bsp\b"), F.lit("SP"))
-        .when(norm.rlike(r"\bgroup\b"), F.lit("GRP"))
-        .otherwise(F.lit(None).cast("string"))
-    )
+    cf = F.when(
+        col.contains("-like") | col.contains("_cf_") | col.contains("_like"),
+        F.lit("CF "),
+    ).otherwise(F.lit(""))
+    spp = F.when(norm.rlike(r"\bspp\b"), F.lit("SPP ")).otherwise(F.lit(""))
+    grp = F.when(norm.rlike(r"\bgroup\b"), F.lit("GRP ")).otherwise(F.lit(""))
+    sp = F.when(norm.rlike(r"\bsp\b"), F.lit("SP ")).otherwise(F.lit(""))
+    return F.nullif(F.trim(F.concat(cf, spp, grp, sp)), F.lit(""))
 
 
 def name_type(cleaned: Column | str) -> Column:

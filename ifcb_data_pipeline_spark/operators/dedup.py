@@ -21,12 +21,97 @@ reproducible across engines and runs — no JVM-specific hash functions.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 def _hash32(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def sign_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for sign-LSH: component ``i`` of plane
+    ``p`` is +1 iff the first hex digit of ``md5("p#i")`` is >= '8'.
+    Pure-Python md5 → the exact same matrix can be embedded as literals in
+    any engine's SQL (the DuckDB oracle mirrors these)."""
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def embedding_lsh_pairs(
+    vectors: DataFrame,
+    dim: int,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.95,
+    round_digits: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via banded sign-LSH + exact verify.
+
+    The 100 TB-safe plan: candidates come from an equi-join on
+    ``(band, sign-signature)`` — linear in corpus size, never an all-pairs
+    cross join — and the exact cosine is computed only for candidate
+    pairs.  Cosine-identical duplicates (the target of dedup) share every
+    sign bit by construction, so recall on true duplicates is 1.0; pairs
+    merely *near* the threshold may be missed with probability
+    ``(1 - (1 - θ/π)^r)^b`` — the standard, documented ANN trade-off.
+    """
+    from .similarity import dot
+
+    planes = sign_hyperplanes(dim, bands * rows_per_band)
+    # Cross-engine floor-form rounding (see queries._util.dround).
+    rf = float(10.0**round_digits)
+
+    def dround(col: Column, _f: float = rf) -> Column:
+        return F.floor(col * _f + F.lit(0.5)) / F.lit(_f)
+
+    def band_sig(b: int) -> Column:
+        bits = []
+        for r in range(rows_per_band):
+            arr = F.array(*[F.lit(x) for x in planes[b * rows_per_band + r]])
+            bits.append(F.when(dot(F.col(vec_col), arr) > 0, "1").otherwise("0"))
+        return F.concat(*bits)
+
+    coded = vectors.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = coded.select(F.col("id").alias("vec_a"), "band", "sig")
+    b = coded.select(F.col("id").alias("vec_b"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    eb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    cos = dround(
+        dot(F.col("va"), F.col("vb"))
+        / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -101,9 +186,11 @@ def minhash_lsh_pairs(
     """
     rows_per_band = num_hashes // bands
     # signatures feeds three consumers (banding + both sides of the
-    # agreement join); persist so the corpus→shingle→minhash chain runs
-    # once, not three times.
-    signatures = signatures.persist()
+    # agreement join); localCheckpoint materializes the
+    # corpus→shingle→minhash chain once and — unlike persist(), whose
+    # cached blocks would leak with no handle for the caller to release —
+    # its blocks are context-cleaned once the returned plan is dropped.
+    signatures = signatures.localCheckpoint()
     banded = (
         signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
         .groupBy("doc", "band")
@@ -143,27 +230,28 @@ def minhash_lsh_pairs(
 
 def simhash(shingles: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash: bit b set iff sum over shingles of ±1 (by hash bit
-    b) is positive."""
+    b) is positive.
+
+    Computed as ``bits`` conditional sums in ONE wide ``groupBy(doc)``
+    aggregate (the same columnar trick as :func:`minhash_signatures`) —
+    never by exploding ``bits`` rows per shingle, which would multiply the
+    pre-shuffle row count by ``bits``.  Shuffle rows = |docs|, map-side
+    combine does the rest."""
     hashed = shingles.withColumn("h", _hash32(F.col("shingle")))
-    # shiftright/shiftleft need literal shift amounts in PySpark; since
-    # h < 2^32 the power-of-two arithmetic below is exact in doubles.
-    pow2b = F.pow(F.lit(2.0), F.col("b"))
-    bit = hashed.select(
-        "doc",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
-        F.col("h"),
-    ).withColumn(
-        "contrib",
-        F.when((F.col("h") / pow2b).cast("long") % 2 == 1, 1).otherwise(-1),
-    )
-    sums = bit.groupBy("doc", "b").agg(F.sum("contrib").alias("s"))
-    return sums.groupBy("doc").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("b")).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(bits)
+    ]
+    sums = hashed.groupBy("doc").agg(*aggs)
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(int(2**b)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return sums.select("doc", fingerprint.alias("simhash"))
 
 
 def ngram_jaccard_pairs(

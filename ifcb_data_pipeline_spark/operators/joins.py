@@ -58,8 +58,20 @@ def asof_join(
 
     lcols = left.columns
     # Key each left row so exactly one winner re-attaches per row even when
-    # left timestamps are non-unique.
-    lkeyed = left.withColumn("__asof_id", F.monotonically_increasing_id())
+    # left timestamps are non-unique.  The key must be DETERMINISTIC: it is
+    # referenced in two branches of the plan (candidate derivation and the
+    # final re-attach join) which Spark evaluates independently, so
+    # monotonically_increasing_id would silently mis-pair rows whenever the
+    # upstream row order differs between evaluations (shuffle, AQE, task
+    # retry).  (ts, xxhash64(all columns)) is stable under any re-execution;
+    # full-row duplicates share a key and correctly receive the same match.
+    lkeyed = left.withColumn(
+        "__asof_id",
+        F.struct(
+            F.unix_timestamp(F.col(left_ts)).alias("s"),
+            F.xxhash64(*[F.col(c) for c in lcols]).alias("h"),
+        ),
+    )
     lk = lkeyed.select(
         "__asof_id", F.unix_timestamp(F.col(left_ts)).alias("__lsec")
     ).withColumn("__lbkt", (F.col("__lsec") / bucket).cast("long"))

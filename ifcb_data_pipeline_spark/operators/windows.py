@@ -37,6 +37,58 @@ def adjacency_flag_filter(
     return df.withColumn("__drop", cond).where(~F.col("__drop")).drop("__drop")
 
 
+def stitched_adjacency_flag(
+    df: DataFrame,
+    hit: Column,
+    bucket_col: str,
+    order_by: list[str],
+    out_col: str = "__adj",
+) -> DataFrame:
+    """Global ``hit | lag(hit) | lead(hit)`` over ``order_by`` — computed
+    WITHOUT a single-partition window.
+
+    The 100 TB-safe form of F5 bubble adjacency (``Rmd:1270-1297``): a
+    global ``Window.orderBy`` funnels every row through one task, so
+    instead the window is partitioned by ``bucket_col`` (which must be a
+    monotone function of the ``order_by`` prefix — e.g. the sample date
+    when ordering by (date, key)) and the ±1-row information that crosses
+    bucket edges is stitched from a second window over ONLY the per-bucket
+    boundary rows (2 per bucket — bounded by the calendar, broadcastable).
+
+    ``order_by`` must be a unique key of ``df``.
+    """
+    order = [F.col(c) for c in order_by]
+    wp = Window.partitionBy(bucket_col).orderBy(*order)
+    wpd = Window.partitionBy(bucket_col).orderBy(*[c.desc() for c in order])
+    x = (
+        df.withColumn("__hit", F.coalesce(hit, F.lit(False)))
+        .withColumn("__lag", F.lag("__hit").over(wp))
+        .withColumn("__lead", F.lead("__hit").over(wp))
+        .withColumn("__rn", F.row_number().over(wp))
+        .withColumn("__rnd", F.row_number().over(wpd))
+    )
+    # Boundary rows: first and last of each bucket.  In global order these
+    # interleave as ..., bucketN.first, bucketN.last, bucketN+1.first, ...
+    # so within the boundary set, lag(first-of-bucket) is the previous
+    # bucket's last row and lead(last-of-bucket) the next bucket's first.
+    boundary = x.where((F.col("__rn") == 1) | (F.col("__rnd") == 1)).select(
+        bucket_col, *[c for c in order_by if c != bucket_col], "__hit", "__rn", "__rnd"
+    )
+    wg = Window.orderBy(*order)  # tiny: 2 rows per bucket
+    patch = boundary.select(
+        *order_by,
+        F.when(F.col("__rn") == 1, F.lag("__hit").over(wg)).alias("__ext_lag"),
+        F.when(F.col("__rnd") == 1, F.lead("__hit").over(wg)).alias("__ext_lead"),
+    )
+    stitched = x.join(F.broadcast(patch), order_by, "left").withColumn(
+        out_col,
+        F.col("__hit")
+        | F.coalesce(F.col("__lag"), F.col("__ext_lag"), F.lit(False))
+        | F.coalesce(F.col("__lead"), F.col("__ext_lead"), F.lit(False)),
+    )
+    return stitched.drop("__hit", "__lag", "__lead", "__rn", "__rnd", "__ext_lag", "__ext_lead")
+
+
 def gap_fill(
     df: DataFrame,
     cols: list[str],

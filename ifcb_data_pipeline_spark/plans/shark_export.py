@@ -8,17 +8,20 @@ Stage map (reference → here):
   bubble adjacency (Rmd:1270-1297)    → window over samples ordered by date
   per-liter + signif (Rmd:1398-1443)  → COEFF math + signif(·, 6)
 
-All dimension joins broadcast; the only shuffles are the two keyed
-aggregations and the global sample window — the minimal plan for this
-dataflow at any scale.
+Bounded dims (nation, the per-part taxon map, the per-date boundary
+patch) broadcast; sample-scale tables (orders, customer) are left to AQE.
+The bubble-adjacency window is partitioned by sample date with a
+boundary stitch — no single-partition exchange anywhere in the plan.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import signif
 from ..functions.taxa import clean_taxa_name
+from ..operators.windows import stitched_adjacency_flag
 from ..queries._util import dround, taxa_label_expr
 
 
@@ -53,36 +56,43 @@ def shark_export(
 
     # Sample metadata ("hdr"): date, ml_analyzed, and "bubble" QC flag;
     # bubble samples kill their date-ordered neighbors (Rmd:1270-1297).
-    w = Window.orderBy("o_orderdate", "o_orderkey")
-    bubble = F.col("o_orderstatus") == "P"
-    hdr = orders.select(
+    # The adjacency window is partitioned by sample_date with boundary
+    # stitching (operators.windows.stitched_adjacency_flag) — no
+    # single-partition global Window at any scale.
+    base = orders.select(
         F.col("o_orderkey").alias("sample"),
         F.col("o_orderdate").alias("sample_date"),
         (F.col("o_totalprice") / 1000.0).alias("ml_analyzed"),
         F.col("o_custkey"),
-        (
-            bubble
-            | F.coalesce(F.lag(bubble).over(w), F.lit(False))
-            | F.coalesce(F.lead(bubble).over(w), F.lit(False))
-        ).alias("qc_drop"),
-    ).where(~F.col("qc_drop"))
+        (F.col("o_orderstatus") == "P").alias("__bubble"),
+    )
+    hdr = (
+        stitched_adjacency_flag(
+            base,
+            F.col("__bubble"),
+            bucket_col="sample_date",
+            order_by=["sample_date", "sample"],
+            out_col="qc_drop",
+        )
+        .where(~F.col("qc_drop"))
+        .drop("__bubble", "qc_drop")
+    )
 
-    # Geo enrichment: customer → nation ("basin").
+    # Geo enrichment: customer → nation ("basin").  customer scales with
+    # the data — no broadcast hint; AQE picks the strategy by size.
     geo = customer.join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select(F.col("c_custkey"), F.col("n_name").alias("basin"))
 
     merged = rolled.join(hdr, "sample").join(
-        F.broadcast(geo), hdr.o_custkey == geo.c_custkey, "left"
+        geo, hdr.o_custkey == geo.c_custkey, "left"
     )
 
     coeff = dround(F.lit(1000.0) / F.col("ml_analyzed"), 1)
     abund = dround(F.col("counts") * 1000.0 / F.col("ml_analyzed"), 1)
-    # signif(x, 6) with cross-engine floor-form rounding.
-    mag = F.floor(F.log10(F.abs(F.col("vol_sum"))))
-    biovol = F.when(F.col("vol_sum") == 0, F.lit(0.0)).otherwise(
-        F.floor((F.col("vol_sum") / F.pow(10.0, mag)) * 1e5 + 0.5) / 1e5 * F.pow(10.0, mag)
-    )
+    # signif(x, 6) — functions.scalars.signif uses the same cross-engine
+    # floor-form rounding as the rest of the repo.
+    biovol = signif(F.col("vol_sum"), 6)
     return merged.select(
         "sample",
         "taxon",

@@ -65,8 +65,10 @@ def a1_biovolume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("vol").alias("__vol"),
         F.sum("carbon").alias("__carbon"),
     )
+    # orders scales with the data (≈ samples): no broadcast hint — the
+    # rolled side is already reduced to |sample × class|, AQE sizes the join.
     return (
-        rolled.join(F.broadcast(orders), F.col("sample") == F.col("o_orderkey"))
+        rolled.join(orders, F.col("sample") == F.col("o_orderkey"))
         .select(
             "sample",
             "class",

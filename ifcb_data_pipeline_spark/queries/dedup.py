@@ -168,29 +168,59 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- DD5: embedding-cosine near-dup ---------------------------------------
 # Augmented embeddings: every 50th vector re-appears scaled ×1.5
-# (cosine-identical ⇒ guaranteed positives).
-DD5_SQL = """
+# (cosine-identical ⇒ guaranteed positives — identical sign pattern in
+# every LSH band, so banded candidate generation has recall 1.0 on them).
+# Candidates come from a banded sign-LSH equi-join (never an all-pairs
+# cross join); exact cosine verifies candidates only.  The oracle mirrors
+# the same deterministic ±1 hyperplanes as SQL literals.
+from ..operators.dedup import embedding_lsh_pairs, sign_hyperplanes  # noqa: E402
+
+_DD5_DIM, _DD5_BANDS, _DD5_ROWS = 64, 4, 4
+_DD5_PLANES = sign_hyperplanes(_DD5_DIM, _DD5_BANDS * _DD5_ROWS)
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in _DD5_PLANES[p]) + "]"
+
+
+def _sig_sql(b: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_inner_product(v, {_plane_sql(b * _DD5_ROWS + r)}) > 0"
+        " THEN '1' ELSE '0' END)"
+        for r in range(_DD5_ROWS)
+    )
+
+
+DD5_SQL = f"""
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     UNION ALL
     SELECT vec_id + 10000, [x * 1.5 FOR x IN embedding::DOUBLE[]]
     FROM embeddings WHERE vec_id % 50 = 0
 ),
+coded AS (
+    {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sig_sql(b)} AS sig FROM e" for b in range(_DD5_BANDS))}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM coded a JOIN coded b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+),
 pairs AS MATERIALIZED (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           floor((list_inner_product(a.v, b.v)
-                  / sqrt(list_inner_product(a.v, a.v) * list_inner_product(b.v, b.v)))
+    SELECT c.vec_a, c.vec_b,
+           floor((list_inner_product(ea.v, eb.v)
+                  / sqrt(list_inner_product(ea.v, ea.v) * list_inner_product(eb.v, eb.v)))
                  * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= 0.95
 """
 
 
-@register("dd5_embedding_cosine_dup", DD5_SQL, survey_ref="north-star dedup: embedding-cosine near-dup")
+@register("dd5_embedding_cosine_dup", DD5_SQL, survey_ref="north-star dedup: embedding-cosine near-dup (sign-LSH candidates + exact verify)")
 def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ._util import dround
-
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     base = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -200,23 +230,8 @@ def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias("v"),
     )
     e = base.unionByName(scaled)
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_a = F.aggregate(
-        F.zip_with("va", "va", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    norm_b = F.aggregate(
-        F.zip_with("vb", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    cos = dround(dot / F.sqrt(norm_a * norm_b), 6)
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= 0.95)
+    return embedding_lsh_pairs(
+        e, dim=_DD5_DIM, bands=_DD5_BANDS, rows_per_band=_DD5_ROWS, threshold=0.95
     )
 
 
@@ -287,6 +302,12 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).dropDuplicates()
+    # Materialize the collision graph ONCE — localCheckpoint truncates the
+    # corpus→shingle→minhash→band lineage so each propagation round joins
+    # the small edge set instead of recomputing the whole LSH chain, and
+    # its blocks are context-cleaned when the plan is dropped (no cache
+    # leak across invocations).
+    bi = bi.localCheckpoint()
     # Min-label propagation to fixpoint (edge set is small: only docs
     # that collided in LSH; each round is one broadcast-scale join).
     labels = bi.select("src").dropDuplicates().select(

@@ -25,7 +25,7 @@ from ._util import LAT_SQL, LON_SQL, dround, lat_expr, lon_expr, tables
 # --- J1: the 7-way left-join enrichment chain ------------------------------
 # Reference: Rmd:1094-1103 — biovolume rows enriched by sample-keyed side
 # tables.  Fact lineitem enriched by orders, customer, nation, region,
-# supplier, part; all dims broadcast.
+# supplier, part; bounded dims broadcast, sample-scale sides AQE-chosen.
 J1_SQL = """
 SELECT l.l_orderkey, l.l_linenumber,
        o.o_orderstatus, o.o_orderpriority,
@@ -48,13 +48,17 @@ def j1_enrichment_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lineitem", "orders", "customer", "nation", "region",
         "supplier", "part",
     )
+    # Broadcast only the genuinely bounded dims (nation, region).  orders/
+    # customer/supplier/part scale with the data (orders ≈ samples) — a
+    # pinned hint would force an OOM attempt at 100×; AQE picks
+    # broadcast-vs-shuffle from runtime sizes instead.
     return (
-        lineitem.join(F.broadcast(orders), lineitem.l_orderkey == orders.o_orderkey, "left")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey, "left")
-        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left")
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey, "left")
+        .join(part, lineitem.l_partkey == part.p_partkey, "left")
         .select(
             "l_orderkey",
             "l_linenumber",

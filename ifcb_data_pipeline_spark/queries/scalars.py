@@ -64,23 +64,33 @@ def c1_taxa_clean_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- C2: species-flag detection -------------------------------------------
+# Reference semantics (Rmd:994-1010): CF from '-like'/'_cf_'/'_like' on the
+# raw name; SPP/GRP/SP word-boundary flags APPENDED in that order (multi-
+# flag labels like 'CF SPP').  Every 11th label gets a '-like' suffix so
+# the CF path and flag combinations are exercised by the synthetic data.
+_C2_RAW = f"(({_RAW_LABEL}) || CASE WHEN p_partkey % 11 = 0 THEN '-like' ELSE '' END)"
+_C2_NORM = f"replace({_C2_RAW}, '_', ' ')"
+
 C2_SQL = f"""
 SELECT p_partkey,
-       CASE
-         WHEN regexp_matches(replace({_RAW_LABEL}, '_', ' '), '\\bcf\\b') THEN 'CF'
-         WHEN regexp_matches(replace({_RAW_LABEL}, '_', ' '), '\\bspp\\b') THEN 'SPP'
-         WHEN regexp_matches(replace({_RAW_LABEL}, '_', ' '), '\\bsp\\b') THEN 'SP'
-         WHEN regexp_matches(replace({_RAW_LABEL}, '_', ' '), '\\bgroup\\b') THEN 'GRP'
-         ELSE NULL
-       END AS sflag
+       nullif(trim(
+           (CASE WHEN contains({_C2_RAW}, '-like') OR contains({_C2_RAW}, '_cf_')
+                      OR contains({_C2_RAW}, '_like') THEN 'CF ' ELSE '' END)
+        || (CASE WHEN regexp_matches({_C2_NORM}, '\\bspp\\b') THEN 'SPP ' ELSE '' END)
+        || (CASE WHEN regexp_matches({_C2_NORM}, '\\bgroup\\b') THEN 'GRP ' ELSE '' END)
+        || (CASE WHEN regexp_matches({_C2_NORM}, '\\bsp\\b') THEN 'SP ' ELSE '' END)
+       ), '') AS sflag
 FROM part
 """
 
 
-@register("c2_species_flag", C2_SQL, survey_ref="SURVEY §2.8 C2; Rmd:994-1021")
+@register("c2_species_flag", C2_SQL, survey_ref="SURVEY §2.8 C2; Rmd:994-1010")
 def c2_species_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (part,) = tables(spark, sf_dir, "part")
-    raw = taxa_label_expr(F.col("p_name"), F.col("p_partkey"))
+    raw = F.concat(
+        taxa_label_expr(F.col("p_name"), F.col("p_partkey")),
+        F.when(F.col("p_partkey") % 11 == 0, F.lit("-like")).otherwise(F.lit("")),
+    )
     return part.select("p_partkey", species_flag(raw).alias("sflag"))
 
 

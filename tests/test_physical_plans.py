@@ -32,7 +32,48 @@ def test_dim_joins_broadcast(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}: unexpected cartesian product"
 
 
-@pytest.mark.parametrize("name", ["j4_asof_join", "j4b_asof_backward", "dd2_minhash_lsh"])
+def optimized_plan_of(spark, name, sf_dir) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    ("name", "expected_hints"),
+    [
+        ("j1_enrichment_chain", 2),   # nation, region
+        ("a1_biovolume_rollup", 1),   # part (class dim — bounded in IFCB terms)
+        ("p1_shark_export", 3),       # part-taxon map, nation, boundary patch
+    ],
+)
+def test_no_fact_side_broadcast_hints(spark, sf_dir, name, expected_hints):
+    """Broadcast hints are pinned ONLY on genuinely bounded dims.  A hint
+    on orders/customer/supplier (tables that scale with the data) forces
+    an OOM attempt at 100× instead of letting AQE size the join — the
+    hint count going up means a fact-side hint crept back in."""
+    import re
+
+    opt = optimized_plan_of(spark, name, sf_dir)
+    hints = re.findall(r"[Hh]int=\(strategy=broadcast\)", opt)
+    assert len(hints) == expected_hints, (
+        f"{name}: expected {expected_hints} bounded-dim broadcast hints, "
+        f"found {len(hints)} — fact-side hint added or dim hint dropped?"
+    )
+
+
+def test_p1_window_is_partitioned(spark, sf_dir):
+    """The bubble-adjacency window must run partitioned by sample_date
+    (boundary-stitch pattern) — the only SinglePartition exchange allowed
+    is the one over the per-date boundary rows (bounded by the calendar,
+    2 rows/date), never over the full orders table."""
+    plan = plan_of(spark, "p1_shark_export", sf_dir)
+    assert "hashpartitioning(sample_date" in plan, "adjacency window lost its date partitioning"
+    assert plan.count("SinglePartition") <= 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j4_asof_join", "j4b_asof_backward", "dd2_minhash_lsh", "dd5_embedding_cosine_dup"],
+)
 def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
     """The as-of join and LSH candidate join must stay hash/sort-merge —
     a BroadcastNestedLoopJoin here means the bucketing decomposition
