@@ -255,10 +255,24 @@ def simhash(shingles: DataFrame, bits: int = 32) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.3
+    shingles: DataFrame, threshold: float = 0.3, max_df: int | None = None
 ) -> DataFrame:
     """Exact Jaccard over shingle sets via inverted-index self-join: only
-    pairs sharing ≥1 shingle are ever materialized."""
+    pairs sharing ≥1 shingle are ever materialized.
+
+    ``max_df``: drop shingles occurring in more than ``max_df`` documents
+    BEFORE the self-join (document-frequency cut).  A ubiquitous shingle
+    contributes O(df²) candidate pairs — at 100 TB a single stop-word
+    3-gram would dominate the whole shuffle; the cut bounds per-shingle
+    fan-out at max_df².  Jaccard is then computed consistently over the
+    *filtered* shingle sets (an approximation of the full-set Jaccard;
+    ``None`` keeps the exact semantics)."""
+    if max_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        shingles = (
+            shingles.join(df_counts.where(F.col("__df") <= max_df), "shingle")
+            .drop("__df")
+        )
     sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc").alias("doc_b"), "shingle")

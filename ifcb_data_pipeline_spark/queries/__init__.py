@@ -51,7 +51,14 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 
 def load_all() -> dict[str, QueryDef]:
-    """Import every query module (side effect: fills REGISTRY)."""
+    """Import every query module (side effect: fills REGISTRY).
+
+    Import order = registry order = the order the driver's correctness
+    gate executes queries in.  Cheap families come first and the
+    heavyweight ones (LSH dedup, mapInPandas multimodal, streaming,
+    composed pipelines) last, so a wall-clock-budgeted prefix run covers
+    the maximum number of queries before hitting the expensive tail.
+    """
     from . import (  # noqa: F401
         aggregates,
         dedup,
@@ -67,4 +74,27 @@ def load_all() -> dict[str, QueryDef]:
         windows_sorts,
     )
 
-    return REGISTRY
+    ordered = [
+        filters,
+        scalars,
+        windows_sorts,
+        text,
+        profiling,
+        similarity,
+        qc_extra,
+        joins,
+        aggregates,
+        pipelines,
+        multimodal,
+        dedup,
+    ]
+    out: dict[str, QueryDef] = {}
+    for mod in ordered:
+        suffix = mod.__name__.rsplit(".", 1)[1]
+        for name, qdef in REGISTRY.items():
+            if qdef.fn.__module__.endswith(f".{suffix}"):
+                out[name] = qdef
+    # Safety: anything registered from an unlisted module still ships.
+    for name, qdef in REGISTRY.items():
+        out.setdefault(name, qdef)
+    return out

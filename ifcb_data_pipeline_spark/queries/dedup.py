@@ -166,6 +166,38 @@ def dd4_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(sh, threshold=0.3)
 
 
+# --- DD4b: n-gram Jaccard with document-frequency cut ----------------------
+# The 100 TB hardening of dd4: shingles in > max_df docs are dropped
+# before the inverted-index self-join (a ubiquitous shingle contributes
+# O(df²) candidate pairs); Jaccard computed over the filtered sets.
+DD4B_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+kept AS (
+    SELECT s.doc, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE dfc.df <= 50
+),
+sizes AS (SELECT doc, count(*)::BIGINT AS n FROM kept GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS i
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+j AS MATERIALIZED (
+    SELECT i.doc_a, i.doc_b, (i.i / (na.n + nb.n - i.i)) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc = i.doc_a
+    JOIN sizes nb ON nb.doc = i.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.3
+"""
+
+
+@register("dd4b_ngram_jaccard_dfcut", DD4B_SQL, survey_ref="north-star dedup: df-cut inverted index")
+def dd4b_ngram_jaccard_dfcut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    return ngram_jaccard_pairs(sh, threshold=0.3, max_df=50)
+
+
 # --- DD5: embedding-cosine near-dup ---------------------------------------
 # Augmented embeddings: every 50th vector re-appears scaled ×1.5
 # (cosine-identical ⇒ guaranteed positives — identical sign pattern in

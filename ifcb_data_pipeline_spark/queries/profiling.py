@@ -42,23 +42,30 @@ FROM lineitem
 
 @register("dp1_column_profile", DP1_SQL, survey_ref="north-star: ingest data-profiling pass")
 def dp1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three column profiles in ONE scan: a single wide ``agg`` (the
+    distinct counts share one Expand pass), then ``stack`` unpivots the
+    18 scalars into the 3-row profile shape.  Never one scan per column."""
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    profiles = []
-    for col in ["l_quantity", "l_discount", "l_extendedprice"]:
-        profiles.append(
-            lineitem.agg(
-                F.lit(col).alias("column_name"),
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col(col).isNull().cast("int")).cast("long").alias("n_null"),
-                dround(F.min(col), 2).alias("min_val"),
-                dround(F.max(col), 2).alias("max_val"),
-                F.countDistinct(col).alias("n_distinct"),
-            )
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("int")).cast("long").alias(f"__null_{c}"),
+            dround(F.min(c), 2).alias(f"__min_{c}"),
+            dround(F.max(c), 2).alias(f"__max_{c}"),
+            F.countDistinct(c).alias(f"__dist_{c}"),
+        ]
+    wide = lineitem.agg(*aggs)
+    stack_fields = ", ".join(
+        f"'{c}', __n_{c}, __null_{c}, __min_{c}, __max_{c}, __dist_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_fields})"
+            " AS (column_name, n, n_null, min_val, max_val, n_distinct)"
         )
-    out = profiles[0]
-    for p in profiles[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 # --- DP2: percentile winsorization -----------------------------------------

@@ -99,6 +99,14 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "o_totalprice" not in read_schema and "o_custkey" not in read_schema
 
 
+def test_dp1_profile_is_single_scan(spark, sf_dir):
+    """dp1 profiles 3 columns from ONE lineitem scan (wide agg + stack
+    unpivot) — 3 separate scans means the fuse regressed."""
+    plan = plan_of(spark, "dp1_column_profile", sf_dir)
+    # formatted explain mentions each scan twice (tree + detail section)
+    assert plan.count("Scan parquet") <= 2, "dp1 re-scans lineitem per column"
+
+
 def test_rollup_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, "a1_biovolume_rollup", sf_dir)
     assert plan.count("HashAggregate") >= 2  # partial + final
