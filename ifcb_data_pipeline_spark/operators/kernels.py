@@ -7,12 +7,18 @@ only numpy (the reference computes them with skimage/scipy:
 ``blob_geometry.py:22-208``, ``perimeter.py:24-104``,
 ``texture.py:9-69``, ``hog.py:8-57``, ``ringwedge.py:13-108``,
 ``biovolume.py:56-158``; formulas are standard image-moment /
-computational-geometry / spectral math).  Documented deviations from
-MATLAB-parity: segmentation links gradient magnitude rather than phase
-congruency; the perimeter is an exposed-edge count rather than the
-Benkrid weighted kernel; biovolume uses the solid-of-revolution branch
-only.  Bit-parity with historical MATLAB datasets would require the
-golden data absent from this environment.
+computational-geometry / spectral math).  The U4 surface carries the
+MATLAB-parity pieces the reference specifies exactly: the Benkrid
+weighted perimeter, the shared ``(30203·x) mod 29663`` PRNG, and the
+PRNG-subsampled pairwise-distance stats.  U5 implements BOTH biovolume
+branches (solid-of-revolution and Moberg & Sosik distance-map, float32
+column-major deterministic accumulation) with the reference's
+``area_ratio/ecc/p`` selection rule.  Documented deviations: U1
+segmentation links gradient magnitude rather than phase congruency;
+U11 raster rotation is absent, so the SoR branch projects onto the
+major axis analytically instead of rotating the raster.  Bit-parity
+with historical MATLAB datasets would additionally require the golden
+data absent from this environment.
 
 All functions take a binary mask / grayscale image as a 2-D numpy array
 and return plain floats — deterministic, vectorizable inside the
@@ -224,6 +230,9 @@ KERNEL_FEATURE_SCHEMA = (
     " texture_smoothness double, texture_third_moment double,"
     " texture_uniformity double, texture_entropy double,"
     " Biovolume double, RepresentativeWidth double, SurfaceArea double,"
+    " BiovolumeBranch string,"
+    " perimeter_mean double, perimeter_median double,"
+    " perimeter_skewness double, perimeter_kurtosis double,"
     " numBlobs double, summedArea double, symmetry_b180 double,"
     " moment_invariants array<double>"
 )
@@ -246,7 +255,7 @@ def features_from_images(rois, threshold: int = 128, segment: bool = False):
                 geo = blob_geometry(mask)
                 hull = hull_metrics(mask)
                 tex = texture_stats(img, mask)
-                vol = biovolume_sor(mask)
+                vol = biovolume_auto(mask)  # U5 shape-adaptive branch
                 summed = summed_features(mask)
                 sym = symmetry_features(mask)
                 area = geo["Area"]
@@ -256,10 +265,12 @@ def features_from_images(rois, threshold: int = 128, segment: bool = False):
                         "roi_number": int(roi),
                         **geo,
                         **hull,
-                        "Perimeter": perimeter_estimate(mask),
+                        # U4: Benkrid MATLAB-parity perimeter + PRNG stats
+                        "Perimeter": benkrid_perimeter(perimeter_image(mask)),
                         "Solidity": area / hull["ConvexArea"] if hull["ConvexArea"] else 0.0,
                         **tex,
                         **vol,
+                        **perimeter_pair_stats(mask),
                         "numBlobs": summed["numBlobs"],
                         "summedArea": summed["summedArea"],
                         "symmetry_b180": sym["symmetry_b180"],
@@ -583,3 +594,243 @@ def biovolume_sor(mask: np.ndarray) -> dict[str, float]:
         "RepresentativeWidth": float(widths.mean()),
         "SurfaceArea": surface,
     }
+
+
+# --- U4: Benkrid weighted perimeter + seeded-PRNG pairwise stats -----------
+
+def perimeter_image(mask: np.ndarray) -> np.ndarray:
+    """bwperim: on-pixels with at least one off 4-neighbor (the
+    reference's ``find_perimeter`` Laplacian test,
+    ``morphology.py:12-20``)."""
+    m = mask.astype(bool)
+    p = np.pad(m, 1)
+    interior = p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:]
+    return m & ~interior
+
+
+# Neighborhood-code → edge-length weights of the Benkrid estimator
+# (code = center + 2·#orthogonal-on + 10·#diagonal-on; only odd codes —
+# on-pixels — carry weight).  Values match ``perimeter.py:24-38``.
+_BENKRID_WEIGHTS: dict[int, float] = {
+    5: 1.0, 7: 1.0, 15: 1.0, 17: 1.0, 25: 1.0, 27: 1.0,
+    21: math.sqrt(2.0), 33: math.sqrt(2.0),
+    13: (1.0 + math.sqrt(2.0)) / 2.0, 23: (1.0 + math.sqrt(2.0)) / 2.0,
+}
+
+
+def benkrid_perimeter(border: np.ndarray) -> float:
+    """Benkrid weighted perimeter over a border (bwperim) image — the
+    MATLAB-parity estimator the reference uses as the ``Perimeter``
+    feature (``perimeter.py:24-38``): each border pixel's 3×3 on-pattern
+    is coded (orthogonal neighbors ×2, diagonal ×10, center ×1) and
+    mapped to a sub-pixel edge-length weight."""
+    p = np.pad(border.astype(np.int64), 1)
+    code = (
+        p[1:-1, 1:-1]
+        + 2 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
+        + 10 * (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:])
+    )
+    total = 0.0
+    for c, wgt in _BENKRID_WEIGHTS.items():
+        total += wgt * np.count_nonzero(code == c)
+    return float(total)
+
+
+def simple_prng(n: int, seed: int = 1, shape: int | tuple[int, ...] = 1) -> np.ndarray:
+    """Multiplicative LCG ``x ← (30203·x) mod 29663`` — the seeded PRNG
+    the reference shares with MATLAB (``random.py:5-26``) so subsampled
+    pairwise statistics reproduce historical feature values bit-for-bit.
+    Returns values mod ``n`` reshaped in Fortran (MATLAB) order."""
+    if isinstance(shape, int):
+        shape = (shape,)
+    size = 1
+    for s in shape:
+        size *= s
+    vals = np.empty(size, dtype=np.int64)
+    x = seed
+    for j in range(size):
+        x = (x * 30203) % 29663
+        vals[j] = x
+    return (vals % n).reshape(*shape, order="F")
+
+
+def perimeter_pair_stats(mask: np.ndarray, max_n: int = 10000) -> dict[str, float]:
+    """U4 pairwise-distance stats (``perimeter.py:42-67``): perimeter
+    points are sorted by ``y·max(x) + x``, ``min(n², 10000)`` point pairs
+    are drawn with the shared PRNG, and the pair distances (normalized by
+    the blob's equivalent diameter) summarize to mean / median / skewness
+    / kurtosis (both biased, Pearson kurtosis — the reference's scipy
+    defaults)."""
+    keys = (
+        "perimeter_mean", "perimeter_median",
+        "perimeter_skewness", "perimeter_kurtosis",
+    )
+    border = perimeter_image(mask)
+    ys, xs = np.nonzero(border)
+    n = len(xs)
+    area = float(np.count_nonzero(mask))
+    if n == 0 or area == 0:
+        return dict.fromkeys(keys, 0.0)
+    equiv_d = math.sqrt(4.0 * area / math.pi)
+    pts = np.column_stack([ys, xs]).astype(np.float64)
+    order = np.argsort(pts @ np.array([pts[:, 1].max(), 1.0]))
+    pts = pts[order]
+    m = min(n * n, max_n)
+    ix = simple_prng(n, shape=(m, 2))
+    diffs = pts[ix[:, 0]] - pts[ix[:, 1]]
+    d = np.sqrt((diffs**2).sum(axis=1)) / equiv_d
+    mu = float(d.mean())
+    m2 = float(((d - mu) ** 2).mean())
+    if m2 == 0:
+        skew, kurt = 0.0, 0.0
+    else:
+        skew = float(((d - mu) ** 3).mean()) / m2**1.5
+        kurt = float(((d - mu) ** 4).mean()) / m2**2
+    return {
+        "perimeter_mean": mu,
+        "perimeter_median": float(np.median(d)),
+        "perimeter_skewness": skew,
+        "perimeter_kurtosis": kurt,
+    }
+
+
+# --- U5: distance-map biovolume (Moberg & Sosik) + branch selection --------
+
+def _edt_sq_1d(f: np.ndarray) -> np.ndarray:
+    """1-D squared-distance transform (Felzenszwalb & Huttenlocher 2004
+    lower-envelope-of-parabolas; published algorithm, standard form)."""
+    n = len(f)
+    d = np.empty(n)
+    v = np.zeros(n, dtype=np.int64)
+    z = np.empty(n + 1)
+    k = 0
+    z[0], z[1] = -np.inf, np.inf
+    for q in range(1, n):
+        s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        while s <= z[k]:
+            k -= 1
+            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        k += 1
+        v[k] = q
+        z[k] = s
+        z[k + 1] = np.inf
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        d[q] = (q - v[k]) ** 2 + f[v[k]]
+    return d
+
+
+def distance_transform(feature: np.ndarray) -> np.ndarray:
+    """Exact euclidean distance from every pixel to the nearest True
+    pixel (MATLAB ``bwdist``), two-pass over columns then rows."""
+    big = 1e18
+    g = np.where(feature.astype(bool), 0.0, big)
+    h, w = g.shape
+    for j in range(w):
+        g[:, j] = _edt_sq_1d(g[:, j])
+    for i in range(h):
+        g[i, :] = _edt_sq_1d(g[i, :])
+    return np.sqrt(g)
+
+
+def _f32_colmajor_sum(arr: np.ndarray) -> np.float32:
+    """Sequential float32 accumulation in column-major order — the
+    reference's MATLAB-parity deterministic sum (``biovolume.py:49-56``)."""
+    acc = np.float32(0.0)
+    for v in arr.ravel(order="F"):
+        acc = np.float32(acc + np.float32(v))
+    return acc
+
+
+def _quad_surface_areas(
+    X: np.ndarray, Y: np.ndarray, Z: np.ndarray, ignore_flat: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """Split every grid cell of the surface (X, Y, Z) into two triangles
+    and return their areas (0.5·‖cross‖) — the Moberg & Sosik surface
+    integration (``biovolume.py:7-46``).  ``ignore_flat`` zeroes cells
+    lying entirely on the ground plane."""
+    P = np.stack([X, Y, Z], axis=-1)
+    a = P[:-1, :-1]
+    b = P[1:, :-1]
+    c = P[:-1, 1:]
+    d = P[1:, 1:]
+    ab, ad, cd = a - b, a - d, c - d
+    bot = 0.5 * np.sqrt((np.cross(ab, ad) ** 2).sum(axis=-1))
+    top = 0.5 * np.sqrt((np.cross(cd, ad) ** 2).sum(axis=-1))
+    if ignore_flat:
+        flat = (
+            np.abs(ab[..., 2]) + np.abs(ad[..., 2]) + np.abs(cd[..., 2]) + a[..., 2]
+        ) == 0
+        bot[flat] = 0.0
+        top[flat] = 0.0
+    return bot, top
+
+
+def biovolume_distmap(mask: np.ndarray) -> dict[str, float]:
+    """Moberg & Sosik distance-map biovolume (``biovolume.py:57-103``):
+    the distance transform of the blob border (+1) approximates the
+    half-thickness of the cell at every interior pixel; volume and
+    surface area follow from calibrated sums over the filled region,
+    accumulated in float32 column-major order for MATLAB parity."""
+    border = perimeter_image(mask)
+    if not border.any():
+        return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    D = distance_transform(border) + 1.0
+    inside = fill_holes(border)
+    # Deterministic masked sum / count.
+    acc = np.float32(0.0)
+    cnt = 0
+    flat_d = D.ravel(order="F")
+    flat_in = inside.ravel(order="F")
+    for v, ok in zip(flat_d, flat_in):
+        if ok:
+            acc = np.float32(acc + np.float32(v))
+            cnt += 1
+    if cnt == 0:
+        return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    mean32 = np.float32(acc / np.float32(cnt))
+    x = np.float32(4.0) * mean32 - np.float32(2.0)
+    c1 = (x**2) / (x**2 + np.float32(2.0) * x + np.float32(0.5))
+    volume = np.float32(c1 * np.float32(math.pi / 2.0) * np.float32(2.0) * acc)
+    # Surface area over the thickness surface (outside-fill → ground 0).
+    Zs = np.where(inside, D, 0.0).astype(np.float32)
+    h, w = Zs.shape
+    Ys, Xs = np.mgrid[1 : h + 1, 1 : w + 1]
+    bot, top = _quad_surface_areas(
+        Xs.astype(np.float32), Ys.astype(np.float32), Zs, ignore_flat=True
+    )
+    c = (np.float32(math.pi) * x / np.float32(2.0)) / (
+        np.float32(2.0) * np.float32(math.sqrt(2.0)) * x / np.float32(2.0)
+        + (np.float32(1.0) + np.float32(math.sqrt(2.0))) / np.float32(2.0)
+    )
+    sa = np.float32(2.0) * np.float32(c) * np.float32(
+        _f32_colmajor_sum(bot.astype(np.float32))
+        + _f32_colmajor_sum(top.astype(np.float32))
+    )
+    return {
+        "Biovolume": float(volume),
+        "RepresentativeWidth": float(x),
+        "SurfaceArea": float(sa),
+    }
+
+
+def biovolume_auto(mask: np.ndarray) -> dict[str, float]:
+    """U5 shape-adaptive biovolume — the reference's branch selection
+    (``all.py:225-234``): solid-of-revolution for compact/symmetric blobs
+    (``area_ratio < 1.2 or (ecc < 0.8 and p > 0.8)`` where
+    ``area_ratio = convex_area/area`` and ``p = equiv_d/major_axis``),
+    distance-map (Moberg & Sosik) for everything else."""
+    g = blob_geometry(mask)
+    if g["Area"] == 0:
+        return {
+            "Biovolume": 0.0, "RepresentativeWidth": 0.0,
+            "SurfaceArea": 0.0, "BiovolumeBranch": "none",
+        }
+    hull = hull_metrics(mask)
+    area_ratio = hull["ConvexArea"] / g["Area"]
+    p = g["EquivDiameter"] / g["MajorAxisLength"] if g["MajorAxisLength"] else 0.0
+    use_sor = area_ratio < 1.2 or (g["Eccentricity"] < 0.8 and p > 0.8)
+    out = biovolume_sor(mask) if use_sor else biovolume_distmap(mask)
+    return {**out, "BiovolumeBranch": "sor" if use_sor else "distmap"}

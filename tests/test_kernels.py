@@ -250,3 +250,146 @@ def test_biovolume_sphere_and_cylinder():
     w, h = 40, 10
     c = biovolume_sor(rect_mask(w, h))
     assert c["Biovolume"] == pytest.approx(math.pi / 4 * h**2 * w, rel=0.05)
+
+
+# --- U4: Benkrid perimeter + seeded PRNG pairwise stats ---------------------
+
+
+def test_simple_prng_reference_sequence():
+    """The PRNG is fully specified by the reference (random.py:5-26):
+    x ← (30203·x) mod 29663 from seed 1, output mod n, Fortran-order
+    reshape.  Recompute the stream independently here."""
+    from ifcb_data_pipeline_spark.operators.kernels import simple_prng
+
+    expected, x = [], 1
+    for _ in range(8):
+        x = (x * 30203) % 29663
+        expected.append(x % 100)
+    assert simple_prng(100, shape=8).tolist() == expected
+    # Fortran-order reshape: element (i, j) is stream index j*rows + i.
+    m = simple_prng(29663, shape=(3, 2))
+    stream, x = [], 1
+    for _ in range(6):
+        x = (x * 30203) % 29663
+        stream.append(x)
+    assert m[:, 0].tolist() == stream[0:3]
+    assert m[:, 1].tolist() == stream[3:6]
+
+
+def test_benkrid_perimeter_matches_independent_reimplementation():
+    """Spec check: per-pixel 3×3 coding (center + 2·orth + 10·diag) with
+    the published weight table, written here as a direct per-pixel loop."""
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        benkrid_perimeter,
+        perimeter_image,
+    )
+
+    rng = np.random.RandomState(7)
+    weights = {5: 1.0, 7: 1.0, 15: 1.0, 17: 1.0, 25: 1.0, 27: 1.0,
+               21: math.sqrt(2), 33: math.sqrt(2),
+               13: (1 + math.sqrt(2)) / 2, 23: (1 + math.sqrt(2)) / 2}
+    for _ in range(5):
+        mask = (rng.rand(20, 20) > 0.5).astype(np.uint8)
+        border = perimeter_image(mask).astype(int)
+        p = np.pad(border, 1)
+        expect = 0.0
+        for y in range(1, 21):
+            for x in range(1, 21):
+                code = (
+                    p[y, x]
+                    + 2 * (p[y - 1, x] + p[y + 1, x] + p[y, x - 1] + p[y, x + 1])
+                    + 10 * (p[y - 1, x - 1] + p[y - 1, x + 1]
+                            + p[y + 1, x - 1] + p[y + 1, x + 1])
+                )
+                expect += weights.get(code, 0.0)
+        assert benkrid_perimeter(border) == pytest.approx(expect)
+
+
+def test_benkrid_perimeter_disk_close_to_circumference():
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        benkrid_perimeter,
+        perimeter_image,
+    )
+
+    r = 25
+    per = benkrid_perimeter(perimeter_image(disk_mask(r)))
+    assert per == pytest.approx(2 * math.pi * r, rel=0.1)
+
+
+def test_perimeter_pair_stats_deterministic_and_scaled():
+    from ifcb_data_pipeline_spark.operators.kernels import perimeter_pair_stats
+
+    s1 = perimeter_pair_stats(disk_mask(15))
+    s2 = perimeter_pair_stats(disk_mask(15))
+    assert s1 == s2  # seeded PRNG ⇒ bit-identical reruns
+    # Distances are normalized by equiv diameter ⇒ scale-free stats:
+    # a disk of twice the radius produces (approximately) the same mean.
+    s3 = perimeter_pair_stats(disk_mask(30))
+    assert s1["perimeter_mean"] == pytest.approx(s3["perimeter_mean"], rel=0.05)
+    assert 0 < s1["perimeter_mean"] < 2.0
+    assert s1["perimeter_kurtosis"] > 0
+
+
+# --- U5: distance transform + distance-map biovolume ------------------------
+
+
+def test_distance_transform_exact_vs_bruteforce():
+    from ifcb_data_pipeline_spark.operators.kernels import distance_transform
+
+    rng = np.random.RandomState(3)
+    for _ in range(4):
+        feat = rng.rand(15, 17) > 0.9
+        if not feat.any():
+            feat[7, 8] = True
+        got = distance_transform(feat)
+        ys, xs = np.nonzero(feat)
+        yy, xx = np.mgrid[:15, :17]
+        brute = np.sqrt(
+            ((yy[..., None] - ys) ** 2 + (xx[..., None] - xs) ** 2).min(axis=-1)
+        )
+        assert np.allclose(got, brute)
+
+
+def test_biovolume_distmap_models_ribbon_as_cylinder():
+    """The Moberg & Sosik distance-map estimator treats the distance
+    transform as the local half-thickness — on a thin w×h ribbon it must
+    reproduce the cylinder (diameter h, length w): volume π/4·h²·w,
+    lateral surface π·h·w, representative width ≈ h."""
+    from ifcb_data_pipeline_spark.operators.kernels import biovolume_distmap
+
+    for w, h in [(60, 12), (80, 10)]:
+        dm = biovolume_distmap(rect_mask(w, h))
+        assert dm["Biovolume"] == pytest.approx(math.pi / 4 * h * h * w, rel=0.10)
+        assert dm["SurfaceArea"] == pytest.approx(math.pi * h * w, rel=0.05)
+        assert dm["RepresentativeWidth"] == pytest.approx(h, rel=0.10)
+
+
+def test_biovolume_branches_agree_on_disk():
+    """Branch agreement on a convex shape (the rationale for the
+    selection rule, all.py:225-234).  SoR is exact for solids of
+    revolution; the ribbon-calibrated distance map comes in low on a
+    sphere — which is exactly why the rule routes compact shapes to SoR."""
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        biovolume_distmap,
+        biovolume_sor,
+    )
+
+    r = 20
+    sphere = 4 / 3 * math.pi * r**3
+    sor = biovolume_sor(disk_mask(r))
+    dm = biovolume_distmap(disk_mask(r))
+    assert sor["Biovolume"] == pytest.approx(sphere, rel=0.05)
+    assert dm["Biovolume"] == pytest.approx(sphere, rel=0.25)
+    assert dm["SurfaceArea"] == pytest.approx(4 * math.pi * r**2, rel=0.20)
+
+
+def test_biovolume_auto_branch_selection():
+    from ifcb_data_pipeline_spark.operators.kernels import biovolume_auto
+
+    # Disk: area_ratio ≈ 1 < 1.2 → solid of revolution.
+    assert biovolume_auto(disk_mask(15))["BiovolumeBranch"] == "sor"
+    # Thin L: concave (area_ratio ≥ 1.2) and eccentric → distance map.
+    lshape = np.zeros((60, 60), dtype=np.uint8)
+    lshape[5:55, 5:9] = 1
+    lshape[51:55, 5:55] = 1
+    assert biovolume_auto(lshape)["BiovolumeBranch"] == "distmap"
