@@ -1,9 +1,13 @@
 """Classifier-output binary scans — SURVEY §2.1 S4 (.mat) / S5 (.h5).
 
 Both are ``binaryFile`` scans whose per-file decode runs inside
-``mapInPandas`` (scipy.io / h5py in the executor Python).  Neither
-library ships in this container, so the decode bodies are import-gated;
-the scan structure, schemas and row contracts are real.
+``mapInPandas``.  S4 decodes with the repo's own pure-Python MAT v5
+parser (:mod:`.mat_v5`) — no scipy needed, byte-exact tested against
+spec-built fixtures.  S5's HDF5 container cannot be parsed without
+h5py (and without h5py no real fixture bytes can even be generated),
+so the decode is an injected-parser seam: the default implementation
+imports h5py, and tests inject a parser over a simple fixture format
+to exercise the full Spark plumbing.
 
 Output contract (matches FIXTURES.md §3 / convert_h5_to_irfcb_format.R):
   sample string, roi_number int, class_name string,
@@ -12,13 +16,15 @@ Output contract (matches FIXTURES.md §3 / convert_h5_to_irfcb_format.R):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .mat_v5 import parse_mat_v5
 
 CLASS_SCORE_SCHEMA = T.StructType(
     [
@@ -43,31 +49,54 @@ def _binary_scan(spark: SparkSession, path: str, glob: str) -> DataFrame:
     )
 
 
-def h5_class_scan(spark: SparkSession, path: str) -> DataFrame:
+def _default_h5_parser(content: bytes) -> dict:
+    """Real HDF5 decode (executor envs ship h5py; this container does
+    not — tests inject a parser instead)."""
+    import io
+
+    import h5py
+
+    with h5py.File(io.BytesIO(content), "r") as f:
+        return {
+            "output_scores": f["output_scores"][:],
+            "roi_numbers": f["roi_numbers"][:],
+            "class_name": [n.decode() for n in f["class_name"][:]],
+            "thresholds": f["thresholds"][:],
+        }
+
+
+def h5_class_scan(
+    spark: SparkSession,
+    path: str,
+    parser: Callable[[bytes], dict] | None = None,
+) -> DataFrame:
     """CNN score files: class_name / output_scores / roi_numbers /
-    thresholds datasets (``convert_h5_to_irfcb_format.R:48-54``)."""
+    thresholds datasets (``convert_h5_to_irfcb_format.R:48-54``).
+
+    ``parser``: bytes → {output_scores, roi_numbers, class_name,
+    thresholds}; defaults to h5py.  The seam lets the scan be tested
+    hermetically where h5py is unavailable."""
     files = _binary_scan(spark, path, "*.h5")
+    parse = parser or _default_h5_parser
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        import h5py  # not in this container; executor envs ship it
+        import numpy as np
 
         for pdf in batches:
             for sample, content in zip(pdf["sample"], pdf["content"]):
-                with h5py.File(io.BytesIO(content), "r") as f:
-                    scores = f["output_scores"][:]
-                    rois = f["roi_numbers"][:]
-                    names = [n.decode() for n in f["class_name"][:]]
-                    thr = f["thresholds"][:]
+                d = parse(bytes(content))
+                scores = np.asarray(d["output_scores"], dtype="float32")
+                rois = np.asarray(d["roi_numbers"])
+                names = list(d["class_name"])
+                thr = np.asarray(d["thresholds"], dtype="float32")
                 best = scores.argmax(axis=1)
                 yield pd.DataFrame(
                     {
                         "sample": sample,
                         "roi_number": rois.astype("int32"),
                         "class_name": [names[i] for i in best],
-                        "output_scores": list(scores.astype("float32")),
-                        "thresholds": [thr.astype("float32")] * len(rois),
+                        "output_scores": list(scores),
+                        "thresholds": [thr] * len(rois),
                     }
                 )
 
@@ -75,19 +104,16 @@ def h5_class_scan(spark: SparkSession, path: str) -> DataFrame:
 
 
 def mat_class_scan(spark: SparkSession, path: str) -> DataFrame:
-    """RF classification files: TBclass/classifierName structs
-    (``ifcb-dashboard-metadata-pipeline.Rmd:705-714``)."""
+    """RF classification files: TBclass cell array of class-name char
+    arrays (+ classifierName), decoded with the repo's pure-Python MAT v5
+    parser (``ifcb-dashboard-metadata-pipeline.Rmd:705-714``)."""
     files = _binary_scan(spark, path, "*.mat")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-
-        from scipy.io import loadmat  # not in this container
-
         for pdf in batches:
             for sample, content in zip(pdf["sample"], pdf["content"]):
-                mat = loadmat(io.BytesIO(content))
-                classes = [str(c[0]) for c in mat["TBclass"].ravel()]
+                mat = parse_mat_v5(bytes(content))
+                classes = [str(c) for c in mat["TBclass"]]
                 yield pd.DataFrame(
                     {
                         "sample": sample,

@@ -240,3 +240,172 @@ def test_adc_roi_roundtrip(spark):
             assert bytes(r["image"]) == img
             assert (r["width"], r["height"]) == (w, h)
             assert r["sample"] == sample
+
+
+# --- S4/S5: classifier score scans -----------------------------------------
+# Fixture bytes are built here from the PUBLISHED MAT v5 spec (an
+# independent writer), so parse_mat_v5 is byte-exact tested without scipy.
+
+import struct
+import zlib
+
+import numpy as np
+
+
+def _mat_element(mtype: int, payload: bytes, small: bool = False) -> bytes:
+    if small and len(payload) <= 4:
+        return struct.pack("<HH", mtype, len(payload)) + payload.ljust(4, b"\x00")
+    pad = (-len(payload)) % 8
+    return struct.pack("<II", mtype, len(payload)) + payload + b"\x00" * pad
+
+
+def _mat_char_matrix(name: str, text: str) -> bytes:
+    flags = _mat_element(6, struct.pack("<II", 4, 0))          # mxCHAR_CLASS
+    dims = _mat_element(5, struct.pack("<ii", 1, len(text)))
+    nm = _mat_element(1, name.encode("ascii"), small=len(name) <= 4)
+    data = _mat_element(4, text.encode("utf-16-le"))           # miUINT16
+    return _mat_element(14, flags + dims + nm + data)
+
+
+def _mat_cell_of_chars(name: str, items: list[str]) -> bytes:
+    flags = _mat_element(6, struct.pack("<II", 1, 0))          # mxCELL_CLASS
+    dims = _mat_element(5, struct.pack("<ii", len(items), 1))
+    nm = _mat_element(1, name.encode("ascii"), small=len(name) <= 4)
+    cells = b"".join(_mat_char_matrix("", s) for s in items)
+    return _mat_element(14, flags + dims + nm + cells)
+
+
+def _mat_double_matrix(name: str, values: list[float]) -> bytes:
+    flags = _mat_element(6, struct.pack("<II", 6, 0))          # mxDOUBLE_CLASS
+    dims = _mat_element(5, struct.pack("<ii", 1, len(values)))
+    nm = _mat_element(1, name.encode("ascii"), small=len(name) <= 4)
+    data = _mat_element(9, np.array(values, dtype="<f8").tobytes())
+    return _mat_element(14, flags + dims + nm + data)
+
+
+def _mat_file(*elements: bytes, compress: bool = False) -> bytes:
+    header = b"MATLAB 5.0 MAT-file, spec-built test fixture".ljust(124, b" ")
+    header += struct.pack("<H", 0x0100) + b"IM"
+    body = b"".join(elements)
+    if compress:
+        body = b"".join(_mat_element(15, zlib.compress(e)) for e in elements)
+    return header + body
+
+
+def test_parse_mat_v5_roundtrip():
+    from ifcb_data_pipeline_spark.sources.mat_v5 import parse_mat_v5
+
+    content = _mat_file(
+        _mat_cell_of_chars("TBclass", ["Mesodinium_rubrum", "unclassified", "Skeletonema"]),
+        _mat_char_matrix("classifierName", "Baltic_v4"),
+        _mat_double_matrix("TBscores", [0.9, 0.5, 0.75]),
+    )
+    out = parse_mat_v5(content)
+    assert out["TBclass"] == ["Mesodinium_rubrum", "unclassified", "Skeletonema"]
+    assert out["classifierName"] == "Baltic_v4"
+    assert np.allclose(out["TBscores"].ravel(), [0.9, 0.5, 0.75])
+
+
+def test_parse_mat_v5_compressed_elements():
+    from ifcb_data_pipeline_spark.sources.mat_v5 import parse_mat_v5
+
+    content = _mat_file(
+        _mat_cell_of_chars("TBclass", ["A_sp", "B_spp"]),
+        compress=True,
+    )
+    assert parse_mat_v5(content)["TBclass"] == ["A_sp", "B_spp"]
+
+
+def test_mat_class_scan_spark(spark):
+    from ifcb_data_pipeline_spark.sources.binary_formats import mat_class_scan
+
+    with tempfile.TemporaryDirectory() as d:
+        for sample, classes in [
+            ("D20240101T000000_IFCB1", ["Alpha", "Beta"]),
+            ("D20240102T000000_IFCB1", ["Gamma"]),
+        ]:
+            with open(os.path.join(d, f"{sample}.mat"), "wb") as f:
+                f.write(_mat_file(_mat_cell_of_chars("TBclass", classes)))
+        rows = mat_class_scan(spark, d).orderBy("sample", "roi_number").collect()
+    assert [(r.sample, r.roi_number, r.class_name) for r in rows] == [
+        ("D20240101T000000_IFCB1", 1, "Alpha"),
+        ("D20240101T000000_IFCB1", 2, "Beta"),
+        ("D20240102T000000_IFCB1", 1, "Gamma"),
+    ]
+
+
+def test_h5_class_scan_injected_parser(spark):
+    """The h5 scan's Spark plumbing (binaryFile glob → mapInPandas →
+    typed rows) tested hermetically via the parser seam; payload is a
+    trivial packed format standing in for the HDF5 container."""
+    from ifcb_data_pipeline_spark.sources.binary_formats import h5_class_scan
+
+    def fake_parser(content: bytes) -> dict:
+        n = content[0]
+        return {
+            "output_scores": [[0.1 * (i + 1), 1.0 - 0.1 * (i + 1)] for i in range(n)],
+            "roi_numbers": list(range(1, n + 1)),
+            "class_name": ["low", "high"],
+            "thresholds": [0.5, 0.5],
+        }
+
+    with tempfile.TemporaryDirectory() as d:
+        with open(os.path.join(d, "D20240103T000000_IFCB1.h5"), "wb") as f:
+            f.write(bytes([3]))
+        out = h5_class_scan(spark, d, parser=fake_parser).orderBy("roi_number").collect()
+    assert [r.roi_number for r in out] == [1, 2, 3]
+    # argmax over scores: roi1 scores (0.1, 0.9) → 'high'; roi3 (0.3, 0.7) → 'high'
+    assert [r.class_name for r in out] == ["high", "high", "high"]
+    assert all(len(r.output_scores) == 2 for r in out)
+    assert out[0].thresholds == [pytest.approx(0.5), pytest.approx(0.5)]
+
+
+# --- S9/S12: driver-side HTTP sources (injected transport) ------------------
+
+
+def test_http_csv_source_with_retry(spark):
+    from ifcb_data_pipeline_spark.sources.http_source import http_csv_source
+
+    calls, naps = [], []
+
+    def flaky(url: str) -> bytes:
+        calls.append(url)
+        if len(calls) < 3:
+            raise OSError("transient")
+        return b"sample\tlat\nD20240101T000000_IFCB1\t57.5\nD20240102T000000_IFCB1\t57.6\n"
+
+    df = http_csv_source(
+        spark, "https://example.invalid/shark.tsv", transport=flaky, sep="\t",
+        backoff_seconds=0.5, sleep=naps.append,
+    )
+    assert df.count() == 2 and set(df.columns) == {"sample", "lat"}
+    assert len(calls) == 3
+    assert naps == [0.5, 1.0]  # exponential backoff actually engaged
+
+
+def test_http_json_source_and_exhausted_retries(spark):
+    import pytest as _pytest
+
+    from ifcb_data_pipeline_spark.sources.http_source import (
+        http_json_source,
+    )
+
+    payload = {"bins": [{"pid": "D20240101T000000_IFCB1", "n_images": 40},
+                        {"pid": "D20240102T000000_IFCB1", "n_images": 55}]}
+
+    df = http_json_source(
+        spark, "https://example.invalid/api/bins", record_path="bins",
+        transport=lambda url: bytes(__import__("json").dumps(payload), "utf8"),
+    )
+    assert [r.pid for r in df.orderBy("pid").collect()] == [
+        "D20240101T000000_IFCB1", "D20240102T000000_IFCB1",
+    ]
+
+    def always_down(url: str) -> bytes:
+        raise OSError("down")
+
+    with _pytest.raises(ConnectionError):
+        http_json_source(
+            spark, "https://example.invalid/api", transport=always_down,
+            max_retries=3, sleep=lambda s: None,
+        )
