@@ -59,13 +59,15 @@ def stitched_adjacency_flag(
     """
     order = [F.col(c) for c in order_by]
     wp = Window.partitionBy(bucket_col).orderBy(*order)
-    wpd = Window.partitionBy(bucket_col).orderBy(*[c.desc() for c in order])
+    # last-row test via partition count — one sort per partition instead
+    # of a second descending window pass.
+    wcnt = Window.partitionBy(bucket_col)
     x = (
         df.withColumn("__hit", F.coalesce(hit, F.lit(False)))
         .withColumn("__lag", F.lag("__hit").over(wp))
         .withColumn("__lead", F.lead("__hit").over(wp))
         .withColumn("__rn", F.row_number().over(wp))
-        .withColumn("__rnd", F.row_number().over(wpd))
+        .withColumn("__rnd", (F.count(F.lit(1)).over(wcnt) - F.col("__rn") + 1))
     )
     # Boundary rows: first and last of each bucket.  In global order these
     # interleave as ..., bucketN.first, bucketN.last, bucketN+1.first, ...
