@@ -285,49 +285,36 @@ def features_from_images(rois, threshold: int = 128, segment: bool = False):
 # --- connected components (enables U12 summed-over-blobs features) ---------
 
 def label_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
-    """4-connected component labeling via two-pass union-find
-    (skimage.measure.label equivalent; pure numpy/python).
-    Returns (labels, n_components); labels are 1..n, 0 = background."""
-    h, w = mask.shape
-    labels = np.zeros((h, w), dtype=np.int32)
-    parent: list[int] = [0]
-
-    def find(a: int) -> int:
-        while parent[a] != a:
-            parent[a] = parent[parent[a]]
-            a = parent[a]
-        return a
-
-    def union(a: int, b: int) -> None:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    nxt = 1
-    for y in range(h):
-        for x in range(w):
-            if not mask[y, x]:
-                continue
-            up = labels[y - 1, x] if y > 0 else 0
-            left = labels[y, x - 1] if x > 0 else 0
-            if up == 0 and left == 0:
-                parent.append(nxt)
-                labels[y, x] = nxt
-                nxt += 1
-            elif up and left:
-                labels[y, x] = min(up, left)
-                union(up, left)
-            else:
-                labels[y, x] = up or left
-    # Second pass: resolve + compact label ids.
-    remap: dict[int, int] = {}
-    out = np.zeros_like(labels)
-    for y, x in zip(*np.nonzero(labels)):
-        root = find(labels[y, x])
-        if root not in remap:
-            remap[root] = len(remap) + 1
-        out[y, x] = remap[root]
-    return out, len(remap)
+    """4-connected component labeling (skimage.measure.label equivalent)
+    via vectorized iterative min-label propagation: every on-pixel starts
+    as its own linear index and repeatedly takes the minimum of its
+    4-neighborhood until fixpoint (≤ component-diameter passes, each a
+    handful of whole-array numpy ops — no per-pixel Python loop).
+    Returns (labels, n_components); labels are 1..n in first-pixel
+    (row-major) order, 0 = background."""
+    m = mask.astype(bool)
+    h, w = m.shape
+    if not m.any():
+        return np.zeros((h, w), dtype=np.int32), 0
+    ids = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+    lab = np.where(m, ids, 0)
+    while True:
+        nxt = lab.copy()
+        up = np.vstack([lab[1:, :], np.zeros((1, w), dtype=lab.dtype)])
+        down = np.vstack([np.zeros((1, w), dtype=lab.dtype), lab[:-1, :]])
+        left = np.hstack([lab[:, 1:], np.zeros((h, 1), dtype=lab.dtype)])
+        right = np.hstack([np.zeros((h, 1), dtype=lab.dtype), lab[:, :-1]])
+        for s in (up, down, left, right):
+            np.minimum(nxt, np.where(m & (s > 0), s, nxt), out=nxt)
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    # Compact to 1..n; roots are min linear indices ⇒ sorting them gives
+    # first-encounter (row-major) order, matching a classic two-pass pass.
+    roots = np.unique(lab[lab > 0])
+    out = np.zeros((h, w), dtype=np.int32)
+    out[m] = np.searchsorted(roots, lab[m]) + 1
+    return out, len(roots)
 
 
 def summed_features(mask: np.ndarray) -> dict[str, float]:
@@ -636,6 +623,24 @@ def benkrid_perimeter(border: np.ndarray) -> float:
     return float(total)
 
 
+_PRNG_STREAMS: dict[int, np.ndarray] = {}
+
+
+def _prng_stream(seed: int, size: int) -> np.ndarray:
+    """Raw LCG stream for a seed (independent of n/shape) — cached, since
+    every call with the default seed replays the same prefix."""
+    cached = _PRNG_STREAMS.get(seed)
+    if cached is None or len(cached) < size:
+        length = max(size, 16384)
+        vals = np.empty(length, dtype=np.int64)
+        x = seed
+        for j in range(length):
+            x = (x * 30203) % 29663
+            vals[j] = x
+        _PRNG_STREAMS[seed] = cached = vals
+    return cached[:size]
+
+
 def simple_prng(n: int, seed: int = 1, shape: int | tuple[int, ...] = 1) -> np.ndarray:
     """Multiplicative LCG ``x ← (30203·x) mod 29663`` — the seeded PRNG
     the reference shares with MATLAB (``random.py:5-26``) so subsampled
@@ -646,12 +651,7 @@ def simple_prng(n: int, seed: int = 1, shape: int | tuple[int, ...] = 1) -> np.n
     size = 1
     for s in shape:
         size *= s
-    vals = np.empty(size, dtype=np.int64)
-    x = seed
-    for j in range(size):
-        x = (x * 30203) % 29663
-        vals[j] = x
-    return (vals % n).reshape(*shape, order="F")
+    return (_prng_stream(seed, size) % n).reshape(*shape, order="F")
 
 
 def perimeter_pair_stats(mask: np.ndarray, max_n: int = 10000) -> dict[str, float]:
@@ -737,11 +737,13 @@ def distance_transform(feature: np.ndarray) -> np.ndarray:
 
 def _f32_colmajor_sum(arr: np.ndarray) -> np.float32:
     """Sequential float32 accumulation in column-major order — the
-    reference's MATLAB-parity deterministic sum (``biovolume.py:49-56``)."""
-    acc = np.float32(0.0)
-    for v in arr.ravel(order="F"):
-        acc = np.float32(acc + np.float32(v))
-    return acc
+    reference's MATLAB-parity deterministic sum (``biovolume.py:49-56``).
+    ``ufunc.accumulate`` is defined as an in-order left fold, so with
+    dtype float32 it reproduces the explicit loop bit-for-bit."""
+    flat = arr.astype(np.float32).ravel(order="F")
+    if flat.size == 0:
+        return np.float32(0.0)
+    return np.add.accumulate(flat, dtype=np.float32)[-1]
 
 
 def _quad_surface_areas(
@@ -779,17 +781,13 @@ def biovolume_distmap(mask: np.ndarray) -> dict[str, float]:
         return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
     D = distance_transform(border) + 1.0
     inside = fill_holes(border)
-    # Deterministic masked sum / count.
-    acc = np.float32(0.0)
-    cnt = 0
-    flat_d = D.ravel(order="F")
-    flat_in = inside.ravel(order="F")
-    for v, ok in zip(flat_d, flat_in):
-        if ok:
-            acc = np.float32(acc + np.float32(v))
-            cnt += 1
+    # Deterministic masked sum / count (column-major selection keeps the
+    # MATLAB accumulation order).
+    vals = D.ravel(order="F")[inside.ravel(order="F")]
+    cnt = vals.size
     if cnt == 0:
         return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    acc = _f32_colmajor_sum(vals)
     mean32 = np.float32(acc / np.float32(cnt))
     x = np.float32(4.0) * mean32 - np.float32(2.0)
     c1 = (x**2) / (x**2 + np.float32(2.0) * x + np.float32(0.5))
