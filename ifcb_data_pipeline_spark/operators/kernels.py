@@ -238,11 +238,12 @@ KERNEL_FEATURE_SCHEMA = (
 )
 
 
-def features_from_images(rois, threshold: int = 128, segment: bool = False):
-    """Real U1-U8/U12 features over ROI byte images.  ``segment=True``
-    runs the U1 gradient-hysteresis segmentation; the default fixed
-    threshold keeps outputs stable for synthetic payloads.  Arrow-batched;
-    one python call per batch, numpy inside."""
+def features_from_images(rois, threshold: int = 128, segment: bool | str = False):
+    """Real U1-U8/U12 features over ROI byte images.  ``segment="pc"``
+    runs the full U1 phase-congruency chain, ``segment=True`` the
+    gradient-hysteresis variant; the default fixed threshold keeps
+    outputs stable for synthetic payloads.  Arrow-batched; one python
+    call per batch, numpy inside."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -251,7 +252,12 @@ def features_from_images(rois, threshold: int = 128, segment: bool = False):
                 pdf["sample"], pdf["roi_number"], pdf["image"], pdf["width"], pdf["height"]
             ):
                 img = np.frombuffer(bytes(blob), dtype=np.uint8)[: w * h].reshape(h, w)
-                mask = segment_roi(img) if segment else img > threshold
+                if segment == "pc":
+                    mask = segment_roi_pc(img)
+                elif segment:
+                    mask = segment_roi(img)
+                else:
+                    mask = img > threshold
                 geo = blob_geometry(mask)
                 hull = hull_metrics(mask)
                 tex = texture_stats(img, mask)
@@ -510,6 +516,139 @@ def segment_roi(
     filled = fill_holes(closed)
     eroded = _erode3(filled)
     return remove_small_blobs(eroded, min_area=min_area)
+
+
+# --- U1 (full): phase-congruency segmentation chain ------------------------
+
+def _shift_or(mask: np.ndarray, offsets: list[tuple[int, int]]) -> np.ndarray:
+    """OR of the mask shifted by each (dy, dx) — generic dilation core."""
+    h, w = mask.shape
+    out = np.zeros_like(mask, dtype=bool)
+    for dy, dx in offsets:
+        ys = slice(max(dy, 0), h + min(dy, 0))
+        xs = slice(max(dx, 0), w + min(dx, 0))
+        yt = slice(max(-dy, 0), h + min(-dy, 0))
+        xt = slice(max(-dx, 0), w + min(-dx, 0))
+        out[yt, xt] |= mask[ys, xs]
+    return out
+
+
+def _diamond_offsets(r: int) -> list[tuple[int, int]]:
+    return [
+        (dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+        if abs(dy) + abs(dx) <= r
+    ]
+
+
+def dilate_diamond(mask: np.ndarray, r: int) -> np.ndarray:
+    return _shift_or(mask.astype(bool), _diamond_offsets(r))
+
+
+def erode_diamond(mask: np.ndarray, r: int) -> np.ndarray:
+    return ~_shift_or(~mask.astype(bool), _diamond_offsets(r))
+
+
+def close_diamond(mask: np.ndarray, r: int) -> np.ndarray:
+    """Binary closing with a diamond SE, padded so dilation cannot clip
+    at the frame (the reference pads by 2 before closing,
+    ``segmentation.py:173-175``)."""
+    padded = np.pad(mask.astype(bool), r + 1)
+    return erode_diamond(dilate_diamond(padded, r), r)[r + 1 : -(r + 1), r + 1 : -(r + 1)]
+
+
+def guo_hall_thin(mask: np.ndarray, n_iter: int = 3) -> np.ndarray:
+    """Morphological thinning (Guo & Hall 1989 two-subiteration
+    algorithm — published; the reference reproduces MATLAB's LUT-based
+    ``bwmorph(thin)``, same topological effect, pixel-level patterns may
+    differ and that deviation is documented)."""
+    img = mask.astype(bool).copy()
+    for _ in range(n_iter):
+        for phase in (0, 1):
+            p = np.pad(img, 1)
+            p2 = p[:-2, 1:-1]; p3 = p[:-2, 2:]; p4 = p[1:-1, 2:]
+            p5 = p[2:, 2:]; p6 = p[2:, 1:-1]; p7 = p[2:, :-2]
+            p8 = p[1:-1, :-2]; p9 = p[:-2, :-2]
+            c = (
+                (~p2 & (p3 | p4)).astype(int)
+                + (~p4 & (p5 | p6)).astype(int)
+                + (~p6 & (p7 | p8)).astype(int)
+                + (~p8 & (p9 | p2)).astype(int)
+            )
+            n1 = (p9 | p2).astype(int) + (p3 | p4).astype(int) \
+                + (p5 | p6).astype(int) + (p7 | p8).astype(int)
+            n2 = (p2 | p3).astype(int) + (p4 | p5).astype(int) \
+                + (p6 | p7).astype(int) + (p8 | p9).astype(int)
+            n = np.minimum(n1, n2)
+            if phase == 0:
+                cond3 = (p2 | p3 | ~p5) & p4
+            else:
+                cond3 = (p6 | p7 | ~p9) & p8
+            deleted = img & (c == 1) & (n >= 2) & (n <= 3) & ~cond3
+            img &= ~deleted
+    return img
+
+
+def kmeans_dark_mask(img: np.ndarray, adjustment: float = 0.75) -> np.ndarray:
+    """Dark-pixel foreground via 1-D 2-means (the reference's MATLAB
+    batch k-means seeded at centers [0, 1] over the [0,1]-scaled image,
+    ``segmentation.py:20-139``): cluster, take the brighter cluster as
+    background, then extend it with the threshold ``min(background
+    pixels)·adjustment`` and return the non-background mask."""
+    r = img.astype(np.float32) / np.float32(255.0) if img.dtype == np.uint8 \
+        else img.astype(np.float32)
+    vals = r.ravel()
+    c = np.array([0.0, 1.0], dtype=np.float32)
+    assign = np.argmin(np.abs(vals[:, None] - c[None, :]), axis=1)
+    for _ in range(100):
+        newc = c.copy()
+        for j in (0, 1):
+            members = vals[assign == j]
+            if members.size:
+                newc[j] = np.float32(members.sum(dtype=np.float32) / np.float32(members.size))
+        new_assign = np.argmin(np.abs(vals[:, None] - newc[None, :]), axis=1)
+        if np.array_equal(new_assign, assign) and np.array_equal(newc, c):
+            break
+        c, assign = newc, new_assign
+    bg = int(np.argmax(c))
+    labels = assign.reshape(r.shape)
+    bg_pixels = r[labels == bg]
+    if bg_pixels.size == 0:
+        return np.zeros_like(r, dtype=bool)
+    threshold = float(bg_pixels.min()) * adjustment
+    labels = labels.copy()
+    labels[r > threshold] = bg
+    return labels != bg
+
+
+def segment_roi_pc(
+    img: np.ndarray,
+    t_strong: float = 0.3,
+    t_weak: float = 0.09,
+    min_area: int = 40,
+) -> np.ndarray:
+    """U1 full reference chain (``segmentation.py:157-186``): phase
+    congruency (M+m) → hysteresis (T1=0.3, T2=0.09) → border trim →
+    diamond-2 closing → thinning → 1-D k-means dark threshold (×0.75) →
+    hole fill → erosion with min-blob acceptance → min-blob-40 filter."""
+    from .phasecong import phase_congruency_Mm
+
+    mm = phase_congruency_Mm(img)
+    b = hysteresis(mm > t_weak, mm > t_strong)
+    # Trim frame pixels not backed by their inward neighbor.
+    b[b[:, 1] == 0, 0] = 0
+    b[b[:, -2] == 0, -1] = 0
+    b[0, b[1, :] == 0] = 0
+    b[-1, b[-2, :] == 0] = 0
+    b = close_diamond(b, 2)
+    b = guo_hall_thin(b, 3)
+    b = b | kmeans_dark_mask(img)
+    b = fill_holes(b)
+    eroded = erode_diamond(b, 1)
+    if remove_small_blobs(eroded, min_area + 1).any():
+        b = eroded
+    return remove_small_blobs(b, min_area + 1)
 
 
 # --- U6: symmetry via point-set reflections + modified Hausdorff -----------

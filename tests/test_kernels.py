@@ -393,3 +393,69 @@ def test_biovolume_auto_branch_selection():
     lshape[5:55, 5:9] = 1
     lshape[51:55, 5:55] = 1
     assert biovolume_auto(lshape)["BiovolumeBranch"] == "distmap"
+
+
+# --- U1 (full): phase congruency + reference segmentation chain -------------
+
+
+def test_phase_congruency_localizes_step_edge():
+    from ifcb_data_pipeline_spark.operators.phasecong import phase_congruency_Mm
+
+    img = np.full((64, 64), 200.0)
+    img[:, 32:] = 40.0  # vertical step edge at column 32
+    pc = phase_congruency_Mm(img)
+    # Peak response concentrated at the edge (±2 px), low far from it.
+    edge_band = pc[8:-8, 30:35].mean()
+    flat = pc[8:-8, 5:20].mean()
+    assert edge_band > 5 * flat
+    # Interior columns only: the FFT's periodic boundary makes the frame
+    # itself a (real) step edge, so argmax over the full row may hit it.
+    col_of_max = 5 + np.argmax(pc[32, 5:60])
+    assert 30 <= col_of_max <= 33
+
+
+def test_phase_congruency_contrast_invariant():
+    """PC is a phase (not amplitude) measure — doubling the contrast
+    must leave the response essentially unchanged."""
+    from ifcb_data_pipeline_spark.operators.phasecong import phase_congruency_Mm
+
+    rng = np.random.RandomState(5)
+    base = rng.rand(48, 48) * 20 + 100
+    base[16:32, 16:32] -= 60
+    a = phase_congruency_Mm(base)
+    b = phase_congruency_Mm(base * 2.0)
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+
+def test_kmeans_dark_mask_bimodal():
+    from ifcb_data_pipeline_spark.operators.kernels import kmeans_dark_mask
+
+    img = np.full((40, 40), 220, dtype=np.uint8)
+    img[10:30, 10:30] = 35  # dark organism on bright background
+    m = kmeans_dark_mask(img)
+    assert m[15:25, 15:25].all()
+    assert not m[:5, :].any()
+
+
+def test_guo_hall_thin_reduces_strokes():
+    from ifcb_data_pipeline_spark.operators.kernels import guo_hall_thin
+
+    bar = np.zeros((20, 20), dtype=bool)
+    bar[8:13, 2:18] = True  # 5-px-thick horizontal bar
+    thin = guo_hall_thin(bar, 3)
+    assert thin.sum() < bar.sum() / 2  # substantially thinned
+    assert thin.any()                  # but not erased
+
+
+def test_segment_roi_pc_recovers_dark_organism():
+    from ifcb_data_pipeline_spark.operators.kernels import segment_roi_pc
+
+    img = np.full((64, 64), 210, dtype=np.uint8)
+    yy, xx = np.mgrid[:64, :64]
+    organism = (yy - 32) ** 2 + (xx - 32) ** 2 <= 14 * 14
+    img[organism] = 50
+    mask = segment_roi_pc(img)
+    inside = organism & mask
+    # Recovers most of the organism, little background leakage.
+    assert inside.sum() > 0.8 * organism.sum()
+    assert (mask & ~organism).sum() < 0.2 * organism.sum()
