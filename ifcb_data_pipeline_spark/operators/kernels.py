@@ -953,6 +953,63 @@ def biovolume_distmap(mask: np.ndarray) -> dict[str, float]:
     }
 
 
+def biovolume_sor_raster(rotated: np.ndarray) -> dict[str, float]:
+    """Sosik & Kilfoyle solid-of-revolution over a major-axis-aligned
+    raster (``biovolume.py:105-158``): per-column radius = half the
+    column pixel count, volume from conical-frustum slices
+    ``Σ h/3·(b₁+b₂+√(b₁b₂))`` with half-pixel end adjustment, surface
+    area from a 0.25°-step angular sweep of the revolved profile plus
+    flat end caps."""
+    b = np.asarray(rotated, dtype=bool)
+    counts = b.sum(axis=0).astype(np.float64)
+    on = counts > 0
+    if not on.any():
+        return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    r = counts[on] / 2.0
+    top_edge = np.argmax(b, axis=0).astype(np.float64)[on] + 1.0
+    center = top_edge + r
+    n = r.size
+    x = np.arange(1, n + 1, dtype=np.float64)
+    x[0] -= 0.5
+    if n > 1:
+        x[-1] += 0.5
+    disc = math.pi * r**2
+    if n > 1:
+        seg = np.diff(x)
+        volume = float(np.sum(seg / 3.0 * (disc[1:] + disc[:-1] + np.sqrt(disc[1:] * disc[:-1]))))
+    else:
+        volume = 0.0
+    # surface sweep over 0..180° in 0.25° steps (other half by symmetry)
+    ang = np.radians(np.arange(0.0, 180.0 + 0.125, 0.25))
+    c_edge = center.copy()
+    if n >= 2:
+        c_edge[0] = c_edge[1]
+        c_edge[-1] = c_edge[-2]
+    Ys = c_edge[:, None] + np.cos(ang)[None, :] * r[:, None]
+    Zs = np.sin(ang)[None, :] * r[:, None]
+    Xs = np.repeat(x[:, None], ang.size, axis=1)
+    bot, top_a = _quad_surface_areas(Xs, Ys, Zs)
+    sa = 2.0 * (float(bot.sum()) + float(top_a.sum()))
+    sa += float(math.pi * (r[0] ** 2 + r[-1] ** 2))
+    return {
+        "Biovolume": volume,
+        "RepresentativeWidth": float(np.mean(2.0 * r)),
+        "SurfaceArea": sa,
+    }
+
+
+def biovolume_sor_rotated(mask: np.ndarray) -> dict[str, float]:
+    """Reference-shape SoR: rotate the blob to its major axis with the
+    MATLAB-parity raster rotation (U11), then run the raster SoR."""
+    from .rotation import rotate_blob
+
+    g = blob_geometry(mask)
+    if g["Area"] == 0:
+        return {"Biovolume": 0.0, "RepresentativeWidth": 0.0, "SurfaceArea": 0.0}
+    rotated = rotate_blob(mask, -g["Orientation"])
+    return biovolume_sor_raster(rotated)
+
+
 def biovolume_auto(mask: np.ndarray) -> dict[str, float]:
     """U5 shape-adaptive biovolume — the reference's branch selection
     (``all.py:225-234``): solid-of-revolution for compact/symmetric blobs
@@ -969,5 +1026,5 @@ def biovolume_auto(mask: np.ndarray) -> dict[str, float]:
     area_ratio = hull["ConvexArea"] / g["Area"]
     p = g["EquivDiameter"] / g["MajorAxisLength"] if g["MajorAxisLength"] else 0.0
     use_sor = area_ratio < 1.2 or (g["Eccentricity"] < 0.8 and p > 0.8)
-    out = biovolume_sor(mask) if use_sor else biovolume_distmap(mask)
+    out = biovolume_sor_rotated(mask) if use_sor else biovolume_distmap(mask)
     return {**out, "BiovolumeBranch": "sor" if use_sor else "distmap"}

@@ -459,3 +459,71 @@ def test_segment_roi_pc_recovers_dark_organism():
     # Recovers most of the organism, little background leakage.
     assert inside.sum() > 0.8 * organism.sum()
     assert (mask & ~organism).sum() < 0.2 * organism.sum()
+
+
+# --- U11: MATLAB-parity blob rotation + raster SoR --------------------------
+
+
+def test_rotation_exact_at_quarter_turns():
+    from ifcb_data_pipeline_spark.operators.rotation import (
+        center_blob,
+        imrotate_nearest_crop,
+    )
+
+    rect = center_blob(rect_mask(14, 6))
+    r0 = imrotate_nearest_crop(rect, 0.0)
+    assert np.array_equal(r0, rect)  # identity at 0°
+    r90 = imrotate_nearest_crop(rect, 90.0)
+    ys, xs = np.nonzero(r90)
+    # 90° turn: width/height swap exactly, area preserved exactly.
+    assert (ys.max() - ys.min() + 1, xs.max() - xs.min() + 1) == (14, 6)
+    assert r90.sum() == rect.sum()
+    r360 = imrotate_nearest_crop(rect, 360.0)
+    assert np.array_equal(r360, rect)
+
+
+def test_rotation_preserves_area_and_aligns_major_axis():
+    from ifcb_data_pipeline_spark.operators.rotation import rotate_blob
+
+    yy, xx = np.mgrid[:80, :80]
+    th = np.radians(25)
+    u = (xx - 40) * np.cos(th) + (yy - 40) * np.sin(th)
+    v = -(xx - 40) * np.sin(th) + (yy - 40) * np.cos(th)
+    ellipse = ((u / 28) ** 2 + (v / 9) ** 2 <= 1).astype(np.uint8)
+    g = blob_geometry(ellipse)
+    rotated = rotate_blob(ellipse, -g["Orientation"])
+    g2 = blob_geometry(rotated)
+    assert abs(g2["Orientation"]) < 2.0           # major axis horizontal
+    assert rotated.sum() == pytest.approx(ellipse.sum(), rel=0.03)
+
+
+def test_rotated_bbox_half_pixel_convention():
+    from ifcb_data_pipeline_spark.operators.rotation import rotated_bbox
+
+    assert rotated_bbox(rect_mask(14, 6)) == (6, 14)
+    assert rotated_bbox(np.zeros((5, 5), dtype=bool)) == (0, 0)
+
+
+def test_raster_sor_matches_analytic_on_revolution_solids():
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        biovolume_sor_raster,
+        biovolume_sor_rotated,
+    )
+
+    r = 20
+    sphere = biovolume_sor_raster(disk_mask(r).astype(bool))
+    assert sphere["Biovolume"] == pytest.approx(4 / 3 * math.pi * r**3, rel=0.05)
+    assert sphere["SurfaceArea"] == pytest.approx(4 * math.pi * r**2, rel=0.10)
+    w, h = 40, 10
+    cyl = biovolume_sor_raster(rect_mask(w, h).astype(bool))
+    assert cyl["Biovolume"] == pytest.approx(math.pi / 4 * h**2 * w, rel=0.05)
+    # End-to-end with rotation: a tilted ellipse ≈ prolate spheroid
+    # 4/3·π·a·b² regardless of its original orientation.
+    yy, xx = np.mgrid[:90, :90]
+    th = np.radians(35)
+    u = (xx - 45) * np.cos(th) + (yy - 45) * np.sin(th)
+    v = -(xx - 45) * np.sin(th) + (yy - 45) * np.cos(th)
+    a, b = 30, 11
+    ellipse = ((u / a) ** 2 + (v / b) ** 2 <= 1).astype(np.uint8)
+    out = biovolume_sor_rotated(ellipse)
+    assert out["Biovolume"] == pytest.approx(4 / 3 * math.pi * a * b * b, rel=0.08)
