@@ -70,6 +70,32 @@ def stream_directory(
     return reader.load(path)
 
 
+def undelivered_recent(
+    bins: DataFrame, delivered: DataFrame, key: str = "sample", newest_k: int = 50
+) -> DataFrame:
+    """I5 already-delivered short-circuit
+    (``ifcb_delivery_data_to_shark.R:144-160``): the newest ``newest_k``
+    bins (bin ids sort chronologically) anti-joined against the
+    delivered set.  An empty result is the caller's signal to quit the
+    delivery run early — the driver-side guard query of SURVEY §2.10."""
+    recent = bins.select(key).dropDuplicates().orderBy(F.col(key).desc()).limit(newest_k)
+    return recent.join(delivered.select(key).dropDuplicates(), key, "left_anti")
+
+
+def suppress_duplicate_comments(
+    candidates: DataFrame,
+    existing: DataFrame,
+    keys: tuple[str, str] = ("sample", "comment"),
+) -> DataFrame:
+    """I6 duplicate-comment suppression
+    (``ifcb_ingest_and_qc.R:409-422``): drop candidate dashboard
+    comments whose (sample, comment) already exists remotely — an
+    anti-join on the composite key, idempotent across reruns."""
+    return candidates.join(
+        existing.select(*keys).dropDuplicates(), list(keys), "left_anti"
+    )
+
+
 def run_incremental_batch(
     spark: SparkSession,
     candidates: DataFrame,

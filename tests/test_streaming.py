@@ -46,3 +46,44 @@ def test_checkpointed_job_empty_ledger(spark):
         job = CheckpointedJob(spark, tmp, "key")
         cand = spark.createDataFrame([("x",)], ["key"])
         assert job.pending(cand).count() == 1
+
+
+def test_undelivered_recent_short_circuit(spark):
+    """I5: empty result when the newest-k bins are all delivered."""
+    from ifcb_data_pipeline_spark.streaming.incremental import undelivered_recent
+
+    bins = spark.createDataFrame(
+        [(f"D2024010{d}T000000_IFCB1",) for d in range(1, 8)], "sample string"
+    )
+    all_delivered = bins
+    assert undelivered_recent(bins, all_delivered, newest_k=3).count() == 0
+    # Only the newest-k window is considered: with k=3 an undelivered
+    # OLD bin does not block the short-circuit…
+    partial = bins.where(F.col("sample") > "D20240101")
+    assert undelivered_recent(bins, partial, newest_k=3).count() == 0
+    # …but an undelivered NEW bin does.
+    missing_newest = bins.where(F.col("sample") < "D20240107")
+    out = undelivered_recent(bins, missing_newest, newest_k=3).collect()
+    assert [r.sample for r in out] == ["D20240107T000000_IFCB1"]
+
+
+def test_suppress_duplicate_comments(spark):
+    """I6: candidate comments already present remotely are dropped."""
+    from ifcb_data_pipeline_spark.streaming.incremental import (
+        suppress_duplicate_comments,
+    )
+
+    cand = spark.createDataFrame(
+        [("b1", "bad gps"), ("b1", "bubbles"), ("b2", "bad gps")],
+        "sample string, comment string",
+    )
+    existing = spark.createDataFrame(
+        [("b1", "bad gps")], "sample string, comment string"
+    )
+    out = suppress_duplicate_comments(cand, existing).orderBy("sample", "comment")
+    assert [(r.sample, r.comment) for r in out.collect()] == [
+        ("b1", "bubbles"), ("b2", "bad gps"),
+    ]
+    # idempotent: re-suppressing after merge leaves nothing new
+    merged = existing.unionByName(out)
+    assert suppress_duplicate_comments(cand, merged).count() == 0
