@@ -111,6 +111,72 @@ def signlsh_topk(
     )
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroid_arrays: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (squared
+    euclidean, expanded as ``v·v − 2·v·c + c·c`` so both engines
+    evaluate the identical expression; ties break on cell id).
+
+    ``centroid_arrays``: (label, cv array<double>) — the IVF coarse
+    quantizer, always broadcast-sized (|cells| ≪ |vectors|).  The output
+    keeps (id, vec, cell); downstream search is an equi-join on cell —
+    the inverted-file property that makes ANN linear at 100 TB."""
+    d2 = (
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    scored = vectors.crossJoin(F.broadcast(centroid_arrays)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("label").alias("cell"),
+        d2.alias("__d2"),
+    )
+    w = Window.partitionBy("id").orderBy("__d2", "cell")
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    queries_filter,
+    k: int = 3,
+) -> DataFrame:
+    """nprobe=1 IVF search: each query scans ONLY its own cell.  Input
+    is :func:`ivf_assign` output; ``queries_filter`` is a Column
+    predicate selecting the query ids."""
+    q = assigned.where(queries_filter).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv_"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv_")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_raw")
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",

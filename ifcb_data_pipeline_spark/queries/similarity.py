@@ -138,3 +138,79 @@ def sim3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "label", F.col("dim").cast("int").alias("dim"), dround(F.col("centroid"), 6).alias("centroid")
     )
+
+
+# --- SIM4: IVF search (assign to nearest cell, probe own cell only) --------
+# The scale path sim3's quantizer exists for: cells are broadcast-sized,
+# the search is an equi-join on cell id — never an all-pairs scan.
+# Centroids are rounded to 6 decimals in BOTH engines before use so the
+# assignment argmin sees identical inputs.
+SIM4_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (
+    SELECT label, (t.i - 1)::INT AS dim,
+           floor(avg(v[t.i]) * 1000000.0 + 0.5) / 1000000.0 AS c
+    FROM el, unnest(range(1, len(v) + 1)) AS t(i)
+    GROUP BY label, t.i
+),
+cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY label),
+dists AS (
+    SELECT e.vec_id, e.v, cent.label,
+           (list_inner_product(e.v, e.v)
+            - 2 * list_inner_product(e.v, cent.cv)
+            + list_inner_product(cent.cv, cent.cv)) AS d2
+    FROM e CROSS JOIN cent
+),
+assigned AS MATERIALIZED (
+    SELECT vec_id, v, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        FROM dists
+    ) WHERE rn = 1
+),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.v", b="c.v")} AS cos_raw
+    FROM assigned q JOIN assigned c
+      ON q.cell = c.cell AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sim4_ivf_search", SIM4_SQL, survey_ref="north-star ANN: IVF nprobe=1 search over sim3 cells")
+def sim4_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign, ivf_topk
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    el = embeddings.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    cent_arr = (
+        label_centroids(el)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", dround(F.col("centroid"), 6).alias("c"))
+                    )
+                ),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+    assigned = ivf_assign(e, cent_arr)
+    out = ivf_topk(assigned, F.col("id") < 10, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        dround(F.col("cos_raw"), 6).alias("cos_sim"),
+    )
