@@ -305,8 +305,10 @@ FROM closure
 """
 
 
-@register("dd6_dup_clusters", DD6_SQL, survey_ref="north-star dedup: connected-component cluster labels")
-def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, cluster) min-label connected components of the LSH
+    collision graph — shared by dd6 (cluster report) and dd7 (corpus
+    materialization)."""
     sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
     sigs = minhash_signatures(sh, num_hashes=16)
     rows_per_band = 2
@@ -371,7 +373,69 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    return labels
+
+
+@register("dd6_dup_clusters", DD6_SQL, survey_ref="north-star dedup: connected-component cluster labels")
+def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _lsh_cluster_labels(spark, sf_dir)
     sizes = labels.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "cluster").select(
         F.col("node").alias("doc"), "cluster", "cluster_size"
+    )
+
+
+# --- DD7: dedup materialization (keep one doc per cluster) -----------------
+# The operator the whole family exists for: the corpus with every
+# non-canonical near-duplicate dropped.  Survivors = docs that either
+# never collided in LSH or are their cluster's min-id representative.
+# The labels side is |collided docs| ≪ |corpus| → broadcast-friendly
+# left join, no extra pass over the corpus.
+DD7_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+mh AS (
+    SELECT doc, seed,
+           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
+    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, seed
+),
+bands AS (
+    SELECT doc, (seed // 2)::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, seed // 2
+),
+edges AS (
+    SELECT DISTINCT a.doc AS src, b.doc AS dst
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+bi AS (
+    SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+closure AS MATERIALIZED (
+    WITH RECURSIVE reach(node, root) AS (
+        SELECT DISTINCT src AS node, src AS root FROM bi
+        UNION
+        SELECT bi.dst, reach.root FROM reach JOIN bi ON bi.src = reach.node
+    )
+    SELECT node AS doc, min(root) AS cluster FROM reach GROUP BY node
+)
+SELECT c.doc,
+       coalesce(cl.cluster, c.doc) AS cluster,
+       (cl.cluster IS NULL OR cl.cluster = c.doc) AS is_kept
+FROM corpus c LEFT JOIN closure cl ON c.doc = cl.doc
+"""
+
+
+@register("dd7_dedup_materialize", DD7_SQL, survey_ref="north-star dedup: canonical-survivor corpus materialization")
+def dd7_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = _lsh_cluster_labels(spark, sf_dir).select(
+        F.col("node").alias("doc"), "cluster"
+    )
+    corpus = corpus_df(spark, sf_dir).select("doc")
+    return corpus.join(labels, "doc", "left").select(
+        "doc",
+        F.coalesce(F.col("cluster"), F.col("doc")).alias("cluster"),
+        (F.col("cluster").isNull() | (F.col("cluster") == F.col("doc"))).alias(
+            "is_kept"
+        ),
     )
