@@ -149,3 +149,45 @@ def test_parse_legacy_bin_id(spark):
     assert good["valid"] and good["ifcb_number"] == "IFCB1"
     assert good["timestamp"] == ts("2014-07-07T22:20:13")
     assert not rows["nope"]["valid"]
+
+
+def test_tag_polygons_numpy_exact(spark):
+    """S11/J9 exact geometry without shapely: ray-casting containment and
+    near-boundary distance, verified on a non-convex polygon."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.geo import tag_polygons
+
+    # L-shaped (non-convex) "basin": containment must respect the notch.
+    lshape = [(10.0, 54.0), (14.0, 54.0), (14.0, 56.0), (12.0, 56.0),
+              (12.0, 58.0), (10.0, 58.0)]
+    pts = spark.createDataFrame(
+        [
+            (1, 55.0, 11.0),   # inside the lower arm
+            (2, 57.0, 11.0),   # inside the upper arm
+            (3, 57.0, 13.0),   # in the notch → outside
+            (4, 53.0, 11.0),   # fully outside
+            (5, 54.004, 11.0), # inside, ~0.004° from the south edge → near
+        ],
+        "id int, lat double, lon double",
+    )
+    out = {r.id: r for r in tag_polygons(pts, [("L", lshape)]).collect()}
+    assert out[1].basin == "L" and out[2].basin == "L"
+    assert out[3].basin is None and out[4].basin is None
+    assert out[5].basin == "L" and out[5].near_land
+    assert not out[1].near_land
+    # Rectangle polygon agrees with the rect fast path on containment.
+    from ifcb_data_pipeline_spark.operators.geo import tag_basins_rect
+
+    rng = np.random.RandomState(11)
+    sample = spark.createDataFrame(
+        [(i, 53.0 + 8 * float(rng.rand()), 7.0 + 16 * float(rng.rand()))
+         for i in range(200)],
+        "id int, lat double, lon double",
+    )
+    box = ("Kattegat", 55.5, 57.5, 10.0, 13.0)
+    ring = [(10.0, 55.5), (13.0, 55.5), (13.0, 57.5), (10.0, 57.5)]
+    a = {r.id: r.basin for r in tag_basins_rect(sample, boxes=[box]).collect()}
+    b = {r.id: r.basin for r in tag_polygons(sample, [("Kattegat", ring)]).collect()}
+    agree = sum(1 for i in a if (a[i] == "Kattegat") == (b[i] == "Kattegat"))
+    assert agree >= 198  # boundary-point conventions may differ on edges
