@@ -106,7 +106,11 @@ def tag_polygons(
             seg2 = dx * dx + dy * dy
             t = ((px - ax) * dx + (py - ay) * dy) / seg2 if seg2 > 0 else 0.0
             t = np.clip(t, 0.0, 1.0)
-            best = np.minimum(best, np.hypot(px - (ax + t * dx), py - (ay + t * dy)))
+            # sqrt(u² + v²) rather than np.hypot: bit-identical to the
+            # SQL mirror (hypot uses a different overflow-safe algorithm).
+            u = px - (ax + t * dx)
+            v = py - (ay + t * dy)
+            best = np.minimum(best, np.sqrt(u * u + v * v))
         return best
 
     out_schema = (

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from ..operators.geo import tag_basins_rect
 from ..operators.psd import psd_flags, psd_powerlaw_fit, size_histogram
 from . import register
-from ._util import dround, hash32, lat_expr, lon_expr, tables
+from ._util import LAT_SQL, LON_SQL, dround, hash32, lat_expr, lon_expr, tables
 
 # --- J9: geospatial basin tagging + near-land ------------------------------
 J9_SQL = """
@@ -63,6 +63,76 @@ def j9_basin_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "lat", "lon", "basin", "in_baltic",
         F.coalesce(F.col("near_land"), F.lit(False)).alias("near_land"),
     )
+
+
+# --- J9b: exact polygon tagging (numpy ray-cast kernel vs SQL mirror) ------
+# The mapInPandas geometry kernel checked value-for-value against a SQL
+# transliteration of the same ray-casting + point-segment-distance math
+# (an L-shaped, non-convex test basin over the pseudo-coordinates).
+_J9B_RING = [
+    (10.0, 54.0), (18.0, 54.0), (18.0, 57.0),
+    (14.0, 57.0), (14.0, 60.0), (10.0, 60.0),
+]
+
+
+def _j9b_inside_sql(x: str, y: str) -> str:
+    terms = []
+    for i, (ax, ay) in enumerate(_J9B_RING):
+        bx, by = _J9B_RING[(i + 1) % len(_J9B_RING)]
+        if ay == by:  # kernel skips horizontal edges
+            continue
+        terms.append(
+            f"(CASE WHEN (({ay!r} > {y}) <> ({by!r} > {y}))"
+            f" AND ({x} < ({bx!r} - {ax!r}) * ({y} - {ay!r}) / ({by!r} - {ay!r}) + {ax!r})"
+            " THEN 1 ELSE 0 END)"
+        )
+    return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def _j9b_dist_sql(x: str, y: str) -> str:
+    ds = []
+    for i, (ax, ay) in enumerate(_J9B_RING):
+        bx, by = _J9B_RING[(i + 1) % len(_J9B_RING)]
+        dx, dy = bx - ax, by - ay
+        seg2 = dx * dx + dy * dy
+        t = (
+            f"least(greatest(((({x}) - {ax!r}) * {dx!r}"
+            f" + (({y}) - {ay!r}) * {dy!r}) / {seg2!r}, 0.0), 1.0)"
+        )
+        u = f"(({x}) - ({ax!r} + {t} * {dx!r}))"
+        v = f"(({y}) - ({ay!r} + {t} * {dy!r}))"
+        ds.append(f"sqrt({u} * {u} + {v} * {v})")
+    return "least(" + ", ".join(ds) + ")"
+
+
+J9B_SQL = f"""
+WITH pts AS (
+    SELECT c_custkey,
+           {LAT_SQL.format(k="c_custkey")} AS lat,
+           {LON_SQL.format(k="c_custkey")} AS lon
+    FROM customer
+)
+SELECT c_custkey, lat, lon,
+       CASE WHEN {_j9b_inside_sql("lon", "lat")} THEN 'L' ELSE NULL END AS basin,
+       CASE WHEN {_j9b_inside_sql("lon", "lat")}
+            THEN ({_j9b_dist_sql("lon", "lat")} < 0.05) ELSE FALSE
+       END AS near_land
+FROM pts
+"""
+
+
+@register("j9b_polygon_tagging", J9B_SQL, survey_ref="SURVEY §2.4 J9 exact path; Rmd:722-736")
+def j9b_polygon_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.geo import tag_polygons
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    pts = customer.select(
+        "c_custkey",
+        lat_expr(F.col("c_custkey")).alias("lat"),
+        lon_expr(F.col("c_custkey")).alias("lon"),
+    )
+    out = tag_polygons(pts, [("L", _J9B_RING)], near_margin_deg=0.05)
+    return out.select("c_custkey", "lat", "lon", "basin", "near_land")
 
 
 # --- U13: PSD power-law fit + flags ---------------------------------------
