@@ -342,6 +342,32 @@ def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its blocks are context-cleaned when the plan is dropped (no cache
     # leak across invocations).
     bi = bi.localCheckpoint()
+    # Size-gated hybrid: the collision graph is |LSH-colliding docs| ≪
+    # |corpus| by construction.  When it fits comfortably on the driver
+    # (the common case even at 100 TB corpus scale — collisions are the
+    # rare event), a single collect + union-find beats N propagation
+    # rounds of (join + count) job overhead.  The distributed min-label
+    # loop below remains the fallback for pathological duplication.
+    n_edges = bi.count()
+    if n_edges <= 1_000_000:
+        parent: dict = {}
+
+        def find(a):
+            root = a
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(a, a) != a:
+                parent[a], a = root, parent[a]
+            return root
+
+        for row in bi.collect():
+            ra, rb = find(row.src), find(row.dst)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        nodes = set(parent) | {row.src for row in bi.select("src").dropDuplicates().collect()}
+        data = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return spark.createDataFrame(data, "node long, cluster long")
     # Min-label propagation to fixpoint (edge set is small: only docs
     # that collided in LSH; each round is one broadcast-scale join).
     labels = bi.select("src").dropDuplicates().select(
