@@ -90,3 +90,36 @@ def test_signif_property(x):
     mag2 = math.floor(math.log10(abs(rounded)))
     again = math.floor((rounded / 10**mag2) * 100 + 0.5) / 100 * 10**mag2
     assert again == rounded or abs(again - rounded) < 1e-12 * abs(rounded)
+
+
+def test_signif_matches_duckdb_on_boundary_values(spark):
+    """ADVICE r1: F.round-based signif diverged from the oracle on
+    boundary inputs like 1005.0 (floor-form 1000.0 vs HALF_UP 1010.0),
+    masked by data luck.  Drive the floor-form signif through BOTH
+    engines on adversarial half-way values and exact powers."""
+    import duckdb
+
+    values = [
+        1005.0, 15139.495, 999.995, 0.0010005, 123456.5, 2.5, -1005.0,
+        0.5, 1.0, 10.0, 99999.5, 0.000123455, 7777.77, 1e-7, 123.456789,
+    ]
+    from ifcb_data_pipeline_spark.functions.scalars import signif
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i int, x double")
+    got = {
+        r.i: r.s
+        for r in df.select("i", signif(F.col("x"), 3).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    sql = """
+        SELECT i, CASE WHEN x = 0 THEN x
+               ELSE floor((x / pow(10.0, floor(log10(abs(x))))) * 100.0 + 0.5)
+                    / 100.0 * pow(10.0, floor(log10(abs(x))))
+               END AS s
+        FROM df
+    """
+    import pandas as pd
+
+    con.register("df", pd.DataFrame({"i": range(len(values)), "x": values}))
+    want = {int(i): s for i, s in con.execute(sql).fetchall()}
+    assert got == want
