@@ -131,7 +131,11 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
     (orders,) = tables(spark, sf_dir, "orders")
-    bins = orders.where(F.col("o_orderkey") % 200 == 0).select(
+    # 1-in-400 bins: the kernel MATH is pytest-verified against analytic
+    # shapes; this entry exercises the Spark plumbing (binary column →
+    # mapInPandas → typed features), so a few hundred ROIs suffice and
+    # keep the driver's correctness sweep fast.
+    bins = orders.where(F.col("o_orderkey") % 400 == 0).select(
         F.col("o_orderkey").cast("string").alias("sample"),
         ((F.col("o_orderkey") % 30) + 2).cast("int").alias("n_rois"),
     )
