@@ -191,3 +191,40 @@ def test_tag_polygons_numpy_exact(spark):
     b = {r.id: r.basin for r in tag_polygons(sample, [("Kattegat", ring)]).collect()}
     agree = sum(1 for i in a if (a[i] == "Kattegat") == (b[i] == "Kattegat"))
     assert agree >= 198  # boundary-point conventions may differ on edges
+
+
+def test_stitched_adjacency_equals_global_window(spark):
+    """Property check: the date-partitioned boundary-stitch adjacency
+    must be row-identical to the naive single-partition global window on
+    adversarial bucket layouts (singleton buckets, all-hit buckets,
+    hits exactly at bucket edges)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ifcb_data_pipeline_spark.operators.windows import stitched_adjacency_flag
+
+    rng = random.Random(17)
+    rows, key = [], 0
+    for day in range(1, 15):
+        for _ in range(rng.choice([1, 1, 2, 5, 9])):  # many singleton days
+            key += 1
+            rows.append((f"2024-03-{day:02d}", key, rng.random() < 0.25))
+    df = spark.createDataFrame(rows, "d string, k long, hit boolean").withColumn(
+        "d", F.to_date("d")
+    )
+    got = stitched_adjacency_flag(
+        df, F.col("hit"), bucket_col="d", order_by=["d", "k"], out_col="adj"
+    ).select("k", "adj")
+    w = Window.orderBy("d", "k")
+    want = df.select(
+        "k",
+        (
+            F.col("hit")
+            | F.coalesce(F.lag("hit").over(w), F.lit(False))
+            | F.coalesce(F.lead("hit").over(w), F.lit(False))
+        ).alias("adj"),
+    )
+    g = {r.k: r.adj for r in got.collect()}
+    e = {r.k: r.adj for r in want.collect()}
+    assert g == e
