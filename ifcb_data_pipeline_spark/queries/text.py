@@ -214,3 +214,57 @@ def sp1_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
     )
     return split.groupBy("lang", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- TX6: corpus-trained char-trigram log-probability ----------------------
+# The perplexity-style quality signal of LLM data pipelines: score each
+# document by the mean log-probability of its character trigrams under
+# the corpus's own trigram distribution.  Out-of-distribution documents
+# (wrong language, binary junk, boilerplate) score low.  Scale shape:
+# trigram explode → one count shuffle keyed by trigram (cf. dd4's
+# inverted index), broadcast-join the model back; the model table is
+# |distinct trigrams| — bounded by the alphabet, not the corpus.
+TX6_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+tri AS (
+    SELECT doc_id, substr(t, i, 3) AS g
+    FROM d, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+),
+model AS (SELECT g, count(*)::BIGINT AS c FROM tri GROUP BY g),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM model)
+SELECT tri.doc_id,
+       count(*)::BIGINT AS n_trigrams,
+       floor(avg(ln(model.c::DOUBLE / tot.n)) * 1000000.0 + 0.5) / 1000000.0
+           AS trigram_logprob
+FROM tri JOIN model USING (g) CROSS JOIN tot
+GROUP BY tri.doc_id
+"""
+
+
+@register("tx6_trigram_logprob", TX6_SQL, survey_ref="north-star text: corpus-LM quality score")
+def tx6_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    # substring with a per-row start position needs the expr form
+    # (F.substring takes a literal pos).
+    tri = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = model.agg(F.sum("c").cast("double").alias("n"))
+    return (
+        tri.join(model, "g")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            dround(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 6
+            ).alias("trigram_logprob"),
+        )
+    )
