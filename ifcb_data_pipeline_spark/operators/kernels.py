@@ -591,11 +591,13 @@ def guo_hall_thin(mask: np.ndarray, n_iter: int = 3) -> np.ndarray:
 
 
 def kmeans_dark_mask(img: np.ndarray, adjustment: float = 0.75) -> np.ndarray:
-    """Dark-pixel foreground via 1-D 2-means (the reference's MATLAB
-    batch k-means seeded at centers [0, 1] over the [0,1]-scaled image,
-    ``segmentation.py:20-139``): cluster, take the brighter cluster as
-    background, then extend it with the threshold ``min(background
-    pixels)·adjustment`` and return the non-background mask."""
+    """Dark-pixel foreground via 1-D 2-means seeded at centers [0, 1]
+    over the [0,1]-scaled image (``segmentation.py:20-139``): cluster,
+    take the brighter cluster as background, then extend it with the
+    threshold ``min(background pixels)·adjustment`` and return the
+    non-background mask.  Plain Lloyd's iteration — the reference's
+    MATLAB singleton/tie bookkeeping is omitted (documented deviation;
+    identical convergence on bimodal ROI histograms)."""
     r = img.astype(np.float32) / np.float32(255.0) if img.dtype == np.uint8 \
         else img.astype(np.float32)
     vals = r.ravel()
