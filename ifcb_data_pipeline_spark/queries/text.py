@@ -257,8 +257,12 @@ def tx6_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
     total = model.agg(F.sum("c").cast("double").alias("n"))
+    # The model is bounded by the number of DISTINCT trigrams (≤ charset³,
+    # independent of corpus size), so broadcast it: the alternative shuffle
+    # join would repartition the full exploded corpus (≈ total text bytes)
+    # on `g` — the dominant cost at scale.
     return (
-        tri.join(model, "g")
+        tri.join(F.broadcast(model), "g")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
