@@ -87,3 +87,60 @@ def test_suppress_duplicate_comments(spark):
     # idempotent: re-suppressing after merge leaves nothing new
     merged = existing.unionByName(out)
     assert suppress_duplicate_comments(cand, merged).count() == 0
+
+
+def test_hab_alert_hysteresis_stream(spark):
+    """Stateful streaming (applyInPandasWithState): alert raises on the
+    first loud batch and clears only after `clear_after` consecutive
+    quiet batches; the streaming output must equal a driver-side replay
+    of the same transition function."""
+    import os
+    import tempfile
+
+    from ifcb_data_pipeline_spark.streaming.stateful import (
+        hab_alert_stream,
+        replay_alerts,
+    )
+
+    ticks = [  # one micro-batch each, single taxon
+        {"taxon": "Dinophysis", "ts": "2024-01-01 00:00:00", "abund": 5.0},
+        {"taxon": "Dinophysis", "ts": "2024-01-02 00:00:00", "abund": 20.0},
+        {"taxon": "Dinophysis", "ts": "2024-01-03 00:00:00", "abund": 3.0},
+        {"taxon": "Dinophysis", "ts": "2024-01-04 00:00:00", "abund": 25.0},
+        {"taxon": "Dinophysis", "ts": "2024-01-05 00:00:00", "abund": 2.0},
+        {"taxon": "Dinophysis", "ts": "2024-01-06 00:00:00", "abund": 1.0},
+    ]
+    expected = replay_alerts(ticks, threshold=10.0, clear_after=2)
+    assert [(e[0], e[1]) for e in expected] == [
+        ("Dinophysis", "raised"),
+        ("Dinophysis", "cleared"),
+    ]
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src, ckpt = f"{tmp}/src", f"{tmp}/ckpt"
+        os.makedirs(src)
+        stream = spark.readStream.schema(
+            "taxon string, ts timestamp, abund double"
+        ).csv(src)
+        q = (
+            hab_alert_stream(stream, threshold=10.0, clear_after=2)
+            .writeStream.format("memory")
+            .queryName("hab_alerts")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for i, t in enumerate(ticks):
+                with open(f"{src}/tick{i}.csv", "w") as f:
+                    f.write(f"{t['taxon']},{t['ts']},{t['abund']}\n")
+                q.processAllAvailable()
+            got = [
+                (r["taxon"], r["event"], str(r["ts"]), r["peak"])
+                for r in spark.sql(
+                    "SELECT * FROM hab_alerts ORDER BY ts"
+                ).collect()
+            ]
+        finally:
+            q.stop()
+    assert got == [(t, e, ts, p) for t, e, ts, p in expected]
