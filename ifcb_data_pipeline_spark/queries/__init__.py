@@ -50,14 +50,83 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
     return deco
 
 
+# Registry order = the order the driver's correctness gate executes queries
+# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-2), so the
+# first 50 names below are the round's driver-verified set.  Round-3 rotation:
+# everything never driver-checked (p1-p3, dd4b, dd7, a15, f6, f11, qf, s6,
+# u13b), every entry whose implementation changed since its last driver row
+# (c3 fix, dd5/dd6 rewrite, mm2/st1, a4/j8 hint removal, u13 dual profiles),
+# then the r1-only joins/aggregates families to refresh their rows.  The
+# r2-green filters/scalars/windows/text/similarity/profiling families move
+# behind position 50 — their code is unchanged, their r2 rows stand.
+PREFIX_ORDER = [
+    # changed-this-round fixes, cheapest first
+    "c3_name_type_split",
+    # never driver-checked (qc_extra tail)
+    "a15_mean_collapse",
+    "f6_regional_filter",
+    "f11_missing_position_filter",
+    "qf_flag_unification",
+    "s6_json_scan",
+    "u13_psd_fit",
+    "u13b_psd_fit_pandas",
+    # flagship pipelines — never driver-checked
+    "p1_shark_export",
+    "p2_hab_alert",
+    "p3_dashboard_metadata",
+    # dedup: never-checked + rewritten-since-r1 first, then the rest
+    "dd4b_ngram_jaccard_dfcut",
+    "dd7_dedup_materialize",
+    "dd5_embedding_cosine_dup",
+    "dd6_dup_clusters",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd3_simhash",
+    "dd4_ngram_jaccard",
+    # multimodal / streaming (mm2 & st1 changed in r2 after their r1 rows)
+    "mm1_multimodal_features",
+    "mm2_real_kernel_features",
+    "st1_stream_windowed_counts",
+    # joins — r1 rows only, refresh (j8 changed this round)
+    "j1_enrichment_chain",
+    "j4_asof_join",
+    "j4b_asof_backward",
+    "j5_interval_join",
+    "j6_coalescing_fill_join",
+    "j7_full_outer_join",
+    "j8_haversine_theta_join",
+    "j10_semi_join",
+    "j11_incremental_anti_join",
+    "j12_provenance_merge",
+    "j13_classlist_full_join",
+    # aggregates — r1 rows only, refresh (a4 changed this round)
+    "a1_biovolume_rollup",
+    "a2_taxon_rollup",
+    "a3_flag_frequency",
+    "a4_monthly_stats",
+    "a5_grouped_top1",
+    "a6_bloom_categorize",
+    "a7_global_top1",
+    "a8_last_per_group",
+    "a10_duplicate_detection",
+    "a11_distinct",
+    "a12_minmax_summary",
+    "a13_grid_cell_frequency",
+    "a14_monthly_histogram",
+    "a17_qc_sums",
+    "a18_provenance_summary",
+    "a19_cube_rollup",
+]
+
+
 def load_all() -> dict[str, QueryDef]:
     """Import every query module (side effect: fills REGISTRY).
 
-    Import order = registry order = the order the driver's correctness
-    gate executes queries in.  Cheap families come first and the
-    heavyweight ones (LSH dedup, mapInPandas multimodal, streaming,
-    composed pipelines) last, so a wall-clock-budgeted prefix run covers
-    the maximum number of queries before hitting the expensive tail.
+    Returns the registry reordered so ``PREFIX_ORDER`` comes first (the
+    driver-verified 50-entry prefix for this round), then every remaining
+    entry in module order.  ``tests/test_registry_budget.py`` guards the
+    prefix's sf0.01 wall-clock so a reorder can't silently outgrow the
+    driver's budget.
     """
     from . import (  # noqa: F401
         aggregates,
@@ -74,27 +143,9 @@ def load_all() -> dict[str, QueryDef]:
         windows_sorts,
     )
 
-    ordered = [
-        filters,
-        scalars,
-        windows_sorts,
-        text,
-        profiling,
-        similarity,
-        qc_extra,
-        joins,
-        aggregates,
-        pipelines,
-        multimodal,
-        dedup,
-    ]
     out: dict[str, QueryDef] = {}
-    for mod in ordered:
-        suffix = mod.__name__.rsplit(".", 1)[1]
-        for name, qdef in REGISTRY.items():
-            if qdef.fn.__module__.endswith(f".{suffix}"):
-                out[name] = qdef
-    # Safety: anything registered from an unlisted module still ships.
+    for name in PREFIX_ORDER:
+        out[name] = REGISTRY[name]
     for name, qdef in REGISTRY.items():
         out.setdefault(name, qdef)
     return out

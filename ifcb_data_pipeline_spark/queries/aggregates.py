@@ -163,7 +163,9 @@ GROUP BY 1, 2
 def a4_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders, customer, nation = tables(spark, sf_dir, "orders", "customer", "nation")
     return (
-        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with the data (≈ stations): no broadcast hint — let
+        # AQE pick broadcast while small and fall back to shuffle at scale.
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy(
             F.col("n_name").alias("basin"),

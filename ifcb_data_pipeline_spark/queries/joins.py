@@ -271,7 +271,8 @@ def j8_haversine_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = haversine_km(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
     return (
-        c.join(F.broadcast(s), c.c_nationkey == s.s_nationkey)
+        # supplier scales with the data: no broadcast hint — AQE decides.
+        c.join(s, c.c_nationkey == s.s_nationkey)
         .where(dist <= 200.0)
         .select("c_custkey", "s_suppkey", dround(dist, 4).alias("dist_km"))
     )

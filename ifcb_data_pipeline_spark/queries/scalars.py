@@ -272,6 +272,7 @@ typed AS (
     FROM named
 )
 SELECT p_partkey, cleaned, name_type,
+       array_to_string(
        CASE name_type
          WHEN 'cf' THEN [regexp_replace(cleaned, '\\s+cf\\s+', ' ')]
          WHEN 'like' THEN [regexp_replace(cleaned, '-like$', '')]
@@ -281,7 +282,7 @@ SELECT p_partkey, cleaned, name_type,
                 ELSE str_split(regexp_replace(cleaned, '\\s+([A-Z])', '|\\1', 'g'), '|')
            END
          ELSE [regexp_replace(regexp_replace(cleaned, '\\s+spp$', ''), '\\s+sp$', '')]
-       END AS query_names
+       END, '|') AS query_names
 FROM typed
 """
 
@@ -311,6 +312,10 @@ def c3_name_type_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     named = part.select("p_partkey", cleaned.alias("cleaned"))
     typed = named.withColumn("name_type", name_type(F.col("cleaned")))
+    # The array-valued form (functions.taxa.extract_query_names) remains the
+    # operator API; the *registered* query joins to a scalar string so the
+    # driver's pandas sort/hash canonicalizer can handle the column.
     return typed.withColumn(
-        "query_names", extract_query_names(F.col("cleaned"), F.col("name_type"))
+        "query_names",
+        F.array_join(extract_query_names(F.col("cleaned"), F.col("name_type")), "|"),
     )

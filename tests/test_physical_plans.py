@@ -43,6 +43,8 @@ def optimized_plan_of(spark, name, sf_dir) -> str:
         ("j1_enrichment_chain", 2),   # nation, region
         ("a1_biovolume_rollup", 1),   # part (class dim — bounded in IFCB terms)
         ("p1_shark_export", 3),       # part-taxon map, nation, boundary patch
+        ("a4_monthly_stats", 1),      # nation only — customer hint dropped r3
+        ("j8_haversine_theta_join", 0),  # supplier hint dropped r3; AQE decides
     ],
 )
 def test_no_fact_side_broadcast_hints(spark, sf_dir, name, expected_hints):
@@ -58,6 +60,46 @@ def test_no_fact_side_broadcast_hints(spark, sf_dir, name, expected_hints):
         f"{name}: expected {expected_hints} bounded-dim broadcast hints, "
         f"found {len(hints)} — fact-side hint added or dim hint dropped?"
     )
+
+
+# Tables that scale with the data (samples / ROIs / stations / instruments):
+# a broadcast hint pinned on a RAW scan of one of these forces an OOM attempt
+# at 100× instead of letting AQE size the join.  Hinted sides that first pass
+# through an Aggregate or Window (bounded derivations, e.g. p1's 2-rows-per-
+# date boundary patch) are allowed.
+_FACT_KEYS = ("o_orderkey", "l_orderkey", "c_custkey", "s_suppkey", "d_doc_id", "e_doc_id")
+_SWEEP = [
+    "j1_enrichment_chain", "j4_asof_join", "j4b_asof_backward", "j5_interval_join",
+    "j6_coalescing_fill_join", "j7_full_outer_join", "j8_haversine_theta_join",
+    "j10_semi_join", "j12_provenance_merge", "j13_classlist_full_join",
+    "a1_biovolume_rollup", "a2_taxon_rollup", "a4_monthly_stats", "a5_grouped_top1",
+    "p1_shark_export", "p2_hab_alert", "p3_dashboard_metadata",
+]
+
+
+def _iter_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_nodes(children.apply(i))
+
+
+@pytest.mark.parametrize("name", _SWEEP)
+def test_no_hint_on_raw_fact_scan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    for node in _iter_nodes(plan):
+        if "Hint" not in node.getClass().getSimpleName():
+            continue
+        s = node.toString()
+        if "broadcast" not in s.lower():
+            continue
+        # hinted subtree = this node's string; bounded derivation markers
+        derived = ("Aggregate [" in s) or ("Window [" in s)
+        scans_fact = any(k in s for k in _FACT_KEYS)
+        assert derived or not scans_fact, (
+            f"{name}: broadcast hint pinned on a raw fact-table scan:\n{s[:800]}"
+        )
 
 
 def test_p1_window_is_partitioned(spark, sf_dir):
