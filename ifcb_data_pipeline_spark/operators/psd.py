@@ -14,8 +14,48 @@ float tolerance (tested).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PsdProfile:
+    """One `ifcb_psd` threshold profile.
+
+    The reference configures the PSD QC twice with distinct numbers:
+    the pipeline profile (``ifcb-data-pipeline.Rmd:651-669``) and the
+    ingest profile (``ifcb_ingest_and_qc.R:500-518``) — they differ in
+    ``missing_cells`` (0.7 vs 0.5), ``biomass`` (1000 vs 3000) and
+    ``micron_factor`` (1/3.4 vs 1/2.77).
+
+    Rule *semantics* live in the external iRfcb/PSD package, which the
+    reference repo does not vendor; the comparison directions below are
+    reconstructed from the parameter names, values and the flag
+    vocabulary the reference consumes ("Bubbles", "Incomplete Run",
+    "Beads" — ``ifcb_ingest_and_qc.R:53``) and are documented as a
+    reconstruction, not byte parity.
+    """
+
+    start_fit: int = 15          # fit the power law from this bin up
+    r_sqr: float = 0.5           # min acceptable fit R²  → "Poor fit"
+    beads: float = 10.0**20      # max amplitude a        → "Beads"
+    bubbles: float = 110.0       # max peak ESD (µm)      → "Bubbles"
+    incomplete: tuple[float, float] = (1500.0, 3.0)  # (min triggers, min mL)
+    missing_cells: float = 0.7   # min cells/triggers     → "Missing cells"
+    biomass: float = 1000.0      # min biomass stat       → "Biomass"
+    bloom: float = 10.0          # max peak/mean count    → "Bloom"
+    humidity: float = 75.0       # max hdr humidity (%)   → "Humidity"
+    micron_factor: float = 1 / 3.4  # pixel → µm scale
+
+
+#: ``ifcb-data-pipeline.Rmd:651-669``
+PROFILE_PIPELINE = PsdProfile()
+#: ``ifcb_ingest_and_qc.R:500-518``
+PROFILE_INGEST = PsdProfile(
+    missing_cells=0.5, biomass=3000.0, micron_factor=1 / 2.77
+)
 
 
 def size_histogram(
@@ -66,17 +106,62 @@ def psd_powerlaw_fit(hist: DataFrame, min_points: int = 3) -> DataFrame:
     )
 
 
-def psd_flags(fits: DataFrame) -> DataFrame:
-    """Reference-style flag rules on the fit (threshold profile shaped
-    after ``ifcb_ingest_and_qc.R:500-518``)."""
+def psd_flags(
+    fits: DataFrame,
+    profile: PsdProfile = PROFILE_PIPELINE,
+    bin_width: float = 5.0,
+) -> DataFrame:
+    """Full `ifcb_psd` flag vocabulary over a fits+stats frame.
+
+    ``fits`` must carry the fit columns (``a``, ``k``, ``r_sqr``,
+    ``n_bins``); each further rule switches on only when its stat
+    columns are present, so callers with fit-only frames (the ingest
+    plan) get the fit-based rules and the full u13 query feeds every
+    stat:
+
+    * ``peak_bin``                → Bubbles (peak ESD ≥ ``bubbles`` µm)
+    * ``triggers, ml_analyzed``   → Incomplete Run
+    * ``cell_ratio``              → Missing cells
+    * ``biomass_stat``            → Biomass (below minimum)
+    * ``peak_n, avg_n``           → Bloom (peak > ``bloom`` × mean)
+    * ``humidity``                → Humidity
+
+    Flag strings follow the vocabulary the reference consumes
+    (``ifcb_ingest_and_qc.R:53``: "Bubbles", "Incomplete Run",
+    "Beads", …); rules concatenate in a fixed order so the flag
+    column is deterministic.
+    """
+    cols = set(fits.columns)
+    p = profile
+    rules: list[Column] = [
+        F.when(F.col("r_sqr") < p.r_sqr, F.lit("Poor fit")),
+        F.when(F.col("a") > p.beads, F.lit("Beads")),
+    ]
+    if "peak_bin" in cols:
+        peak_esd = F.col("peak_bin") * bin_width * p.micron_factor
+        rules.append(F.when(peak_esd >= p.bubbles, F.lit("Bubbles")))
+    if {"triggers", "ml_analyzed"} <= cols:
+        rules.append(
+            F.when(
+                (F.col("triggers") < p.incomplete[0])
+                | (F.col("ml_analyzed") < p.incomplete[1]),
+                F.lit("Incomplete Run"),
+            )
+        )
+    if "cell_ratio" in cols:
+        rules.append(
+            F.when(F.col("cell_ratio") < p.missing_cells, F.lit("Missing cells"))
+        )
+    if "biomass_stat" in cols:
+        rules.append(F.when(F.col("biomass_stat") < p.biomass, F.lit("Biomass")))
+    if {"peak_n", "avg_n"} <= cols:
+        rules.append(
+            F.when(F.col("peak_n") > p.bloom * F.col("avg_n"), F.lit("Bloom"))
+        )
+    if "humidity" in cols:
+        rules.append(F.when(F.col("humidity") > p.humidity, F.lit("Humidity")))
     return fits.select(
-        "sample",
-        F.concat_ws(
-            ", ",
-            F.when(F.col("r_sqr") < 0.5, F.lit("Poor fit")),
-            F.when(F.col("k") > -1.0, F.lit("Bubbles")),
-            F.when(F.col("n_bins") < 5, F.lit("Incomplete")),
-        ).alias("flag"),
+        "sample", F.concat_ws(", ", *rules).alias("flag")
     ).withColumn("flag", F.nullif(F.col("flag"), F.lit("")))
 
 

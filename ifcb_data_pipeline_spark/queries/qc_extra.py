@@ -135,15 +135,51 @@ def j9b_polygon_tagging(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "lat", "lon", "basin", "near_land")
 
 
-# --- U13: PSD power-law fit + flags ---------------------------------------
-# "Particles" are lineitem rows; the size measure is l_quantity and the
-# per-sample unit is the supplier (enough rows per group for a fit).
-U13_SQL = """
+# --- U13: PSD power-law fit + full flag vocabulary, both profiles ---------
+# "Particles" are lineitem rows; the per-sample unit is the supplier.
+# Synthetic stat mapping (documented so the oracle mirrors it exactly):
+# size_px = l_quantity*30 (pixel ESD), 5-px bins fitted from the
+# reference's start_fit=15; triggers = rows*25, ml = avg(l_discount)*100,
+# cell_ratio = share of 'N' returnflags, biomass_stat = avg(l_tax)*1e5,
+# humidity = (sample*37) % 100.  Both reference threshold profiles
+# (Rmd:651-669 vs ingest_and_qc.R:500-518) are evaluated side by side —
+# they diverge on missing_cells, biomass and micron_factor.
+_U13_FLAG_SQL = """
+       nullif(concat_ws(', ',
+           CASE WHEN r2 < {r_sqr} THEN 'Poor fit' END,
+           CASE WHEN afit > {beads} THEN 'Beads' END,
+           CASE WHEN peak_bin * 5.0 * {micron_factor} >= {bubbles} THEN 'Bubbles' END,
+           CASE WHEN triggers < {inc0} OR ml_analyzed < {inc1} THEN 'Incomplete Run' END,
+           CASE WHEN cell_ratio < {missing_cells} THEN 'Missing cells' END,
+           CASE WHEN biomass_stat < {biomass} THEN 'Biomass' END,
+           CASE WHEN peak_n > {bloom} * avg_n THEN 'Bloom' END,
+           CASE WHEN humidity > {humidity} THEN 'Humidity' END), '')
+"""
+
+
+def _u13_sql() -> str:
+    from ..operators.psd import PROFILE_INGEST, PROFILE_PIPELINE
+
+    def flag_expr(p):
+        return _U13_FLAG_SQL.format(
+            r_sqr=p.r_sqr,
+            beads=p.beads,
+            micron_factor=repr(p.micron_factor),
+            bubbles=p.bubbles,
+            inc0=p.incomplete[0],
+            inc1=p.incomplete[1],
+            missing_cells=p.missing_cells,
+            biomass=p.biomass,
+            bloom=p.bloom,
+            humidity=p.humidity,
+        )
+
+    return f"""
 WITH hist AS (
-    SELECT l_suppkey AS sample, floor(l_quantity / 5.0)::INT AS bin,
+    SELECT l_suppkey AS sample, floor(l_quantity * 30.0 / 5.0)::INT AS bin,
            count(*)::BIGINT AS n
     FROM lineitem
-    WHERE floor(l_quantity / 5.0) >= 1
+    WHERE floor(l_quantity * 30.0 / 5.0) >= 15
     GROUP BY 1, 2
 ),
 logged AS (
@@ -154,37 +190,107 @@ fitted AS (
            covar_pop(x, y) AS cxy, var_pop(x) AS vx, var_pop(y) AS vy,
            avg(y) AS my, avg(x) AS mx
     FROM logged GROUP BY sample
+),
+hstats AS (
+    SELECT h.sample,
+           min(CASE WHEN h.n = m.max_n THEN h.bin END)::INT AS peak_bin,
+           max(m.max_n)::BIGINT AS peak_n,
+           avg(h.n) AS avg_n
+    FROM hist h
+    JOIN (SELECT sample, max(n) AS max_n FROM hist GROUP BY sample) m
+      ON h.sample = m.sample
+    GROUP BY h.sample
+),
+rstats AS (
+    SELECT l_suppkey AS sample,
+           count(*) * 25.0 AS triggers,
+           avg(l_discount) * 100.0 AS ml_analyzed,
+           avg(CASE WHEN l_returnflag = 'N' THEN 1.0 ELSE 0.0 END) AS cell_ratio,
+           avg(l_tax) * 100000.0 AS biomass_stat,
+           (l_suppkey * 37) % 100 AS humidity
+    FROM lineitem GROUP BY l_suppkey
+),
+full_stats AS (
+    SELECT f.sample, f.n_bins,
+           pow(10.0, f.my - (f.cxy / f.vx) * f.mx) AS afit,
+           f.cxy / f.vx AS kfit,
+           CASE WHEN f.vx > 0 AND f.vy > 0
+                THEN (f.cxy * f.cxy) / (f.vx * f.vy) END AS r2,
+           h.peak_bin, h.peak_n, h.avg_n,
+           r.triggers, r.ml_analyzed, r.cell_ratio, r.biomass_stat, r.humidity
+    FROM fitted f
+    JOIN hstats h ON f.sample = h.sample
+    JOIN rstats r ON f.sample = r.sample
+    WHERE f.n_bins >= 3 AND f.vx > 0
 )
 SELECT sample, n_bins,
-       floor(pow(10.0, my - (cxy / vx) * mx) * 1000000.0 + 0.5) / 1000000.0 AS a,
-       floor((cxy / vx) * 1000000.0 + 0.5) / 1000000.0 AS k,
-       CASE WHEN vx > 0 AND vy > 0
-            THEN floor((cxy * cxy) / (vx * vy) * 1000000.0 + 0.5) / 1000000.0
-       END AS r_sqr,
-       nullif(concat_ws(', ',
-           CASE WHEN (cxy * cxy) / (vx * vy) < 0.5 THEN 'Poor fit' END,
-           CASE WHEN cxy / vx > -1.0 THEN 'Bubbles' END,
-           CASE WHEN n_bins < 5 THEN 'Incomplete' END), '') AS flag
-FROM fitted
-WHERE n_bins >= 3 AND vx > 0
+       floor(afit * 1000000.0 + 0.5) / 1000000.0 AS a,
+       floor(kfit * 1000000.0 + 0.5) / 1000000.0 AS k,
+       floor(r2 * 1000000.0 + 0.5) / 1000000.0 AS r_sqr,
+       {flag_expr(PROFILE_PIPELINE)} AS flag_pipeline,
+       {flag_expr(PROFILE_INGEST)} AS flag_ingest
+FROM full_stats
 """
+
+
+U13_SQL = _u13_sql()
 
 
 @register("u13_psd_fit", U13_SQL, survey_ref="SURVEY §2.9 U13; Rmd:651-669, ingest_and_qc.R:500-518")
 def u13_psd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.psd import PROFILE_INGEST, PROFILE_PIPELINE
+
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    hist = size_histogram(lineitem, "l_suppkey", "l_quantity", bin_width=5.0)
+    sized = lineitem.select(
+        F.col("l_suppkey").alias("sample"),
+        (F.col("l_quantity") * 30.0).alias("size_px"),
+        "l_returnflag",
+        "l_discount",
+        "l_tax",
+    )
+    hist = size_histogram(
+        sized, "sample", "size_px", bin_width=5.0, min_bin=PROFILE_PIPELINE.start_fit
+    )
     fits = psd_powerlaw_fit(hist)
-    flags = psd_flags(fits)
+    max_n = hist.groupBy("sample").agg(F.max("n").alias("max_n"))
+    hstats = (
+        hist.join(max_n, "sample")
+        .groupBy("sample")
+        .agg(
+            # deterministic argmax: smallest bin among the tied maxima
+            F.min(F.when(F.col("n") == F.col("max_n"), F.col("bin")))
+            .cast("int")
+            .alias("peak_bin"),
+            F.max("max_n").alias("peak_n"),
+            F.avg("n").alias("avg_n"),
+        )
+    )
+    rstats = sized.groupBy("sample").agg(
+        (F.count(F.lit(1)) * 25.0).alias("triggers"),
+        (F.avg("l_discount") * 100.0).alias("ml_analyzed"),
+        F.avg(F.when(F.col("l_returnflag") == "N", 1.0).otherwise(0.0)).alias(
+            "cell_ratio"
+        ),
+        (F.avg("l_tax") * 100000.0).alias("biomass_stat"),
+    ).withColumn("humidity", F.col("sample") * 37 % 100)
+    full = fits.join(hstats, "sample").join(rstats, "sample")
+    flag_p = psd_flags(full, PROFILE_PIPELINE, bin_width=5.0).withColumnRenamed(
+        "flag", "flag_pipeline"
+    )
+    flag_i = psd_flags(full, PROFILE_INGEST, bin_width=5.0).withColumnRenamed(
+        "flag", "flag_ingest"
+    )
     return (
-        fits.join(flags, "sample")
+        full.join(flag_p, "sample")
+        .join(flag_i, "sample")
         .select(
             "sample",
             "n_bins",
             dround(F.col("a"), 6).alias("a"),
             dround(F.col("k"), 6).alias("k"),
             dround(F.col("r_sqr"), 6).alias("r_sqr"),
-            "flag",
+            "flag_pipeline",
+            "flag_ingest",
         )
     )
 

@@ -32,3 +32,51 @@ def test_powerlaw_recovers_known_exponent(spark):
     fit = psd_powerlaw_fit(hist).first()
     assert fit["k"] == pytest.approx(-2.0, abs=1e-3)
     assert fit["r_sqr"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_flag_vocabulary_both_profiles(spark):
+    from ifcb_data_pipeline_spark.operators.psd import (
+        PROFILE_INGEST,
+        PROFILE_PIPELINE,
+        psd_flags,
+    )
+
+    # One row per rule; stats chosen so exactly that rule fires under the
+    # pipeline profile.  Baseline values keep every other rule quiet.
+    base = dict(
+        a=1.0, k=-2.0, r_sqr=0.9, n_bins=10, peak_bin=20, peak_n=10,
+        avg_n=5.0, triggers=2000.0, ml_analyzed=5.0, cell_ratio=0.9,
+        biomass_stat=5000.0, humidity=50,
+    )
+    cases = {
+        1: {},                                 # clean → no flag
+        2: {"r_sqr": 0.1},                     # Poor fit
+        3: {"a": 1e21},                        # Beads
+        4: {"peak_bin": 100},                  # Bubbles: 100*5/3.4=147 ≥ 110
+        5: {"triggers": 100.0},                # Incomplete Run
+        6: {"ml_analyzed": 1.0},               # Incomplete Run (mL branch)
+        7: {"cell_ratio": 0.6},                # Missing cells (pipeline only)
+        8: {"biomass_stat": 2000.0},           # Biomass (ingest only: <3000)
+        9: {"peak_n": 100},                    # Bloom: 100 > 10*5
+        10: {"humidity": 90},                  # Humidity
+    }
+    rows = [{"sample": s, **base, **d} for s, d in cases.items()]
+    df = spark.createDataFrame(rows)
+    flags_p = {r["sample"]: r["flag"] for r in psd_flags(df, PROFILE_PIPELINE).collect()}
+    flags_i = {r["sample"]: r["flag"] for r in psd_flags(df, PROFILE_INGEST).collect()}
+    assert flags_p[1] is None and flags_i[1] is None
+    assert flags_p[2] == "Poor fit"
+    assert flags_p[3] == "Beads"
+    assert flags_p[4] == "Bubbles"
+    assert flags_p[5] == "Incomplete Run" and flags_p[6] == "Incomplete Run"
+    assert flags_p[7] == "Missing cells"
+    assert flags_i[7] is None          # ingest threshold is 0.5, not 0.7
+    assert flags_p[8] is None          # pipeline threshold is 1000
+    assert flags_i[8] == "Biomass"     # ingest threshold is 3000
+    assert flags_p[9] == "Bloom"
+    assert flags_p[10] == "Humidity"
+    # micron_factor divergence: peak ESD 100*5/2.77=180 vs /3.4=147 — both
+    # over 110; at peak_bin 65: 65*5*(1/3.4)=95.6 (no) vs *(1/2.77)=117 (yes)
+    df65 = spark.createDataFrame([{"sample": 1, **base, "peak_bin": 65}])
+    assert psd_flags(df65, PROFILE_PIPELINE).first()["flag"] is None
+    assert psd_flags(df65, PROFILE_INGEST).first()["flag"] == "Bubbles"
