@@ -50,11 +50,27 @@ def _binary_scan(spark: SparkSession, path: str, glob: str) -> DataFrame:
 
 
 def _default_h5_parser(content: bytes) -> dict:
-    """Real HDF5 decode (executor envs ship h5py; this container does
-    not — tests inject a parser instead)."""
+    """HDF5 decode: h5py when available (full format coverage), else the
+    repo's pure-Python subset reader (:mod:`.hdf5_lite` — superblock v0,
+    v1 headers, contiguous datasets: exactly what the score pipeline
+    writes)."""
     import io
 
-    import h5py
+    try:
+        import h5py
+    except ImportError:
+        from .hdf5_lite import read_hdf5
+
+        d = read_hdf5(content)
+        return {
+            "output_scores": d["output_scores"],
+            "roi_numbers": d["roi_numbers"],
+            "class_name": [
+                n.decode() if isinstance(n, bytes) else str(n)
+                for n in d["class_name"].tolist()
+            ],
+            "thresholds": d["thresholds"],
+        }
 
     with h5py.File(io.BytesIO(content), "r") as f:
         return {

@@ -409,3 +409,70 @@ def test_http_json_source_and_exhausted_retries(spark):
             spark, "https://example.invalid/api", transport=always_down,
             max_retries=3, sleep=lambda s: None,
         )
+
+
+def test_hdf5_lite_roundtrip():
+    """Pure-Python HDF5 subset reader against spec-built fixture bytes:
+    int/float/2-D/fixed-string datasets come back value-exact."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.sources.hdf5_lite import read_hdf5
+    from tests.hdf5_fixture import write_hdf5
+
+    rng = np.random.default_rng(7)
+    scores = rng.random((5, 3)).astype("float32")
+    data = {
+        "output_scores": scores,
+        "roi_numbers": np.arange(1, 6, dtype="int32"),
+        "class_name": np.array([b"Mesodinium", b"Dinophysis", b"Tripos"], dtype="S10"),
+        "thresholds": np.array([0.5, 0.6, 0.7], dtype="float64"),
+    }
+    buf = write_hdf5(data)
+    assert buf[:8] == b"\x89HDF\r\n\x1a\n"
+    out = read_hdf5(buf)
+    assert set(out) == set(data)
+    np.testing.assert_array_equal(out["output_scores"], scores)
+    np.testing.assert_array_equal(out["roi_numbers"], data["roi_numbers"])
+    np.testing.assert_array_equal(out["thresholds"], data["thresholds"])
+    assert out["class_name"].tolist() == [b"Mesodinium", b"Dinophysis", b"Tripos"]
+
+
+def test_hdf5_lite_rejects_out_of_subset():
+    import numpy as np
+    import pytest as _pytest
+
+    from ifcb_data_pipeline_spark.sources.hdf5_lite import Hdf5LiteError, read_hdf5
+
+    with _pytest.raises(Hdf5LiteError):
+        read_hdf5(b"not an hdf5 file at all................")
+    from tests.hdf5_fixture import write_hdf5
+
+    buf = bytearray(write_hdf5({"x": np.arange(3, dtype="int32")}))
+    buf[8] = 2  # superblock version outside the subset
+    with _pytest.raises(Hdf5LiteError):
+        read_hdf5(bytes(buf))
+
+
+def test_h5_class_scan_hermetic(spark, tmp_path):
+    """S5 end-to-end with NO injected parser: binaryFile scan →
+    mapInPandas → hdf5_lite decode (h5py absent in this container)."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.sources.binary_formats import h5_class_scan
+    from tests.hdf5_fixture import write_hdf5
+
+    scores = np.array([[0.1, 0.8, 0.1], [0.6, 0.2, 0.2]], dtype="float32")
+    buf = write_hdf5(
+        {
+            "output_scores": scores,
+            "roi_numbers": np.array([1, 2], dtype="int32"),
+            "class_name": np.array([b"Alpha", b"Beta", b"Gamma"], dtype="S5"),
+            "thresholds": np.array([0.5, 0.5, 0.5], dtype="float32"),
+        }
+    )
+    (tmp_path / "D20240105T000000_IFCB1.h5").write_bytes(buf)
+    rows = h5_class_scan(spark, str(tmp_path)).orderBy("roi_number").collect()
+    assert [r["roi_number"] for r in rows] == [1, 2]
+    assert [r["class_name"] for r in rows] == ["Beta", "Alpha"]  # argmax per row
+    assert rows[0]["sample"] == "D20240105T000000_IFCB1"
+    assert rows[0]["output_scores"] == list(map(np.float32, [0.1, 0.8, 0.1]))
