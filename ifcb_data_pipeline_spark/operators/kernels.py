@@ -234,24 +234,39 @@ KERNEL_FEATURE_SCHEMA = (
     " perimeter_mean double, perimeter_median double,"
     " perimeter_skewness double, perimeter_kurtosis double,"
     " numBlobs double, summedArea double, symmetry_b180 double,"
-    " moment_invariants array<double>"
+    " moment_invariants array<double>, hog array<double>,"
+    " ringwedge array<double>"
 )
 
 
-def features_from_images(rois, threshold: int = 128, segment: bool | str = False):
-    """Real U1-U8/U12 features over ROI byte images.  ``segment="pc"``
-    runs the full U1 phase-congruency chain, ``segment=True`` the
-    gradient-hysteresis variant; the default fixed threshold keeps
-    outputs stable for synthetic payloads.  Arrow-batched; one python
-    call per batch, numpy inside."""
+def features_from_images(
+    rois,
+    threshold: int = 128,
+    segment: bool | str = "pc",
+    ringwedge_size: int | None = 64,
+):
+    """Real U1-U12 features over ROI byte images.
+
+    The default runs the reference's full chain: U1 phase-congruency
+    segmentation (``segment="pc"``) → U2/U3 geometry → U4 Benkrid
+    perimeter + pair stats → U5 shape-adaptive biovolume (U11 rotation
+    inside the SoR branch) → U6 symmetry → U7 texture → U8 Hu moments →
+    U9 HOG → U10 ring/wedge → U12 summed-over-blobs.  ``segment=True``
+    selects the gradient-hysteresis variant, ``segment=False`` a fixed
+    threshold; ``ringwedge_size`` shrinks U10's FFT canvas from the
+    reference's 301 (right for full-size ROIs, wasteful for the tiny
+    synthetic payloads) and ``None`` skips it.  Arrow-batched; one
+    python call per batch, numpy inside."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .image_codec import decode_image
+
         for pdf in batches:
             rows = []
             for sample, roi, blob, w, h in zip(
                 pdf["sample"], pdf["roi_number"], pdf["image"], pdf["width"], pdf["height"]
             ):
-                img = np.frombuffer(bytes(blob), dtype=np.uint8)[: w * h].reshape(h, w)
+                img = decode_image(bytes(blob), w, h)
                 if segment == "pc":
                     mask = segment_roi_pc(img)
                 elif segment:
@@ -261,10 +276,17 @@ def features_from_images(rois, threshold: int = 128, segment: bool | str = False
                 geo = blob_geometry(mask)
                 hull = hull_metrics(mask)
                 tex = texture_stats(img, mask)
-                vol = biovolume_auto(mask)  # U5 shape-adaptive branch
+                vol = biovolume_auto(mask)  # U5 branches, U11 inside SoR
                 summed = summed_features(mask)
                 sym = symmetry_features(mask)
                 area = geo["Area"]
+                if ringwedge_size:
+                    rw = ringwedge_features(img, size=ringwedge_size)
+                    ring_wedge = [
+                        *rw["Ring"], *rw["Wedge"], rw["RWcenter2total_powerratio"],
+                    ]
+                else:
+                    ring_wedge = []
                 rows.append(
                     {
                         "sample": sample,
@@ -281,6 +303,8 @@ def features_from_images(rois, threshold: int = 128, segment: bool | str = False
                         "summedArea": summed["summedArea"],
                         "symmetry_b180": sym["symmetry_b180"],
                         "moment_invariants": hu_moments(mask),
+                        "hog": hog_features(img),
+                        "ringwedge": ring_wedge,
                     }
                 )
             yield pd.DataFrame(rows)

@@ -3,10 +3,11 @@
 Images/audio/video are opaque ``binary`` columns with typed metadata
 structs, processed by Arrow-batched ``mapInPandas`` kernels.  The Spark
 plumbing — schemas, per-bin → per-ROI expansion, batch shapes, salted
-repartitioning for skewed bins — is real and tested; the pixel-level
-decode itself is stubbed deterministically because no imaging libraries
-ship in this container (reference kernels: ``ifcb_features/*.py``, e.g.
-``biovolume.py:56-158``, ``segmentation.py:117-186``).
+repartitioning for skewed bins — is real and tested; pixel decode is
+real too (:mod:`.image_codec`: pure-numpy PGM/BMP/raw-slab), with only
+compressed container formats (PNG/JPEG) left to an imaging library
+(reference kernels: ``ifcb_features/*.py``, e.g. ``biovolume.py:56-158``,
+``segmentation.py:117-186``).
 """
 
 from __future__ import annotations
@@ -18,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .image_codec import decode_image  # noqa: F401  (re-export: S2 decode API)
 
 ROI_SCHEMA = T.StructType(
     [
@@ -42,31 +45,27 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(raw: bytes) -> "object":
-    """Pixel decode — stubbed: imaging libs are not in this container.
-    The real kernel would wrap pyifcb/skimage here (S2/U1)."""
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "container; the Spark plumbing around it is real and tested"
-    )
-
-
 def explode_bins_to_rois(bins: DataFrame, rois_per_bin_col: str = "n_rois") -> DataFrame:
     """Bin → ROI expansion (S2, the only UDTF-shaped operator): one row per
-    ROI with a deterministic fake payload sized from the metadata."""
+    ROI.  The payload is a real (deterministic) PGM image so downstream
+    kernels exercise the actual decode path, not a byte-length stand-in."""
+    from .image_codec import encode_pgm
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             out = {"sample": [], "roi_number": [], "image": [], "width": [], "height": []}
             for sample, n in zip(pdf["sample"], pdf[rois_per_bin_col]):
                 for roi in range(1, int(n) + 1):
-                    # Deterministic fake ROI bytes: repeatable across runs
-                    # and engines; stands in for the .roi slice.
+                    # Deterministic fake pixels: repeatable across runs and
+                    # engines; stands in for the .roi slice.
                     w = 8 + (roi % 16)
                     h = 8 + (roi * 3 % 16)
+                    px = (roi * 31 + np.arange(w * h)) % 251
                     out["sample"].append(sample)
                     out["roi_number"].append(roi)
-                    out["image"].append(bytes((roi * 31 + i) % 251 for i in range(w * h)))
+                    out["image"].append(encode_pgm(px.astype(np.uint8).reshape(h, w)))
                     out["width"].append(w)
                     out["height"].append(h)
             yield pd.DataFrame(out)
@@ -76,17 +75,22 @@ def explode_bins_to_rois(bins: DataFrame, rois_per_bin_col: str = "n_rois") -> D
 
 def extract_features(rois: DataFrame) -> DataFrame:
     """Per-ROI feature extraction harness (U1-U12 shape): Arrow-batched
-    mapInPandas, vectorized numpy math over the batch.  The geometric
-    formulas are placeholders for the real kernels; the batch shape,
-    schema, and partition behavior are production-real."""
+    mapInPandas with a REAL pixel decode (:mod:`.image_codec`), then
+    vectorized numpy math over the decoded dimensions.  The geometric
+    formulas are the oracle-mirrorable placeholders (the full kernel
+    chain lives in :mod:`.kernels`); the decode, batch shape, schema,
+    and partition behavior are production-real."""
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         for pdf in batches:
-            n_bytes = pdf["image"].map(len).astype("int32")
-            w = pdf["width"].astype("float64")
-            h = pdf["height"].astype("float64")
+            dims = [
+                decode_image(bytes(blob), wm, hm).shape
+                for blob, wm, hm in zip(pdf["image"], pdf["width"], pdf["height"])
+            ]
+            h = np.array([d[0] for d in dims], dtype="float64")
+            w = np.array([d[1] for d in dims], dtype="float64")
             area = w * h * 0.7
             equiv_d = np.sqrt(4.0 * area / np.pi)
             yield pd.DataFrame(
@@ -97,7 +101,8 @@ def extract_features(rois: DataFrame) -> DataFrame:
                     "Biovolume": area * equiv_d * 0.5,
                     "EquivDiameter": equiv_d,
                     "Perimeter": 2.0 * (w + h),
-                    "n_bytes": n_bytes,
+                    # decoded pixel count — invariant to container framing
+                    "n_bytes": (w * h).astype("int32"),
                 }
             )
 

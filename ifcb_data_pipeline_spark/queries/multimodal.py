@@ -122,11 +122,14 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MM2: real morphology kernels over ROI images (rows-only gate) ---------
-# U2/U3/U4/U7/U8 in pure numpy over deterministic ROI bytes; the kernel
-# math is pytest-verified against analytic shapes (tests/test_kernels.py)
-# — not SQL-expressible, so the driver records the rows-only check.
-@register("mm2_real_kernel_features", None, survey_ref="SURVEY §2.9 U2/U3/U4/U7/U8 (numpy kernels)")
+# --- MM2: the full real kernel chain over ROI images (rows-only gate) ------
+# U1 phase-congruency segmentation → U2/U3 geometry → U4 Benkrid
+# perimeter → U5 shape-adaptive biovolume (U11 rotation inside the SoR
+# branch) → U6/U7/U8 → U9 HOG → U10 ring/wedge → U12 summed features, in
+# pure numpy over real PGM-decoded ROI bytes; the kernel math is
+# pytest-verified against analytic shapes (tests/test_kernels.py) — not
+# SQL-expressible, so the driver records the rows-only check.
+@register("mm2_real_kernel_features", None, survey_ref="SURVEY §2.9 U1-U12 (numpy kernel chain)")
 def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
@@ -140,8 +143,11 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") % 30) + 2).cast("int").alias("n_rois"),
     )
     rois = explode_bins_to_rois(bins)
-    feats = features_from_images(rois)
+    feats = features_from_images(rois)  # default = full U1-U12 chain
     return feats.select(
         "sample", "roi_number", "Area", "Eccentricity", "Solidity",
-        "texture_entropy", F.size("moment_invariants").alias("n_phi"),
+        "texture_entropy", "Biovolume", "BiovolumeBranch",
+        F.size("moment_invariants").alias("n_phi"),
+        F.size("hog").alias("n_hog"),
+        F.size("ringwedge").alias("n_ringwedge"),
     )

@@ -527,3 +527,22 @@ def test_raster_sor_matches_analytic_on_revolution_solids():
     ellipse = ((u / a) ** 2 + (v / b) ** 2 <= 1).astype(np.uint8)
     out = biovolume_sor_rotated(ellipse)
     assert out["Biovolume"] == pytest.approx(4 / 3 * math.pi * a * b * b, rel=0.08)
+
+
+def test_mm2_full_chain_branch_selection(spark):
+    """The default features_from_images path runs U1 pc-segmentation and
+    the U5 shape-adaptive biovolume: on the deterministic synthetic ROIs
+    both branches must be exercised, and U9/U10 descriptors present."""
+    from ifcb_data_pipeline_spark.operators.multimodal import explode_bins_to_rois
+
+    bins = spark.createDataFrame(
+        [("b%d" % i, 12) for i in range(4)], "sample string, n_rois int"
+    )
+    rows = features_from_images(explode_bins_to_rois(bins)).collect()
+    assert len(rows) == 48
+    branches = {r["BiovolumeBranch"] for r in rows}
+    assert branches <= {"sor", "distmap", "none"}
+    assert "sor" in branches and "distmap" in branches, branches
+    for r in rows[:5]:
+        assert len(r["hog"]) == 81
+        assert len(r["ringwedge"]) == 50 + 48 + 1

@@ -228,3 +228,63 @@ def test_stitched_adjacency_equals_global_window(spark):
     g = {r.k: r.adj for r in got.collect()}
     e = {r.k: r.adj for r in want.collect()}
     assert g == e
+
+
+def test_image_codec_pgm_roundtrip():
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.image_codec import (
+        decode_image,
+        decode_pgm,
+        encode_pgm,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+    buf = encode_pgm(img)
+    assert buf.startswith(b"P5\n23 17\n255\n")
+    np.testing.assert_array_equal(decode_pgm(buf), img)
+    np.testing.assert_array_equal(decode_image(buf), img)
+    # P2 (ASCII) with a comment line
+    small = np.array([[0, 128], [255, 7]], dtype=np.uint8)
+    p2 = b"P2\n# comment\n2 2\n255\n0 128\n255 7\n"
+    np.testing.assert_array_equal(decode_pgm(p2), small)
+
+
+def test_image_codec_bmp():
+    import struct
+
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.image_codec import decode_image
+
+    # hand-built 3x2 8-bpp bottom-up BMP, rows padded to 4 bytes
+    w, h = 3, 2
+    rows = [bytes([10, 20, 30, 0]), bytes([40, 50, 60, 0])]  # bottom row first
+    data = b"".join(rows)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(data), 0, 0, 0, 0)
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    img = decode_image(hdr + dib + data)
+    np.testing.assert_array_equal(
+        img, np.array([[40, 50, 60], [10, 20, 30]], dtype=np.uint8)
+    )
+
+
+def test_image_codec_raw_and_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from ifcb_data_pipeline_spark.operators.image_codec import (
+        UnsupportedImageError,
+        decode_image,
+    )
+
+    raw = bytes(range(12))
+    np.testing.assert_array_equal(
+        decode_image(raw, 4, 3), np.arange(12, dtype=np.uint8).reshape(3, 4)
+    )
+    with _pytest.raises(UnsupportedImageError):
+        decode_image(raw)  # headerless without dims
+    with _pytest.raises(UnsupportedImageError):
+        decode_image(b"\x89PNG\r\n\x1a\n....", 4, 3)  # looks raw but too short
