@@ -194,3 +194,75 @@ def psd_fit_pandas(hist: DataFrame, min_points: int = 3) -> DataFrame:
     return hist.groupBy("sample").applyInPandas(
         fit, schema="sample long, n_bins long, a double, k double, r_sqr double"
     )
+
+
+def psd_fit_nls(hist: DataFrame, min_points: int = 3, iters: int = 60) -> DataFrame:
+    """Nonlinear least-squares power-law fit — the reference's estimator.
+
+    The reference's `ifcb_psd` fits ``n = a * bin^k`` with nonlinear
+    ``curve_fit`` in *linear* space from ``start_fit`` up (SURVEY §2.9
+    U13), which weighs the populous small bins more heavily than the
+    log-log OLS closed form (:func:`psd_powerlaw_fit`).  This variant
+    converges with that estimator: Levenberg-damped Gauss-Newton on
+    ``(a, k)``, initialized from the log-log OLS solution, pure numpy
+    inside ``applyInPandas``.  On exact power-law data both estimators
+    agree; on noisy data they differ by design (tested both ways).
+
+    r_sqr here is 1 − SS_res/SS_tot in linear space (curve_fit
+    convention), not the log-space correlation.
+    """
+    import pandas as pd
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < min_points:
+            return pd.DataFrame(
+                columns=["sample", "n_bins", "a", "k", "r_sqr"]
+            ).astype({"sample": "int64", "n_bins": "int64"})
+        x = pdf["bin"].to_numpy(dtype="float64")
+        y = pdf["n"].to_numpy(dtype="float64")
+        # init: log-log OLS
+        lx, ly = np.log(x), np.log(y)
+        k = float(np.polyfit(lx, ly, 1)[0])
+        a = float(np.exp(ly.mean() - k * lx.mean()))
+        lam = 1e-3
+        sse = float(np.sum((a * x**k - y) ** 2))
+        for _ in range(iters):
+            fx = a * x**k
+            r = fx - y
+            J = np.column_stack([x**k, fx * lx])
+            g = J.T @ r
+            H = J.T @ J
+            try:
+                step = np.linalg.solve(H + lam * np.diag(np.diag(H)) + 1e-12 * np.eye(2), -g)
+            except np.linalg.LinAlgError:
+                break
+            a2, k2 = a + step[0], k + step[1]
+            if a2 <= 0:
+                a2 = a / 2.0
+            sse2 = float(np.sum((a2 * x**k2 - y) ** 2))
+            if sse2 < sse:
+                a, k, sse = a2, k2, sse2
+                lam = max(lam / 3.0, 1e-12)
+                if abs(step[0]) < 1e-12 * max(abs(a), 1.0) and abs(step[1]) < 1e-12:
+                    break
+            else:
+                lam *= 10.0
+                if lam > 1e12:
+                    break
+        ss_tot = float(np.sum((y - y.mean()) ** 2))
+        r2 = 1.0 - sse / ss_tot if ss_tot > 0 else float("nan")
+        return pd.DataFrame(
+            {
+                "sample": [pdf["sample"].iloc[0]],
+                "n_bins": [len(pdf)],
+                "a": [a],
+                "k": [k],
+                "r_sqr": [r2],
+            }
+        )
+
+    return hist.groupBy("sample").applyInPandas(
+        fit, schema="sample long, n_bins long, a double, k double, r_sqr double"
+    )

@@ -506,17 +506,25 @@ def s6_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U13b: PSD fit via applyInPandas (rows-only gate) ----------------------
-# The per-group numpy variant of u13 — registered without an oracle so
-# the driver records the weaker rows-only check (the value-level parity
-# with the closed form is pytest-verified in tests/test_psd.py).
-@register("u13b_psd_fit_pandas", None, survey_ref="SURVEY §2.9 U13 applyInPandas variant")
+# --- U13b: nonlinear PSD fit via applyInPandas (rows-only gate) ------------
+# The reference's estimator: nonlinear curve_fit of n = a*bin^k in
+# linear space from start_fit up (vs u13's closed-form log-log OLS) —
+# iterative, so registered without an oracle; the driver records the
+# rows-only check and the estimator behavior is pytest-verified
+# (exact-power-law recovery + divergence-from-OLS on noisy data).
+@register("u13b_psd_fit_pandas", None, survey_ref="SURVEY §2.9 U13 nonlinear estimator")
 def u13b_psd_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.psd import psd_fit_pandas
+    from ..operators.psd import PROFILE_PIPELINE, psd_fit_nls
 
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    hist = size_histogram(lineitem, "l_suppkey", "l_quantity", bin_width=5.0)
-    fits = psd_fit_pandas(hist)
+    sized = lineitem.select(
+        F.col("l_suppkey").alias("sample"),
+        (F.col("l_quantity") * 30.0).alias("size_px"),
+    )
+    hist = size_histogram(
+        sized, "sample", "size_px", bin_width=5.0, min_bin=PROFILE_PIPELINE.start_fit
+    )
+    fits = psd_fit_nls(hist)
     return fits.select(
         "sample", "n_bins",
         dround(F.col("a"), 6).alias("a"),

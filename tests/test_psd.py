@@ -80,3 +80,40 @@ def test_flag_vocabulary_both_profiles(spark):
     df65 = spark.createDataFrame([{"sample": 1, **base, "peak_bin": 65}])
     assert psd_flags(df65, PROFILE_PIPELINE).first()["flag"] is None
     assert psd_flags(df65, PROFILE_INGEST).first()["flag"] == "Bubbles"
+
+
+def test_nls_recovers_exact_power_law(spark):
+    from ifcb_data_pipeline_spark.operators.psd import psd_fit_nls
+
+    rows = [(1, b, int(1000 * b**-2 * 1000)) for b in range(1, 8)]
+    hist = spark.createDataFrame(rows, "sample long, bin int, n long")
+    fit = psd_fit_nls(hist).first()
+    assert fit["k"] == pytest.approx(-2.0, abs=1e-3)
+    assert fit["r_sqr"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_nls_differs_from_ols_on_noisy_data(spark):
+    """curve_fit in linear space weighs big counts more than log-log OLS:
+    with multiplicative noise the two estimators must disagree, and the
+    NLS one must have the lower linear-space SSE (it optimizes it)."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.psd import (
+        psd_fit_nls,
+        psd_powerlaw_fit,
+    )
+
+    rng = np.random.default_rng(11)
+    bins = np.arange(2, 40)
+    n = (5000.0 * bins**-1.7 * np.exp(rng.normal(0, 0.4, len(bins)))).astype(int) + 1
+    hist = spark.createDataFrame(
+        [(1, int(b), int(c)) for b, c in zip(bins, n)], "sample long, bin int, n long"
+    )
+    ols = psd_powerlaw_fit(hist).first()
+    nls = psd_fit_nls(hist).first()
+    assert abs(ols["k"] - nls["k"]) > 1e-4
+
+    def sse(a, k):
+        return float(np.sum((a * bins.astype(float) ** k - n) ** 2))
+
+    assert sse(nls["a"], nls["k"]) < sse(ols["a"], ols["k"])
