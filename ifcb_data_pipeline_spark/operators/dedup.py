@@ -153,23 +153,62 @@ def shingle_sets(
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """(doc, seed, mh): min over shingles of md5-hash(shingle#seed).
+    """(doc, sig array<long>): element ``s`` = min over the doc's shingles
+    of md5-hash(shingle#s).
 
     Computed as ``num_hashes`` parallel ``min`` aggregates over the
-    shingle rows (columnar, one shuffle on doc), then unpivoted — NOT by
-    exploding shingles × seeds first, which would multiply the fact-table
-    row count by ``num_hashes`` before the shuffle."""
+    shingle rows (columnar, ONE shuffle keyed on doc), assembled into a
+    single array column.  Wide stays wide on purpose: banding and the
+    agreement estimate are then map-side array ops, never a per-seed row
+    explosion (which would multiply every downstream shuffle and join by
+    ``num_hashes``).
+
+    Hash family: Kirsch-Mitzenmacher — two md5-derived 32-bit words per
+    shingle, seed ``s`` hashes to ``(h1 + s*h2) mod 2^32`` (``h2`` forced
+    odd).  One md5 per shingle row instead of ``num_hashes``: the hash
+    computation is the dominant map-side CPU cost of MinHash at corpus
+    scale."""
+    d = F.md5(F.col("shingle"))
+    hashed = shingles.select(
+        "doc",
+        F.conv(F.substring(d, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(d, 9, 8), 16, 10).cast("long").bitwiseOR(1).alias("h2"),
+    )
     aggs = [
-        F.min(
-            _hash32(F.concat_ws("#", "shingle", F.lit(str(seed))))
-        ).alias(f"mh_{seed}")
+        F.min((F.col("h1") + seed * F.col("h2")) % F.lit(4294967296)).alias(
+            f"mh_{seed}"
+        )
         for seed in range(num_hashes)
     ]
-    wide = shingles.groupBy("doc").agg(*aggs)
-    stack_expr = ", ".join(f"{s}, mh_{s}" for s in range(num_hashes))
+    wide = hashed.groupBy("doc").agg(*aggs)
     return wide.select(
-        "doc",
-        F.expr(f"stack({num_hashes}, {stack_expr}) AS (seed, mh)"),
+        "doc", F.array(*[F.col(f"mh_{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def banded_signatures(
+    signatures: DataFrame, bands: int, num_hashes: int
+) -> DataFrame:
+    """(doc, band, sig-string): each band's signature concatenated in seed
+    order — a map-side slice/join over the wide array (no shuffle)."""
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("bsig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.bsig").alias("sig")
     )
 
 
@@ -182,29 +221,19 @@ def minhash_lsh_pairs(
     """Banded LSH candidate pairs with estimated Jaccard ≥ threshold.
 
     Shuffle key = (band, concatenated band-signature) — at scale this is a
-    plain hash-join on short strings, linear in corpus size.
+    plain hash-join on short strings, linear in corpus size.  The
+    agreement estimate joins the candidate pairs back to the WIDE
+    signature array (one row per doc) and compares element-wise with
+    ``zip_with`` — map-side, no per-seed rows anywhere.
     """
-    rows_per_band = num_hashes // bands
     # signatures feeds three consumers (banding + both sides of the
     # agreement join); localCheckpoint materializes the
     # corpus→shingle→minhash chain once and — unlike persist(), whose
     # cached blocks would leak with no handle for the caller to release —
     # its blocks are context-cleaned once the returned plan is dropped.
     signatures = signatures.localCheckpoint()
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.array_join(
-                F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                            lambda s: s.getField("mh").cast("string")),
-                ",",
-            ).alias("sig")
-        )
-    )
-    a = banded.select(
-        F.col("doc").alias("doc_a"), "band", "sig"
-    )
+    banded = banded_signatures(signatures, bands, num_hashes)
+    a = banded.select(F.col("doc").alias("doc_a"), "band", "sig")
     b = banded.select(F.col("doc").alias("doc_b"), "band", "sig")
     cand = (
         a.join(b, ["band", "sig"])
@@ -212,17 +241,17 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    # Estimate Jaccard = fraction of agreeing minhashes.
-    sa = signatures.select(F.col("doc").alias("doc_a"), "seed", F.col("mh").alias("mh_a"))
-    sb = signatures.select(F.col("doc").alias("doc_b"), "seed", F.col("mh").alias("mh_b"))
+    # Estimate Jaccard = fraction of agreeing minhash elements.
+    sa = signatures.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
     est = (
         cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / num_hashes).alias(
-                "est_jaccard"
-            )
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", (agree / num_hashes).alias("est_jaccard")
         )
     )
     return est.where(F.col("est_jaccard") >= est_threshold)

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    banded_signatures,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -87,10 +88,16 @@ def dd1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- DD2: MinHash + banded LSH ---------------------------------------------
 DD2_SQL = f"""
 WITH {SHINGLES_SQL.strip()},
+hw AS (
+    SELECT doc,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
 mh AS (
-    SELECT doc, seed,
-           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
-    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    -- Kirsch-Mitzenmacher: seed s hashes to (h1 + s*h2) mod 2^32
+    SELECT doc, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
     GROUP BY doc, seed
 ),
 bands AS (
@@ -274,10 +281,16 @@ def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are tiny relative to the corpus).  Oracle: recursive CTE closure.
 DD6_SQL = f"""
 WITH {SHINGLES_SQL.strip()},
+hw AS (
+    SELECT doc,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
 mh AS (
-    SELECT doc, seed,
-           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
-    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    -- Kirsch-Mitzenmacher: seed s hashes to (h1 + s*h2) mod 2^32
+    SELECT doc, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
     GROUP BY doc, seed
 ),
 bands AS (
@@ -311,20 +324,7 @@ def _lsh_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization)."""
     sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
     sigs = minhash_signatures(sh, num_hashes=16)
-    rows_per_band = 2
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda s: s.getField("mh").cast("string"),
-                ),
-                ",",
-            ).alias("sig")
-        )
-    )
+    banded = banded_signatures(sigs, bands=8, num_hashes=16)
     a = banded.select(F.col("doc").alias("src"), "band", "sig")
     b = banded.select(F.col("doc").alias("dst"), "band", "sig")
     edges = (
@@ -419,10 +419,16 @@ def dd6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # left join, no extra pass over the corpus.
 DD7_SQL = f"""
 WITH {SHINGLES_SQL.strip()},
+hw AS (
+    SELECT doc,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
 mh AS (
-    SELECT doc, seed,
-           min(('0x' || substr(md5(shingle || '#' || seed::VARCHAR), 1, 8))::BIGINT) AS mh
-    FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    -- Kirsch-Mitzenmacher: seed s hashes to (h1 + s*h2) mod 2^32
+    SELECT doc, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
     GROUP BY doc, seed
 ),
 bands AS (
