@@ -103,6 +103,30 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     return bgr[:, :, ::-1].copy()  # → RGB
 
 
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize with the floor mapping
+    ``src = (dst * src_size) // dst_size`` — integer-exact, so resized
+    deterministic payloads stay closed-form predictable (the mm3 oracle
+    mirrors this formula in SQL)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]
+
+
+def letterbox(img: np.ndarray, out_h: int, out_w: int, fill: int = 0) -> np.ndarray:
+    """Aspect-preserving resize onto a ``fill``-padded canvas (the usual
+    pre-batching normalization for vision models)."""
+    h, w = img.shape[:2]
+    scale = min(out_h / h, out_w / w)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    resized = resize_nearest(img, nh, nw)
+    canvas = np.full((out_h, out_w), fill, dtype=img.dtype)
+    y0, x0 = (out_h - nh) // 2, (out_w - nw) // 2
+    canvas[y0 : y0 + nh, x0 : x0 + nw] = resized
+    return canvas
+
+
 def decode_image(
     raw: bytes, width: int | None = None, height: int | None = None
 ) -> np.ndarray:

@@ -109,6 +109,93 @@ def extract_features(rois: DataFrame) -> DataFrame:
     return rois.mapInPandas(features, schema=FEATURE_SCHEMA)
 
 
+def resize_rois(
+    rois: DataFrame, out_h: int, out_w: int, mode: str = "nearest"
+) -> DataFrame:
+    """Batch image normalization (the resize step of a vision-model
+    ingest): decode → nearest/letterbox resize → re-encode PGM, width/
+    height metadata updated.  Same schema in as out, so resizes compose
+    with every other ROI operator."""
+    from .image_codec import encode_pgm, letterbox, resize_nearest
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            images = []
+            for blob, w, h in zip(pdf["image"], pdf["width"], pdf["height"]):
+                img = decode_image(bytes(blob), w, h)
+                if mode == "letterbox":
+                    out = letterbox(img, out_h, out_w)
+                else:
+                    out = resize_nearest(img, out_h, out_w)
+                images.append(encode_pgm(out))
+            yield pd.DataFrame(
+                {
+                    "sample": pdf["sample"],
+                    "roi_number": pdf["roi_number"],
+                    "image": images,
+                    "width": out_w,
+                    "height": out_h,
+                }
+            )
+
+    return rois.mapInPandas(kernel, schema=ROI_SCHEMA)
+
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("video_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("image", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def sample_video_frames(videos: DataFrame, every_k: int) -> DataFrame:
+    """Video → every-k-th-frame expansion (the frame-sample step of a
+    multimodal training pipeline).
+
+    The ``payload`` column is a raw frame slab (``n_frames`` × w×h bytes,
+    row-major — the layout a demuxer produces); each sampled frame is
+    byte-sliced out and re-wrapped as PGM so frames flow into the image
+    operators (``resize_rois``, ``extract_features``).  Container demux
+    (mp4/mkv) is an external-library boundary, same policy as PNG/JPEG in
+    :mod:`.image_codec`."""
+    from .image_codec import encode_pgm
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "image": [], "width": [], "height": []}
+            for vid, n, w, h, payload in zip(
+                pdf["video_id"], pdf["n_frames"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                raw = np.frombuffer(bytes(payload), dtype=np.uint8)
+                fsize = int(w) * int(h)
+                for f in range(0, int(n), every_k):
+                    frame = raw[f * fsize : (f + 1) * fsize].reshape(int(h), int(w))
+                    out["video_id"].append(vid)
+                    out["frame_idx"].append(f)
+                    out["image"].append(encode_pgm(frame))
+                    out["width"].append(int(w))
+                    out["height"].append(int(h))
+            yield pd.DataFrame(out)
+
+    return videos.mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
 def salt_skewed_bins(rois: DataFrame, partitions: int, salt_mod: int = 8) -> DataFrame:
     """Skew guard (SURVEY §7.3): bloom-day bins are huge; salting by
     ``(sample, roi mod k)`` keeps kernel stages balanced."""

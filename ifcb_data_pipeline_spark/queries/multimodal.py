@@ -151,3 +151,158 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hog").alias("n_hog"),
         F.size("ringwedge").alias("n_ringwedge"),
     )
+
+
+# --- MM3: image resize normalization (oracle-checked) ----------------------
+# The resize step of a vision-model ingest, verified value-level: the
+# deterministic PGM payloads make nearest-neighbor resize closed-form
+# (pixel (y,x) of roi r = (r*31 + sy*w + sx) % 251 with the floor
+# src-index mapping), so the mean resized intensity has an exact SQL
+# twin — the strongest check available for an image UDF path.
+MM3_SQL = """
+WITH bins AS (
+    SELECT o_orderkey::VARCHAR AS sample, ((o_orderkey % 50) + 1)::INT AS n_rois
+    FROM orders WHERE o_orderkey % 200 = 0
+),
+rois AS (
+    SELECT sample, t.roi::INT AS roi,
+           (8 + t.roi % 16)::BIGINT AS w,
+           (8 + (t.roi * 3) % 16)::BIGINT AS h
+    FROM bins, unnest(range(1, n_rois + 1)) AS t(roi)
+),
+px AS (
+    SELECT sample, roi, w, h,
+           ((roi * 31 + ((y * h) // 16) * w + ((x * w) // 16)) % 251) AS v
+    FROM rois, unnest(range(16)) AS yy(y), unnest(range(16)) AS xx(x)
+)
+SELECT sample, roi AS roi_number, 16 AS out_w, 16 AS out_h,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_px
+FROM px GROUP BY sample, roi, w, h
+"""
+
+
+@register("mm3_resize_normalize", MM3_SQL, survey_ref="north-star multimodal: batch resize normalization")
+def mm3_resize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_rois
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    bins = orders.where(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").cast("string").alias("sample"),
+        ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
+    )
+    resized = resize_rois(explode_bins_to_rois(bins), out_h=16, out_w=16)
+
+    # mean over the decoded resized pixels, computed in the same
+    # mapInPandas pass (Arrow-batched, numpy inside)
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.multimodal import decode_image
+
+        for pdf in batches:
+            means = [
+                float(decode_image(bytes(b), w, h).mean())
+                for b, w, h in zip(pdf["image"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "sample": pdf["sample"],
+                    "roi_number": pdf["roi_number"],
+                    "out_w": pdf["width"].astype("int32"),
+                    "out_h": pdf["height"].astype("int32"),
+                    "mean_px": means,
+                }
+            )
+
+    out = resized.mapInPandas(
+        stats,
+        schema="sample string, roi_number int, out_w int, out_h int, mean_px double",
+    )
+    return out.select(
+        "sample", "roi_number", "out_w", "out_h", dround(F.col("mean_px"), 6).alias("mean_px")
+    )
+
+
+# --- MM4: video frame sampling (oracle-checked) ----------------------------
+# Frame-sample plumbing over raw frame-slab "videos" (deterministic
+# payload: frame f pixel i of video v = (v*7 + f*13 + i) % 251), every
+# 4th frame, mean intensity per sampled frame — closed-form SQL twin.
+MM4_SQL = """
+WITH vids AS (
+    SELECT o_orderkey AS v, ((o_orderkey % 24) + 4)::INT AS n_frames
+    FROM orders WHERE o_orderkey % 500 = 0
+),
+frames AS (
+    SELECT v, n_frames, f.f::INT AS frame_idx
+    FROM vids, unnest(range(0, n_frames, 4)) AS f(f)
+),
+px AS (
+    SELECT v, frame_idx, ((v * 7 + frame_idx * 13 + i) % 251) AS val
+    FROM frames, unnest(range(144)) AS ii(i)
+)
+SELECT v::VARCHAR AS video_id, frame_idx, 12 AS w, 12 AS h,
+       floor(avg(val) * 1000000.0 + 0.5) / 1000000.0 AS mean_px
+FROM px GROUP BY v, frame_idx
+"""
+
+
+@register("mm4_video_frame_sample", MM4_SQL, survey_ref="north-star multimodal: video frame sampling")
+def mm4_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        VIDEO_SCHEMA,
+        decode_image,
+        sample_video_frames,
+    )
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 500 == 0).select(
+        F.col("o_orderkey").alias("v"),
+        ((F.col("o_orderkey") % 24) + 4).cast("int").alias("n_frames"),
+    )
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"video_id": [], "n_frames": [], "width": [], "height": [], "payload": []}
+            for v, n in zip(pdf["v"], pdf["n_frames"]):
+                i = np.arange(int(n) * 144, dtype=np.int64)
+                f = i // 144
+                slab = ((int(v) * 7 + f * 13 + (i % 144)) % 251).astype(np.uint8)
+                rows["video_id"].append(str(v))
+                rows["n_frames"].append(int(n))
+                rows["width"].append(12)
+                rows["height"].append(12)
+                rows["payload"].append(slab.tobytes())
+            yield pd.DataFrame(rows)
+
+    videos = meta.mapInPandas(synthesize, schema=VIDEO_SCHEMA)
+    frames = sample_video_frames(videos, every_k=4)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            means = [
+                float(decode_image(bytes(b), w, h).mean())
+                for b, w, h in zip(pdf["image"], pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "video_id": pdf["video_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "w": pdf["width"].astype("int32"),
+                    "h": pdf["height"].astype("int32"),
+                    "mean_px": means,
+                }
+            )
+
+    out = frames.mapInPandas(
+        stats, schema="video_id string, frame_idx int, w int, h int, mean_px double"
+    )
+    return out.select(
+        "video_id", "frame_idx", "w", "h", dround(F.col("mean_px"), 6).alias("mean_px")
+    )

@@ -272,3 +272,102 @@ def tx6_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("trigram_logprob"),
         )
     )
+
+
+# --- TX7: Gopher-style repetition signals -----------------------------------
+# Repetition-based quality filters in the spirit of Rae et al. 2021
+# (Gopher, Table A1): duplicate-token fraction, adjacent-repeat fraction,
+# top-2-gram share, and the combined reject flag.  Entirely map-side on
+# the token array (higher-order functions — zip_with / array_sort /
+# aggregate), so the operator is shuffle-free: at 100 TB it is a pure
+# scan, the ideal shape for a per-document quality pass.
+TX7_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+base AS (
+    SELECT doc_id, w, len(w) AS n,
+           len(list_distinct(w)) AS n_distinct
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+    FROM toks, unnest(range(1, len(w))) AS u(i)
+),
+gcounts AS (
+    SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY doc_id, g
+),
+topg AS (
+    SELECT doc_id, max(c) AS top_c, sum(c) AS total_g
+    FROM gcounts GROUP BY doc_id
+),
+adj AS (
+    SELECT t.doc_id,
+           sum(CASE WHEN w[i] = w[i+1] THEN 1 ELSE 0 END)::BIGINT AS n_adj
+    FROM toks t, unnest(range(1, len(w))) AS u(i)
+    GROUP BY t.doc_id
+)
+SELECT b.doc_id,
+       b.n::BIGINT AS n_tokens,
+       floor((1.0 - b.n_distinct::DOUBLE / b.n) * 1000000.0 + 0.5) / 1000000.0
+           AS dup_token_frac,
+       floor(coalesce(a.n_adj::DOUBLE / nullif(b.n - 1, 0), 0.0) * 1000000.0 + 0.5) / 1000000.0
+           AS adjacent_repeat_frac,
+       floor(coalesce(t.top_c::DOUBLE / nullif(t.total_g, 0), 0.0) * 1000000.0 + 0.5) / 1000000.0
+           AS top_2gram_share,
+       ((1.0 - b.n_distinct::DOUBLE / b.n) > 0.3
+        OR coalesce(t.top_c::DOUBLE / nullif(t.total_g, 0), 0.0) > 0.18)
+           AS repetition_reject
+FROM base b
+LEFT JOIN topg t USING (doc_id)
+LEFT JOIN adj a USING (doc_id)
+"""
+
+
+@register("tx7_repetition_signals", TX7_SQL, survey_ref="north-star text: Gopher-style repetition filters")
+def tx7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    d = documents.select("doc_id", w.alias("w"), F.size(w).alias("n"))
+    head = F.slice("w", 1, F.greatest(F.col("n") - 1, F.lit(0)))
+    tail = F.slice("w", 2, F.greatest(F.col("n") - 1, F.lit(0)))
+    adj_eq = F.zip_with(head, tail, lambda a, b: (a == b).cast("int"))
+    grams = F.array_sort(F.zip_with(head, tail, lambda a, b: F.concat_ws(" ", a, b)))
+    # longest run of equal neighbors in the SORTED 2-gram array = the top
+    # 2-gram count; a struct-accumulator aggregate, still map-side.
+    gram_eq = F.zip_with(
+        F.slice(grams, 1, F.greatest(F.size(grams) - 1, F.lit(0))),
+        F.slice(grams, 2, F.greatest(F.size(grams) - 1, F.lit(0))),
+        lambda a, b: (a == b).cast("int"),
+    )
+    top_c = F.when(F.size(grams) == 0, F.lit(0)).otherwise(
+        F.aggregate(
+            gram_eq,
+            F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+            lambda acc, x: F.struct(
+                (F.when(x == 1, acc.cur + 1).otherwise(F.lit(1))).alias("cur"),
+                F.greatest(
+                    acc.best, F.when(x == 1, acc.cur + 1).otherwise(F.lit(1))
+                ).alias("best"),
+            ),
+            lambda acc: acc.best,
+        )
+    )
+    dup_frac = 1.0 - F.size(F.array_distinct("w")).cast("double") / F.col("n")
+    adj_frac = F.coalesce(
+        F.aggregate(adj_eq, F.lit(0), lambda a, x: a + x).cast("double")
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    top_share = F.coalesce(
+        top_c.cast("double") / F.nullif(F.size(grams).cast("double"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return d.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        dround(dup_frac, 6).alias("dup_token_frac"),
+        dround(adj_frac, 6).alias("adjacent_repeat_frac"),
+        dround(top_share, 6).alias("top_2gram_share"),
+        ((dup_frac > 0.3) | (top_share > 0.18)).alias("repetition_reject"),
+    )

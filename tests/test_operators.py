@@ -288,3 +288,45 @@ def test_image_codec_raw_and_unsupported():
         decode_image(raw)  # headerless without dims
     with _pytest.raises(UnsupportedImageError):
         decode_image(b"\x89PNG\r\n\x1a\n....", 4, 3)  # looks raw but too short
+
+
+def test_resize_and_letterbox():
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.image_codec import (
+        letterbox,
+        resize_nearest,
+    )
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    up = resize_nearest(img, 6, 8)
+    assert up.shape == (6, 8)
+    # floor mapping: dst row y → src row (y*3)//6
+    np.testing.assert_array_equal(up[0], img[0][(np.arange(8) * 4) // 8])
+    down = resize_nearest(img, 1, 2)
+    np.testing.assert_array_equal(down, [[img[0, 0], img[0, 2]]])
+    lb = letterbox(img, 8, 8, fill=7)
+    assert lb.shape == (8, 8)
+    assert lb[0, 0] == 7 and lb[7, 7] == 7  # padding rows top/bottom
+    assert (lb == 7).sum() < 64  # content present
+
+
+def test_sample_video_frames_slicing(spark):
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.image_codec import decode_pgm
+    from ifcb_data_pipeline_spark.operators.multimodal import sample_video_frames
+
+    w = h = 4
+    n = 7
+    slab = np.arange(n * w * h, dtype=np.uint8)
+    videos = spark.createDataFrame(
+        [("v1", n, w, h, bytearray(slab.tobytes()))],
+        "video_id string, n_frames int, width int, height int, payload binary",
+    )
+    rows = sample_video_frames(videos, every_k=3).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 3, 6]
+    f3 = decode_pgm(bytes(rows[1]["image"]))
+    np.testing.assert_array_equal(
+        f3, slab[3 * 16 : 4 * 16].reshape(4, 4)
+    )
