@@ -306,3 +306,127 @@ def mm4_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "video_id", "frame_idx", "w", "h", dround(F.col("mean_px"), 6).alias("mean_px")
     )
+
+
+# --- ST2: custom stateful streaming via applyInPandasWithState -------------
+# SURVEY §2.10: the brief's "custom stateful operator" path.  Per-user
+# running counters kept in GroupState; the counter is MONOTONE, so even
+# if the file source splits into several micro-batches (each emitting an
+# update row), the final state per key is the row with the max count —
+# deterministic, hence SQL-oracle-checkable.  Falls back to the
+# identical batch plan if the stream cannot drain in the budget.
+ST2_SQL = """
+WITH ranked AS (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+               AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n_events,
+           sum(value) OVER (PARTITION BY user_id) AS value_sum
+    FROM events
+)
+SELECT user_id, n_events::BIGINT AS n_events,
+       floor(value_sum * 10000.0 + 0.5) / 10000.0 AS value_sum,
+       event_type AS last_event_type
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("st2_stateful_user_counts", ST2_SQL, survey_ref="SURVEY §2.10; applyInPandasWithState custom stateful op")
+def st2_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    tables(spark, sf_dir, "events")  # runtime confs (nanosAsLong)
+
+    out_schema = (
+        "user_id bigint, n_events bigint, value_sum double, last_event_type string"
+    )
+    state_schema = (
+        "n bigint, vsum double, last_ts bigint, last_id bigint, last_type string"
+    )
+
+    def update(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n, vsum, last_ts, last_id, last_type = state.get
+        else:
+            n, vsum, last_ts, last_id, last_type = 0, 0.0, -1, -1, None
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float(pdf["value"].sum())
+            top = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            if (int(top["ts"]), int(top["event_id"])) > (last_ts, last_id):
+                last_ts, last_id = int(top["ts"]), int(top["event_id"])
+                last_type = str(top["event_type"])
+        state.update((n, vsum, last_ts, last_id, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vsum],
+                "last_event_type": [last_type],
+            }
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    query = (
+        updates.writeStream.format("memory")
+        .queryName("st2_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(60)
+    query.stop()
+    if finished:
+        sink = spark.table("st2_stateful")
+        # final state per key = max n_events (monotone counter)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (
+            sink.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(
+                "user_id",
+                "n_events",
+                dround(F.col("value_sum"), 4).alias("value_sum"),
+                "last_event_type",
+            )
+        )
+    # Batch fallback: identical result computed without the state store.
+    (events,) = tables(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = events.withColumn("__rn", F.row_number().over(w))
+    aggs = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("value_sum"),
+    )
+    last = ranked.where(F.col("__rn") == 1).select(
+        "user_id", F.col("event_type").alias("last_event_type")
+    )
+    return aggs.join(last, "user_id").select(
+        "user_id",
+        "n_events",
+        dround(F.col("value_sum"), 4).alias("value_sum"),
+        "last_event_type",
+    )

@@ -152,3 +152,43 @@ def test_dp1_profile_is_single_scan(spark, sf_dir):
 def test_rollup_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, "a1_biovolume_rollup", sf_dir)
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
+    """Co-located fact joins: both sides bucketed on the join key ->
+    the join and a follow-up same-key aggregation run with NO Exchange
+    (the 100 TB amortization path, plans/bucketing.py)."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.plans.bucketing import bucketed, write_bucketed
+    from ifcb_data_pipeline_spark.sources.tables import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(
+            lineitem.select("l_orderkey", "l_extendedprice"),
+            "b_lineitem", str(tmp_path / "b_lineitem"), ["l_orderkey"], 8,
+        )
+        write_bucketed(
+            orders.select("o_orderkey", "o_totalprice"),
+            "b_orders", str(tmp_path / "b_orders"), ["o_orderkey"], 8,
+        )
+        # At 100 TB neither fact side broadcasts — force that regime so the
+        # test proves the co-located (bucket-aligned) join, not a broadcast.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li, od = bucketed(spark, "b_lineitem"), bucketed(spark, "b_orders")
+        joined = li.join(od, li.l_orderkey == od.o_orderkey).groupBy(
+            "l_orderkey"
+        ).agg(F.sum("l_extendedprice").alias("s"))
+        plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
