@@ -177,6 +177,69 @@ def ivf_topk(
     )
 
 
+def ivf_assign_probes(
+    vectors: DataFrame,
+    centroid_arrays: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Like :func:`ivf_assign` but keeps each vector's ``nprobe``
+    nearest cells with their rank (probe 1 = the primary cell).  The
+    corpus is indexed under probe 1 only; queries probe all ``nprobe``
+    cells — the standard IVF recall/latency dial."""
+    d2 = (
+        dot(F.col(vec_col), F.col(vec_col))
+        - 2 * dot(F.col(vec_col), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    scored = vectors.crossJoin(F.broadcast(centroid_arrays)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("label").alias("cell"),
+        d2.alias("__d2"),
+    )
+    w = Window.partitionBy("id").orderBy("__d2", "cell")
+    return (
+        scored.withColumn("probe", F.row_number().over(w))
+        .where(F.col("probe") <= nprobe)
+        .select("id", "v", "cell", "probe")
+    )
+
+
+def ivf_topk_nprobe(
+    probes: DataFrame,
+    queries_filter,
+    k: int = 3,
+) -> DataFrame:
+    """IVF search with multi-cell probing: queries scan all their probed
+    cells, the corpus is indexed under its primary cell only (so no
+    neighbor appears twice).  Input is :func:`ivf_assign_probes`."""
+    q = probes.where(queries_filter).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell"
+    )
+    c = probes.where(F.col("probe") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv_"), "cell"
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv_")).alias("cos_raw"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_raw")
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",

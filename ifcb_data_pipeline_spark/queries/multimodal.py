@@ -51,7 +51,7 @@ FROM feats GROUP BY sample
 """
 
 
-@register("mm1_multimodal_features", MM1_SQL, survey_ref="SURVEY §2.1 S2 + §2.9 U-kernels (stubbed decode)")
+@register("mm1_multimodal_features", MM1_SQL, survey_ref="SURVEY §2.1 S2 + §2.9 U-kernels (real PGM decode)")
 def mm1_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
     bins = orders.where(F.col("o_orderkey") % 100 == 0).select(

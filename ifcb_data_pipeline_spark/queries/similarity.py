@@ -214,3 +214,78 @@ def sim4_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         dround(F.col("cos_raw"), 6).alias("cos_sim"),
     )
+
+
+# --- SIM5: IVF search with nprobe=2 ----------------------------------------
+# The recall dial of sim4: queries probe their TWO nearest cells, the
+# corpus stays indexed under its primary cell — recall rises, per-query
+# work stays |2 cells|, never the full corpus.
+SIM5_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+el AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (
+    SELECT label, (t.i - 1)::INT AS dim,
+           floor(avg(v[t.i]) * 1000000.0 + 0.5) / 1000000.0 AS c
+    FROM el, unnest(range(1, len(v) + 1)) AS t(i)
+    GROUP BY label, t.i
+),
+cent AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent0 GROUP BY label),
+dists AS (
+    SELECT e.vec_id, e.v, cent.label,
+           (list_inner_product(e.v, e.v)
+            - 2 * list_inner_product(e.v, cent.cv)
+            + list_inner_product(cent.cv, cent.cv)) AS d2
+    FROM e CROSS JOIN cent
+),
+probes AS MATERIALIZED (
+    SELECT vec_id, v, label AS cell, rn AS probe FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        FROM dists
+    ) WHERE rn <= 2
+),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {cos} AS cos_raw
+    FROM probes q JOIN probes c
+      ON q.cell = c.cell AND c.probe = 1 AND q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+""".format(cos=_COS_SQL.format(a="q.v", b="c.v"))
+
+
+@register("sim5_ivf_nprobe2", SIM5_SQL, survey_ref="north-star ANN: IVF nprobe=2 recall dial")
+def sim5_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign_probes, ivf_topk_nprobe
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    el = embeddings.select("label", F.col("embedding").cast("array<double>").alias("v"))
+    cent_arr = (
+        label_centroids(el)
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", dround(F.col("centroid"), 6).alias("c"))
+                    )
+                ),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+    )
+    probes = ivf_assign_probes(e, cent_arr, nprobe=2)
+    out = ivf_topk_nprobe(probes, F.col("id") < 10, k=3)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        dround(F.col("cos_raw"), 6).alias("cos_sim"),
+    )

@@ -123,3 +123,30 @@ def test_signif_matches_duckdb_on_boundary_values(spark):
     con.register("df", pd.DataFrame({"i": range(len(values)), "x": values}))
     want = {int(i): s for i, s in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    """Probing more cells can only help: recall@3 of nprobe=2 (sim5)
+    vs the exact top-3 (sim1) is >= that of nprobe=1 (sim4)."""
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+
+    def topk(name):
+        rows = reg[name].fn(spark, sf_dir).collect()
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    exact = topk("sim1_cosine_topk")
+    p1, p2 = topk("sim4_ivf_search"), topk("sim5_ivf_nprobe2")
+
+    def recall(approx):
+        hits = total = 0
+        for q, t in exact.items():
+            total += len(t)
+            hits += len(t & approx.get(q, set()))
+        return hits / total
+
+    assert recall(p2) >= recall(p1)
