@@ -12,7 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import explode_bins_to_rois, extract_features
+from ..operators.kernels import features_from_images
+from ..operators.multimodal import explode_bins_to_rois
 from ..operators.psd import psd_flags, psd_powerlaw_fit, size_histogram
 from ..streaming.incremental import CheckpointedJob
 
@@ -32,7 +33,10 @@ def ingest_tick(
         return {"bins": 0, "rois": 0, "psd_flagged": 0}
 
     rois = explode_bins_to_rois(todo)
-    features = extract_features(rois).cache()
+    # Full U1-U12 kernel chain (real segmentation → geometry → biovolume);
+    # the PSD stage consumes the resulting EquivDiameter like the
+    # reference's feature→psd handoff (ifcb_ingest_and_qc.R:500-518).
+    features = features_from_images(rois).cache()
     n_rois = features.count()
     features.write.mode("append").parquet(f"{output_dir}/features")
 
