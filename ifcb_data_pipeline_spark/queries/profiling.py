@@ -110,3 +110,83 @@ def dp2_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("was_clipped").cast("int")).cast("long").alias("n_clipped"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- DP3: categorical profile (null rate / cardinality / mode) --------------
+# The string-column twin of dp1 for training-data ingest QC: one fused
+# unpivot scan -> per-(column, value) counts -> per-column distinct
+# count, mode (smallest value among tied maxima — deterministic) and
+# its frequency.  ONE scan + one shuffle for any number of columns.
+DP3_SQL = """
+WITH unpivoted AS (
+    SELECT col, val FROM (
+        SELECT o_orderstatus AS s, o_orderpriority AS p FROM orders
+    ) t
+    CROSS JOIN (SELECT unnest(['o_orderstatus', 'o_orderpriority']) AS col) c
+    CROSS JOIN LATERAL (
+        SELECT CASE col WHEN 'o_orderstatus' THEN t.s ELSE t.p END AS val
+    ) v
+),
+counts AS (
+    SELECT col, val, count(*)::BIGINT AS c
+    FROM unpivoted WHERE val IS NOT NULL GROUP BY col, val
+),
+totals AS (
+    SELECT col,
+           count(*)::BIGINT AS n,
+           sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null
+    FROM unpivoted GROUP BY col
+),
+modes AS (
+    SELECT col, min(val) AS top_value, max_c AS top_freq FROM (
+        SELECT col, val, c, max(c) OVER (PARTITION BY col) AS max_c
+        FROM counts
+    ) WHERE c = max_c GROUP BY col, max_c
+)
+SELECT t.col AS column_name, t.n, t.n_null,
+       floor((t.n_null::DOUBLE / t.n) * 1000000.0 + 0.5) / 1000000.0 AS null_frac,
+       (SELECT count(*) FROM counts c WHERE c.col = t.col)::BIGINT AS n_distinct,
+       m.top_value, m.top_freq
+FROM totals t JOIN modes m ON t.col = m.col
+"""
+
+
+@register("dp3_categorical_profile", DP3_SQL, survey_ref="north-star: categorical ingest profiling")
+def dp3_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    stack_expr = ", ".join(f"'{c}', {c}" for c in cols)
+    unpivoted = orders.select(
+        F.expr(f"stack({len(cols)}, {stack_expr}) AS (col, val)")
+    )
+    counts = (
+        unpivoted.where(F.col("val").isNotNull())
+        .groupBy("col", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = unpivoted.groupBy("col").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").isNull().cast("int")).cast("long").alias("n_null"),
+    )
+    w = Window.partitionBy("col")
+    modes = (
+        counts.withColumn("max_c", F.max("c").over(w))
+        .where(F.col("c") == F.col("max_c"))
+        .groupBy("col", "max_c")
+        .agg(F.min("val").alias("top_value"))
+        .select("col", "top_value", F.col("max_c").alias("top_freq"))
+    )
+    dist = counts.groupBy("col").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        totals.join(modes, "col")
+        .join(dist, "col")
+        .select(
+            F.col("col").alias("column_name"),
+            "n",
+            "n_null",
+            dround(F.col("n_null").cast("double") / F.col("n"), 6).alias("null_frac"),
+            "n_distinct",
+            "top_value",
+            "top_freq",
+        )
+    )
