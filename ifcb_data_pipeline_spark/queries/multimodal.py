@@ -430,3 +430,65 @@ def st2_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("value_sum"), 4).alias("value_sum"),
         "last_event_type",
     )
+
+
+# --- ST3: watermarked append-mode windows (late-data semantics) ------------
+# The brief's "watermarks + windowed aggs for late data": 10-minute
+# tumbling windows, 30-minute watermark, APPEND output — only finalized
+# windows (window_end <= max event time - 30 min) are emitted.  With the
+# availableNow drain the final watermark is deterministic, so the
+# emitted set has an exact SQL twin.  (Event times carry microsecond
+# precision, so the watermark never lands exactly on a window boundary.)
+ST3_SQL = """
+WITH w AS (
+    SELECT time_bucket(INTERVAL '10 minutes', ts::TIMESTAMP) AS window_start,
+           event_type, count(*)::BIGINT AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n FROM w
+WHERE window_start + INTERVAL '10 minutes'
+      <= (SELECT max(ts::TIMESTAMP) - INTERVAL '30 minutes' FROM events)
+"""
+
+
+@register("st3_watermarked_append", ST3_SQL, survey_ref="SURVEY §2.10; watermark + append-mode finalized windows")
+def st3_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "events")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    windowed = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    query = (
+        windowed.writeStream.format("memory")
+        .queryName("st3_watermarked")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(60)
+    query.stop()
+    if finished:
+        return spark.table("st3_watermarked")
+    # Batch fallback: identical finalized-window set.
+    (events,) = tables(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mx"))
+    win = events.groupBy(
+        F.window("ts", "10 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        win.crossJoin(F.broadcast(mx))
+        .where(F.col("w.end") <= F.col("mx") - F.expr("INTERVAL 30 minutes"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
