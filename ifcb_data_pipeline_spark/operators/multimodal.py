@@ -48,8 +48,17 @@ FEATURE_SCHEMA = T.StructType(
 def explode_bins_to_rois(bins: DataFrame, rois_per_bin_col: str = "n_rois") -> DataFrame:
     """Bin → ROI expansion (S2, the only UDTF-shaped operator): one row per
     ROI.  The payload is a real (deterministic) PGM image so downstream
-    kernels exercise the actual decode path, not a byte-length stand-in."""
+    kernels exercise the actual decode path, not a byte-length stand-in.
+
+    Bins are spread across the full parallelism first: the bins frame
+    usually arrives with the scan's few input splits, and without the
+    repartition every downstream CPU-bound kernel stage would run on
+    those few tasks (observed 3 tasks on a 32-core local run — the
+    expansion multiplies rows ~25×, so balance BEFORE the explode)."""
     from .image_codec import encode_pgm
+
+    parallelism = bins.sparkSession.sparkContext.defaultParallelism
+    bins = bins.repartition(parallelism)  # round-robin: even bin spread
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

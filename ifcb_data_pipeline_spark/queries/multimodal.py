@@ -143,6 +143,11 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("o_orderkey") % 30) + 2).cast("int").alias("n_rois"),
     )
     rois = explode_bins_to_rois(bins)
+    # ROI-level salting before the CPU-heavy kernel chain: bins carry
+    # 2-32 ROIs each, so bin-level spread alone leaves stragglers.
+    from ..operators.multimodal import salt_skewed_bins
+
+    rois = salt_skewed_bins(rois, spark.sparkContext.defaultParallelism)
     feats = features_from_images(rois)  # default = full U1-U12 chain
     return feats.select(
         "sample", "roi_number", "Area", "Eccentricity", "Solidity",
