@@ -60,6 +60,10 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # r2-green filters/scalars/windows/text/similarity/profiling families move
 # behind position 50 — their code is unchanged, their r2 rows stand.
 PREFIX_ORDER = [
+    # a trivial warm-up entry first: the opening query absorbs session
+    # warm-up (first scans, first exchange, codegen) — keep that off the
+    # queries whose rows matter most this round
+    "f1_select_rename",
     # changed-this-round fixes, cheapest first
     "c3_name_type_split",
     # never driver-checked (qc_extra tail)
