@@ -190,3 +190,55 @@ def dp3_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_freq",
         )
     )
+
+
+# --- DP4: domain-mixture weights -------------------------------------------
+# The sampling-ratio computation behind training-mixture design: per
+# source, token mass and actual corpus share, a uniform target share,
+# and the resulting sample weight (target/actual, upsampling capped at
+# 4x — the standard guard against tiny domains dominating by repeat).
+# Two tiny aggregates over one corpus scan; the per-source table is
+# bounded by |sources|, never by corpus size.
+DP4_SQL = """
+WITH per_src AS (
+    SELECT source, count(*)::BIGINT AS n_docs,
+           sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total, count(*)::DOUBLE AS n_src FROM per_src)
+SELECT source, n_docs, n_tokens,
+       floor((n_tokens / total) * 1000000.0 + 0.5) / 1000000.0 AS actual_share,
+       floor((1.0 / n_src) * 1000000.0 + 0.5) / 1000000.0 AS target_share,
+       floor(least((total / n_src) / n_tokens, 4.0) * 1000000.0 + 0.5) / 1000000.0
+           AS sample_weight
+FROM per_src CROSS JOIN tot
+"""
+
+
+@register("dp4_domain_mixture", DP4_SQL, survey_ref="north-star: domain-mixture sampling weights")
+def dp4_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_ws
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_ws(F.col("text")).cast("long")).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    j = per_src.crossJoin(F.broadcast(tot))
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        dround(F.col("n_tokens") / F.col("total"), 6).alias("actual_share"),
+        dround(F.lit(1.0) / F.col("n_src"), 6).alias("target_share"),
+        dround(
+            F.least(
+                (F.col("total") / F.col("n_src")) / F.col("n_tokens"), F.lit(4.0)
+            ),
+            6,
+        ).alias("sample_weight"),
+    )

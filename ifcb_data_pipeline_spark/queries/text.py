@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import (
@@ -370,4 +370,166 @@ def tx7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(adj_frac, 6).alias("adjacent_repeat_frac"),
         dround(top_share, 6).alias("top_2gram_share"),
         ((dup_frac > 0.3) | (top_share > 0.18)).alias("repetition_reject"),
+    )
+
+
+# --- TX8: PII detection + redaction ----------------------------------------
+# The scrub pass every training-data pipeline runs before anything else:
+# find emails / phone numbers / IP addresses, count them, and redact
+# them with typed placeholders.  The synthetic corpus contains no PII,
+# so both engines append identical deterministic PII spans derived from
+# doc_id (the repo's deterministic-payload convention) and then run the
+# real detector over the augmented text.  Pure regexp (JVM-side, RE2 in
+# the oracle; patterns restricted to the syntax both engines share — no
+# lookaround), shuffle-free: a 100 TB scrub is a single scan.
+_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+TX8_SQL = f"""
+WITH aug AS (
+    SELECT doc_id, text
+        || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || doc_id::VARCHAR
+                 || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' x' ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR
+                 || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id, t,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g') AS clean
+    FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{_EMAIL_RE}'))::INT AS n_emails,
+       len(regexp_extract_all(t, '{_PHONE_RE}'))::INT AS n_phones,
+       len(regexp_extract_all(t, '{_IP_RE}'))::INT AS n_ips,
+       (len(t) - len(clean))::BIGINT AS len_delta,
+       {HASH32_SQL.format(x="clean")} AS clean_hash
+FROM red
+"""
+
+
+@register("tx8_pii_scrub", TX8_SQL, survey_ref="north-star text: PII detect + redact scrub")
+def tx8_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" x"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    aug = documents.select("doc_id", t.alias("t"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+
+    def n_hits(pattern: str):
+        return F.size(
+            F.regexp_extract_all(F.col("t"), F.lit(pattern), F.lit(0))
+        ).cast("int")
+
+    return aug.select(
+        "doc_id",
+        n_hits(_EMAIL_RE).alias("n_emails"),
+        n_hits(_PHONE_RE).alias("n_phones"),
+        n_hits(_IP_RE).alias("n_ips"),
+        (F.length("t") - F.length(clean)).cast("long").alias("len_delta"),
+        hash32(clean).alias("clean_hash"),
+    )
+
+
+# --- SP2: stratified sampling ----------------------------------------------
+# Deterministic per-stratum sampling by hash order: take the k
+# lowest-hash documents of every (lang, source) stratum.  Reproducible
+# under retries and cluster resizes (never rand()/sample()).  Scale
+# shape: one shuffle keyed by the stratum, top-k per group — at 100 TB
+# strata are numerous and the per-stratum heap is tiny.
+SP2_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {HASH32_SQL.format(x="doc_id::VARCHAR")}, doc_id
+           )::BIGINT AS rk
+    FROM documents
+)
+SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@register("sp2_stratified_sample", SP2_SQL, survey_ref="north-star: deterministic stratified sampling")
+def sp2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        hash32(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        documents.select(
+            "doc_id", "lang", "source", F.row_number().over(w).cast("long").alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+    )
+
+
+# --- SP3: deterministic global shuffle into training shards ----------------
+# The write-order pass before training: assign every document a shard
+# (hash-modulo) and a position within the shard (hash order) — a
+# reproducible global permutation.  At scale this is exactly
+# repartition(shard) + sortWithinPartitions(hash): one shuffle, then
+# shard-local sorted writes.
+SP3_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           {HASH32_SQL.format(x="doc_id::VARCHAR")} % 8 AS shard,
+           {HASH32_SQL.format(x="'pos-' || doc_id::VARCHAR")} AS hk
+    FROM documents
+)
+SELECT doc_id, shard::INT AS shard,
+       row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id)::BIGINT AS pos
+FROM h
+"""
+
+
+@register("sp3_shuffle_shards", SP3_SQL, survey_ref="north-star: deterministic training-shard shuffle")
+def sp3_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    h = documents.select(
+        "doc_id",
+        (hash32(F.col("doc_id").cast("string")) % 8).cast("int").alias("shard"),
+        hash32(F.concat(F.lit("pos-"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
