@@ -471,3 +471,68 @@ def dd7_dedup_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_kept"
         ),
     )
+
+
+# --- DD8: benchmark-contamination check ------------------------------------
+# Decontamination pass of LLM training pipelines (GPT-3 §2.2 / PaLM
+# style): flag training documents sharing any word 4-gram with a
+# held-out evaluation set.  Here the eval set is the src0 slice of the
+# corpus; the 4-gram choice follows the published 8-13-gram convention
+# scaled to the synthetic doc length.  Scale shape: the eval-set gram
+# table is bounded by |benchmark| (small, fixed), so it broadcasts; the
+# corpus side is one scan + map-side explode + broadcast-hash join —
+# NO shuffle keyed by gram, and the corpus never materializes its gram
+# table (contrast dd4, which inverted-indexes corpus×corpus).
+DD8_SQL = """
+WITH toks AS (
+    SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+    SELECT DISTINCT doc_id, source, array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 2)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+totals AS (
+    SELECT doc_id, count(*)::BIGINT AS n_shingles FROM sh
+    WHERE source <> 'src0' GROUP BY doc_id
+),
+hits AS (
+    SELECT s.doc_id, count(*)::BIGINT AS n_contaminated
+    FROM sh s JOIN bench USING (g)
+    WHERE s.source <> 'src0'
+    GROUP BY s.doc_id
+)
+SELECT h.doc_id, h.n_contaminated, t.n_shingles,
+       floor((h.n_contaminated::DOUBLE / t.n_shingles) * 1000000.0 + 0.5)
+           / 1000000.0 AS contamination_frac
+FROM hits h JOIN totals t USING (doc_id)
+"""
+
+
+@register("dd8_benchmark_contamination", DD8_SQL, survey_ref="north-star dedup: eval-set decontamination (GPT-3 §2.2 style)")
+def dd8_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = shingle_sets(documents, text_col="text", id_col="doc_id", k=4)
+    src = documents.select(F.col("doc_id").alias("doc"), "source")
+    sh = sh.join(src, "doc")
+    bench = sh.where(F.col("source") == "src0").select("shingle").distinct()
+    corpus = sh.where(F.col("source") != "src0")
+    totals = corpus.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    from ._util import dround
+
+    return (
+        hits.join(totals, "doc")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_contaminated",
+            "n_shingles",
+            dround(
+                F.col("n_contaminated").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_frac"),
+        )
+    )

@@ -289,3 +289,70 @@ def sim5_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         dround(F.col("cos_raw"), 6).alias("cos_sim"),
     )
+
+
+# --- SIM6: int8 embedding quantization -------------------------------------
+# Scalar symmetric int8 quantization — the storage/ANN compression pass:
+# per-vector scale = max|x|/127, q_i = round(x_i/scale) clamped to
+# [-127,127], plus the reconstruction MSE.  Entirely map-side HOF
+# arithmetic (transform/aggregate): a 100 TB quantization job is a pure
+# scan with zero shuffle.  The MSE is expanded as
+# (v·v − 2·v·dv + dv·dv)/d with the SAME inner-product association in
+# both engines so the doubles agree bit-for-bit before rounding.
+SIM6_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0
+),
+q AS (
+    SELECT vec_id, v, scale,
+           list_transform(v, x ->
+               greatest(least(floor(x / scale + 0.5), 127.0), -127.0) * scale)
+               AS dv,
+           list_transform(v, x ->
+               greatest(least(floor(x / scale + 0.5), 127.0), -127.0)) AS qv
+    FROM s
+)
+SELECT vec_id,
+       floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+       floor(((list_inner_product(v, v) - 2 * list_inner_product(v, dv)
+               + list_inner_product(dv, dv)) / len(v))
+             * 1000000000.0 + 0.5) / 1000000000.0 AS mse,
+       list_max(qv)::INT AS max_q,
+       list_min(qv)::INT AS min_q
+FROM q
+"""
+
+
+@register("sim6_embedding_quantize", SIM6_SQL, survey_ref="north-star ANN: int8 scalar quantization + reconstruction error")
+def sim6_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    s = embeddings.select(
+        "vec_id", v.alias("v"), (amax / 127.0).alias("scale")
+    ).where(amax > 0)
+    qexpr = lambda x: F.greatest(  # noqa: E731
+        F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127.0)), F.lit(-127.0)
+    )
+    q = s.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.transform("v", lambda x: qexpr(x) * F.col("scale")).alias("dv"),
+        F.transform("v", qexpr).alias("qv"),
+    )
+    mse = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("dv"))
+        + dot(F.col("dv"), F.col("dv"))
+    ) / F.size("v")
+    return q.select(
+        "vec_id",
+        dround(F.col("scale"), 9).alias("scale"),
+        dround(mse, 9).alias("mse"),
+        F.array_max("qv").cast("int").alias("max_q"),
+        F.array_min("qv").cast("int").alias("min_q"),
+    )
