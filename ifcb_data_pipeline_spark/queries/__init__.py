@@ -138,6 +138,7 @@ def load_all() -> dict[str, QueryDef]:
         filters,
         joins,
         multimodal,
+        packing,
         pipelines,
         profiling,
         qc_extra,

@@ -1,0 +1,79 @@
+"""Sequence packing: greedy document→training-chunk assignment.
+
+The pre-tokenization packing pass of LLM training pipelines: concatenate
+consecutive documents into fixed-token-budget chunks (budget 256 here),
+starting a new chunk whenever the next document would overflow.  Packing
+is inherently sequential, so it is distributed the way a real pipeline
+does it: documents are sharded by contiguous id range (``doc_id // 64``)
+and packed greedily *within* each shard — shards are independent, so the
+operator is an ``applyInPandas`` over shard groups: one shuffle on the
+shard key, then a linear in-memory pass per shard.  At 100 TB the shard
+width bounds both state and stragglers; chunk ids are only unique within
+a shard, exactly like file-local chunk ids in a sharded tokenizer run.
+
+The oracle expresses the same recurrence as a DuckDB recursive CTE over
+per-shard row numbers — greedy packing is a prefix scan with reset,
+which plain window functions cannot express.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import token_count_ws
+from . import register
+from ._util import tables
+
+_BUDGET = 256
+_SHARD = 64
+
+PK1_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT doc_id, doc_id // {_SHARD} AS shard,
+           least(len(string_split_regex(trim(text), '\\s+')), {_BUDGET})::BIGINT AS tok,
+           row_number() OVER (PARTITION BY doc_id // {_SHARD} ORDER BY doc_id) AS rn
+    FROM documents
+),
+pack AS (
+    SELECT shard, rn, doc_id, tok, 0::BIGINT AS chunk, tok AS fill
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.shard, s.rn, s.doc_id, s.tok,
+           CASE WHEN p.fill + s.tok > {_BUDGET} THEN p.chunk + 1 ELSE p.chunk END,
+           CASE WHEN p.fill + s.tok > {_BUDGET} THEN s.tok ELSE p.fill + s.tok END
+    FROM seq s JOIN pack p ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT doc_id, shard::INT AS shard, tok, chunk FROM pack
+"""
+
+
+@register("pk1_sequence_packing", PK1_SQL, survey_ref="north-star: greedy fixed-budget sequence packing")
+def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        "doc_id",
+        (F.col("doc_id") / _SHARD).cast("long").cast("int").alias("shard"),
+        F.least(token_count_ws(F.col("text")).cast("long"), F.lit(_BUDGET)).alias(
+            "tok"
+        ),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        chunks = []
+        chunk, fill = 0, 0
+        for t in pdf["tok"]:
+            if fill > 0 and fill + t > _BUDGET:
+                chunk += 1
+                fill = t
+            else:
+                fill += t
+            chunks.append(chunk)
+        pdf["chunk"] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return base.groupBy("shard").applyInPandas(
+        pack, schema="doc_id bigint, shard int, tok bigint, chunk bigint"
+    )
