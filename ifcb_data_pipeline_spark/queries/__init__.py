@@ -145,6 +145,7 @@ def load_all() -> dict[str, QueryDef]:
         scalars,
         similarity,
         text,
+        training,
         windows_sorts,
     )
 

@@ -1,0 +1,137 @@
+"""tp1: the composed training-corpus pipeline (flagship for the
+LLM-data-pipeline family, the way ``p1_shark_export`` is for the IFCB
+side).
+
+Chains the individually-verified stages end to end over the augmented
+corpus (``dedup.CORPUS_SQL`` convention — the raw sf tables carry no
+duplicates, so every 25th doc gets a deterministic truncated copy):
+
+  1. language gate   — keep labeled-``lang`` 'en' rows (metadata travels
+                       with the document; the marker heuristic is its own
+                       query, ``tx3``);
+  2. quality gate    — token count ≥ 20 and stopword ratio ≥ 0.02
+                       (thresholds calibrated to the synthetic corpus so
+                       the gate is genuinely selective);
+  3. near-dup removal— head-fingerprint (md5 of the first 8 tokens)
+                       collapses each truncated copy onto its source;
+                       min-doc-id survivor per fingerprint group;
+  4. split           — deterministic md5-hash 90/10 train/eval.
+
+Scale shape: stages 1-2 are a single JVM projection pass (no shuffle);
+stage 3 is one hash-partitioned groupBy + equi-join on the fingerprint
+(the canonical two-phase dedup from ``operators.dedup.exact_dedup``);
+stage 4 is shuffle-free.  One shuffle total over a 100 TB corpus, on a
+key (md5 prefix) that is uniform by construction — no skew, no
+broadcast of anything fact-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import STOPWORDS
+from . import register
+from ._util import HASH32_SQL, dround, hash32, tables
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+TP1_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id AS doc, lang, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, lang,
+           array_to_string(string_split(lower(text), ' ')[1:greatest(1,
+               (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
+    FROM documents WHERE doc_id % 25 = 0
+),
+scored AS (
+    SELECT doc, lang, text,
+           len(string_split(text, ' '))::INT AS n_tok,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_STOP_LIST}))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio
+    FROM corpus
+),
+gated AS (
+    SELECT * FROM scored
+    WHERE lang = 'en' AND n_tok >= 20 AND stop_ratio >= 0.02
+),
+fp AS (
+    SELECT doc, n_tok, stop_ratio,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_head
+    FROM gated
+),
+canon AS (
+    SELECT fp_head, min(doc) AS canonical, count(*)::BIGINT AS n_copies
+    FROM fp GROUP BY fp_head
+)
+SELECT doc, n_tok,
+       floor(stop_ratio * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
+       n_copies,
+       CASE WHEN {HASH32_SQL.format(x="doc::VARCHAR")} % 100 < 90
+            THEN 'train' ELSE 'eval' END AS split
+FROM fp JOIN canon USING (fp_head)
+WHERE doc = canonical
+"""
+
+
+@register(
+    "tp1_training_corpus",
+    TP1_SQL,
+    survey_ref="north-star: composed clean->dedup->split training pipeline",
+)
+def tp1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+
+    base = documents.select(
+        F.col("doc_id").alias("doc"), "lang", F.lower("text").alias("text")
+    )
+    w = F.split(F.lower(F.col("text")), " ")
+    keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
+    mutated = documents.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc"),
+        "lang",
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    corpus = base.unionByName(mutated)
+
+    toks = F.split(F.col("text"), " ")
+    scored = corpus.select(
+        "doc",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tok"),
+        (
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    gated = scored.where(
+        (F.col("lang") == "en")
+        & (F.col("n_tok") >= 20)
+        & (F.col("stop_ratio") >= 0.02)
+    )
+    fp = gated.select(
+        "doc",
+        "n_tok",
+        "stop_ratio",
+        F.md5(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ")).alias(
+            "fp_head"
+        ),
+    )
+    canon = fp.groupBy("fp_head").agg(
+        F.min("doc").alias("canonical"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        fp.join(canon, "fp_head")
+        .where(F.col("doc") == F.col("canonical"))
+        .select(
+            "doc",
+            "n_tok",
+            dround(F.col("stop_ratio"), 6).alias("stop_ratio"),
+            "n_copies",
+            F.when(hash32(F.col("doc").cast("string")) % 100 < 90, "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+    )
