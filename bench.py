@@ -35,6 +35,8 @@ HEADLINE = [
     "sim1_cosine_topk",
     "tx2_quality_score",
     "p3_dashboard_metadata",
+    "tp1_training_corpus",
+    "pk1_sequence_packing",
 ]
 
 
