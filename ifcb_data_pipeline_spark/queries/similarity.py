@@ -356,3 +356,54 @@ def sim6_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").cast("int").alias("max_q"),
         F.array_min("qv").cast("int").alias("min_q"),
     )
+
+
+# --- SIM7: metadata-prefiltered ANN ----------------------------------------
+# Filtered vector search: top-k cosine neighbors restricted to corpus
+# vectors whose document metadata passes a predicate (here lang = 'en').
+# Pre-filter beats post-filter at scale: the predicate prunes the corpus
+# *before* any distance computation (a semi-join on the id key — at
+# 100 TB both sides co-partition on the same key, one shuffle each or
+# zero if bucketed), so distances are computed only on qualifying rows,
+# and top-k cannot come back short the way post-filtering k' > k can.
+SIM7_SQL = f"""
+WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    WHERE vec_id IN (SELECT doc_id FROM en)
+),
+q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           {_COS_SQL.format(a="q.v", b="c.v")} AS cos_raw
+    FROM q JOIN e c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim7_filtered_ann", SIM7_SQL, survey_ref="north-star ANN: metadata-prefiltered top-k")
+def sim7_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings, documents = tables(spark, sf_dir, "embeddings", "documents")
+    en = documents.where(F.col("lang") == "en").select("doc_id")
+    corpus = (
+        embeddings.join(en, embeddings.vec_id == en.doc_id, "semi")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    queries = embeddings.where(F.col("vec_id") < 10).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    out = cosine_topk(queries, corpus, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("long").alias("rank"),
+        dround(F.col("cos_sim"), 6).alias("cos_sim"),
+    )

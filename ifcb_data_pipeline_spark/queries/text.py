@@ -533,3 +533,55 @@ def sp3_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+# --- TX9: BPE merge-candidate counting -------------------------------------
+# One round of byte-pair-encoding training: the frequency of every
+# adjacent character pair, and the top-20 merge candidates.  The scale
+# trick is the classic tokenizer-training one: aggregate the corpus down
+# to its *vocabulary* (distinct word + count) first, then count pairs
+# weighted by word frequency — pair extraction runs over |vocab| rows,
+# not |corpus| tokens (vocab is sublinear in corpus size; Heaps' law).
+# Final top-20 is TakeOrderedAndProject (distributed partial top-k), and
+# the rank window runs over 20 rows only.
+TX9_SQL = """
+WITH vocab AS (
+    SELECT w, count(*)::BIGINT AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair, n
+    FROM vocab, unnest(range(1, len(w))) AS t(i)
+    WHERE len(w) >= 2
+),
+counted AS (
+    SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair
+),
+top AS (SELECT pair, freq FROM counted ORDER BY freq DESC, pair LIMIT 20)
+SELECT pair, freq,
+       row_number() OVER (ORDER BY freq DESC, pair)::INT AS merge_rank
+FROM top
+"""
+
+
+@register("tx9_bpe_pair_merge", TX9_SQL, survey_ref="north-star text: BPE merge-candidate counting over the vocabulary")
+def tx9_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    vocab = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pair = F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    counted = (
+        vocab.where(F.length("w") >= 2)
+        .select(F.explode(pair).alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("freq"))
+    )
+    top = counted.orderBy(F.col("freq").desc(), "pair").limit(20)
+    w20 = Window.orderBy(F.col("freq").desc(), "pair")
+    return top.select(
+        "pair", "freq", F.row_number().over(w20).cast("int").alias("merge_rank")
+    )
