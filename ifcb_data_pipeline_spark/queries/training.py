@@ -27,7 +27,7 @@ broadcast of anything fact-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.text import STOPWORDS
@@ -119,11 +119,13 @@ def tp1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fp_head"
         ),
     )
-    canon = fp.groupBy("fp_head").agg(
-        F.min("doc").alias("canonical"), F.count(F.lit(1)).alias("n_copies")
-    )
+    # Survivor selection as a whole-partition window, not groupBy+join:
+    # min/count over the fp_head partition need ONE shuffle of the gated
+    # corpus; the join form would shuffle it twice (agg + join sides).
+    wfp = Window.partitionBy("fp_head")
     return (
-        fp.join(canon, "fp_head")
+        fp.withColumn("canonical", F.min("doc").over(wfp))
+        .withColumn("n_copies", F.count(F.lit(1)).over(wfp))
         .where(F.col("doc") == F.col("canonical"))
         .select(
             "doc",

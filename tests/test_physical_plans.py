@@ -192,3 +192,17 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_tp1_single_shuffle(spark, sf_dir):
+    """tp1's whole clean->dedup->split pass costs exactly one hash
+    exchange (the fp_head window); the gates fuse into the scan and the
+    survivor selection must stay window-form, not groupBy+join (which
+    would shuffle the gated corpus twice)."""
+    import re
+
+    df = REGISTRY["tp1_training_corpus"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
