@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import dround, tables
+from ._util import HASH32_SQL, dround, tables
 
 # --- DP1: column profile ---------------------------------------------------
 DP1_SQL = """
@@ -241,4 +241,78 @@ def dp4_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("sample_weight"),
+    )
+
+
+# --- SP4: materialize the mixture ------------------------------------------
+# Applies dp4's sampling weights to actually build the resampled corpus:
+# every doc appears floor(w) times, plus one more copy gated on a
+# deterministic per-doc hash against the fractional part — so the
+# realized corpus hits the target mixture in expectation with zero
+# randomness.  Scale shape: the weight table is bounded by |sources| and
+# broadcast; the repeat is a per-row `explode(sequence(...))` with
+# fan-out ≤ ceil(w) ≤ 4 — no shuffle at all beyond dp4's two tiny
+# aggregates over the corpus scan.
+SP4_SQL = f"""
+WITH per_src AS (
+    SELECT source, sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_tokens)::DOUBLE AS total, count(*)::DOUBLE AS n_src FROM per_src),
+wt AS (
+    SELECT source, least((total / n_src) / n_tokens, 4.0) AS w
+    FROM per_src CROSS JOIN tot
+),
+expanded AS (
+    SELECT d.doc_id, d.source, u.copy_idx::INT AS copy_idx, wt.w
+    FROM documents d
+    JOIN wt USING (source),
+    unnest(range(1, ceil(wt.w)::BIGINT + 1)) AS u(copy_idx)
+)
+SELECT doc_id, source, copy_idx
+FROM expanded
+WHERE copy_idx <= floor(w)
+   OR (copy_idx = ceil(w) AND
+       {HASH32_SQL.format(x="doc_id::VARCHAR")} % 1000000
+           < floor((w - floor(w)) * 1000000.0 + 0.5))
+"""
+
+
+@register("sp4_mixture_materialize", SP4_SQL, survey_ref="north-star: deterministic mixture resampling (dp4 weights applied)")
+def sp4_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_ws
+    from ._util import hash32
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text")).cast("long")).alias("n_tokens")
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_src"),
+    )
+    wt = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.col("total") / F.col("n_src")) / F.col("n_tokens"), F.lit(4.0)
+        ).alias("w"),
+    )
+    frac_gate = hash32(F.col("doc_id").cast("string")) % 1000000 < F.floor(
+        (F.col("w") - F.floor("w")) * 1000000.0 + 0.5
+    )
+    return (
+        documents.join(F.broadcast(wt), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.ceil("w").cast("int"))
+            ).alias("copy_idx"),
+            "w",
+        )
+        .where(
+            (F.col("copy_idx") <= F.floor("w"))
+            | ((F.col("copy_idx") == F.ceil("w")) & frac_gate)
+        )
+        .select("doc_id", "source", "copy_idx")
     )
