@@ -585,3 +585,72 @@ def tx9_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "pair", "freq", F.row_number().over(w20).cast("int").alias("merge_rank")
     )
+
+
+# --- TX10: TF-IDF top terms -------------------------------------------------
+# Per-document top-3 distinctive terms by tf-idf.  Scale shape: the
+# doc-term table comes from one explode + partial-aggregated groupBy
+# (word-count pattern); document frequency is a second aggregate over
+# the doc-term table (bounded by |vocab|, sublinear in corpus size);
+# the idf join is vocab-sized so AQE broadcasts it while it fits and
+# shuffle-joins beyond — no pinned hint.  The top-3 window shuffles on
+# doc_id once.  Cross-engine float ordering is safe: equal-(tf, df)
+# terms get identical tf-idf in each engine, and the word tie-break
+# resolves them identically.
+TX10_SQL = """
+WITH dt AS (
+    SELECT doc_id, w, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*)::DOUBLE AS docfreq FROM dt GROUP BY w),
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+scored AS (
+    SELECT dt.doc_id, dt.w, dt.tf,
+           dt.tf * ln(n.n_docs / df.docfreq) AS tfidf
+    FROM dt JOIN df USING (w) CROSS JOIN n
+),
+ranked AS (
+    SELECT doc_id, w, tf, tfidf,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY scored.tfidf DESC, w)::INT AS rank
+    FROM scored
+)
+SELECT doc_id, w AS term, tf,
+       floor(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf, rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@register("tx10_tfidf_top_terms", TX10_SQL, survey_ref="north-star text: tf-idf distinctive terms")
+def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    dt = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = dt.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("docfreq"))
+    n = documents.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        dt.join(df_, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            "tf",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("docfreq"))).alias("tfidf"),
+        )
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "w")
+    return (
+        scored.withColumn("rank", F.row_number().over(wdoc).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            dround(F.col("tfidf"), 6).alias("tfidf"),
+            "rank",
+        )
+    )
