@@ -403,3 +403,37 @@ def a21_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_signups"),
         F.sum("converted").alias("n_converted"),
     )
+
+
+# --- W6: calendar-range moving average --------------------------------------
+# 7-day trailing moving average of order value per customer — the
+# classic time-series range frame (RANGE, not ROWS: all same-day peers
+# are in-frame regardless of row order, which also makes the result
+# deterministic under ties).  One shuffle on the partition key; frame
+# evaluation is a per-partition sort + sliding accumulator, O(n) per
+# customer at any scale.
+W6_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       floor(avg(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) * 10000.0 + 0.5) / 10000.0 AS ma7
+FROM orders
+"""
+
+
+@register("w6_moving_average", W6_SQL, survey_ref="beyond reference: trailing calendar-range window")
+def w6_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-6, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        dround(F.avg("o_totalprice").over(w), 4).alias("ma7"),
+    )
