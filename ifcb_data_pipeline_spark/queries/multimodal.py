@@ -88,12 +88,11 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("parquet")
         .schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
             " value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     windowed = (
         stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -462,12 +461,11 @@ def st3_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("parquet")
         .schema(
-            "event_id bigint, ts bigint, user_id bigint, event_type string,"
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
             " value double, props string"
         )
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     windowed = (
         stream.withWatermark("ts", "30 minutes")
