@@ -51,75 +51,81 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 
 # Registry order = the order the driver's correctness gate executes queries
-# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-2), so the
-# first 50 names below are the round's driver-verified set.  Round-3 rotation:
-# everything never driver-checked (p1-p3, dd4b, dd7, a15, f6, f11, qf, s6,
-# u13b), every entry whose implementation changed since its last driver row
-# (c3 fix, dd5/dd6 rewrite, mm2/st1, a4/j8 hint removal, u13 dual profiles),
-# then the r1-only joins/aggregates families to refresh their rows.  The
-# r2-green filters/scalars/windows/text/similarity/profiling families move
-# behind position 50 — their code is unchanged, their r2 rows stand.
+# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-3), so the
+# first 50 names below are the round's driver-verified set.  Round-4 rotation
+# (VERDICT r3 item 1): the 20 entries that have never had a driver row lead —
+# tp1/pk1 (the round-3 flagships), w6, dd8, sp2-sp4, sim5-sim7, tx7-tx10,
+# dp3/dp4, mm3/mm4, st2/st3 — together with the five entries whose
+# implementation changes this round (o1/tx5 plan fixes, sim2 banded-LSH
+# rewrite, mm2/u13b new oracles).  The remaining ~25 slots refresh the
+# r2-green filters/scalars/windows families, whose rows are now the oldest.
+# Everything green in r3 (pipelines, dedup, joins, aggregates, qc_extra,
+# mm1/st1) moves behind position 50 — code unchanged, r3 rows stand.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
-    # queries whose rows matter most this round
-    "f1_select_rename",
-    # changed-this-round fixes, cheapest first
-    "c3_name_type_split",
-    # never driver-checked (qc_extra tail)
-    "a15_mean_collapse",
-    "f6_regional_filter",
-    "f11_missing_position_filter",
-    "qf_flag_unification",
-    "s6_json_scan",
-    "u13_psd_fit",
-    "u13b_psd_fit_pandas",
-    # flagship pipelines — never driver-checked
-    "p1_shark_export",
-    "p2_hab_alert",
-    "p3_dashboard_metadata",
-    # dedup: never-checked + rewritten-since-r1 first, then the rest
-    "dd4b_ngram_jaccard_dfcut",
-    "dd7_dedup_materialize",
-    "dd5_embedding_cosine_dup",
-    "dd6_dup_clusters",
-    "dd1_exact_dedup",
-    "dd2_minhash_lsh",
-    "dd3_simhash",
-    "dd4_ngram_jaccard",
-    # multimodal / streaming (mm2 & st1 changed in r2 after their r1 rows)
-    "mm1_multimodal_features",
+    # queries whose rows matter most this round.  f2 is itself a refresh
+    # candidate (r2 row), so the slot is not wasted.
+    "f2_gps_staleness",
+    # changed this round: plan fixes + new oracles + sim2 rewrite
+    "o1_multi_key_sort",
+    "tx5_vocabulary",
+    "sim2_signlsh_ann",
     "mm2_real_kernel_features",
-    "st1_stream_windowed_counts",
-    # joins — r1 rows only, refresh (j8 changed this round)
-    "j1_enrichment_chain",
-    "j4_asof_join",
-    "j4b_asof_backward",
-    "j5_interval_join",
-    "j6_coalescing_fill_join",
-    "j7_full_outer_join",
-    "j8_haversine_theta_join",
-    "j10_semi_join",
-    "j11_incremental_anti_join",
-    "j12_provenance_merge",
-    "j13_classlist_full_join",
-    # aggregates — r1 rows only, refresh (a4 changed this round)
-    "a1_biovolume_rollup",
-    "a2_taxon_rollup",
-    "a3_flag_frequency",
-    "a4_monthly_stats",
-    "a5_grouped_top1",
-    "a6_bloom_categorize",
-    "a7_global_top1",
-    "a8_last_per_group",
-    "a10_duplicate_detection",
-    "a11_distinct",
-    "a12_minmax_summary",
-    "a13_grid_cell_frequency",
-    "a14_monthly_histogram",
-    "a17_qc_sums",
-    "a18_provenance_summary",
-    "a19_cube_rollup",
+    "u13b_psd_fit_pandas",
+    # never driver-checked: round-3 flagship pipelines first
+    "tp1_training_corpus",
+    "pk1_sequence_packing",
+    "w6_moving_average",
+    "dd8_benchmark_contamination",
+    # never driver-checked: sampling/splits
+    "sp2_stratified_sample",
+    "sp3_shuffle_shards",
+    "sp4_mixture_materialize",
+    # never driver-checked: similarity tail
+    "sim5_ivf_nprobe2",
+    "sim6_embedding_quantize",
+    "sim7_filtered_ann",
+    # never driver-checked: text tail
+    "tx7_repetition_signals",
+    "tx8_pii_scrub",
+    "tx9_bpe_pair_merge",
+    "tx10_tfidf_top_terms",
+    # never driver-checked: profiling tail
+    "dp3_categorical_profile",
+    "dp4_domain_mixture",
+    # never driver-checked: multimodal/streaming tail
+    "mm3_resize_normalize",
+    "mm4_video_frame_sample",
+    "st2_stateful_user_counts",
+    "st3_watermarked_append",
+    # refresh: r2-green filters (f1/f6/f11 are r3-green, stay behind)
+    "f3_blacklist_prefix_anti",
+    "f4_flag_removal",
+    "f7_qc_gating",
+    "f8_sentinel_normalization",
+    "f10_timestamp_range",
+    "f12_value_threshold",
+    "f13_membership_filter",
+    # refresh: r2-green scalars
+    "c1_taxa_clean_cascade",
+    "c2_species_flag",
+    "c6_parse_bin_id",
+    "c8_f1_score",
+    "c9_signif_round",
+    "c10_date_format",
+    "c11_encoding_fix",
+    "c12_haversine",
+    # refresh: r2-green windows/sorts/set-ops
+    "w1_adjacency_removal",
+    "w3_gap_fill",
+    "w4_newest_topk",
+    "o3_union_by_name",
+    "o5_split_apply_union",
+    "o6_pivot_wider",
+    "o6_pivot_longer",
+    "o7_set_intersect",
+    "o7_set_except",
 ]
 
 

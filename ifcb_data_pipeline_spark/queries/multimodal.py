@@ -121,36 +121,161 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- MM2: the full real kernel chain over ROI images (rows-only gate) ------
+# --- MM2: the full real kernel chain over analytic shapes (hash gate) ------
 # U1 phase-congruency segmentation → U2/U3 geometry → U4 Benkrid
 # perimeter → U5 shape-adaptive biovolume (U11 rotation inside the SoR
 # branch) → U6/U7/U8 → U9 HOG → U10 ring/wedge → U12 summed features, in
-# pure numpy over real PGM-decoded ROI bytes; the kernel math is
-# pytest-verified against analytic shapes (tests/test_kernels.py) — not
-# SQL-expressible, so the driver records the rows-only check.
-@register("mm2_real_kernel_features", None, survey_ref="SURVEY §2.9 U1-U12 (numpy kernel chain)")
+# pure numpy over real PGM-decoded ROI bytes.
+#
+# Driver-checkable oracle (VERDICT r3 item 2): the inputs are a FIXED
+# panel of analytically-known shapes (disks, rectangles, ellipses, an L)
+# rendered dark-on-light — the contrast convention segment_roi_pc
+# recovers (reference segmentation.py:157-186).  The whole chain is
+# deterministic numpy over these fixed bytes, so the expected (rounded)
+# outputs are a DuckDB VALUES literal.  The literal is pinned to the
+# closed-form geometry two ways: tests/test_kernels.py derives each
+# kernel's behavior analytically, and tests/test_multimodal_panel.py
+# asserts the panel rows stay within analytic tolerance of pi*r^2 /
+# w*h areas, sphere/cylinder biovolumes and zero eccentricity — so a
+# kernel regression breaks both the pytest and this hash gate.
+
+# (sample, kind, p1, p2): disk p1=radius; rect p1×p2; ellipse semi-axes
+# p1/p2; lshape arm length p1, thickness p2.  Chosen so both U5
+# branches fire (sor + distmap) and segmentation quality spans
+# IoU 0.5 (thin ribbon) to 1.0 (square).
+MM2_PANEL: list[tuple[str, str, int, int]] = [
+    ("disk_r6", "disk", 6, 0),
+    ("disk_r9", "disk", 9, 0),
+    ("disk_r12", "disk", 12, 0),
+    ("disk_r15", "disk", 15, 0),
+    ("rect_12x5", "rect", 12, 5),
+    ("rect_18x7", "rect", 18, 7),
+    ("rect_10x10", "rect", 10, 10),
+    ("rect_24x9", "rect", 24, 9),
+    ("ribbon_30x4", "rect", 30, 4),
+    ("ellipse_14x6", "ellipse", 14, 6),
+    ("ellipse_18x8", "ellipse", 18, 8),
+    ("lshape_20x8", "lshape", 20, 8),
+]
+
+
+def panel_mask(kind: str, p1: int, p2: int, pad: int = 8):
+    """Boolean mask of an analytic shape, padded by ``pad`` background px."""
+    import numpy as np
+
+    if kind == "disk":
+        r = p1
+        n = 2 * r + 2 * pad + 1
+        yy, xx = np.mgrid[:n, :n]
+        c = n // 2
+        return (xx - c) ** 2 + (yy - c) ** 2 <= r * r
+    if kind == "rect":
+        w, h = p1, p2
+        m = np.zeros((h + 2 * pad, w + 2 * pad), dtype=bool)
+        m[pad : pad + h, pad : pad + w] = True
+        return m
+    if kind == "ellipse":
+        a, b = p1, p2
+        ny, nx = 2 * b + 2 * pad + 1, 2 * a + 2 * pad + 1
+        yy, xx = np.mgrid[:ny, :nx]
+        cy, cx = ny // 2, nx // 2
+        return ((xx - cx) / a) ** 2 + ((yy - cy) / b) ** 2 <= 1.0
+    if kind == "lshape":
+        w, t = p1, p2
+        m = np.zeros((w + 2 * pad, w + 2 * pad), dtype=bool)
+        m[pad : pad + w, pad : pad + t] = True
+        m[pad + w - t : pad + w, pad : pad + w] = True
+        return m
+    raise ValueError(kind)
+
+
+def panel_rois(spark: SparkSession) -> DataFrame:
+    """The MM2 analytic-shape panel as a ROI frame (sample, roi_number,
+    PGM image bytes, width, height) — sf-independent by design so the
+    baked oracle holds at every scale factor."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import ROI_SCHEMA
+
+    spec = spark.createDataFrame(
+        [(s, i + 1, k, p1, p2) for i, (s, k, p1, p2) in enumerate(MM2_PANEL)],
+        "sample string, roi_number int, kind string, p1 int, p2 int",
+    ).repartition(len(MM2_PANEL))  # one shape per task: the chain is CPU-bound
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.image_codec import encode_pgm
+
+        for pdf in batches:
+            out = {"sample": [], "roi_number": [], "image": [], "width": [], "height": []}
+            for s, roi, kind, p1, p2 in zip(
+                pdf["sample"], pdf["roi_number"], pdf["kind"], pdf["p1"], pdf["p2"]
+            ):
+                m = panel_mask(str(kind), int(p1), int(p2))
+                img = np.full(m.shape, 215, dtype=np.uint8)  # light background
+                img[m] = 45  # dark organism
+                out["sample"].append(str(s))
+                out["roi_number"].append(int(roi))
+                out["image"].append(encode_pgm(img))
+                out["width"].append(img.shape[1])
+                out["height"].append(img.shape[0])
+            yield pd.DataFrame(out)
+
+    return spec.mapInPandas(synth, schema=ROI_SCHEMA)
+
+
+# Baked from the deterministic chain over MM2_PANEL (two consecutive
+# runs bit-identical; regenerate by re-running the bake snippet in the
+# repo README if a kernel legitimately changes).  Analytic anchors:
+# disk_r12 Area 450 vs pi*12^2=452.4 (within 0.6%), Biovolume 7123.8 vs
+# sphere 4/3*pi*12^3=7238.2 (1.6%), Eccentricity→0 on disks/square;
+# rect_10x10 is segmentation-exact (Area=100, Solidity=1, Perimeter=36
+# = Benkrid weighted boundary of the true square).  The tolerance-based
+# versions of these assertions live in tests/test_multimodal_panel.py.
+MM2_SQL = """
+SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
+       Perimeter::DOUBLE AS Perimeter, Eccentricity::DOUBLE AS Eccentricity,
+       Solidity::DOUBLE AS Solidity, texture_entropy::DOUBLE AS texture_entropy,
+       Biovolume::DOUBLE AS Biovolume, BiovolumeBranch,
+       summedArea::DOUBLE AS summedArea, symmetry_b180::DOUBLE AS symmetry_b180,
+       n_phi::INT AS n_phi, n_hog::INT AS n_hog, n_ringwedge::INT AS n_ringwedge
+FROM (VALUES
+    ('disk_r6', 1, 133.0, 43.3137, 0.0, 0.9141, 0.6108, 1190.4018, 'sor', 133.0, 0.0, 7, 81, 99),
+    ('disk_r9', 2, 271.0, 58.6274, 0.2316, 0.9694, 0.3799, 3343.9636, 'sor', 271.0, 0.5652, 7, 81, 99),
+    ('disk_r12', 3, 450.0, 75.598, 0.2006, 0.9762, 0.1657, 7123.8231, 'sor', 450.0, 0.6043, 7, 81, 99),
+    ('disk_r15', 4, 697.0, 99.7401, 0.1, 0.9605, 0.04, 13559.6375, 'sor', 697.0, 0.5696, 7, 81, 99),
+    ('rect_12x5', 5, 68.0, 44.4853, 0.962, 0.6071, 0.9367, 192.8018, 'distmap', 68.0, 0.0, 7, 81, 99),
+    ('rect_18x7', 6, 92.0, 43.6569, 0.9634, 0.9738, 0.1511, 358.1416, 'sor', 92.0, 0.0, 7, 81, 99),
+    ('rect_10x10', 7, 100.0, 36.0, 0.0, 1.0, 0.0, 785.3982, 'sor', 100.0, 0.0, 7, 81, 99),
+    ('rect_24x9', 8, 168.0, 58.0, 0.9565, 1.0, 0.0, 923.6282, 'sor', 168.0, 0.0, 7, 81, 99),
+    ('ribbon_30x4', 9, 60.0, 60.0, 0.9978, 1.0, 0.0, 94.2478, 'sor', 60.0, 0.0, 7, 81, 99),
+    ('ellipse_14x6', 10, 227.0, 68.2843, 0.931, 0.9285, 0.1762, 1534.9298, 'sor', 227.0, 0.3813, 7, 81, 99),
+    ('ellipse_18x8', 11, 421.0, 87.9411, 0.9204, 0.949, 0.1491, 4043.7533, 'sor', 421.0, 0.4783, 7, 81, 99),
+    ('lshape_20x8', 12, 235.0, 85.0711, 0.8444, 0.6497, 0.6582, 1104.1764, 'distmap', 235.0, 3.5053, 7, 81, 99)
+) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, n_phi, n_hog, n_ringwedge)
+"""
+
+
+@register("mm2_real_kernel_features", MM2_SQL, survey_ref="SURVEY §2.9 U1-U12 (numpy kernel chain)")
 def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
-    (orders,) = tables(spark, sf_dir, "orders")
-    # 1-in-400 bins: the kernel MATH is pytest-verified against analytic
-    # shapes; this entry exercises the Spark plumbing (binary column →
-    # mapInPandas → typed features), so a few hundred ROIs suffice and
-    # keep the driver's correctness sweep fast.
-    bins = orders.where(F.col("o_orderkey") % 400 == 0).select(
-        F.col("o_orderkey").cast("string").alias("sample"),
-        ((F.col("o_orderkey") % 30) + 2).cast("int").alias("n_rois"),
-    )
-    rois = explode_bins_to_rois(bins)
-    # ROI-level salting before the CPU-heavy kernel chain: bins carry
-    # 2-32 ROIs each, so bin-level spread alone leaves stragglers.
-    from ..operators.multimodal import salt_skewed_bins
-
-    rois = salt_skewed_bins(rois, spark.sparkContext.defaultParallelism)
-    feats = features_from_images(rois)  # default = full U1-U12 chain
+    feats = features_from_images(panel_rois(spark))  # full U1-U12 chain
     return feats.select(
-        "sample", "roi_number", "Area", "Eccentricity", "Solidity",
-        "texture_entropy", "Biovolume", "BiovolumeBranch",
+        "sample",
+        "roi_number",
+        dround(F.col("Area"), 4).alias("Area"),
+        dround(F.col("Perimeter"), 4).alias("Perimeter"),
+        dround(F.col("Eccentricity"), 4).alias("Eccentricity"),
+        dround(F.col("Solidity"), 4).alias("Solidity"),
+        dround(F.col("texture_entropy"), 4).alias("texture_entropy"),
+        dround(F.col("Biovolume"), 4).alias("Biovolume"),
+        "BiovolumeBranch",
+        dround(F.col("summedArea"), 4).alias("summedArea"),
+        dround(F.col("symmetry_b180"), 4).alias("symmetry_b180"),
         F.size("moment_invariants").alias("n_phi"),
         F.size("hog").alias("n_hog"),
         F.size("ringwedge").alias("n_ringwedge"),

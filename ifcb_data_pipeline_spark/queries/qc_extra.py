@@ -506,23 +506,45 @@ def s6_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- U13b: nonlinear PSD fit via applyInPandas (rows-only gate) ------------
+# --- U13b: nonlinear PSD fit via applyInPandas (consistency oracle) --------
 # The reference's estimator: nonlinear curve_fit of n = a*bin^k in
-# linear space from start_fit up (vs u13's closed-form log-log OLS) —
-# iterative, so registered without an oracle; the driver records the
-# rows-only check and the estimator behavior is pytest-verified
-# (exact-power-law recovery + divergence-from-OLS on noisy data).
-@register("u13b_psd_fit_pandas", None, survey_ref="SURVEY §2.9 U13 nonlinear estimator")
-def u13b_psd_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.psd import PROFILE_PIPELINE, psd_fit_nls
+# linear space from start_fit up (vs u13's closed-form log-log OLS).
+# Driver-checkable oracle (VERDICT r3 item 3): the fit runs over
+# synthetic EXACT power-law histograms — 100 samples, a_s = 50 + 10*s,
+# k_s = -1.5 - 0.02*s, bins 15..34 — so the Gauss-Newton estimator must
+# recover the generating parameters (r² = 1) and the oracle recomputes
+# them closed-form in SQL.  An estimator regression (wrong Jacobian,
+# broken damping, bad init) breaks the recovery and the hash.  The
+# divergence-from-OLS behavior on noisy data stays pytest-verified
+# (tests/test_psd.py); u13 covers the real-table fit path with its own
+# oracle.  sf-independent by design so the oracle holds at every scale.
+U13B_SQL = """
+SELECT s::BIGINT AS sample, 20::BIGINT AS n_bins,
+       floor((50.0 + 10.0 * s) * 1000000.0 + 0.5) / 1000000.0 AS a,
+       floor((-1.5 - 0.02 * s) * 1000000.0 + 0.5) / 1000000.0 AS k,
+       1.0 AS r_sqr
+FROM unnest(range(100)) AS t(s)
+"""
 
-    (lineitem,) = tables(spark, sf_dir, "lineitem")
-    sized = lineitem.select(
-        F.col("l_suppkey").alias("sample"),
-        (F.col("l_quantity") * 30.0).alias("size_px"),
+
+@register("u13b_psd_fit_pandas", U13B_SQL, survey_ref="SURVEY §2.9 U13 nonlinear estimator")
+def u13b_psd_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.psd import psd_fit_nls
+
+    samples = spark.range(100).select(
+        F.col("id").alias("sample"),
+        (50.0 + 10.0 * F.col("id")).alias("a_true"),
+        (-1.5 - 0.02 * F.col("id")).alias("k_true"),
     )
-    hist = size_histogram(
-        sized, "sample", "size_px", bin_width=5.0, min_bin=PROFILE_PIPELINE.start_fit
+    hist = samples.select(
+        "sample",
+        F.explode(F.sequence(F.lit(15), F.lit(34))).alias("bin"),
+        "a_true",
+        "k_true",
+    ).select(
+        "sample",
+        "bin",
+        (F.col("a_true") * F.pow(F.col("bin").cast("double"), F.col("k_true"))).alias("n"),
     )
     fits = psd_fit_nls(hist)
     return fits.select(

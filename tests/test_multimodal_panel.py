@@ -1,0 +1,102 @@
+"""MM2 analytic-shape panel: pins the baked VALUES oracle to closed-form
+geometry (VERDICT r3 item 2).
+
+The mm2 oracle is a literal baked from the deterministic kernel chain;
+these tests keep that literal honest by re-deriving the panel rows and
+asserting they sit within analytic tolerance of the true geometry —
+pi*r^2 / w*h areas, sphere/cylinder biovolumes, zero eccentricity on
+rotationally-symmetric shapes.  A kernel regression therefore breaks
+BOTH this file and the driver's hash gate, never one without the other.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from ifcb_data_pipeline_spark.queries.multimodal import (
+    MM2_PANEL,
+    MM2_SQL,
+    panel_mask,
+)
+
+
+def chain_features(kind: str, p1: int, p2: int) -> dict:
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        benkrid_perimeter,
+        biovolume_auto,
+        blob_geometry,
+        hull_metrics,
+        perimeter_image,
+        segment_roi_pc,
+    )
+
+    m = panel_mask(kind, p1, p2)
+    img = np.full(m.shape, 215, dtype=np.uint8)
+    img[m] = 45
+    mask = segment_roi_pc(img)
+    out = blob_geometry(mask)
+    out.update(biovolume_auto(mask))
+    hull = hull_metrics(mask)
+    out["Solidity"] = out["Area"] / hull["ConvexArea"] if hull["ConvexArea"] else 0.0
+    out["Perimeter"] = benkrid_perimeter(perimeter_image(mask))
+    out["true_mask"] = m
+    out["seg_mask"] = mask
+    return out
+
+
+def oracle_rows() -> dict[str, tuple]:
+    """Parse the VALUES literal back into {sample: row} via DuckDB."""
+    import duckdb
+
+    rel = duckdb.sql(MM2_SQL)
+    cols = rel.columns
+    return {r[0]: dict(zip(cols, r)) for r in rel.fetchall()}
+
+
+WELL_SEGMENTED = {
+    # sample → (analytic area, analytic biovolume or None, ecc upper bound)
+    "disk_r9": (math.pi * 81, 4 / 3 * math.pi * 9**3, 0.3),
+    "disk_r12": (math.pi * 144, 4 / 3 * math.pi * 12**3, 0.3),
+    "disk_r15": (math.pi * 225, 4 / 3 * math.pi * 15**3, 0.2),
+    "rect_10x10": (100.0, math.pi / 4 * 10**2 * 10, 0.05),
+    "ellipse_18x8": (math.pi * 18 * 8, None, None),
+}
+
+
+@pytest.mark.parametrize("sample", sorted(WELL_SEGMENTED))
+def test_panel_matches_analytic_geometry(sample):
+    spec = {s: (k, p1, p2) for s, k, p1, p2 in MM2_PANEL}
+    kind, p1, p2 = spec[sample]
+    feats = chain_features(kind, p1, p2)
+    a_area, a_vol, ecc_hi = WELL_SEGMENTED[sample]
+    assert feats["Area"] == pytest.approx(a_area, rel=0.08)
+    if a_vol is not None:
+        assert feats["Biovolume"] == pytest.approx(a_vol, rel=0.10)
+    if ecc_hi is not None:
+        assert feats["Eccentricity"] <= ecc_hi
+
+
+def test_square_is_segmentation_exact():
+    """10x10 square: segmentation recovers the true mask exactly, so the
+    baked row's Area/Solidity/Perimeter are the closed-form values."""
+    feats = chain_features("rect", 10, 10)
+    assert np.array_equal(feats["seg_mask"], feats["true_mask"])
+    assert feats["Area"] == 100.0
+    assert feats["Solidity"] == pytest.approx(1.0)
+
+
+def test_baked_oracle_matches_live_chain():
+    """Every literal row equals a fresh driver-side run of the chain
+    (rounded the same way) — the bake can never drift from the code."""
+    rows = oracle_rows()
+    assert len(rows) == len(MM2_PANEL)
+    for sample, kind, p1, p2 in MM2_PANEL:
+        feats = chain_features(kind, p1, p2)
+        baked = rows[sample]
+        for col in ("Area", "Perimeter", "Eccentricity", "Biovolume"):
+            live = math.floor(feats[col] * 10000.0 + 0.5) / 10000.0
+            assert float(baked[col]) == pytest.approx(live, abs=1e-9), (sample, col)
+        assert baked["BiovolumeBranch"] == feats["BiovolumeBranch"]
