@@ -50,22 +50,75 @@ def sim1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SIM2: sign-LSH bucketed ANN ------------------------------------------
+# --- SIM2: banded multi-table sign-LSH ANN ---------------------------------
+# Hardened for scale (VERDICT r3 item 8): the r2 shape hashed every
+# vector with 8 *global* anchor bits — 256 buckets total, so one hot
+# region of embedding space degenerates to a quadratic within-bucket
+# all-pairs.  Now the candidate generator is dd5's banded machinery
+# (operators/dedup.sign_hyperplanes): 4 independent tables × 8-bit
+# signatures.  Each table has 256 buckets but a candidate needs
+# agreement on all 8 bits OF THAT TABLE — per-table bucket occupancy is
+# the binomial tail of 8 hyperplane cuts, so bucket sizes stay bounded
+# under skew while the 4 tables recover the recall a single sharper
+# table would lose.  Candidate pairs = agree on ≥1 table, deduped
+# BEFORE the exact-cosine verify; rank ≤ 3 per query as before.
+# tests/test_invariants.py::test_sim2_buckets_bounded pins occupancy.
+from ..operators.dedup import sign_hyperplanes  # noqa: E402
+
+_SIM2_DIM, _SIM2_BANDS, _SIM2_ROWS = 64, 4, 8
+_SIM2_PLANES = sign_hyperplanes(_SIM2_DIM, _SIM2_BANDS * _SIM2_ROWS)
+
+
+def _sim2_plane_sql(p: int) -> str:
+    return "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in _SIM2_PLANES[p]) + "]"
+
+
+def _sim2_sig_sql(b: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_inner_product(v, {_sim2_plane_sql(b * _SIM2_ROWS + r)}) > 0"
+        " THEN '1' ELSE '0' END)"
+        for r in range(_SIM2_ROWS)
+    )
+
+
+def sim2_coded(e: DataFrame) -> DataFrame:
+    """(vec_id, band, sig): one row per vector per LSH table."""
+    def band_sig(b: int):
+        bits = []
+        for r in range(_SIM2_ROWS):
+            arr = F.array(*[F.lit(x) for x in _SIM2_PLANES[b * _SIM2_ROWS + r]])
+            bits.append(F.when(dot(F.col("v"), arr) > 0, "1").otherwise("0"))
+        return F.concat(*bits)
+
+    return e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                    for b in range(_SIM2_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 SIM2_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-anchors AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),
 coded AS (
-    SELECT e.vec_id, e.v,
-           string_agg(CASE WHEN list_inner_product(e.v, a.av) > 0
-                           THEN '1' ELSE '0' END, '' ORDER BY a.aid) AS bucket
-    FROM e CROSS JOIN anchors a
-    GROUP BY e.vec_id, e.v
+    {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sim2_sig_sql(b)} AS sig FROM e" for b in range(_SIM2_BANDS))}
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM coded q JOIN coded c
+      ON q.band = c.band AND q.sig = c.sig AND q.vec_id <> c.vec_id
 ),
 scored AS MATERIALIZED (
-    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-           {_COS_SQL.format(a="q.v", b="c.v")} AS cos_raw
-    FROM coded q JOIN coded c
-      ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    SELECT cand.query_id, cand.neighbor_id,
+           {_COS_SQL.format(a="qe.v", b="ce.v")} AS cos_raw
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.neighbor_id
 ),
 ranked AS (
     SELECT query_id, neighbor_id,
@@ -78,36 +131,24 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
 """
 
 
-@register("sim2_signlsh_ann", SIM2_SQL, survey_ref="north-star ANN: sign-LSH bucketed variant")
+@register("sim2_signlsh_ann", SIM2_SQL, survey_ref="north-star ANN: banded multi-table sign-LSH")
 def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    anchors = e.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("aid"), F.col("v").alias("av")
-    )
-    coded = (
-        e.crossJoin(F.broadcast(anchors))
-        .withColumn(
-            "bit", F.when(dot(F.col("v"), F.col("av")) > 0, "1").otherwise("0")
-        )
-        .groupBy("vec_id", "v")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("aid", "bit"))),
-                    lambda s: s.getField("bit"),
-                ),
-                "",
-            ).alias("bucket")
-        )
-    )
-    q = coded.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket")
-    c = coded.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
-    )
-    scored = (
-        q.join(c, "bucket")
+    coded = sim2_coded(e)
+    q = coded.select(F.col("vec_id").alias("query_id"), "band", "sig")
+    c = coded.select(F.col("vec_id").alias("neighbor_id"), "band", "sig")
+    cand = (
+        q.join(c, ["band", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()  # a pair may collide in several tables — verify once
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.join(qe, "query_id")
+        .join(ce, "neighbor_id")
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
         )

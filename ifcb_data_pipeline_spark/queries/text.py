@@ -182,11 +182,14 @@ def tx5_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "token"])
     )
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    # Scale (VERDICT r3 item 5): never rank the whole vocabulary through
+    # a global window — orderBy().limit(50) is a distributed TopK
+    # (per-partition TakeOrdered + final merge of 50-row heaps), and only
+    # the 50 survivors pass through the rank window (same pattern as
+    # tx9's pair ranking, text.py tx9).
+    top = df.orderBy(F.col("doc_freq").desc(), F.col("token")).limit(50)
     w = Window.orderBy(F.col("doc_freq").desc(), F.col("token"))
-    return (
-        df.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= 50)
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 
 # --- SP1: deterministic train/test split -----------------------------------

@@ -103,6 +103,16 @@ def w4_newest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference: Rmd:1357 (arrange(desc(verification), sample, class)).  The
 # driver's compare is order-insensitive, so the ordering is materialized
 # into a row_number column.
+#
+# Scale (VERDICT r3 item 4): a global Window.orderBy + row_number is the
+# textbook single-partition WindowExec killer.  The rank is total-order
+# by construction (the key tuple is unique), so compute it distributed:
+# range-partition on the sort keys (the same sampled-boundary exchange a
+# distributed orderBy uses), row_number WITHIN each range partition,
+# then add each partition's global offset — a cumsum over the tiny
+# per-partition counts frame (≤ parallelism rows), broadcast back.  The
+# only unpartitioned window runs over that counts frame, never the fact.
+# tests/test_physical_plans.py::test_o1_rank_is_distributed pins this.
 O1_SQL = """
 SELECT o_orderkey, o_orderpriority, o_totalprice,
        row_number() OVER (
@@ -116,13 +126,45 @@ WHERE o_totalprice > 400000
 @register("o1_multi_key_sort", O1_SQL, survey_ref="SURVEY §2.7 O1; Rmd:1357")
 def o1_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orders,) = tables(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_orderpriority").desc(), F.col("o_totalprice").desc(), F.col("o_orderkey")
+    keys = [
+        F.col("o_orderpriority").desc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey"),
+    ]
+    filtered = orders.where(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+    n_part = spark.sparkContext.defaultParallelism
+    # One range-partitioning exchange gives a total order across
+    # partitions; spark_partition_id() is then monotone in the sort
+    # order, so global_rank = within-partition row_number + offset.
+    ranged = filtered.repartitionByRange(n_part, *keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # cumsum over ≤ n_part rows — the bounded-frame exception, same
+    # pattern as the p1 boundary stitch.
+    offsets = counts.select(
+        "__pid",
+        (
+            F.coalesce(
+                F.sum("__n").over(
+                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("__offset"),
+    )
+    within = Window.partitionBy("__pid").orderBy(*keys)
     return (
-        orders.where(F.col("o_totalprice") > 400000)
-        .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
+        ranged.withColumn("__rn", F.row_number().over(within))
+        .join(F.broadcast(offsets), "__pid")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            (F.col("__rn") + F.col("__offset")).cast("long").alias("rank"),
+        )
     )
 
 

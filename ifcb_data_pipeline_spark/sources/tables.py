@@ -32,9 +32,15 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # The events table carries TIMESTAMP(NANOS) which the vectorized parquet
-    # reader rejects; read nanos as long and floor-convert to microseconds
-    # (DuckDB's TIMESTAMP_NS → TIMESTAMP cast floors identically).
+    # events.ts physical type varies by driver generation: currently
+    # TIMESTAMP(MICROS) (reads directly; the branch below is a no-op), but
+    # earlier rounds shipped TIMESTAMP(NANOS), which the vectorized reader
+    # rejects outright.  The nanosAsLong conf + bigint branch keep the
+    # engine working on that variant: nanos surface as bigint and are
+    # floor-converted to micros (DuckDB's TIMESTAMP_NS → TIMESTAMP cast
+    # floors identically, so the oracles agree).  Harmless for micros data
+    # — the conf only affects NANOS columns and the branch only fires when
+    # ts scans as bigint.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:

@@ -150,3 +150,29 @@ def test_ivf_nprobe_recall_monotone(spark, sf_dir):
         return hits / total
 
     assert recall(p2) >= recall(p1)
+
+
+def test_sim2_buckets_bounded(spark, sf_dir):
+    """sim2's banded sign-LSH must keep per-table bucket occupancy
+    bounded (the scale contract of the r4 rewrite): no single (band,
+    sig) bucket may hold more than 10% of the corpus, and the deduped
+    candidate-pair count must stay far below all-pairs — the properties
+    that prevent a quadratic within-bucket blowup under skew."""
+    from ifcb_data_pipeline_spark.queries.similarity import sim2_coded
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    coded = sim2_coded(e)
+    max_bucket = (
+        coded.groupBy("band", "sig").count().agg(F.max("count")).first()[0]
+    )
+    assert max_bucket <= max(8, n * 0.10), f"hot bucket: {max_bucket} of {n}"
+    q = coded.select(F.col("vec_id").alias("a"), "band", "sig")
+    c = coded.select(F.col("vec_id").alias("b"), "band", "sig")
+    cand = (
+        q.join(c, ["band", "sig"]).where(F.col("a") != F.col("b"))
+        .select("a", "b").dropDuplicates().count()
+    )
+    assert cand <= 0.05 * n * (n - 1), f"candidate pairs {cand} ~ all-pairs ({n})"

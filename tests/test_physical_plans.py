@@ -102,6 +102,27 @@ def test_no_hint_on_raw_fact_scan(spark, sf_dir, name):
         )
 
 
+def test_o1_rank_is_distributed(spark, sf_dir):
+    """o1's total-order rank must never run an unpartitioned Window over
+    the fact table: the fact-side row_number is partitioned by the range
+    partition id, and the only SinglePartition exchange allowed is the
+    cumsum over the tiny per-partition counts frame (≤ parallelism rows)."""
+    plan = plan_of(spark, "o1_multi_key_sort", sf_dir)
+    assert "rangepartitioning(o_orderpriority" in plan, (
+        "o1 lost its range-partitioning exchange"
+    )
+    assert "hashpartitioning(__pid" in plan, "fact-side window not partitioned by __pid"
+    assert plan.count("SinglePartition") <= 1, "unpartitioned window over the fact table"
+
+
+def test_tx5_topk_before_rank(spark, sf_dir):
+    """tx5 must select the 50 survivors with a distributed TopK
+    (TakeOrderedAndProject) BEFORE its rank window — the global window
+    only ever sees 50 rows, never the whole vocabulary."""
+    plan = plan_of(spark, "tx5_vocabulary", sf_dir)
+    assert "TakeOrderedAndProject" in plan, "tx5 lost its distributed TopK"
+
+
 def test_p1_window_is_partitioned(spark, sf_dir):
     """The bubble-adjacency window must run partitioned by sample_date
     (boundary-stitch pattern) — the only SinglePartition exchange allowed
