@@ -17,16 +17,21 @@ fixture bytes in ``tests/hdf5_fixture.py``):
 * root group via v1 B-tree + local heap + SNOD symbol-table nodes
   (one level; nested groups out of scope)
 * contiguous data layout (layout message v3)
+* chunked data layout (layout message v3 class 2) via the v1 raw-data
+  B-tree, with the deflate/gzip filter (id 1) — the layout real CNN
+  score files use (h5 writers chunk+deflate by default,
+  ``convert_h5_to_irfcb_format.R:48-65``); edge chunks are clipped
 * fixed-point, IEEE floating-point and fixed-length string datatypes
 
-No chunking, no compression, no variable-length types, no superblock
-v2+ — files outside the subset raise :class:`Hdf5LiteError` so callers
-can fall back to the injected h5py parser.
+No non-deflate filters, no variable-length types, no superblock v2+ —
+files outside the subset raise :class:`Hdf5LiteError` so callers can
+fall back to the injected h5py parser.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -37,8 +42,11 @@ MSG_NIL = 0x0000
 MSG_DATASPACE = 0x0001
 MSG_DATATYPE = 0x0003
 MSG_LAYOUT = 0x0008
+MSG_FILTER_PIPELINE = 0x000B
 MSG_CONTINUATION = 0x0010
 MSG_SYMBOL_TABLE = 0x0011
+
+FILTER_DEFLATE = 1
 
 
 class Hdf5LiteError(ValueError):
@@ -121,14 +129,100 @@ def _datatype(body: bytes) -> np.dtype:
     raise Hdf5LiteError(f"datatype class {cls} unsupported (subset: int/float/str)")
 
 
-def _layout(body: bytes) -> tuple[int, int]:
+def _layout(body: bytes):
+    """('contiguous', addr, nbytes) or ('chunked', btree_addr, chunk_dims).
+
+    Chunked (v3 class 2) body: dimensionality (= rank+1, the trailing
+    entry being the element size), the chunk B-tree address, then that
+    many 4-byte chunk dimensions."""
     version = body[0]
     if version != 3:
         raise Hdf5LiteError(f"layout message v{version} unsupported")
     lclass = body[1]
-    if lclass != 1:
-        raise Hdf5LiteError("non-contiguous layout unsupported (subset: contiguous)")
-    return _u(body, 2, 8), _u(body, 10, 8)
+    if lclass == 1:
+        return "contiguous", _u(body, 2, 8), _u(body, 10, 8)
+    if lclass == 2:
+        ndims = body[2]
+        btree = _u(body, 3, 8)
+        dims = tuple(_u(body, 11 + 4 * i, 4) for i in range(ndims))
+        return "chunked", btree, dims[:-1]  # drop the element-size entry
+    raise Hdf5LiteError("layout class unsupported (subset: contiguous/chunked)")
+
+
+def _filters(body: bytes) -> list[int]:
+    """Filter ids from a v1 filter-pipeline message, in pipeline order."""
+    version, nfilters = body[0], body[1]
+    if version != 1:
+        raise Hdf5LiteError(f"filter pipeline v{version} unsupported")
+    ids, off = [], 8
+    for _ in range(nfilters):
+        fid = _u(body, off, 2)
+        name_len = _u(body, off + 2, 2)
+        n_client = _u(body, off + 6, 2)
+        off += 8 + name_len + 4 * n_client
+        if n_client % 2:  # odd client-value count pads to 8 bytes
+            off += 4
+        ids.append(fid)
+    return ids
+
+
+def _chunk_entries(buf: bytes, addr: int, rank: int) -> list[tuple[int, int, tuple[int, ...], int]]:
+    """(stored nbytes, filter mask, chunk offsets, data address) for every
+    chunk under a v1 raw-data B-tree node, recursing through levels."""
+    if buf[addr : addr + 4] != b"TREE":
+        raise Hdf5LiteError("bad chunk B-tree signature")
+    node_type, level = buf[addr + 4], buf[addr + 5]
+    if node_type != 1:
+        raise Hdf5LiteError("not a raw-data chunk B-tree node")
+    n = _u(buf, addr + 6, 2)
+    key_size = 8 + 8 * (rank + 1)  # size+mask, then rank+1 8-byte offsets
+    out: list[tuple[int, int, tuple[int, ...], int]] = []
+    off = addr + 24
+    for _ in range(n):
+        nbytes = _u(buf, off, 4)
+        mask = _u(buf, off + 4, 4)
+        offsets = tuple(_u(buf, off + 8 + 8 * i, 8) for i in range(rank))
+        child = _u(buf, off + key_size, 8)
+        if level > 0:
+            out.extend(_chunk_entries(buf, child, rank))
+        else:
+            out.append((nbytes, mask, offsets, child))
+        off += key_size + 8
+    return out
+
+
+def _read_chunked(
+    buf: bytes,
+    btree_addr: int,
+    chunk_dims: tuple[int, ...],
+    dims: tuple[int, ...],
+    dtype: np.dtype,
+    filters: list[int],
+) -> np.ndarray:
+    for fid in filters:
+        if fid != FILTER_DEFLATE:
+            raise Hdf5LiteError(f"filter id {fid} unsupported (subset: deflate)")
+    out = np.zeros(dims, dtype=dtype)
+    if btree_addr == UNDEFINED:
+        return out  # no chunks written: fill value (zeros)
+    rank = len(dims)
+    csize = int(np.prod(chunk_dims)) * dtype.itemsize
+    for nbytes, mask, offsets, child in _chunk_entries(buf, btree_addr, rank):
+        raw = bytes(buf[child : child + nbytes])
+        # bit i of the mask EXCLUDES filter i for this chunk
+        if FILTER_DEFLATE in filters and not (mask & 1):
+            raw = zlib.decompress(raw)
+        if len(raw) < csize:
+            raise Hdf5LiteError("chunk smaller than chunk size after filters")
+        chunk = np.frombuffer(raw, dtype=dtype, count=int(np.prod(chunk_dims)))
+        chunk = chunk.reshape(chunk_dims)
+        # clip the edge chunks to the dataspace
+        dest = tuple(
+            slice(o, min(o + c, d)) for o, c, d in zip(offsets, chunk_dims, dims)
+        )
+        src = tuple(slice(0, s.stop - s.start) for s in dest)
+        out[dest] = chunk[src]
+    return out
 
 
 def _heap_string(buf: bytes, heap_addr: int, name_off: int) -> str:
@@ -202,6 +296,7 @@ def read_hdf5(buf: bytes) -> dict[str, np.ndarray]:
     out: dict[str, np.ndarray] = {}
     for name, ohdr in _group_entries(buf, btree_addr, heap_addr):
         dims = dtype = layout = None
+        filters: list[int] = []
         for mtype, body in _messages(buf, ohdr):
             if mtype == MSG_DATASPACE:
                 dims = _dataspace(body)
@@ -209,9 +304,17 @@ def read_hdf5(buf: bytes) -> dict[str, np.ndarray]:
                 dtype = _datatype(body)
             elif mtype == MSG_LAYOUT:
                 layout = _layout(body)
+            elif mtype == MSG_FILTER_PIPELINE:
+                filters = _filters(body)
         if dims is None or dtype is None or layout is None:
             continue  # a sub-group or non-dataset object: skip
-        addr, nbytes = layout
+        if layout[0] == "chunked":
+            _, chunk_btree, chunk_dims = layout
+            out[name] = _read_chunked(buf, chunk_btree, chunk_dims, dims, dtype, filters)
+            continue
+        _, addr, nbytes = layout
+        if filters:
+            raise Hdf5LiteError("filters on contiguous layout unsupported")
         count = int(np.prod(dims)) if dims else 1
         if addr == UNDEFINED or count == 0:
             out[name] = np.empty(dims, dtype=dtype)

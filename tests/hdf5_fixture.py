@@ -10,7 +10,9 @@ HDF5, only scan it (S5).
 
 from __future__ import annotations
 
+import itertools
 import struct
+import zlib
 
 import numpy as np
 
@@ -59,12 +61,95 @@ def _dataset_header(shape: tuple[int, ...], dt: np.dtype, data_addr: int, nbytes
     return hdr + msgs
 
 
-def write_hdf5(datasets: dict[str, np.ndarray]) -> bytes:
-    """Serialize {name: array} as a flat HDF5 file within the subset."""
+def _dataset_header_chunked(
+    shape: tuple[int, ...],
+    dt: np.dtype,
+    btree_addr: int,
+    chunk_shape: tuple[int, ...],
+    gzip_level: int,
+) -> bytes:
+    """v1 object header for a chunked+deflate dataset: dataspace,
+    datatype, filter pipeline (deflate, one client value = level), and a
+    v3 class-2 layout pointing at the chunk B-tree."""
+    space = struct.pack("<BB6x", 1, len(shape)) + b"".join(
+        struct.pack("<Q", d) for d in shape
+    )
+    filt = (
+        struct.pack("<BB6x", 1, 1)
+        + struct.pack("<HHHH", 1, 0, 0, 1)  # id=deflate, no name, 1 value
+        + struct.pack("<I", gzip_level)
+        + b"\x00" * 4  # odd client-value count pads to 8
+    )
+    layout = (
+        struct.pack("<BBB", 3, 2, len(shape) + 1)
+        + struct.pack("<Q", btree_addr)
+        + b"".join(struct.pack("<I", c) for c in chunk_shape)
+        + struct.pack("<I", dt.itemsize)
+    )
+    msgs = (
+        _message(0x0001, space)
+        + _message(0x0003, _datatype_msg(dt))
+        + _message(0x000B, filt)
+        + _message(0x0008, layout)
+    )
+    hdr = struct.pack("<BxHII4x", 1, 4, 1, len(msgs))
+    return hdr + msgs
+
+
+def _chunk_blobs(
+    a: np.ndarray, chunk_shape: tuple[int, ...], gzip_level: int
+) -> list[tuple[tuple[int, ...], bytes]]:
+    """(chunk offsets, deflate blob) per chunk; edge chunks zero-padded
+    to the full chunk shape, as real writers store them."""
+    grid = [range(0, d, c) for d, c in zip(a.shape, chunk_shape)]
+    out = []
+    for offs in itertools.product(*grid):
+        full = np.zeros(chunk_shape, dtype=a.dtype)
+        src = tuple(
+            slice(o, min(o + c, d)) for o, c, d in zip(offs, chunk_shape, a.shape)
+        )
+        full[tuple(slice(0, s.stop - s.start) for s in src)] = a[src]
+        out.append((offs, zlib.compress(full.tobytes(), gzip_level)))
+    return out
+
+
+def _chunk_btree(
+    blobs: list[tuple[tuple[int, ...], bytes]],
+    rank: int,
+    data_addrs: list[int],
+) -> bytes:
+    """One level-0 v1 raw-data B-tree node covering every chunk."""
+    key_size = 8 + 8 * (rank + 1)
+    bt = b"TREE" + bytes([1, 0]) + struct.pack("<H", len(blobs))
+    bt += struct.pack("<QQ", UNDEF, UNDEF)
+    for (offs, blob), addr in zip(blobs, data_addrs):
+        bt += struct.pack("<II", len(blob), 0)  # stored size, filter mask
+        bt += b"".join(struct.pack("<Q", o) for o in offs) + struct.pack("<Q", 0)
+        bt += struct.pack("<Q", addr)
+    bt += b"\x00" * key_size  # the trailing (n+1)-th key
+    return bt
+
+
+def chunk_btree_size(n_chunks: int, rank: int) -> int:
+    key_size = 8 + 8 * (rank + 1)
+    return 24 + n_chunks * (key_size + 8) + key_size
+
+
+def write_hdf5(
+    datasets: dict[str, np.ndarray],
+    chunks: dict[str, tuple[int, ...]] | None = None,
+    gzip_level: int = 6,
+) -> bytes:
+    """Serialize {name: array} as a flat HDF5 file within the subset.
+
+    Datasets named in ``chunks`` are written chunked+deflate (v1 chunk
+    B-tree, zero-padded edge chunks) — the layout real h5 writers emit;
+    the rest stay contiguous."""
     arrays = {
         name: np.ascontiguousarray(a) for name, a in datasets.items()
     }
     names = list(arrays)
+    chunks = chunks or {}
 
     # ---- local heap data segment: names, null-terminated, 8-aligned;
     # offset 0 reserved (an 8-byte free-block stub, as real files do).
@@ -89,16 +174,35 @@ def write_hdf5(datasets: dict[str, np.ndarray]) -> bytes:
     btree_at = heap_data_at + len(heap_data)
     snod_at = btree_at + btree_size
 
-    # dataset object headers, then raw data
+    # dataset object headers, then raw data (chunked: B-tree then blobs)
+    blobs: dict[str, list[tuple[tuple[int, ...], bytes]]] = {
+        n: _chunk_blobs(arrays[n], chunks[n], gzip_level) for n in chunks
+    }
     ds_hdr_at: dict[str, int] = {}
     cursor = snod_at + snod_size
     for n in names:
         ds_hdr_at[n] = cursor
-        cursor += len(_dataset_header(arrays[n].shape, arrays[n].dtype, 0, 0))
+        if n in chunks:
+            cursor += len(
+                _dataset_header_chunked(
+                    arrays[n].shape, arrays[n].dtype, 0, chunks[n], gzip_level
+                )
+            )
+        else:
+            cursor += len(_dataset_header(arrays[n].shape, arrays[n].dtype, 0, 0))
     data_at: dict[str, int] = {}
+    blob_at: dict[str, list[int]] = {}
     for n in names:
         data_at[n] = cursor
-        cursor += _align(arrays[n].nbytes)
+        if n in chunks:
+            cursor += chunk_btree_size(len(blobs[n]), arrays[n].ndim)
+            addrs = []
+            for _, blob in blobs[n]:
+                addrs.append(cursor)
+                cursor += _align(len(blob))
+            blob_at[n] = addrs
+        else:
+            cursor += _align(arrays[n].nbytes)
     eof = cursor
 
     out = bytearray(eof)
@@ -137,9 +241,19 @@ def write_hdf5(datasets: dict[str, np.ndarray]) -> bytes:
 
     for n in names:
         a = arrays[n]
-        hdr = _dataset_header(a.shape, a.dtype, data_at[n], _align(a.nbytes))
-        out[ds_hdr_at[n] : ds_hdr_at[n] + len(hdr)] = hdr
-        raw = a.tobytes()
-        out[data_at[n] : data_at[n] + len(raw)] = raw
+        if n in chunks:
+            hdr = _dataset_header_chunked(
+                a.shape, a.dtype, data_at[n], chunks[n], gzip_level
+            )
+            out[ds_hdr_at[n] : ds_hdr_at[n] + len(hdr)] = hdr
+            bt = _chunk_btree(blobs[n], a.ndim, blob_at[n])
+            out[data_at[n] : data_at[n] + len(bt)] = bt
+            for (_, blob), addr in zip(blobs[n], blob_at[n]):
+                out[addr : addr + len(blob)] = blob
+        else:
+            hdr = _dataset_header(a.shape, a.dtype, data_at[n], _align(a.nbytes))
+            out[ds_hdr_at[n] : ds_hdr_at[n] + len(hdr)] = hdr
+            raw = a.tobytes()
+            out[data_at[n] : data_at[n] + len(raw)] = raw
 
     return bytes(out)

@@ -476,3 +476,71 @@ def test_h5_class_scan_hermetic(spark, tmp_path):
     assert [r["class_name"] for r in rows] == ["Beta", "Alpha"]  # argmax per row
     assert rows[0]["sample"] == "D20240105T000000_IFCB1"
     assert rows[0]["output_scores"] == list(map(np.float32, [0.1, 0.8, 0.1]))
+
+
+def test_hdf5_lite_chunked_deflate_roundtrip():
+    """Chunked + gzip datasets (the layout real CNN score writers emit,
+    convert_h5_to_irfcb_format.R:48-65) come back byte-exact, including
+    zero-padded edge chunks clipped to the dataspace and mixed
+    chunked/contiguous files."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.sources.hdf5_lite import read_hdf5
+    from tests.hdf5_fixture import write_hdf5
+
+    rng = np.random.default_rng(11)
+    scores = rng.random((37, 5)).astype("float32")  # 37 rows: ragged edge
+    rois = np.arange(1, 38, dtype="int32")
+    data = {
+        "output_scores": scores,
+        "roi_numbers": rois,
+        "thresholds": np.array([0.5, 0.6, 0.7, 0.8, 0.9], dtype="float64"),
+    }
+    buf = write_hdf5(
+        data, chunks={"output_scores": (16, 5), "roi_numbers": (10,)}
+    )
+    out = read_hdf5(buf)
+    assert set(out) == set(data)
+    np.testing.assert_array_equal(out["output_scores"], scores)
+    assert out["output_scores"].dtype == np.float32
+    np.testing.assert_array_equal(out["roi_numbers"], rois)
+    np.testing.assert_array_equal(out["thresholds"], data["thresholds"])
+
+
+def test_hdf5_lite_rejects_non_deflate_filter():
+    import numpy as np
+    import pytest as _pytest
+
+    from ifcb_data_pipeline_spark.sources.hdf5_lite import Hdf5LiteError, read_hdf5
+    from tests.hdf5_fixture import write_hdf5
+
+    buf = bytearray(write_hdf5({"x": np.arange(64, dtype="int32")}, chunks={"x": (16,)}))
+    # flip the pipeline's filter id (deflate=1) to shuffle (=2)
+    idx = buf.index(bytes([1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0]))
+    buf[idx + 8] = 2
+    with _pytest.raises(Hdf5LiteError):
+        read_hdf5(bytes(buf))
+
+
+def test_h5_class_scan_chunked(spark, tmp_path):
+    """S5 end-to-end over a chunked+deflate score file — the production
+    layout — with no injected parser."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.sources.binary_formats import h5_class_scan
+    from tests.hdf5_fixture import write_hdf5
+
+    scores = np.array([[0.1, 0.8, 0.1], [0.6, 0.2, 0.2], [0.2, 0.3, 0.5]], dtype="float32")
+    buf = write_hdf5(
+        {
+            "output_scores": scores,
+            "roi_numbers": np.array([1, 2, 3], dtype="int32"),
+            "class_name": np.array([b"Alpha", b"Beta", b"Gamma"], dtype="S5"),
+            "thresholds": np.array([0.5, 0.5, 0.5], dtype="float32"),
+        },
+        chunks={"output_scores": (2, 3), "roi_numbers": (2,)},
+    )
+    (tmp_path / "D20240106T000000_IFCB1.h5").write_bytes(buf)
+    rows = h5_class_scan(spark, str(tmp_path)).orderBy("roi_number").collect()
+    assert [r["roi_number"] for r in rows] == [1, 2, 3]
+    assert [r["class_name"] for r in rows] == ["Beta", "Alpha", "Gamma"]
