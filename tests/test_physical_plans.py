@@ -135,7 +135,13 @@ def test_p1_window_is_partitioned(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["j4_asof_join", "j4b_asof_backward", "dd2_minhash_lsh", "dd5_embedding_cosine_dup"],
+    [
+        "j4_asof_join",
+        "j4b_asof_backward",
+        "dd2_minhash_lsh",
+        "dd5_embedding_cosine_dup",
+        "sim2_signlsh_ann",
+    ],
 )
 def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
     """The as-of join and LSH candidate join must stay hash/sort-merge —
