@@ -620,3 +620,115 @@ def st3_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("w.end") <= F.col("mx") - F.expr("INTERVAL 30 minutes"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
+
+
+# --- ST4: stream-stream interval join (click → purchase attribution) -------
+# The remaining Structured Streaming pattern of SURVEY §2.10's brief:
+# two watermarked streams inner-joined on an equi key plus an event-time
+# range (purchase within 2 h after the click).  Both sides carry 1-hour
+# watermarks so the join state is bounded by watermark + range — the
+# 100 TB contract (state ~ |2 h of keys|, not the stream history).  The
+# availableNow drain over the single events file is one micro-batch, so
+# the inner-join output is complete and deterministic — hence the exact
+# SQL twin.  Falls back to the identical batch interval join if the
+# stream cannot drain in budget.
+ST4_SQL = """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id AS user_id,
+       date_diff('second', c.ts::TIMESTAMP, p.ts::TIMESTAMP)::BIGINT
+           AS lag_seconds
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL '2 hours'
+"""
+
+
+@register("st4_stream_stream_join", ST4_SQL, survey_ref="SURVEY §2.10; watermarked stream-stream interval join")
+def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "events")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+
+    def stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+
+    clicks = (
+        stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = p_user_id"
+            " AND purchase_ts > click_ts"
+            " AND purchase_ts <= click_ts + INTERVAL 2 hours"
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+        ).alias("lag_seconds"),
+    )
+    query = (
+        joined.writeStream.format("memory")
+        .queryName("st4_attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(60)
+    query.stop()
+    if finished:
+        return spark.table("st4_attribution")
+    # Batch fallback: the identical interval join.
+    (events,) = tables(spark, sf_dir, "events")
+    c = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    p = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return (
+        c.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") > F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 2 hours")),
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            (
+                F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
+            ).alias("lag_seconds"),
+        )
+    )

@@ -30,7 +30,6 @@ fall back to the injected h5py parser.
 
 from __future__ import annotations
 
-import struct
 import zlib
 
 import numpy as np
