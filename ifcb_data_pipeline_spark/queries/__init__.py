@@ -94,11 +94,15 @@ PREFIX_ORDER = [
     # never driver-checked: profiling tail
     "dp3_categorical_profile",
     "dp4_domain_mixture",
-    # never driver-checked: multimodal/streaming tail
+    # never driver-checked: multimodal/streaming tail (st4/st5 are new
+    # this round — they take two refresh slots so the whole registry has
+    # a driver row after r4; the displaced o6/o7 entries keep r2 rows)
     "mm3_resize_normalize",
     "mm4_video_frame_sample",
     "st2_stateful_user_counts",
     "st3_watermarked_append",
+    "st4_stream_stream_join",
+    "st5_streaming_dedup",
     # refresh: r2-green filters (f1/f6/f11 are r3-green, stay behind)
     "f3_blacklist_prefix_anti",
     "f4_flag_removal",
@@ -123,9 +127,7 @@ PREFIX_ORDER = [
     "o3_union_by_name",
     "o5_split_apply_union",
     "o6_pivot_wider",
-    "o6_pivot_longer",
     "o7_set_intersect",
-    "o7_set_except",
 ]
 
 

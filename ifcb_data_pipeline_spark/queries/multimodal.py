@@ -732,3 +732,59 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lag_seconds"),
         )
     )
+
+
+# --- ST5: streaming dedup via dropDuplicatesWithinWatermark ----------------
+# Bridges the dedup family into Structured Streaming: an at-least-once
+# upstream (simulated by unioning two identical streams of the events
+# file, so every event arrives exactly twice) deduped on event_id with
+# bounded state — dropDuplicatesWithinWatermark keeps a key only until
+# the watermark passes it, the 100 TB contract (state ~ |1 h of keys|,
+# not the stream history; plain dropDuplicates would grow forever).
+# Both copies of an event are identical, so the surviving row set is
+# deterministic and equals the distinct source — the exact SQL twin.
+ST5_SQL = """
+SELECT event_id, event_type,
+       floor(value * 10000.0 + 0.5) / 10000.0 AS value
+FROM events
+"""
+
+
+@register("st5_streaming_dedup", ST5_SQL, survey_ref="SURVEY §2.10 + dedup family; bounded-state streaming dedup")
+def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables(spark, sf_dir, "events")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+
+    def stream():
+        return (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+
+    doubled = stream().union(stream()).withWatermark("ts", "1 hour")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "event_type", dround(F.col("value"), 4).alias("value")
+    )
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("st5_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = query.awaitTermination(60)
+    query.stop()
+    if finished:
+        return spark.table("st5_dedup")
+    # Batch fallback: the identical distinct-by-key result.
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.unionByName(events)
+        .dropDuplicates(["event_id"])
+        .select("event_id", "event_type", dround(F.col("value"), 4).alias("value"))
+    )
