@@ -316,3 +316,39 @@ def sp4_mixture_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "copy_idx")
     )
+
+
+# --- DP5: pairwise correlation matrix (single scan) ------------------------
+# The feature-correlation pass of a data card: Pearson r for every pair
+# of numeric columns, all six pairs fused into ONE wide aggregate over
+# ONE scan (the dp1 rule) and unpivoted to tidy (col_a, col_b, r) rows.
+# At 100 TB this is a pure map-side pass + one 1-row reduce — a
+# correlation matrix never justifies per-pair jobs.
+_DP5_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_DP5_PAIRS = [
+    (a, b) for i, a in enumerate(_DP5_COLS) for b in _DP5_COLS[i + 1 :]
+]
+
+DP5_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b,"
+    f" floor(corr({a}, {b}) * 1000000.0 + 0.5) / 1000000.0 AS r"
+    " FROM lineitem"
+    for a, b in _DP5_PAIRS
+)
+
+
+@register("dp5_correlation_matrix", DP5_SQL, survey_ref="north-star: feature-correlation profile (single scan)")
+def dp5_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    wide = lineitem.agg(
+        *[
+            dround(F.corr(a, b), 6).alias(f"__r_{i}")
+            for i, (a, b) in enumerate(_DP5_PAIRS)
+        ]
+    )
+    stack = ", ".join(
+        f"'{a}', '{b}', __r_{i}" for i, (a, b) in enumerate(_DP5_PAIRS)
+    )
+    return wide.selectExpr(
+        f"stack({len(_DP5_PAIRS)}, {stack}) AS (col_a, col_b, r)"
+    )

@@ -176,6 +176,13 @@ def test_dp1_profile_is_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, "dp1 re-scans lineitem per column"
 
 
+def test_dp5_correlations_single_scan(spark, sf_dir):
+    """dp5 computes all six pairwise correlations from ONE lineitem scan
+    (fused wide agg + stack) — per-pair scans mean the fuse regressed."""
+    plan = plan_of(spark, "dp5_correlation_matrix", sf_dir)
+    assert plan.count("Scan parquet") <= 2, "dp5 re-scans lineitem per pair"
+
+
 def test_rollup_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, "a1_biovolume_rollup", sf_dir)
     assert plan.count("HashAggregate") >= 2  # partial + final
