@@ -91,9 +91,13 @@ PREFIX_ORDER = [
     "tx8_pii_scrub",
     "tx9_bpe_pair_merge",
     "tx10_tfidf_top_terms",
-    # never driver-checked: profiling tail
+    # never driver-checked: profiling + ANN additions (dp5/sim8 are new
+    # this round, taking the o6_pivot_wider / o7_set_intersect refresh
+    # slots — those keep their r2-green rows)
     "dp3_categorical_profile",
     "dp4_domain_mixture",
+    "dp5_correlation_matrix",
+    "sim8_kmeans_refine",
     # never driver-checked: multimodal/streaming tail (st4/st5 are new
     # this round — they take two refresh slots so the whole registry has
     # a driver row after r4; the displaced o6/o7 entries keep r2 rows)
@@ -126,8 +130,6 @@ PREFIX_ORDER = [
     "w4_newest_topk",
     "o3_union_by_name",
     "o5_split_apply_union",
-    "o6_pivot_wider",
-    "o7_set_intersect",
 ]
 
 

@@ -448,3 +448,93 @@ def sim7_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         dround(F.col("cos_sim"), 6).alias("cos_sim"),
     )
+
+
+# --- SIM8: distributed k-means refinement (Lloyd iterations) ---------------
+# The learned coarse quantizer the IVF family (sim3-sim5) plugs into:
+# two Lloyd iterations from a deterministic seed (the first K corpus
+# vectors), each iteration = assign (broadcast centroids, d² in the
+# shared expanded form) + per-cell mean (posexplode two-phase avg).
+# Per-iteration centroids are floor-rounded to 6 decimals in BOTH
+# engines, so the iteration trajectories stay in lockstep and the final
+# quantizer is hash-comparable.  The Spark loop is plan composition,
+# not driver iteration: 2 shuffles total, centroid frames stay
+# broadcast-sized — k-means over 100 TB is ITERS passes over the
+# corpus, never corpus² work.
+_SIM8_K, _SIM8_ITERS = 8, 2
+
+
+def _sim8_cent_arrays(cent0: DataFrame) -> DataFrame:
+    """(label, dim, c) → (label, cv array) in dim order."""
+    return cent0.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", F.col("c")))),
+            lambda s: s.getField("c"),
+        ).alias("cv")
+    )
+
+
+_SIM8_D2 = (
+    "(list_inner_product(e.v, e.v) - 2 * list_inner_product(e.v, c.cv)"
+    " + list_inner_product(c.cv, c.cv))"
+)
+
+
+def _sim8_iter_sql(i: int, prev: str) -> str:
+    return f"""
+d{i} AS (
+    SELECT e.vec_id, e.v, c.label, {_SIM8_D2} AS d2
+    FROM e CROSS JOIN {prev} c
+),
+a{i} AS (
+    SELECT vec_id, v, label AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, label) AS rn
+        FROM d{i}
+    ) WHERE rn = 1
+),
+cent{i}0 AS (
+    SELECT cell AS label, (t.i - 1)::INT AS dim,
+           floor(avg(v[t.i]) * 1000000.0 + 0.5) / 1000000.0 AS c
+    FROM a{i}, unnest(range(1, len(v) + 1)) AS t(i)
+    GROUP BY cell, t.i
+),
+cent{i} AS (SELECT label, list(c ORDER BY dim) AS cv FROM cent{i}0 GROUP BY label)"""
+
+
+SIM8_SQL = (
+    f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent0 AS (SELECT vec_id AS label, v AS cv FROM e WHERE vec_id < {_SIM8_K}),"""
+    + ",".join(
+        _sim8_iter_sql(i, f"cent{i - 1}" if i > 1 else "cent0")
+        for i in range(1, _SIM8_ITERS + 1)
+    )
+    + f"""
+SELECT label AS cell, dim, c AS centroid FROM cent{_SIM8_ITERS}0
+"""
+)
+
+
+@register("sim8_kmeans_refine", SIM8_SQL, survey_ref="north-star ANN: learned IVF quantizer (distributed Lloyd iterations)")
+def sim8_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_assign
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = e.where(F.col("vec_id") < _SIM8_K).select(
+        F.col("vec_id").alias("label"), F.col("v").alias("cv")
+    )
+    cent0 = None
+    for _ in range(_SIM8_ITERS):
+        assigned = ivf_assign(e, cent)
+        exploded = assigned.select(
+            F.col("cell").alias("label"), F.posexplode("v").alias("dim", "x")
+        )
+        cent0 = exploded.groupBy("label", "dim").agg(
+            dround(F.avg("x"), 6).alias("c")
+        )
+        cent = _sim8_cent_arrays(cent0)
+    return cent0.select(
+        F.col("label").alias("cell"), F.col("dim").cast("int").alias("dim"),
+        F.col("c").alias("centroid"),
+    )
