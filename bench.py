@@ -37,6 +37,7 @@ HEADLINE = [
     "p3_dashboard_metadata",
     "tp1_training_corpus",
     "pk1_sequence_packing",
+    "sim8_kmeans_refine",
 ]
 
 
