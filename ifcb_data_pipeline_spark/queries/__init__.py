@@ -73,8 +73,11 @@ PREFIX_ORDER = [
     "sim2_signlsh_ann",
     "mm2_real_kernel_features",
     "u13b_psd_fit_pandas",
-    # never driver-checked: round-3 flagship pipelines first
+    # never driver-checked: flagship pipelines first (tp2 is new this
+    # round, taking the o5_split_apply_union refresh slot — o5 keeps its
+    # r2-green row)
     "tp1_training_corpus",
+    "tp2_multimodal_corpus",
     "pk1_sequence_packing",
     "w6_moving_average",
     "dd8_benchmark_contamination",
@@ -129,7 +132,6 @@ PREFIX_ORDER = [
     "w3_gap_fill",
     "w4_newest_topk",
     "o3_union_by_name",
-    "o5_split_apply_union",
 ]
 
 

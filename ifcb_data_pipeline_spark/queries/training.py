@@ -137,3 +137,120 @@ def tp1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# --- TP2: multimodal training-corpus pipeline ------------------------------
+# The embedding-side flagship: tp1 cleans TEXT with fingerprints; tp2
+# builds a multimodal corpus where dedup runs on the EMBEDDING column —
+# the modality-agnostic near-dup path a vision/audio corpus needs.
+#
+#   1. modality join   — documents ⋈ embeddings on the id key (at scale
+#                        both sides co-partition on the key; locally AQE
+#                        broadcasts the smaller);
+#   2. near-dup removal— banded sign-LSH candidates (dd5's deterministic
+#                        hyperplanes) + exact cosine ≥ 0.95 verify; the
+#                        larger id of each duplicate pair is dropped.
+#                        The sf corpus carries no natural near-dups, so
+#                        every 10th doc gets a ×1.5-scaled copy —
+#                        cosine-identical, hence guaranteed recall;
+#   3. quality gate    — token count ≥ 10;
+#   4. split           — deterministic md5-hash 80/20 train/eval.
+#
+# Scale shape: one equi-join (stage 1), one (band, sig) hash join over
+# signatures that are map-side computed (stage 2 candidates), one
+# anti-join on the deduped ids, and a shuffle-free gate+split pass.
+# Nothing fact-sized is ever broadcast or all-paired.
+from .dedup import _sig_sql as _dd5_sig_sql  # noqa: E402  (same plane set both engines)
+
+_TP2_CODED = " UNION ALL ".join(
+    f"SELECT doc, {b} AS band, {_dd5_sig_sql(b)} AS sig FROM corpus"
+    for b in range(4)
+)
+
+TP2_SQL = f"""
+WITH base AS (
+    SELECT d.doc_id AS doc, d.lang, lower(d.text) AS text,
+           e.embedding::DOUBLE[] AS v
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+corpus AS (
+    SELECT * FROM base
+    UNION ALL
+    SELECT doc + 10000, lang, text, [x * 1.5 FOR x IN v]
+    FROM base WHERE doc % 10 = 0
+),
+coded AS (
+    {_TP2_CODED}
+),
+cand AS (
+    SELECT DISTINCT a.doc AS da, b.doc AS db
+    FROM coded a JOIN coded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+dup AS MATERIALIZED (
+    SELECT DISTINCT c.db AS doc
+    FROM cand c
+    JOIN corpus x ON x.doc = c.da
+    JOIN corpus y ON y.doc = c.db
+    WHERE floor((list_inner_product(x.v, y.v)
+                 / sqrt(list_inner_product(x.v, x.v) * list_inner_product(y.v, y.v)))
+                * 1000000.0 + 0.5) / 1000000.0 >= 0.95
+),
+kept AS (
+    SELECT doc, lang, len(string_split(text, ' '))::INT AS n_tok
+    FROM corpus WHERE doc NOT IN (SELECT doc FROM dup)
+)
+SELECT doc, lang, n_tok,
+       CASE WHEN {HASH32_SQL.format(x="doc::VARCHAR")} % 100 < 80
+            THEN 'train' ELSE 'eval' END AS split
+FROM kept WHERE n_tok >= 10
+"""
+
+
+@register(
+    "tp2_multimodal_corpus",
+    TP2_SQL,
+    survey_ref="north-star: composed multimodal corpus (modality join -> embedding LSH dedup -> gate -> split)",
+)
+def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_lsh_pairs
+
+    documents, embeddings = tables(spark, sf_dir, "documents", "embeddings")
+    base = documents.join(
+        embeddings, documents.doc_id == embeddings.vec_id
+    ).select(
+        F.col("doc_id").alias("doc"),
+        "lang",
+        F.lower("text").alias("text"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    scaled = base.where(F.col("doc") % 10 == 0).select(
+        (F.col("doc") + 10000).alias("doc"),
+        "lang",
+        "text",
+        F.transform("v", lambda x: x * 1.5).alias("v"),
+    )
+    corpus = base.unionByName(scaled)
+    pairs = embedding_lsh_pairs(
+        corpus.select("doc", "v"),
+        dim=64,
+        bands=4,
+        rows_per_band=4,
+        threshold=0.95,
+        id_col="doc",
+        vec_col="v",
+    )
+    dup = pairs.select(F.col("vec_b").alias("doc")).dropDuplicates()
+    kept = corpus.join(dup, "doc", "left_anti")
+    n_tok = F.size(F.split("text", " "))
+    return (
+        kept.select(
+            "doc",
+            "lang",
+            n_tok.alias("n_tok"),
+            F.when(hash32(F.col("doc").cast("string")) % 100 < 80, "train")
+            .otherwise("eval")
+            .alias("split"),
+        )
+        .where(F.col("n_tok") >= 10)
+    )
