@@ -211,3 +211,64 @@ def salt_skewed_bins(rois: DataFrame, partitions: int, salt_mod: int = 8) -> Dat
     return rois.repartition(
         partitions, F.col("sample"), F.col("roi_number") % salt_mod
     )
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("n_samples", T.IntegerType(), False),
+        T.StructField("sample_rate", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+AUDIO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def audio_frame_features(audio: DataFrame, frame: int = 64) -> DataFrame:
+    """Audio → per-frame features (the feature-extract step of an audio
+    training pipeline): non-overlapping ``frame``-sample windows over a
+    signed-8-bit PCM slab, per-frame RMS energy, zero-crossing rate and
+    peak amplitude.  Same executor-side shape as the image/video
+    kernels — Arrow-batched ``mapInPandas``, numpy inside, no shuffle
+    between decode and the first aggregation.  Container demux
+    (wav/flac/mp3) is the same external-library boundary as PNG/JPEG
+    (:mod:`.image_codec`); the raw-slab layout is what a demuxer emits.
+    Incomplete trailing frames are dropped (the fixed-frame convention
+    spectrogram pipelines use)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"audio_id": [], "frame_idx": [], "rms": [], "zcr": [], "peak": []}
+            for aid, n, payload in zip(
+                pdf["audio_id"], pdf["n_samples"], pdf["payload"]
+            ):
+                x = np.frombuffer(bytes(payload), dtype=np.int8)[: int(n)].astype(
+                    np.float64
+                )
+                nf = len(x) // frame
+                if nf == 0:
+                    continue
+                frames = x[: nf * frame].reshape(nf, frame)
+                rms = np.sqrt((frames * frames).mean(axis=1))
+                sign = frames >= 0
+                zcr = (sign[:, 1:] != sign[:, :-1]).sum(axis=1) / (frame - 1)
+                peak = np.abs(frames).max(axis=1).astype(np.int32)
+                out["audio_id"].extend([str(aid)] * nf)
+                out["frame_idx"].extend(range(nf))
+                out["rms"].extend(rms)
+                out["zcr"].extend(zcr)
+                out["peak"].extend(peak)
+            yield pd.DataFrame(out)
+
+    return audio.mapInPandas(kernel, schema=AUDIO_FRAME_SCHEMA)

@@ -106,6 +106,7 @@ PREFIX_ORDER = [
     # a driver row after r4; the displaced o6/o7 entries keep r2 rows)
     "mm3_resize_normalize",
     "mm4_video_frame_sample",
+    "mm5_audio_frame_features",
     "st2_stateful_user_counts",
     "st3_watermarked_append",
     "st4_stream_stream_join",
@@ -131,7 +132,6 @@ PREFIX_ORDER = [
     "w1_adjacency_removal",
     "w3_gap_fill",
     "w4_newest_topk",
-    "o3_union_by_name",
 ]
 
 

@@ -788,3 +788,85 @@ def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "event_type", dround(F.col("value"), 4).alias("value"))
     )
+
+
+# --- MM5: audio frame features (oracle-checked) ----------------------------
+# Completes the image/audio/video modality matrix: deterministic signed
+# PCM slabs (sample i of audio a = (a*13 + i*7) % 251 - 125, int8),
+# framed into non-overlapping 64-sample windows, per-frame RMS energy /
+# zero-crossing rate / peak amplitude via the Arrow-batched kernel in
+# operators.multimodal.audio_frame_features.  Integer-valued samples
+# make every aggregate exact in double arithmetic, so the SQL twin is
+# closed-form.
+MM5_SQL = """
+WITH auds AS (
+    SELECT o_orderkey AS a, ((o_orderkey % 1000) + 500)::INT AS n
+    FROM orders WHERE o_orderkey % 300 = 0
+),
+frames AS (
+    SELECT a, f.f::INT AS frame_idx FROM auds, unnest(range(n // 64)) AS f(f)
+),
+samp AS (
+    SELECT a, frame_idx, i.i AS i,
+           ((a * 13 + (frame_idx * 64 + i.i) * 7) % 251 - 125)::DOUBLE AS x
+    FROM frames, unnest(range(64)) AS i(i)
+),
+base AS (
+    SELECT a, frame_idx,
+           sqrt(avg(x * x)) AS rms,
+           max(abs(x))::INT AS peak
+    FROM samp GROUP BY a, frame_idx
+),
+zc AS (
+    SELECT a, frame_idx,
+           sum(CASE WHEN (((a * 13 + (frame_idx * 64 + t.i) * 7) % 251 - 125) >= 0)
+                      <> (((a * 13 + (frame_idx * 64 + t.i + 1) * 7) % 251 - 125) >= 0)
+                    THEN 1 ELSE 0 END) / 63.0 AS zcr
+    FROM frames, unnest(range(63)) AS t(i)
+    GROUP BY a, frame_idx
+)
+SELECT base.a::VARCHAR AS audio_id, base.frame_idx,
+       floor(rms * 1000000.0 + 0.5) / 1000000.0 AS rms,
+       floor(zcr * 1000000.0 + 0.5) / 1000000.0 AS zcr,
+       peak
+FROM base JOIN zc ON base.a = zc.a AND base.frame_idx = zc.frame_idx
+"""
+
+
+@register("mm5_audio_frame_features", MM5_SQL, survey_ref="north-star multimodal: audio frame features (RMS/ZCR/peak)")
+def mm5_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import AUDIO_SCHEMA, audio_frame_features
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
+        F.col("o_orderkey").alias("a"),
+        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
+    )
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"audio_id": [], "n_samples": [], "sample_rate": [], "payload": []}
+            for a, n in zip(pdf["a"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
+                rows["audio_id"].append(str(a))
+                rows["n_samples"].append(int(n))
+                rows["sample_rate"].append(16000)
+                rows["payload"].append(x.tobytes())
+            yield pd.DataFrame(rows)
+
+    audio = meta.mapInPandas(synthesize, schema=AUDIO_SCHEMA)
+    feats = audio_frame_features(audio, frame=64)
+    return feats.select(
+        "audio_id",
+        "frame_idx",
+        dround(F.col("rms"), 6).alias("rms"),
+        dround(F.col("zcr"), 6).alias("zcr"),
+        "peak",
+    )
