@@ -330,3 +330,33 @@ def test_sample_video_frames_slicing(spark):
     np.testing.assert_array_equal(
         f3, slab[3 * 16 : 4 * 16].reshape(4, 4)
     )
+
+
+def test_audio_frame_features_analytic(spark):
+    """Audio kernel vs closed-form signals: a constant signal has
+    RMS = |c| and ZCR 0; a full-swing alternating signal has ZCR 1 and
+    RMS = amplitude; trailing partial frames are dropped."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        audio_frame_features,
+    )
+
+    const = np.full(130, 7, dtype=np.int8)           # 2 frames + 2 leftover
+    alt = (np.tile([50, -50], 64)).astype(np.int8)   # 2 frames exactly
+    rows = [
+        ("const", 130, 16000, bytes(const.tobytes())),
+        ("alt", 128, 16000, bytes(alt.tobytes())),
+    ]
+    audio = spark.createDataFrame(rows, AUDIO_SCHEMA)
+    out = {
+        (r["audio_id"], r["frame_idx"]): r
+        for r in audio_frame_features(audio, frame=64).collect()
+    }
+    assert len(out) == 4  # 2 frames each; partial frame dropped
+    assert out[("const", 0)]["rms"] == 7.0
+    assert out[("const", 1)]["zcr"] == 0.0
+    assert out[("alt", 0)]["rms"] == 50.0
+    assert out[("alt", 0)]["zcr"] == 1.0
+    assert out[("alt", 1)]["peak"] == 50
