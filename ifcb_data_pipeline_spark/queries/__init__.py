@@ -80,6 +80,7 @@ PREFIX_ORDER = [
     "tp2_multimodal_corpus",
     "pk1_sequence_packing",
     "w6_moving_average",
+    "w7_native_session_window",
     "dd8_benchmark_contamination",
     # never driver-checked: sampling/splits
     "sp2_stratified_sample",
@@ -131,7 +132,6 @@ PREFIX_ORDER = [
     # refresh: r2-green windows/sorts/set-ops
     "w1_adjacency_removal",
     "w3_gap_fill",
-    "w4_newest_topk",
 ]
 
 

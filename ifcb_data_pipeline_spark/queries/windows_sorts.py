@@ -479,3 +479,56 @@ def w6_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         dround(F.avg("o_totalprice").over(w), 4).alias("ma7"),
     )
+
+
+# --- W7: native session windows --------------------------------------------
+# The built-in counterpart of w5's manual gaps-and-islands pass: Spark's
+# session_window merges events whose 30-minute windows overlap — one
+# groupBy on (user, merged window), state bounded per key.  w5 pins the
+# lag/cumsum decomposition (the portable form); w7 pins the native
+# operator the engine should prefer when running on Spark.  The oracle
+# derives the identical sessions with the w5 recurrence and reconstructs
+# session_window's [min ts, max ts + gap) bounds.
+W7_SQL = """
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           epoch_us(ts) // 1000000 AS sec,
+           lag(epoch_us(ts) // 1000000) OVER w AS prev_sec
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+flagged AS (
+    SELECT user_id, event_id, ts, sec,
+           CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM seq
+),
+sess AS (
+    SELECT user_id, ts,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM flagged
+)
+SELECT user_id,
+       min(ts)::TIMESTAMP AS session_start,
+       (max(ts) + INTERVAL '30 minutes')::TIMESTAMP AS session_end,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+@register("w7_native_session_window", W7_SQL, survey_ref="beyond reference: built-in session_window (native form of w5)")
+def w7_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
