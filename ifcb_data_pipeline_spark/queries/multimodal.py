@@ -18,6 +18,33 @@ from ..operators.multimodal import explode_bins_to_rois, extract_features
 from . import register
 from ._util import dround, tables
 
+
+def _drain_to_memory(writer, query_name: str, timeout: int = 60) -> bool:
+    """Start a memory-sink streaming query and drain it via availableNow.
+
+    Returns True only when the stream started AND fully drained inside the
+    budget.  Timeouts and outright streaming failures (analysis errors,
+    StreamingQueryException from schema drift or state-store trouble) both
+    return False, so every caller's deterministic batch twin is reachable
+    on ANY streaming-path failure — an exception must not bypass the
+    fallback (ADVICE r4).
+    """
+    try:
+        query = writer.queryName(query_name).trigger(availableNow=True).start()
+    except Exception:
+        return False
+    try:
+        finished = query.awaitTermination(timeout)
+    except Exception:
+        finished = False
+    finally:
+        # Release the handle so a re-run in-session is clean.
+        try:
+            query.stop()
+        except Exception:
+            pass
+    return bool(finished)
+
 # --- MM1: bin → ROI → features through mapInPandas -------------------------
 # Fake-ROI math (must mirror operators/multimodal.py):
 #   w = 8 + roi % 16; h = 8 + (roi*3) % 16; area = w*h*0.7
@@ -81,8 +108,6 @@ GROUP BY 1, 2
 
 @register("st1_stream_windowed_counts", ST1_SQL, survey_ref="SURVEY §2.10; Structured Streaming tumbling window")
 def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Force the runtime confs the batch loader usually sets.
-    tables(spark, sf_dir, "events")
     # The file source wants a directory: stream sf_dir with a glob filter
     # so only events.parquet enters the micro-batches.
     stream = (
@@ -99,20 +124,15 @@ def st1_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    query = (
-        windowed.writeStream.format("memory")
-        .queryName("st1_windowed")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(60)
-    query.stop()  # release the handle so a re-run in-session is clean
-    if finished:
+    if _drain_to_memory(
+        windowed.writeStream.format("memory").outputMode("complete"),
+        "st1_windowed",
+    ):
         return spark.table("st1_windowed")
     # Deterministic fallback: if the streaming run didn't drain within the
-    # budget (contended driver environment), compute the IDENTICAL result
-    # as a batch plan rather than returning a partial micro-batch state.
+    # budget (contended driver environment) or failed, compute the
+    # IDENTICAL result as a batch plan rather than returning a partial
+    # micro-batch state.
     (events,) = tables(spark, sf_dir, "events")
     return (
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -468,8 +488,6 @@ def st2_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    tables(spark, sf_dir, "events")  # runtime confs (nanosAsLong)
-
     out_schema = (
         "user_id bigint, n_events bigint, value_sum double, last_event_type string"
     )
@@ -513,16 +531,10 @@ def st2_stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = stream.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    query = (
-        updates.writeStream.format("memory")
-        .queryName("st2_stateful")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(60)
-    query.stop()
-    if finished:
+    if _drain_to_memory(
+        updates.writeStream.format("memory").outputMode("update"),
+        "st2_stateful",
+    ):
         sink = spark.table("st2_stateful")
         # final state per key = max n_events (monotone counter)
         from pyspark.sql import Window
@@ -582,7 +594,6 @@ WHERE window_start + INTERVAL '10 minutes'
 
 @register("st3_watermarked_append", ST3_SQL, survey_ref="SURVEY §2.10; watermark + append-mode finalized windows")
 def st3_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tables(spark, sf_dir, "events")
     stream = (
         spark.readStream.format("parquet")
         .schema(
@@ -598,16 +609,10 @@ def st3_watermarked_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    query = (
-        windowed.writeStream.format("memory")
-        .queryName("st3_watermarked")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(60)
-    query.stop()
-    if finished:
+    if _drain_to_memory(
+        windowed.writeStream.format("memory").outputMode("append"),
+        "st3_watermarked",
+    ):
         return spark.table("st3_watermarked")
     # Batch fallback: identical finalized-window set.
     (events,) = tables(spark, sf_dir, "events")
@@ -646,7 +651,6 @@ FROM events c JOIN events p
 
 @register("st4_stream_stream_join", ST4_SQL, survey_ref="SURVEY §2.10; watermarked stream-stream interval join")
 def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tables(spark, sf_dir, "events")
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
         " value double, props string"
@@ -695,16 +699,10 @@ def st4_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")
         ).alias("lag_seconds"),
     )
-    query = (
-        joined.writeStream.format("memory")
-        .queryName("st4_attribution")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(60)
-    query.stop()
-    if finished:
+    if _drain_to_memory(
+        joined.writeStream.format("memory").outputMode("append"),
+        "st4_attribution",
+    ):
         return spark.table("st4_attribution")
     # Batch fallback: the identical interval join.
     (events,) = tables(spark, sf_dir, "events")
@@ -752,7 +750,6 @@ FROM events
 
 @register("st5_streaming_dedup", ST5_SQL, survey_ref="SURVEY §2.10 + dedup family; bounded-state streaming dedup")
 def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tables(spark, sf_dir, "events")
     schema = (
         "event_id bigint, ts timestamp, user_id bigint, event_type string,"
         " value double, props string"
@@ -770,16 +767,10 @@ def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
         "event_id", "event_type", dround(F.col("value"), 4).alias("value")
     )
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName("st5_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    finished = query.awaitTermination(60)
-    query.stop()
-    if finished:
+    if _drain_to_memory(
+        deduped.writeStream.format("memory").outputMode("append"),
+        "st5_dedup",
+    ):
         return spark.table("st5_dedup")
     # Batch fallback: the identical distinct-by-key result.
     (events,) = tables(spark, sf_dir, "events")

@@ -488,24 +488,28 @@ def w6_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 # lag/cumsum decomposition (the portable form); w7 pins the native
 # operator the engine should prefer when running on Spark.  The oracle
 # derives the identical sessions with the w5 recurrence and reconstructs
-# session_window's [min ts, max ts + gap) bounds.
+# session_window's [min ts, max ts + gap) bounds.  Gap comparison is on
+# raw microseconds (not floor-to-second like w5): session_window merges
+# at full timestamp precision, and a floor-second oracle would split a
+# session whenever the truncated diff reaches 1800 s while the true diff
+# is still below it.
 W7_SQL = """
 WITH seq AS (
     SELECT user_id, event_id, ts,
-           epoch_us(ts) // 1000000 AS sec,
-           lag(epoch_us(ts) // 1000000) OVER w AS prev_sec
+           epoch_us(ts) AS us,
+           lag(epoch_us(ts)) OVER w AS prev_us
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 flagged AS (
-    SELECT user_id, event_id, ts, sec,
-           CASE WHEN prev_sec IS NULL OR sec - prev_sec >= 1800
+    SELECT user_id, event_id, ts,
+           CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
                 THEN 1 ELSE 0 END AS new_session
     FROM seq
 ),
 sess AS (
     SELECT user_id, ts,
-           sum(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS session_no
     FROM flagged
 )

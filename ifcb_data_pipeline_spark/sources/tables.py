@@ -32,21 +32,14 @@ DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts physical type varies by driver generation: currently
-    # TIMESTAMP(MICROS) (reads directly; the branch below is a no-op), but
-    # earlier rounds shipped TIMESTAMP(NANOS), which the vectorized reader
-    # rejects outright.  The nanosAsLong conf + bigint branch keep the
-    # engine working on that variant: nanos surface as bigint and are
-    # floor-converted to micros (DuckDB's TIMESTAMP_NS → TIMESTAMP cast
-    # floors identically, so the oracles agree).  Harmless for micros data
-    # — the conf only affects NANOS columns and the branch only fires when
-    # ts scans as bigint.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    # events.ts is TIMESTAMP(MICROS) parquet (verified across every driver
+    # sf dir); the batch loaders and the streaming queries (which hard-code
+    # `ts timestamp` in their readStream schemas) both rely on that.  An
+    # earlier-round TIMESTAMP(NANOS) shim (nanosAsLong conf + bigint
+    # floor-convert branch) was removed once the micros layout proved
+    # stable — if a future data refresh ships NANOS again, the vectorized
+    # reader fails loudly on the scan rather than silently mis-typing.
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
