@@ -225,3 +225,134 @@ def p3_dashboard_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("basin"),
         F.col("latitude").isNull().alias("skip"),
     )
+
+
+# --- K7: EcoTaxa export shaping (SURVEY §2.2 K7) ----------------------------
+# The EcoTaxa TSV contract (plans/ecotaxa_export.py; reference
+# ifcb-image-export-pipeline.Rmd:474-783): per-ROI rows shaped into the
+# EcoTaxa column set, grouped one file per class, each file carrying a
+# SECOND header row of format codes ([t] text / [f] float) under the
+# column names.  The registry form reduces that file contract to a
+# deterministic DataFrame: every value rendered as the exact string the
+# TSV would contain, plus one format-code row per class folder unioned
+# in as literals (line_no 0 = code row, 1 = data row).  All float→string
+# rendering goes through the same floor-based fixed-decimal math in both
+# engines (see _fixed_str) — native float formatting differs between
+# Spark and DuckDB, integer formatting does not.  Scale: one broadcast
+# dim join + a distinct over |classes|; no window, no driver loop.
+def _fixed_str(col, d: int):
+    """Render a non-negative double as a fixed-d-decimal string via the
+    dround floor trick, so both engines produce identical text."""
+    scale = 10**d
+    units = F.floor(col * scale + F.lit(0.5)).cast("long")
+    return F.concat(
+        F.floor(units / scale).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((units % scale).cast("string"), d, "0"),
+    )
+
+
+def _fixed_str_sql(expr: str, d: int) -> str:
+    scale = 10**d
+    return (
+        f"((floor(({expr}) * {scale}.0 + 0.5)::BIGINT // {scale})::VARCHAR"
+        f" || '.' || lpad((floor(({expr}) * {scale}.0 + 0.5)::BIGINT % {scale})::VARCHAR, {d}, '0'))"
+    )
+
+
+_K7_LAT = "(54.0 + (o.o_custkey % 600) / 100.0)"
+_K7_LON = "(10.0 + (o.o_custkey % 1200) / 100.0)"
+_K7_VOL = "(l.l_extendedprice * (1 - l.l_discount))"
+
+K7_SQL = f"""
+WITH sub AS (
+    SELECT l.l_orderkey AS sample, l.l_linenumber AS roi,
+           o.o_custkey AS ck, o.o_orderdate AS od,
+           l.l_extendedprice AS price,
+           {_K7_LAT} AS lat, {_K7_LON} AS lon, {_K7_VOL} AS vol,
+           p.p_brand AS class
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_orderkey % 25 = 0
+),
+data AS (
+    SELECT class AS object_annotation_category,
+           1::BIGINT AS line_no,
+           sample::VARCHAR || '_' || lpad(roi::VARCHAR, 5, '0') AS img_file_name,
+           sample::VARCHAR || '_' || roi::VARCHAR AS object_id,
+           {_fixed_str_sql('lat', 2)} AS object_lat,
+           {_fixed_str_sql('lon', 2)} AS object_lon,
+           strftime(od, '%Y-%m-%d') AS object_date,
+           lpad((((sample * 7 + roi * 13) % 86400) // 3600)::VARCHAR, 2, '0')
+             || ':' || lpad(((((sample * 7 + roi * 13) % 86400) % 3600) // 60)::VARCHAR, 2, '0')
+             || ':' || lpad((((sample * 7 + roi * 13) % 86400) % 60)::VARCHAR, 2, '0')
+             AS object_time,
+           {_fixed_str_sql('price', 2)} AS object_area,
+           {_fixed_str_sql('vol', 4)} AS object_biovolume
+    FROM sub
+),
+codes AS (
+    SELECT DISTINCT object_annotation_category,
+           0::BIGINT AS line_no,
+           '[t]' AS img_file_name, '[t]' AS object_id,
+           '[f]' AS object_lat, '[f]' AS object_lon,
+           '[t]' AS object_date, '[t]' AS object_time,
+           '[f]' AS object_area, '[f]' AS object_biovolume
+    FROM data
+)
+SELECT * FROM data UNION ALL SELECT * FROM codes
+"""
+
+
+@register("k7_ecotaxa_export", K7_SQL, survey_ref="SURVEY §2.2 K7; image-export Rmd:474-783")
+def k7_ecotaxa_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.ecotaxa_export import ECOTAXA_COLUMNS, to_ecotaxa_rows
+
+    lineitem, orders, part = tables(spark, sf_dir, "lineitem", "orders", "part")
+    sub = (
+        lineitem.where(F.col("l_orderkey") % 25 == 0)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    secs = (F.col("l_orderkey") * 7 + F.col("l_linenumber") * 13) % 86400
+    per_roi = sub.select(
+        F.col("l_orderkey").alias("sample"),
+        F.col("l_linenumber").alias("roi_number"),
+        lat_expr(F.col("o_custkey")).alias("lat"),
+        lon_expr(F.col("o_custkey")).alias("lon"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("sdate"),
+        F.concat_ws(
+            ":",
+            F.lpad(F.floor(secs / 3600).cast("string"), 2, "0"),
+            F.lpad(F.floor((secs % 3600) / 60).cast("string"), 2, "0"),
+            F.lpad((secs % 60).cast("string"), 2, "0"),
+        ).alias("stime"),
+        F.col("l_extendedprice").alias("area"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("biovolume"),
+        F.col("p_brand").alias("class"),
+    )
+    shaped = to_ecotaxa_rows(per_roi)
+    data = shaped.select(
+        "object_annotation_category",
+        F.lit(1).cast("long").alias("line_no"),
+        "img_file_name",
+        "object_id",
+        _fixed_str(F.col("object_lat"), 2).alias("object_lat"),
+        _fixed_str(F.col("object_lon"), 2).alias("object_lon"),
+        "object_date",
+        "object_time",
+        _fixed_str(F.col("object_area"), 2).alias("object_area"),
+        _fixed_str(F.col("object_biovolume"), 4).alias("object_biovolume"),
+    )
+    code_by_name = dict(ECOTAXA_COLUMNS)
+    codes = data.select("object_annotation_category").distinct().select(
+        "object_annotation_category",
+        F.lit(0).cast("long").alias("line_no"),
+        *[
+            F.lit(code_by_name[c]).alias(c)
+            for c in data.columns
+            if c not in ("object_annotation_category", "line_no")
+        ],
+    )
+    return data.unionByName(codes)
