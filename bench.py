@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -60,12 +61,25 @@ def main() -> None:
     for name in HEADLINE:
         run_query(registry[name].fn(spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        run_query(registry[name].fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    # Median of 3 measured passes per query: single-pass wall times at
+    # this data scale swing ±30% on unchanged code (driver r4 showed p2
+    # −30% and p3 +31% simultaneously with neither touched), which buries
+    # real regressions.  The median damps one bad scheduling draw; the
+    # min/max spread is emitted so a reader can see whether a delta
+    # exceeds the noise floor.  Passes are interleaved (3 sweeps over the
+    # whole set, not 3 back-to-back runs of one query) so a transient
+    # system stall hits at most one sample per query.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            run_query(registry[name].fn(spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "passes": 3,
                 "sf": sf,
             }
         )
