@@ -92,6 +92,12 @@ def embedding_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # Pre-partition the signature frame on the join key: both sides of the
+    # self-join below then hang off ONE canonical Exchange subtree, so
+    # ReuseExchange computes the signatures (and scans the corpus) once
+    # instead of once per side.  The shuffle itself is not extra work —
+    # the equi-join would have shuffled both sides on (band, sig) anyway.
+    coded = coded.repartition("band", "sig")
     a = coded.select(F.col("id").alias("vec_a"), "band", "sig")
     b = coded.select(F.col("id").alias("vec_b"), "band", "sig")
     cand = (

@@ -240,3 +240,56 @@ def test_tp1_single_shuffle(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "BroadcastExchange" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tp2_single_signature_join(spark, sf_dir):
+    """tp2's candidate generation must stay ONE equi-join on the banded
+    signature (band, sig) — a per-band join fan-out would show `bands`
+    of them — with no cartesian/BNLJ anywhere and no broadcast hint
+    pinned (AQE sizes every join; nothing fact-sized is forced)."""
+    import re
+
+    plan = plan_of(spark, "tp2_multimodal_corpus", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # explain("formatted") can print a node once in the tree and once in
+    # the details section — dedupe on expr ids (a per-band fan-out would
+    # produce distinct ids per join).
+    sig_joins = set(re.findall(r"Left keys \[2\]: \[band#\d+, sig#\d+\]", plan))
+    assert len(sig_joins) == 1, (
+        f"expected exactly 1 banded-signature join, found {sig_joins}"
+    )
+    # The signature frame is pre-partitioned on the join key so both
+    # sides of the self-join hang off one canonical exchange (runtime
+    # ReuseExchange computes signatures/scans the corpus once per side
+    # pair, not once per side).
+    assert "REPARTITION_BY_COL" in plan, "signature repartition anchor lost"
+    df = REGISTRY["tp2_multimodal_corpus"].fn(spark, sf_dir)
+    for node in _iter_nodes(df._jdf.queryExecution().analyzed()):
+        assert "Hint" not in node.getClass().getSimpleName(), (
+            "tp2 must not pin broadcast hints"
+        )
+
+
+def test_sim8_iters_corpus_passes(spark, sf_dir):
+    """sim8's k-means is plan composition: the corpus parquet is scanned
+    exactly ITERS+1 times (seed centroids + one assign pass per Lloyd
+    iteration) and each assign is a broadcast cross join against the
+    K-row centroid frame — never a shuffled cartesian, never a
+    per-iteration driver materialization (which would collapse the scan
+    count)."""
+    import re
+
+    from ifcb_data_pipeline_spark.queries.similarity import _SIM8_ITERS
+
+    plan = plan_of(spark, "sim8_kmeans_refine", sf_dir)
+    scans = re.findall(r"Location: \S+ \[[^\]]*embeddings\.parquet", plan)
+    assert len(scans) == _SIM8_ITERS + 1, (
+        f"expected {_SIM8_ITERS + 1} corpus scans, found {len(scans)}"
+    )
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) == _SIM8_ITERS, (
+        f"expected {_SIM8_ITERS} broadcast-centroid assigns, found {len(bnlj)}"
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "sim8 grew a corpus-sized join"
