@@ -62,7 +62,19 @@ def _superblock(buf: bytes) -> int:
         raise Hdf5LiteError("not an HDF5 file (bad signature)")
     version = buf[8]
     if version != 0:
-        raise Hdf5LiteError(f"superblock v{version} unsupported (subset: v0)")
+        # v2/v3 superblocks come from h5py's libver='latest' (and some
+        # modern writers); they relocate every root-group structure, so
+        # nothing past this byte can be parsed by the v0 reader.  The
+        # supported escape hatch is the parser seam: pass a real h5py
+        # parser to sources.binary_formats.h5_class_scan(parser=...)
+        # (reference convert_h5_to_irfcb_format.R:48-65 reads these via
+        # rhdf5 the same way).
+        raise Hdf5LiteError(
+            f"superblock v{version} unsupported (pure-Python subset reads "
+            "v0 only; files written with libver='latest' use v2/v3 — "
+            "inject an h5py-backed parser via "
+            "binary_formats.h5_class_scan(parser=...) for these)"
+        )
     size_offsets, size_lengths = buf[13], buf[14]
     if (size_offsets, size_lengths) != (8, 8):
         raise Hdf5LiteError("non-8-byte offsets/lengths unsupported")

@@ -31,6 +31,9 @@ def chain_features(kind: str, p1: int, p2: int) -> dict:
         hull_metrics,
         perimeter_image,
         segment_roi_pc,
+        summed_features,
+        symmetry_features,
+        texture_stats,
     )
 
     m = panel_mask(kind, p1, p2)
@@ -39,6 +42,9 @@ def chain_features(kind: str, p1: int, p2: int) -> dict:
     mask = segment_roi_pc(img)
     out = blob_geometry(mask)
     out.update(biovolume_auto(mask))
+    out.update(texture_stats(img, mask))
+    out.update(summed_features(mask))
+    out.update(symmetry_features(mask))
     hull = hull_metrics(mask)
     out["Solidity"] = out["Area"] / hull["ConvexArea"] if hull["ConvexArea"] else 0.0
     out["Perimeter"] = benkrid_perimeter(perimeter_image(mask))
@@ -89,14 +95,26 @@ def test_square_is_segmentation_exact():
 
 
 def test_baked_oracle_matches_live_chain():
-    """Every literal row equals a fresh driver-side run of the chain
-    (rounded the same way) — the bake can never drift from the code."""
+    """EVERY baked float column equals a fresh driver-side run of the
+    chain (rounded the same way) — the bake can never drift from the
+    code.  Solidity/texture/summed/symmetry are anchored too (ADVICE
+    r4): a regression in any exported kernel must break this pytest,
+    not only the driver's hash gate."""
     rows = oracle_rows()
     assert len(rows) == len(MM2_PANEL)
     for sample, kind, p1, p2 in MM2_PANEL:
         feats = chain_features(kind, p1, p2)
         baked = rows[sample]
-        for col in ("Area", "Perimeter", "Eccentricity", "Biovolume"):
+        for col in (
+            "Area",
+            "Perimeter",
+            "Eccentricity",
+            "Solidity",
+            "texture_entropy",
+            "Biovolume",
+            "summedArea",
+            "symmetry_b180",
+        ):
             live = math.floor(feats[col] * 10000.0 + 0.5) / 10000.0
             assert float(baked[col]) == pytest.approx(live, abs=1e-9), (sample, col)
         assert baked["BiovolumeBranch"] == feats["BiovolumeBranch"]

@@ -447,10 +447,14 @@ def test_hdf5_lite_rejects_out_of_subset():
         read_hdf5(b"not an hdf5 file at all................")
     from tests.hdf5_fixture import write_hdf5
 
-    buf = bytearray(write_hdf5({"x": np.arange(3, dtype="int32")}))
-    buf[8] = 2  # superblock version outside the subset
-    with _pytest.raises(Hdf5LiteError):
-        read_hdf5(bytes(buf))
+    # v2/v3 superblocks (libver='latest' writers) must fail with a guard
+    # that names the version and points at the h5py parser seam — the
+    # fallback boundary is explicit, not an incidental parse error.
+    for version in (2, 3):
+        buf = bytearray(write_hdf5({"x": np.arange(3, dtype="int32")}))
+        buf[8] = version
+        with _pytest.raises(Hdf5LiteError, match=rf"superblock v{version}.*h5py"):
+            read_hdf5(bytes(buf))
 
 
 def test_h5_class_scan_hermetic(spark, tmp_path):
