@@ -206,23 +206,58 @@ def panel_mask(kind: str, p1: int, p2: int, pad: int = 8):
         m[pad : pad + w, pad : pad + t] = True
         m[pad + w - t : pad + w, pad : pad + w] = True
         return m
+    # mm2b extension kinds — topologies the original panel never hits:
+    if kind == "annulus":  # interior hole: inner boundary in U4's perimeter image
+        ro, ri = p1, p2
+        n = 2 * ro + 2 * pad + 1
+        yy, xx = np.mgrid[:n, :n]
+        c = n // 2
+        d2 = (xx - c) ** 2 + (yy - c) ** 2
+        return (d2 <= ro * ro) & (d2 > ri * ri)
+    if kind == "pair":  # two disjoint blobs: summedArea > Area, numBlobs=2
+        r, gap = p1, p2
+        ny = 2 * r + 2 * pad + 1
+        nx = 4 * r + gap + 2 * pad + 1
+        yy, xx = np.mgrid[:ny, :nx]
+        cy = ny // 2
+        c1, c2 = pad + r, pad + 3 * r + gap
+        return ((xx - c1) ** 2 + (yy - cy) ** 2 <= r * r) | (
+            (xx - c2) ** 2 + (yy - cy) ** 2 <= r * r
+        )
+    if kind == "plus":  # non-convex, 4-fold symmetric: Solidity well below 1
+        ln, t = p1, p2
+        n = ln + 2 * pad
+        m = np.zeros((n, n), dtype=bool)
+        lo = pad + (ln - t) // 2
+        m[lo : lo + t, pad : pad + ln] = True
+        m[pad : pad + ln, lo : lo + t] = True
+        return m
+    if kind == "frame":  # square ring: hole + thin walls at once
+        w, t = p1, p2
+        n = w + 2 * pad
+        m = np.zeros((n, n), dtype=bool)
+        m[pad : pad + w, pad : pad + w] = True
+        m[pad + t : pad + w - t, pad + t : pad + w - t] = False
+        return m
     raise ValueError(kind)
 
 
-def panel_rois(spark: SparkSession) -> DataFrame:
-    """The MM2 analytic-shape panel as a ROI frame (sample, roi_number,
+def panel_rois(spark: SparkSession, panel: list | None = None) -> DataFrame:
+    """An analytic-shape panel as a ROI frame (sample, roi_number,
     PGM image bytes, width, height) — sf-independent by design so the
-    baked oracle holds at every scale factor."""
+    baked oracles hold at every scale factor.  Defaults to MM2_PANEL;
+    mm2b passes its extension panel."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from ..operators.multimodal import ROI_SCHEMA
 
+    panel = MM2_PANEL if panel is None else panel
     spec = spark.createDataFrame(
-        [(s, i + 1, k, p1, p2) for i, (s, k, p1, p2) in enumerate(MM2_PANEL)],
+        [(s, i + 1, k, p1, p2) for i, (s, k, p1, p2) in enumerate(panel)],
         "sample string, roi_number int, kind string, p1 int, p2 int",
-    ).repartition(len(MM2_PANEL))  # one shape per task: the chain is CPU-bound
+    ).repartition(len(panel))  # one shape per task: the chain is CPU-bound
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -296,6 +331,73 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BiovolumeBranch",
         dround(F.col("summedArea"), 4).alias("summedArea"),
         dround(F.col("symmetry_b180"), 4).alias("symmetry_b180"),
+        F.size("moment_invariants").alias("n_phi"),
+        F.size("hog").alias("n_hog"),
+        F.size("ringwedge").alias("n_ringwedge"),
+    )
+
+
+# --- MM2B: kernel chain over topology-extension shapes (hash gate) ---------
+# Widens the driver-exercised kernel surface beyond MM2_PANEL (VERDICT
+# r4 item 8) with topologies the original panel never produces:
+# annuli and square frames (input holes — the segmentation's fill step
+# resolves them deterministically), disjoint disk pairs (two segmented
+# blobs: numBlobs=2, exercises the multi-blob labeling in U12
+# summed_features and is exported so the driver checks it), and
+# plus-shapes (non-convex: Solidity 0.38-0.67, and both U5 branches
+# fire across the panel — pairs/plus_30x6 take distmap, the rest SoR).
+# Baked exactly like MM2_SQL: two consecutive chain runs bit-identical;
+# tests/test_multimodal_panel.py re-derives every float column live.
+MM2B_PANEL: list[tuple[str, str, int, int]] = [
+    ("annulus_r15x8", "annulus", 15, 8),
+    ("annulus_r12x4", "annulus", 12, 4),
+    ("pair_r7g12", "pair", 7, 12),
+    ("pair_r10g16", "pair", 10, 16),
+    ("plus_24x8", "plus", 24, 8),
+    ("plus_30x6", "plus", 30, 6),
+    ("frame_20x5", "frame", 20, 5),
+    ("frame_26x7", "frame", 26, 7),
+]
+
+MM2B_SQL = """
+SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
+       Perimeter::DOUBLE AS Perimeter, Eccentricity::DOUBLE AS Eccentricity,
+       Solidity::DOUBLE AS Solidity, texture_entropy::DOUBLE AS texture_entropy,
+       Biovolume::DOUBLE AS Biovolume, BiovolumeBranch,
+       summedArea::DOUBLE AS summedArea, symmetry_b180::DOUBLE AS symmetry_b180,
+       numBlobs::INT AS numBlobs,
+       n_phi::INT AS n_phi, n_hog::INT AS n_hog, n_ringwedge::INT AS n_ringwedge
+FROM (VALUES
+    ('annulus_r15x8', 1, 625.0, 93.2548, 0.0, 0.9572, 0.8991, 11810.5558, 'sor', 625.0, 0.0, 1, 7, 81, 99),
+    ('annulus_r12x4', 2, 432.0, 74.4264, 0.0697, 0.9702, 0.55, 6626.9279, 'sor', 432.0, 0.5335, 1, 7, 81, 99),
+    ('pair_r7g12', 3, 356.0, 100.5685, 0.9599, 0.6371, 0.6413, 2677.0283, 'distmap', 356.0, 0.0, 2, 7, 81, 99),
+    ('pair_r10g16', 4, 638.0, 134.2254, 0.9626, 0.6281, 0.1854, 6334.2959, 'distmap', 638.0, 0.8048, 2, 7, 81, 99),
+    ('plus_24x8', 5, 270.0, 83.799, 0.0189, 0.6692, 0.0631, 3401.2976, 'sor', 270.0, 0.2268, 1, 7, 81, 99),
+    ('plus_30x6', 6, 258.0, 119.8701, 0.2088, 0.3833, 0.4205, 976.7169, 'distmap', 258.0, 0.0567, 1, 7, 81, 99),
+    ('frame_20x5', 7, 324.0, 68.0, 0.0, 1.0, 0.8916, 4580.4421, 'sor', 324.0, 0.0, 1, 7, 81, 99),
+    ('frame_26x7', 8, 576.0, 92.0, 0.0, 1.0, 0.8113, 10857.3442, 'sor', 576.0, 0.0, 1, 7, 81, 99)
+) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, numBlobs, n_phi, n_hog, n_ringwedge)
+"""
+
+
+@register("mm2b_kernel_topologies", MM2B_SQL, survey_ref="SURVEY §2.9 U1-U12; topology-extension panel (holes, multi-blob, non-convex)")
+def mm2b_kernel_topologies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kernels import features_from_images
+
+    feats = features_from_images(panel_rois(spark, MM2B_PANEL))
+    return feats.select(
+        "sample",
+        "roi_number",
+        dround(F.col("Area"), 4).alias("Area"),
+        dround(F.col("Perimeter"), 4).alias("Perimeter"),
+        dround(F.col("Eccentricity"), 4).alias("Eccentricity"),
+        dround(F.col("Solidity"), 4).alias("Solidity"),
+        dround(F.col("texture_entropy"), 4).alias("texture_entropy"),
+        dround(F.col("Biovolume"), 4).alias("Biovolume"),
+        "BiovolumeBranch",
+        dround(F.col("summedArea"), 4).alias("summedArea"),
+        dround(F.col("symmetry_b180"), 4).alias("symmetry_b180"),
+        F.col("numBlobs").cast("int").alias("numBlobs"),
         F.size("moment_invariants").alias("n_phi"),
         F.size("hog").alias("n_hog"),
         F.size("ringwedge").alias("n_ringwedge"),

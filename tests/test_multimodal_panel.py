@@ -19,6 +19,8 @@ import pytest
 from ifcb_data_pipeline_spark.queries.multimodal import (
     MM2_PANEL,
     MM2_SQL,
+    MM2B_PANEL,
+    MM2B_SQL,
     panel_mask,
 )
 
@@ -53,11 +55,11 @@ def chain_features(kind: str, p1: int, p2: int) -> dict:
     return out
 
 
-def oracle_rows() -> dict[str, tuple]:
-    """Parse the VALUES literal back into {sample: row} via DuckDB."""
+def oracle_rows(sql: str = MM2_SQL) -> dict[str, tuple]:
+    """Parse a VALUES literal back into {sample: row} via DuckDB."""
     import duckdb
 
-    rel = duckdb.sql(MM2_SQL)
+    rel = duckdb.sql(sql)
     cols = rel.columns
     return {r[0]: dict(zip(cols, r)) for r in rel.fetchall()}
 
@@ -118,3 +120,56 @@ def test_baked_oracle_matches_live_chain():
             live = math.floor(feats[col] * 10000.0 + 0.5) / 10000.0
             assert float(baked[col]) == pytest.approx(live, abs=1e-9), (sample, col)
         assert baked["BiovolumeBranch"] == feats["BiovolumeBranch"]
+
+
+def chain_summed(kind: str, p1: int, p2: int) -> dict:
+    """chain_features plus the U12 multi-blob outputs mm2b exports."""
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        summed_features,
+    )
+
+    out = chain_features(kind, p1, p2)
+    out.update(summed_features(out["seg_mask"]))
+    return out
+
+
+def test_mm2b_pairs_segment_as_two_blobs():
+    """The disjoint disk pairs must survive segmentation as TWO blobs —
+    the multi-blob labeling path of U12 that MM2_PANEL never hits."""
+    for kind, p1, p2 in (("pair", 7, 12), ("pair", 10, 16)):
+        feats = chain_summed(kind, p1, p2)
+        assert feats["numBlobs"] == 2, (kind, p1, p2)
+
+
+def test_mm2b_plus_is_nonconvex():
+    """Plus shapes: 4-fold symmetric but non-convex — Solidity must sit
+    well below 1 (analytic: area/hull = 2wt-t^2 over the octagon hull),
+    a regime the original panel's convex shapes never reach."""
+    feats = chain_features("plus", 24, 8)
+    assert feats["Solidity"] < 0.75
+    assert feats["Eccentricity"] < 0.1  # 4-fold symmetry
+
+
+def test_mm2b_baked_oracle_matches_live_chain():
+    """Every mm2b literal row equals a fresh driver-side run of the
+    chain, all float columns + branch + blob count — same contract as
+    the mm2 bake."""
+    rows = oracle_rows(MM2B_SQL)
+    assert len(rows) == len(MM2B_PANEL)
+    for sample, kind, p1, p2 in MM2B_PANEL:
+        feats = chain_summed(kind, p1, p2)
+        baked = rows[sample]
+        for col in (
+            "Area",
+            "Perimeter",
+            "Eccentricity",
+            "Solidity",
+            "texture_entropy",
+            "Biovolume",
+            "summedArea",
+            "symmetry_b180",
+        ):
+            live = math.floor(feats[col] * 10000.0 + 0.5) / 10000.0
+            assert float(baked[col]) == pytest.approx(live, abs=1e-9), (sample, col)
+        assert baked["BiovolumeBranch"] == feats["BiovolumeBranch"]
+        assert int(baked["numBlobs"]) == int(feats["numBlobs"])
