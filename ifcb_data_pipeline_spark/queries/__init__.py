@@ -51,87 +51,78 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 
 # Registry order = the order the driver's correctness gate executes queries
-# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-3), so the
-# first 50 names below are the round's driver-verified set.  Round-4 rotation
-# (VERDICT r3 item 1): the 20 entries that have never had a driver row lead —
-# tp1/pk1 (the round-3 flagships), w6, dd8, sp2-sp4, sim5-sim7, tx7-tx10,
-# dp3/dp4, mm3/mm4, st2/st3 — together with the five entries whose
-# implementation changes this round (o1/tx5 plan fixes, sim2 banded-LSH
-# rewrite, mm2/u13b new oracles).  The remaining ~25 slots refresh the
-# r2-green filters/scalars/windows families, whose rows are now the oldest.
-# Everything green in r3 (pipelines, dedup, joins, aggregates, qc_extra,
-# mm1/st1) moves behind position 50 — code unchanged, r3 rows stand.
+# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4), so the
+# first 50 names below are the round's driver-verified set.  Round-5 rotation
+# (VERDICT r4 item 1): retire every r2-era row — all 26 entries last checked
+# in round 2 are in this prefix — together with the 11 entries whose code
+# changed this round (w7 oracle precision fix; st1-st5 drain-helper refactor;
+# dd5/tp2 via the embedding_lsh_pairs repartition; mm2 via the shared
+# panel_rois/panel_mask extension) or that are new (k7, mm2b), plus the 13
+# highest-value r3-era rows (flagships, dedup core, as-of joins, kernel
+# chain).  The remaining 35 r3-era rows are exactly 2 rounds old — the
+# protocol ceiling — and rotate next round; all r4 rows are 1 round old.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
-    # queries whose rows matter most this round.  f2 is itself a refresh
-    # candidate (r2 row), so the slot is not wasted.
-    "f2_gps_staleness",
-    # changed this round: plan fixes + new oracles + sim2 rewrite
-    "o1_multi_key_sort",
-    "tx5_vocabulary",
-    "sim2_signlsh_ann",
-    "mm2_real_kernel_features",
-    "u13b_psd_fit_pandas",
-    # never driver-checked: flagship pipelines first (tp2 is new this
-    # round, taking the o5_split_apply_union refresh slot — o5 keeps its
-    # r2-green row)
-    "tp1_training_corpus",
-    "tp2_multimodal_corpus",
-    "pk1_sequence_packing",
-    "w6_moving_average",
+    # queries whose rows matter most.  o3 is itself an r2-era refresh
+    # candidate, so the slot is not wasted.
+    "o3_union_by_name",
+    # changed this round: w7 microsecond-precision oracle; st1-st5
+    # exception-safe drain; dd5/tp2 signature-frame repartition; mm2
+    # shares panel_rois with the new mm2b
     "w7_native_session_window",
-    "dd8_benchmark_contamination",
-    # never driver-checked: sampling/splits
-    "sp2_stratified_sample",
-    "sp3_shuffle_shards",
-    "sp4_mixture_materialize",
-    # never driver-checked: similarity tail
-    "sim5_ivf_nprobe2",
-    "sim6_embedding_quantize",
-    "sim7_filtered_ann",
-    # never driver-checked: text tail
-    "tx7_repetition_signals",
-    "tx8_pii_scrub",
-    "tx9_bpe_pair_merge",
-    "tx10_tfidf_top_terms",
-    # never driver-checked: profiling + ANN additions (dp5/sim8 are new
-    # this round, taking the o6_pivot_wider / o7_set_intersect refresh
-    # slots — those keep their r2-green rows)
-    "dp3_categorical_profile",
-    "dp4_domain_mixture",
-    "dp5_correlation_matrix",
-    "sim8_kmeans_refine",
-    # never driver-checked: multimodal/streaming tail (st4/st5 are new
-    # this round — they take two refresh slots so the whole registry has
-    # a driver row after r4; the displaced o6/o7 entries keep r2 rows)
-    "mm3_resize_normalize",
-    "mm4_video_frame_sample",
-    "mm5_audio_frame_features",
+    "st1_stream_windowed_counts",
     "st2_stateful_user_counts",
     "st3_watermarked_append",
     "st4_stream_stream_join",
     "st5_streaming_dedup",
-    # refresh: r2-green filters (f1/f6/f11 are r3-green, stay behind)
-    "f3_blacklist_prefix_anti",
-    "f4_flag_removal",
-    "f7_qc_gating",
-    "f8_sentinel_normalization",
-    "f10_timestamp_range",
-    "f12_value_threshold",
-    "f13_membership_filter",
-    # refresh: r2-green scalars
-    "c1_taxa_clean_cascade",
-    "c2_species_flag",
-    "c6_parse_bin_id",
-    "c8_f1_score",
-    "c9_signif_round",
-    "c10_date_format",
-    "c11_encoding_fix",
-    "c12_haversine",
-    # refresh: r2-green windows/sorts/set-ops
-    "w1_adjacency_removal",
-    "w3_gap_fill",
+    "dd5_embedding_cosine_dup",
+    "tp2_multimodal_corpus",
+    "mm2_real_kernel_features",
+    # new this round
+    "k7_ecotaxa_export",
+    "mm2b_kernel_topologies",
+    # refresh: the 25 remaining r2-era rows (o3 leads above)
+    "o5_split_apply_union",
+    "o6_pivot_longer",
+    "o6_pivot_wider",
+    "o7_set_except",
+    "o7_set_intersect",
+    "w4_newest_topk",
+    "w5_sessionization",
+    "a9_class_counts",
+    "a20_grouped_percentiles",
+    "a21_conversion_funnel",
+    "c4_taxa_resolver",
+    "c5_trophic_lookup",
+    "dp1_column_profile",
+    "dp2_winsorize",
+    "j9_basin_tagging",
+    "j9b_polygon_tagging",
+    "sim1_cosine_topk",
+    "sim3_label_centroids",
+    "sim4_ivf_search",
+    "sp1_train_test_split",
+    "tx1_token_count",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx6_trigram_logprob",
+    # refresh: 13 highest-value r3-era rows (flagship pipelines, dedup
+    # core, as-of joins, UDF kernel chain, PSD fit)
+    "p1_shark_export",
+    "p2_hab_alert",
+    "p3_dashboard_metadata",
+    "a1_biovolume_rollup",
+    "dd1_exact_dedup",
+    "dd2_minhash_lsh",
+    "dd6_dup_clusters",
+    "j4_asof_join",
+    "j4b_asof_backward",
+    "mm1_multimodal_features",
+    "qf_flag_unification",
+    "s6_json_scan",
+    "u13_psd_fit",
 ]
 
 
