@@ -77,3 +77,56 @@ def pk1_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("shard").applyInPandas(
         pack, schema="doc_id bigint, shard int, tok bigint, chunk bigint"
     )
+
+
+# --- PK2: sliding-window document chunking ---------------------------------
+# The other half of training-data packing: long documents cut into
+# fixed-size token windows with overlap (window 32, stride 24 → 8-token
+# overlap), the standard context-window preprocessing for embedding /
+# pretraining ingest.  Chunk spans are computed arithmetically per row
+# and exploded — the whole operator is a stateless select + explode:
+# ZERO shuffles, embarrassingly parallel, linear at any corpus size.
+# The tail rule is ceil((n-W)/S): every token lands in at least one
+# chunk (the last window may be short), matching the usual tokenizer
+# framing.  Chunk content is value-checked via md5 of the joined window
+# so the driver hash covers the exact text without hauling long strings.
+_CHUNK_W, _CHUNK_S = 32, 24
+
+PK2_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+spans AS (
+    SELECT doc_id, w, t.i AS chunk_idx, (1 + t.i * {_CHUNK_S})::BIGINT AS start_tok
+    FROM toks, unnest(range(0,
+        ((greatest(len(w) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) // {_CHUNK_S}) + 1
+    )) AS t(i)
+)
+SELECT doc_id, chunk_idx::INT AS chunk_idx, start_tok,
+       len(w[start_tok:start_tok + {_CHUNK_W - 1}])::BIGINT AS n_tok,
+       md5(array_to_string(w[start_tok:start_tok + {_CHUNK_W - 1}], ' ')) AS chunk_md5
+FROM spans
+"""
+
+
+@register("pk2_document_chunking", PK2_SQL, survey_ref="north-star: sliding-window chunking (context-window ingest)")
+def pk2_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", F.split("text", " ").alias("w"))
+    n_extra = F.expr(
+        f"(greatest(size(w) - {_CHUNK_W}, 0) + {_CHUNK_S - 1}) div {_CHUNK_S}"
+    )
+    spans = toks.select(
+        "doc_id",
+        "w",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("i"),
+    )
+    start = (1 + F.col("i") * _CHUNK_S).cast("long")
+    chunk = F.slice("w", start.cast("int"), _CHUNK_W)
+    return spans.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_tok"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

@@ -293,3 +293,12 @@ def test_sim8_iters_corpus_passes(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, "sim8 grew a corpus-sized join"
+
+
+def test_pk2_chunking_is_shuffle_free(spark, sf_dir):
+    """pk2's sliding-window chunking is a stateless select + explode —
+    any Exchange means a shuffle crept into an embarrassingly-parallel
+    operator."""
+    df = REGISTRY["pk2_document_chunking"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pk2 must stay shuffle-free"
