@@ -352,3 +352,76 @@ def dp5_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(_DP5_PAIRS)}, {stack}) AS (col_a, col_b, r)"
     )
+
+
+# --- SP5: temperature-scaled domain resampling ------------------------------
+# The temperature-mixing schedule of multilingual / multi-domain
+# pretraining: rare domains are upweighted by share^(1/tau - 1) (tau=2
+# here, i.e. inverse-sqrt of the domain share), so the realized mixture
+# follows share^(1/tau) — flatter than natural, without sp4's hard
+# uniform target.  The replication factor is deliberately UNnormalized
+# (w = c/sqrt(share), capped at 4): normalizing would divide by a
+# sum of doubles whose value depends on reduction order, while this
+# form touches only exact BIGINT counts, one division, and sqrt —
+# every step bit-identical across engines.  Scale shape identical to
+# sp4: |domains|-sized weight table broadcast, per-row bounded explode,
+# no corpus shuffle beyond one tiny count aggregate.
+SP5_SQL = f"""
+WITH per_src AS (
+    SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+tot AS (SELECT sum(n_docs)::DOUBLE AS total FROM per_src),
+wt AS (
+    SELECT source, least(0.5 / sqrt(n_docs / total), 4.0) AS w
+    FROM per_src CROSS JOIN tot
+),
+expanded AS (
+    SELECT d.doc_id, d.source, u.copy_idx::INT AS copy_idx, wt.w
+    FROM documents d
+    JOIN wt USING (source),
+    unnest(range(1, ceil(wt.w)::BIGINT + 1)) AS u(copy_idx)
+)
+SELECT doc_id, source, copy_idx,
+       floor(w * 1000000.0 + 0.5) / 1000000.0 AS w
+FROM expanded
+WHERE copy_idx <= floor(w)
+   OR (copy_idx = ceil(w) AND
+       {HASH32_SQL.format(x="doc_id::VARCHAR")} % 1000000
+           < floor((w - floor(w)) * 1000000.0 + 0.5))
+"""
+
+
+@register("sp5_temperature_resampling", SP5_SQL, survey_ref="north-star: temperature-scaled domain mixing (tau=2)")
+def sp5_temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ._util import hash32
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    per_src = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    tot = per_src.agg(F.sum("n_docs").cast("double").alias("total"))
+    wt = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            0.5 / F.sqrt(F.col("n_docs") / F.col("total")), F.lit(4.0)
+        ).alias("w"),
+    )
+    frac_gate = hash32(F.col("doc_id").cast("string")) % 1000000 < F.floor(
+        (F.col("w") - F.floor("w")) * 1000000.0 + 0.5
+    )
+    return (
+        documents.join(F.broadcast(wt), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.ceil("w").cast("int"))
+            ).alias("copy_idx"),
+            "w",
+        )
+        .where(
+            (F.col("copy_idx") <= F.floor("w"))
+            | ((F.col("copy_idx") == F.ceil("w")) & frac_gate)
+        )
+        .select("doc_id", "source", "copy_idx", dround(F.col("w"), 6).alias("w"))
+    )
