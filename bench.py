@@ -39,6 +39,8 @@ HEADLINE = [
     "tp1_training_corpus",
     "pk1_sequence_packing",
     "sim8_kmeans_refine",
+    "tp2_multimodal_corpus",
+    "pk2_document_chunking",
 ]
 
 

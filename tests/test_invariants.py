@@ -176,3 +176,81 @@ def test_sim2_buckets_bounded(spark, sf_dir):
         .select("a", "b").dropDuplicates().count()
     )
     assert cand <= 0.05 * n * (n - 1), f"candidate pairs {cand} ~ all-pairs ({n})"
+
+
+def test_pk2_chunks_cover_every_token(spark, sf_dir):
+    """pk2's ceil tail rule: for every document the last chunk must reach
+    the final token (start + n_tok - 1 == n), chunk starts advance by the
+    stride, and every chunk except the last is full-width."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.queries import load_all
+    from ifcb_data_pipeline_spark.queries.packing import _CHUNK_S, _CHUNK_W
+
+    reg = load_all()
+    out = reg["pk2_document_chunking"].fn(spark, sf_dir)
+    per_doc = (
+        out.groupBy("doc_id")
+        .agg(
+            F.max(F.col("start_tok") + F.col("n_tok") - 1).alias("covered"),
+            F.max("chunk_idx").alias("last_idx"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("n_tok") < _CHUNK_W, 1).otherwise(0)
+            ).alias("n_short"),
+        )
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    )
+    j = per_doc.join(docs, "doc_id")
+    assert j.where(F.col("covered") != F.col("n")).count() == 0, (
+        "a document's tail tokens fall outside every chunk"
+    )
+    assert j.where(F.col("n_chunks") != F.col("last_idx") + 1).count() == 0
+    # only the final (tail) chunk may be short, and only when the doc
+    # isn't stride-aligned
+    assert j.where(F.col("n_short") > 1).count() == 0
+    # starts advance by exactly the stride
+    gaps = (
+        out.groupBy("doc_id", "chunk_idx").count()
+        .where(F.col("count") != 1)
+    )
+    assert gaps.count() == 0
+    assert (
+        out.where(F.col("start_tok") != 1 + F.col("chunk_idx") * _CHUNK_S).count()
+        == 0
+    )
+
+
+def test_sp5_realized_mixture_follows_temperature(spark, sf_dir):
+    """sp5's realized per-domain row counts must track n_docs * w with
+    the hash gate accounting for the fractional part: the replicated
+    count sits within the integer envelope [n*floor(w), n*ceil(w)], and
+    rarer domains get strictly larger factors (inverse-sqrt monotone)."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    out = reg["sp5_temperature_resampling"].fn(spark, sf_dir)
+    realized = out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.first("w").alias("w")
+    )
+    src = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    rows = {r["source"]: r for r in realized.join(src, "source").collect()}
+    assert rows
+    for r in rows.values():
+        floor_w = int(r["w"])  # w is rounded to 6dp in the output; floor is safe
+        assert r["n_rows"] >= r["n_docs"] * floor_w, r
+        assert r["n_rows"] <= r["n_docs"] * (floor_w + 1), r
+    by_n = sorted(rows.values(), key=lambda r: r["n_docs"])
+    ws = [r["w"] for r in by_n]
+    # inverse-sqrt of share → weakly decreasing in domain size (ties when
+    # both hit the 4.0 cap)
+    assert all(a >= b - 1e-9 for a, b in zip(ws, ws[1:])), ws
