@@ -230,7 +230,14 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
-    corpus = base.unionByName(scaled)
+    # The corpus frame feeds five consumers (both coded sides + both
+    # exact-verify sides of the LSH dedup, plus the anti-join left side);
+    # without materialization each consumer re-derives the doc⋈emb join
+    # from its own pair of parquet scans.  localCheckpoint computes the
+    # stage once — the I3 stage-materialization pattern, and the same
+    # call dd2 makes for its signature frame; its blocks are
+    # context-cleaned when the returned plan is dropped.
+    corpus = base.unionByName(scaled).localCheckpoint()
     pairs = embedding_lsh_pairs(
         corpus.select("doc", "v"),
         dim=64,
