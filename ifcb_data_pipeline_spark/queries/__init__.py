@@ -57,9 +57,9 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # in round 2 are in this prefix — together with the 11 entries whose code
 # changed this round (w7 oracle precision fix; st1-st5 drain-helper refactor;
 # dd5/tp2 via the embedding_lsh_pairs repartition; mm2 via the shared
-# panel_rois/panel_mask extension) or that are new (k7, mm2b, pk2, sp5),
-# plus the 11 highest-value r3-era rows (flagships, dedup core, as-of joins,
-# kernel chain).  The remaining 37 r3-era rows are exactly 2 rounds old — the
+# panel_rois/panel_mask extension) or that are new (k7, mm2b, pk2, sp5, w8),
+# plus the 10 highest-value r3-era rows (flagships, dedup core, as-of joins,
+# kernel chain).  The remaining 38 r3-era rows are exactly 2 rounds old — the
 # protocol ceiling — and rotate next round; all r4 rows are 1 round old.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
@@ -84,6 +84,7 @@ PREFIX_ORDER = [
     "mm2b_kernel_topologies",
     "pk2_document_chunking",
     "sp5_temperature_resampling",
+    "w8_ewma_smoothing",
     # refresh: the 25 remaining r2-era rows (o3 leads above)
     "o5_split_apply_union",
     "o6_pivot_longer",
@@ -122,7 +123,6 @@ PREFIX_ORDER = [
     "j4_asof_join",
     "j4b_asof_backward",
     "mm1_multimodal_features",
-    "u13_psd_fit",
 ]
 
 

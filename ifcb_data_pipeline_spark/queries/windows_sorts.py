@@ -536,3 +536,63 @@ def w7_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --- W8: exponentially weighted moving average -----------------------------
+# Recursive per-key smoothing (e_t = a*x_t + (1-a)*e_{t-1}) — the
+# classic sensor-series operator plain window frames cannot express
+# (every output depends on the whole prefix).  Distributed the pk1 way:
+# one shuffle on the series key, then a linear in-memory pass per key
+# inside applyInPandas — state is O(1) per key, chains are bounded by
+# per-user event counts, so there is no global order dependency at any
+# scale.  The closed-form pow() alternative (cumsum of x_i/(1-a)^i)
+# overflows double for chains past ~2500 steps, so the recurrence is
+# the scale-safe form.  Cross-engine determinism: a=0.25 and 0.75 are
+# exact binary fractions and both engines evaluate the identical
+# fma-free expression, so the trajectories match bit-for-bit; the
+# oracle is a recursive CTE over per-user row numbers.
+_W8_ALPHA = 0.25
+
+W8_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+ew AS (
+    SELECT user_id, event_id, rn, value, value AS e
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, s.value,
+           {_W8_ALPHA} * s.value + {1 - _W8_ALPHA} * p.e
+    FROM seq s JOIN ew p ON s.user_id = p.user_id AND s.rn = p.rn + 1
+)
+SELECT user_id, event_id,
+       floor(e * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM ew
+"""
+
+
+@register("w8_ewma_smoothing", W8_SQL, survey_ref="beyond reference: recursive EWMA sensor smoothing")
+def w8_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    base = events.select("user_id", "event_id", "ts", "value")
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        e = 0.0
+        out = []
+        for i, v in enumerate(pdf["value"]):
+            v = float(v)
+            e = v if i == 0 else _W8_ALPHA * v + (1 - _W8_ALPHA) * e
+            out.append(math.floor(e * 1000000.0 + 0.5) / 1000000.0)
+        pdf["ewma"] = pd.Series(out, dtype="float64")
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    return base.groupBy("user_id").applyInPandas(
+        smooth, schema="user_id bigint, event_id bigint, ewma double"
+    )
