@@ -58,9 +58,11 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # changed this round (w7 oracle precision fix; st1-st5 drain-helper refactor;
 # dd5/tp2 via the embedding_lsh_pairs repartition; mm2 via the shared
 # panel_rois/panel_mask extension) or that are new (k7, mm2b, pk2, sp5, w8),
-# plus the 10 highest-value r3-era rows (flagships, dedup core, as-of joins,
-# kernel chain).  The remaining 38 r3-era rows are exactly 2 rounds old — the
-# protocol ceiling — and rotate next round; all r4 rows are 1 round old.
+# plus a17 (whose order-dependent-sum rounding bug the round-5 sf0.1 sweep
+# caught and fixed) and the 9 highest-value r3-era rows (flagships, dedup
+# core, as-of joins, kernel chain).  The remaining r3-era rows are exactly
+# 2 rounds old — the protocol ceiling — and rotate next round; all r4 rows
+# are 1 round old.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
@@ -117,7 +119,7 @@ PREFIX_ORDER = [
     "p2_hab_alert",
     "p3_dashboard_metadata",
     "a1_biovolume_rollup",
-    "dd1_exact_dedup",
+    "a17_qc_sums",
     "dd2_minhash_lsh",
     "dd6_dup_clusters",
     "j4_asof_join",

@@ -375,26 +375,46 @@ def a14_monthly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A17: per-sample QC sums + ratio --------------------------------------
 # Reference: delivery_to_shark.R:512-520.
+# Rounding hazard (found by the round-5 sf0.1 oracle sweep): prices have
+# exactly 2 decimals, so group means land EXACTLY on .xx5 floor
+# boundaries (e.g. 7 items totalling 267105.125 ⇒ mean 38157.875), and a
+# double SUM's value depends on accumulation order — Spark's partial
+# aggregation vs DuckDB's sequential scan disagree by ~1e-12, which
+# flips the floor.  Fix: sum exact integer CENTS (per-row floor is exact
+# since each price is a 2-decimal literal; BIGINT sum is
+# order-insensitive), then derive both rounded outputs from the one
+# exact integer — bit-identical in both engines at any scale.
 A17_SQL = """
+WITH cents AS (
+    SELECT l_orderkey,
+           floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS price_cents
+    FROM lineitem
+)
 SELECT l_orderkey AS sample,
-       floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS total_price,
+       sum(price_cents) / 100.0 AS total_price,
        count(*)::BIGINT AS n_items,
-       floor(sum(l_extendedprice) / count(*) * 100.0 + 0.5) / 100.0 AS price_per_item
-FROM lineitem GROUP BY l_orderkey
+       floor(sum(price_cents)::DOUBLE / count(*) + 0.5) / 100.0 AS price_per_item
+FROM cents GROUP BY l_orderkey
 """
 
 
 @register("a17_qc_sums", A17_SQL, survey_ref="SURVEY §2.5 A17; delivery_to_shark.R:512-520")
 def a17_qc_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lineitem,) = tables(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
     return (
-        lineitem.groupBy(F.col("l_orderkey").alias("sample"))
+        lineitem.select("l_orderkey", cents.alias("price_cents"))
+        .groupBy(F.col("l_orderkey").alias("sample"))
         .agg(
-            dround(F.sum("l_extendedprice"), 2).alias("total_price"),
+            (F.sum("price_cents") / 100.0).alias("total_price"),
             F.count(F.lit(1)).alias("n_items"),
-            dround(F.sum("l_extendedprice") / F.count(F.lit(1)), 2).alias(
-                "price_per_item"
-            ),
+            (
+                F.floor(
+                    F.sum("price_cents").cast("double") / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("price_per_item"),
         )
     )
 
