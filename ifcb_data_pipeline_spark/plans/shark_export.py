@@ -40,18 +40,27 @@ def shark_export(
     part_taxon = part.select(
         "p_partkey", clean_taxa_name(label).alias("taxon")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # Biovolume is summed in EXACT integer 1e-4 units (price and discount
+    # are 2-decimal literals, so price_cents*(100-disc_cents) is an exact
+    # BIGINT): a double sum's low bits depend on accumulation order, and
+    # the signif-6 floor downstream can sit exactly on a boundary for
+    # finite-decimal data — the a17 failure mode the round-5 sf0.1 sweep
+    # exposed.  An order-insensitive integer sum is immune at any scale.
+    vol_e4 = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+        "long"
+    ) * (100 - F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long"))
     per_roi = (
         lineitem.join(F.broadcast(part_taxon), F.col("l_partkey") == F.col("p_partkey"))
         .where(F.col("l_quantity") > 0)
         .select(
             F.col("l_orderkey").alias("sample"),
             F.col("taxon"),
-            vol.alias("vol"),
+            vol_e4.alias("vol_e4"),
         )
     )
     rolled = per_roi.groupBy("sample", "taxon").agg(
-        F.count(F.lit(1)).alias("counts"), F.sum("vol").alias("vol_sum")
+        F.count(F.lit(1)).alias("counts"),
+        (F.sum("vol_e4").cast("double") / 10000.0).alias("vol_sum"),
     )
 
     # Sample metadata ("hdr"): date, ml_analyzed, and "bubble" QC flag;

@@ -21,11 +21,16 @@ from ._util import dround, dround_sql, tables
 # f(volume, is_diatom).  Here: sample=o_orderkey, class=p_brand,
 # Biovolume=l_extendedprice*(1-l_discount), is_diatom ≈ p_type='ECONOMY',
 # ml_analyzed=o_totalprice/1000.
+# Biovolume is summed in exact integer 1e-4 units (order-insensitive
+# BIGINT sum — the a17 hardening; see plans/shark_export.py).  Carbon
+# keeps the double sum: pow() makes summands irrational, so the ~1e-12
+# order noise cannot sit on a floor boundary in practice.
 A1_SQL = """
 WITH per_roi AS (
     SELECT l.l_orderkey AS sample,
            p.p_brand    AS class,
-           l.l_extendedprice * (1 - l.l_discount) AS vol,
+           floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+               * (100 - floor(l.l_discount * 100.0 + 0.5)::BIGINT) AS vol_e4,
            CASE WHEN p.p_type = 'ECONOMY'
                 THEN 0.288 * pow(l.l_extendedprice * (1 - l.l_discount) / 1000.0, 0.811)
                 ELSE 0.216 * pow(l.l_extendedprice * (1 - l.l_discount) / 1000.0, 0.939)
@@ -35,7 +40,7 @@ WITH per_roi AS (
 )
 SELECT r.sample, r.class,
        count(*)::BIGINT AS counts,
-       floor((sum(r.vol) / 1e9) * 1000000.0 + 0.5) / 1000000.0 AS biovolume_mm3,
+       floor((sum(r.vol_e4)::DOUBLE / 10000.0 / 1e9) * 1000000.0 + 0.5) / 1000000.0 AS biovolume_mm3,
        floor(sum(r.carbon) * 10000.0 + 0.5) / 10000.0 AS carbon_ug,
        floor((count(*) * 1000 / (o.o_totalprice / 1000.0)) * 10000.0 + 0.5) / 10000.0 AS counts_per_liter
 FROM per_roi r JOIN orders o ON r.sample = o.o_orderkey
@@ -47,6 +52,9 @@ GROUP BY r.sample, r.class, o.o_totalprice
 def a1_biovolume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol_e4 = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+        "long"
+    ) * (100 - F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long"))
     carbon = F.when(
         F.col("p_type") == "ECONOMY", 0.288 * F.pow(vol / 1000.0, 0.811)
     ).otherwise(0.216 * F.pow(vol / 1000.0, 0.939))
@@ -56,13 +64,13 @@ def a1_biovolume_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_orderkey").alias("sample"),
             F.col("p_brand").alias("class"),
-            vol.alias("vol"),
+            vol_e4.alias("vol_e4"),
             carbon.alias("carbon"),
         )
     )
     rolled = per_roi.groupBy("sample", "class").agg(
         F.count(F.lit(1)).alias("counts"),
-        F.sum("vol").alias("__vol"),
+        (F.sum("vol_e4").cast("double") / 10000.0).alias("__vol"),
         F.sum("carbon").alias("__carbon"),
     )
     # orders scales with the data (≈ samples): no broadcast hint — the

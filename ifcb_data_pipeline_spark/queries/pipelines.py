@@ -19,12 +19,14 @@ P1_SQL = f"""
 WITH per_roi AS (
     SELECT l.l_orderkey AS sample,
            {_clean_cascade_sql(_LABEL)} AS taxon,
-           l.l_extendedprice * (1 - l.l_discount) AS vol
+           floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT
+               * (100 - floor(l.l_discount * 100.0 + 0.5)::BIGINT) AS vol_e4
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_quantity > 0
 ),
 rolled AS (
-    SELECT sample, taxon, count(*)::BIGINT AS counts, sum(vol) AS vol_sum
+    SELECT sample, taxon, count(*)::BIGINT AS counts,
+           sum(vol_e4)::DOUBLE / 10000.0 AS vol_sum
     FROM per_roi GROUP BY sample, taxon
 ),
 hdr AS (
