@@ -58,11 +58,12 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # changed this round (w7 oracle precision fix; st1-st5 drain-helper refactor;
 # dd5/tp2 via the embedding_lsh_pairs repartition; mm2 via the shared
 # panel_rois/panel_mask extension) or that are new (k7, mm2b, pk2, sp5, w8),
-# plus a17 (whose order-dependent-sum rounding bug the round-5 sf0.1 sweep
-# caught and fixed) and the 9 highest-value r3-era rows (flagships, dedup
-# core, as-of joins, kernel chain).  The remaining r3-era rows are exactly
-# 2 rounds old — the protocol ceiling — and rotate next round; all r4 rows
-# are 1 round old.
+# plus the four queries hardened after the sf0.1 sweep caught a17's
+# order-dependent-sum rounding flip (a17 itself, and the same fix applied
+# preemptively to a4/a15/w6 — every round4(mean-of-2-decimal) site), the
+# p1/a1 biovolume-sum hardening, and the highest-value r3-era refreshes
+# (flagships, dd2, j4).  The remaining r3-era rows are exactly 2 rounds
+# old — the protocol ceiling — and rotate next round.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
@@ -119,12 +120,12 @@ PREFIX_ORDER = [
     "p2_hab_alert",
     "p3_dashboard_metadata",
     "a1_biovolume_rollup",
+    "a4_monthly_stats",
+    "a15_mean_collapse",
     "a17_qc_sums",
+    "w6_moving_average",
     "dd2_minhash_lsh",
-    "dd6_dup_clusters",
     "j4_asof_join",
-    "j4b_asof_backward",
-    "mm1_multimodal_features",
 ]
 
 

@@ -154,10 +154,16 @@ def a3_flag_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A4: monthly mean/sd per basin ----------------------------------------
 # Reference: Rmd:1199-1204 (group_by(basin, month) summarise(mean, sd)).
 # Basin ≈ nation name, measurement ≈ o_totalprice.
+# mean_val is derived from an exact integer cents sum (a17 hardening:
+# 2-decimal values make round4(mean) = floor(cents*100/k + .5) land on
+# half-integer boundaries whenever k divides 200*cents oddly, and a
+# double sum's order noise flips the floor).  sd keeps the native
+# stddev: the sqrt makes it irrational, so boundary hits don't occur.
 A4_SQL = """
 SELECT n.n_name AS basin,
        month(o.o_orderdate)::INT AS month,
-       floor(avg(o.o_totalprice) * 10000.0 + 0.5) / 10000.0 AS mean_val,
+       floor(sum(floor(o.o_totalprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+             * 100.0 / count(*) + 0.5) / 10000.0 AS mean_val,
        floor(stddev_samp(o.o_totalprice) * 10000.0 + 0.5) / 10000.0 AS sd_val,
        count(*)::BIGINT AS n
 FROM orders o
@@ -180,7 +186,19 @@ def a4_monthly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("month"),
         )
         .agg(
-            dround(F.avg("o_totalprice"), 4).alias("mean_val"),
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    * 100.0
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mean_val"),
             dround(F.stddev_samp("o_totalprice"), 4).alias("sd_val"),
             F.count(F.lit(1)).alias("n"),
         )

@@ -375,9 +375,13 @@ def a9_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A15/A16: mean-collapse + replicate averaging --------------------------
+# mean from an exact integer cents sum — see a4/a17: round4(mean of
+# 2-decimal values) sits on floor boundaries, and double-sum order
+# noise between the engines flips it at scale.
 A15_SQL = """
 SELECT c.c_mktsegment, p.p_type, year(o.o_orderdate)::INT AS year,
-       floor(avg(l.l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS mean_price
+       floor(sum(floor(l.l_extendedprice * 100.0 + 0.5)::BIGINT)::DOUBLE
+             * 100.0 / count(*) + 0.5) / 10000.0 AS mean_price
 FROM lineitem l
 JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -396,7 +400,21 @@ def a15_mean_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .groupBy("c_mktsegment", "p_type", F.year("o_orderdate").alias("year"))
-        .agg(dround(F.avg("l_extendedprice"), 4).alias("mean_price"))
+        .agg(
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast(
+                            "long"
+                        )
+                    ).cast("double")
+                    * 100.0
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("mean_price")
+        )
     )
 
 

@@ -454,14 +454,21 @@ def a21_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic under ties).  One shuffle on the partition key; frame
 # evaluation is a per-partition sort + sliding accumulator, O(n) per
 # customer at any scale.
+# ma7 is derived from an exact integer cents sum over the frame (a17
+# hardening): round4(avg of 2-decimal values) sits on half-integer
+# floor boundaries, and the two engines' sliding-frame accumulators
+# (add/retract vs rescan) order the double additions differently.  An
+# integer window sum is exact regardless of accumulation strategy.
 W6_SQL = """
 SELECT o_orderkey, o_custkey, o_orderdate,
-       floor(avg(o_totalprice) OVER (
-           PARTITION BY o_custkey
-           ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
-           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
-       ) * 10000.0 + 0.5) / 10000.0 AS ma7
+       floor(sum(floor(o_totalprice * 100.0 + 0.5)::BIGINT) OVER w ::DOUBLE
+             * 100.0 / count(*) OVER w + 0.5) / 10000.0 AS ma7
 FROM orders
+WINDOW w AS (
+    PARTITION BY o_custkey
+    ORDER BY date_diff('day', DATE '1970-01-01', o_orderdate::DATE)
+    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+)
 """
 
 
@@ -473,11 +480,20 @@ def w6_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_date(F.to_date("o_orderdate")))
         .rangeBetween(-6, 0)
     )
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
     return orders.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        dround(F.avg("o_totalprice").over(w), 4).alias("ma7"),
+        (
+            F.floor(
+                F.sum(cents).over(w).cast("double")
+                * 100.0
+                / F.count(F.lit(1)).over(w)
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("ma7"),
     )
 
 
