@@ -22,6 +22,17 @@ Float policy: every floating-point output column is explicitly rounded (to
 against summation-order differences.  Aggregate result types are cast
 explicitly in the oracle SQL (DuckDB widens integer sums to HUGEINT;
 Spark keeps BIGINT).
+
+Finite-decimal rule (round 5, after the sf0.1 sweep caught a17): when the
+summands are k-decimal literals (prices, discounts), a SUM or AVG fed into
+floor-form rounding lands EXACTLY on floor boundaries, and the two
+engines' double-summation orders differ by ~1e-12 — enough to flip the
+floor.  Such sums must be taken over exact integer units (cents, 1e-4
+volume units) as BIGINT — order-insensitive — with the rounded double
+derived once from the exact total (see a17/a4/a15/w6/a1/p1).  dround on a
+sum is safe only when summands are irrational-ish (pow/sqrt/log outputs,
+arbitrary-precision sensor values), where a boundary hit has measure
+zero.
 """
 
 from __future__ import annotations

@@ -144,3 +144,30 @@ def test_hab_alert_hysteresis_stream(spark):
         finally:
             q.stop()
     assert got == [(t, e, ts, p) for t, e, ts, p in expected]
+
+
+def test_drain_helper_returns_false_on_streaming_failure(spark, sf_dir):
+    """ADVICE r4: a streaming failure (not just a timeout) must leave the
+    batch fallback reachable.  An append-mode aggregate WITHOUT a
+    watermark is rejected by the engine at start() — the helper must
+    swallow that and return False instead of raising."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.queries.multimodal import _drain_to_memory
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # no withWatermark → append mode on an aggregate is an AnalysisException
+    bad = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ok = _drain_to_memory(
+        bad.writeStream.format("memory").outputMode("append"),
+        "drain_helper_failure_probe",
+    )
+    assert ok is False
