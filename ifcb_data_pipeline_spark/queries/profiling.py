@@ -69,6 +69,11 @@ def dp1_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DP2: percentile winsorization -----------------------------------------
+# winsorized_mean hardening (the a17 rule): prices are 2-decimal and the
+# interpolated percentile bounds sit at index 0.01*(n-1), so every
+# clipped value times 1e4 is within fp noise of an exact integer —
+# snap per-row to exact 1e-4 units, sum as order-insensitive BIGINT,
+# and derive the rounded mean once from the exact total.
 DP2_SQL = """
 WITH bounds AS (
     SELECT l_returnflag,
@@ -78,12 +83,12 @@ WITH bounds AS (
 ),
 clipped AS (
     SELECT l.l_returnflag,
-           greatest(b.lo, least(b.hi, l.l_extendedprice)) AS v,
+           floor(greatest(b.lo, least(b.hi, l.l_extendedprice)) * 10000.0 + 0.5)::BIGINT AS v_e4,
            (l.l_extendedprice < b.lo OR l.l_extendedprice > b.hi) AS was_clipped
     FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
 )
 SELECT l_returnflag,
-       floor(avg(v) * 100.0 + 0.5) / 100.0 AS winsorized_mean,
+       floor(sum(v_e4)::DOUBLE / (100.0 * count(*)) + 0.5) / 100.0 AS winsorized_mean,
        sum(was_clipped::INT)::BIGINT AS n_clipped,
        count(*)::BIGINT AS n
 FROM clipped GROUP BY l_returnflag
@@ -99,14 +104,25 @@ def dp2_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clipped = lineitem.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",
-        F.greatest("lo", F.least("hi", F.col("l_extendedprice"))).alias("v"),
+        F.floor(
+            F.greatest("lo", F.least("hi", F.col("l_extendedprice"))) * 10000.0
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("v_e4"),
         (
             (F.col("l_extendedprice") < F.col("lo"))
             | (F.col("l_extendedprice") > F.col("hi"))
         ).alias("was_clipped"),
     )
     return clipped.groupBy("l_returnflag").agg(
-        dround(F.avg("v"), 2).alias("winsorized_mean"),
+        (
+            F.floor(
+                F.sum("v_e4").cast("double") / (100.0 * F.count(F.lit(1)))
+                + F.lit(0.5)
+            )
+            / 100.0
+        ).alias("winsorized_mean"),
         F.sum(F.col("was_clipped").cast("int")).cast("long").alias("n_clipped"),
         F.count(F.lit(1)).alias("n"),
     )
