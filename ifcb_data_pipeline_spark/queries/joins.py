@@ -427,3 +427,91 @@ def j4b_asof_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break=["view_id"],
     )
     return out.select("purchase_id", "ts", "view_id")
+
+
+# --- J14: fact×fact range join via bucket explosion -------------------------
+# The 100 TB form of a time-range join where BOTH sides are fact-sized, so
+# neither J5's broadcast-BNLJ nor a driver loop applies.  Pattern: quantize
+# time into buckets the width of the range (1 h); a probe row at time s can
+# only match build rows whose bucket is floor(s) or floor(s)+1, so the probe
+# side is replicated ×2 into those buckets and the join becomes a plain
+# shuffled EQUI-join on (user_id, bucket) followed by the exact range
+# predicate — candidate count is bounded by per-(user, hour) density, never
+# |left|×|right|, and the plan contains no nested-loop join (pinned by
+# tests/test_physical_plans.py::test_j14_no_nested_loop).  Each build row
+# lives in exactly one bucket while the probe side is the replicated one, so
+# no post-join dedup is needed.  Semantics: for every 'error' event, the
+# number and value-sum of same-user events in the following hour [s, s+1h)
+# — the "what happened after the alarm" containment query.
+J14_SQL = """
+WITH errs AS (
+    SELECT event_id AS err_id, user_id, epoch_us(ts) AS us
+    FROM events WHERE event_type = 'error'
+),
+follow AS (
+    SELECT e.err_id, e.user_id,
+           count(*)::BIGINT AS n_follow,
+           count(*) FILTER (f.event_type = 'purchase')::BIGINT AS n_purchase,
+           coalesce(sum(floor(f.value * 100.0 + 0.5)::BIGINT), 0) AS value_cents
+    FROM errs e
+    JOIN events f
+      ON f.user_id = e.user_id
+     AND epoch_us(f.ts) > e.us
+     AND epoch_us(f.ts) < e.us + 3600000000
+    GROUP BY e.err_id, e.user_id
+)
+SELECT errs.err_id, errs.user_id,
+       coalesce(follow.n_follow, 0)::BIGINT AS n_follow,
+       coalesce(follow.n_purchase, 0)::BIGINT AS n_purchase,
+       coalesce(follow.value_cents, 0)::BIGINT AS value_cents
+FROM errs LEFT JOIN follow USING (err_id, user_id)
+"""
+
+_HOUR_US = 3_600_000_000
+
+
+@register("j14_bucketed_range_join", J14_SQL, survey_ref="beyond reference: fact×fact range join (bucket-explosion plan)")
+def j14_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC in tables(), so the
+    # NTZ->TZ cast is an identity and unix_micros is the exact epoch-us.
+    us = F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    errs = (
+        events.where(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("err_id"), "user_id", us)
+        # replicate the probe row into the two buckets its 1 h window spans
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    (F.col("us") / _HOUR_US).cast("long"),
+                    (F.col("us") / _HOUR_US).cast("long") + 1,
+                )
+            ),
+        )
+    )
+    build = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("fus"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / _HOUR_US).cast("long").alias("bucket"),
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    pairs = errs.join(build, ["user_id", "bucket"]).where(
+        (F.col("fus") > F.col("us")) & (F.col("fus") < F.col("us") + _HOUR_US)
+    )
+    agg = pairs.groupBy("err_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_follow"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchase"),
+        F.sum("cents").alias("value_cents"),
+    )
+    base = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id"
+    )
+    return base.join(agg, ["err_id", "user_id"], "left").select(
+        "err_id",
+        "user_id",
+        F.coalesce("n_follow", F.lit(0)).cast("long").alias("n_follow"),
+        F.coalesce("n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
+        F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
+    )

@@ -141,6 +141,7 @@ def test_p1_window_is_partitioned(spark, sf_dir):
         "dd2_minhash_lsh",
         "dd5_embedding_cosine_dup",
         "sim2_signlsh_ann",
+        "j14_bucketed_range_join",
     ],
 )
 def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
