@@ -493,3 +493,61 @@ def a19_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# --- A22: time-decayed engagement score ------------------------------------
+# Recency-weighted per-user aggregation — the "decayed engagement" /
+# sample-freshness-weighting pass of a training-data refresh: each event
+# contributes value · 2^-w where w = whole weeks before the newest event
+# in the corpus (half-life = 1 week), capped at 8 (2^-8 ≈ 0.4%, the
+# long-tail floor).  Distributed shape: the global max-ts is a 1-row agg
+# broadcast into a pure map-side weighting, then one groupBy(user) —
+# identical cost to a plain per-user sum at any scale.  Determinism (the
+# finite-decimal rule): value is a 2-decimal price, so value·2^-w terms
+# are 6-decimal finite decimals whose sum CAN land exactly on a 1e-4
+# floor boundary.  The sum is therefore taken in exact integer units —
+# cents · 2^(8-w), a BIGINT — and the double score is derived ONCE from
+# the exact total (score = total / 25600), making the result independent
+# of summation order in both engines.
+A22_SQL = """
+WITH mx AS (SELECT max(epoch_us(ts)) AS mus FROM events),
+wt AS (
+    SELECT user_id,
+           floor(value * 100.0 + 0.5)::BIGINT
+             * (1::BIGINT << (8 - least((mx.mus - epoch_us(ts))
+                                        // 604800000000, 8)))::BIGINT
+             AS unit
+    FROM events, mx
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_events,
+       floor(sum(unit)::BIGINT / 25600.0 * 10000.0 + 0.5) / 10000.0
+           AS engagement
+FROM wt GROUP BY user_id
+"""
+
+
+@register("a22_decayed_engagement", A22_SQL, survey_ref="beyond reference: half-life-decayed engagement (recency weighting)")
+def a22_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mx = events.agg(F.max(us).alias("mus"))
+    w = F.least((F.col("mus") - us) / F.lit(604_800_000_000), F.lit(8.0)).cast(
+        "long"
+    )
+    unit = (
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+        * F.pow(F.lit(2.0), (8 - w).cast("double")).cast("long")
+    )
+    return (
+        events.crossJoin(F.broadcast(mx))
+        .select("user_id", unit.alias("unit"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.floor(F.sum("unit") / F.lit(25600.0) * 10000.0 + F.lit(0.5))
+                / 10000.0
+            ).alias("engagement"),
+        )
+    )

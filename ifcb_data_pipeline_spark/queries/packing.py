@@ -130,3 +130,74 @@ def pk2_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_tok"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+# --- PK3: length-bucketed batch assembly -----------------------------------
+# The padding-efficiency half of batch assembly: documents are grouped
+# into power-of-two length buckets (floor(log2(tok))) so that each
+# fixed-size batch (8 docs) pads every member to the batch max — the
+# standard length-bucketed batching that keeps padding waste bounded by
+# 2x instead of corpus-max.  Distribution follows pk1: batches are
+# formed within (bucket, shard = doc_id // 64) ranges, so the
+# row_number window is bounded by shard width and no bucket becomes a
+# single-reducer global sort at scale.  pad_eff = sum_tok / (n·max_tok)
+# is one exact-integer division (measure-zero under round6: tok ratios
+# are rationals with denominator n·max ≤ 8·max, never landing on 1e-6
+# half-boundaries except at exact terminating values that both engines
+# compute identically from the same integers).
+PK3_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, doc_id // {_SHARD} AS shard,
+           greatest(len(string_split_regex(trim(text), '\\s+')), 1)::BIGINT AS tok
+    FROM documents
+),
+bucketed AS (
+    SELECT doc_id, shard, tok,
+           floor(log2(tok::DOUBLE))::BIGINT AS bucket,
+           row_number() OVER (
+               PARTITION BY floor(log2(tok::DOUBLE))::BIGINT, shard
+               ORDER BY doc_id) AS rn
+    FROM toks
+)
+SELECT bucket, shard::INT AS shard, ((rn - 1) // 8)::BIGINT AS batch,
+       count(*)::BIGINT AS n_docs,
+       max(tok) AS max_tok,
+       sum(tok)::BIGINT AS sum_tok,
+       floor(sum(tok)::DOUBLE / (count(*) * max(tok)) * 1000000.0 + 0.5)
+           / 1000000.0 AS pad_eff
+FROM bucketed
+GROUP BY bucket, shard, ((rn - 1) // 8)
+"""
+
+
+@register("pk3_length_bucketed_batching", PK3_SQL, survey_ref="beyond reference: length-bucketed batch assembly (padding efficiency)")
+def pk3_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        (F.col("doc_id") / _SHARD).cast("long").cast("int").alias("shard"),
+        F.greatest(token_count_ws(F.col("text")).cast("long"), F.lit(1)).alias(
+            "tok"
+        ),
+    )
+    bucket = F.floor(F.log2(F.col("tok").cast("double"))).alias("bucket")
+    w = Window.partitionBy("bucket", "shard").orderBy("doc_id")
+    bucketed = toks.select("doc_id", "shard", "tok", bucket).withColumn(
+        "batch", ((F.row_number().over(w) - 1) / 8).cast("long")
+    )
+    return bucketed.groupBy("bucket", "shard", "batch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("tok").alias("max_tok"),
+        F.sum("tok").cast("long").alias("sum_tok"),
+        (
+            F.floor(
+                F.sum("tok").cast("double")
+                / (F.count(F.lit(1)) * F.max("tok"))
+                * 1000000.0
+                + F.lit(0.5)
+            )
+            / 1000000.0
+        ).alias("pad_eff"),
+    )

@@ -441,3 +441,68 @@ def sp5_temperature_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source", "copy_idx", dround(F.col("w"), 6).alias("w"))
     )
+
+
+# --- DP6: two-period drift profile -----------------------------------------
+# Dataset-drift detection between two ingest periods (first vs second
+# half of the month): per event_type, row counts, distinct users, and
+# mean value of each period plus the deltas — the refresh-gate check a
+# training pipeline runs before accepting a new crawl snapshot.  Both
+# periods come out of ONE scan: each metric is a conditional aggregate
+# over the period flag (no self-join, no second pass; same single-scan
+# discipline as dp1, pinned by test_dp6_drift_single_scan).  Means are
+# derived from exact integer cents sums (finite-decimal rule: value is
+# 2-decimal, and a round4(mean) of those sits on floor boundaries), so
+# the result is independent of per-engine accumulation order.
+DP6_SQL = """
+WITH flagged AS (
+    SELECT event_type, user_id,
+           (ts < TIMESTAMP '2024-01-16 00:00:00') AS p1,
+           floor(value * 100.0 + 0.5)::BIGINT AS cents
+    FROM events
+)
+SELECT event_type,
+       count(*) FILTER (p1)::BIGINT       AS n_a,
+       count(*) FILTER (NOT p1)::BIGINT   AS n_b,
+       count(DISTINCT user_id) FILTER (p1)::BIGINT     AS users_a,
+       count(DISTINCT user_id) FILTER (NOT p1)::BIGINT AS users_b,
+       floor(sum(cents) FILTER (p1)::DOUBLE
+             / count(*) FILTER (p1) * 100.0 + 0.5) / 10000.0 AS mean_a,
+       floor(sum(cents) FILTER (NOT p1)::DOUBLE
+             / count(*) FILTER (NOT p1) * 100.0 + 0.5) / 10000.0 AS mean_b,
+       (count(*) FILTER (NOT p1) - count(*) FILTER (p1))::BIGINT AS n_drift
+FROM flagged GROUP BY event_type
+"""
+
+
+@register("dp6_drift_profile", DP6_SQL, survey_ref="beyond reference: two-period ingest drift profile")
+def dp6_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    p1 = F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    flagged = events.select("event_type", "user_id", p1.alias("p1"), cents.alias("cents"))
+
+    def cnt(cond):
+        return F.count(F.when(cond, 1))
+
+    def mean_c(cond):
+        return (
+            F.floor(
+                F.sum(F.when(cond, F.col("cents"))).cast("double")
+                / cnt(cond)
+                * 100.0
+                + F.lit(0.5)
+            )
+            / 10000.0
+        )
+
+    a, b = F.col("p1"), ~F.col("p1")
+    return flagged.groupBy("event_type").agg(
+        cnt(a).alias("n_a"),
+        cnt(b).alias("n_b"),
+        F.countDistinct(F.when(a, F.col("user_id"))).alias("users_a"),
+        F.countDistinct(F.when(b, F.col("user_id"))).alias("users_b"),
+        mean_c(a).alias("mean_a"),
+        mean_c(b).alias("mean_b"),
+        (cnt(b) - cnt(a)).cast("long").alias("n_drift"),
+    )

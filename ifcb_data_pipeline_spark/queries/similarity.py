@@ -538,3 +538,123 @@ def sim8_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cell"), F.col("dim").cast("int").alias("dim"),
         F.col("c").alias("centroid"),
     )
+
+
+# --- SIM9: two-stage quantized rerank --------------------------------------
+# The production ANN serving shape sim6's quantization exists for:
+# stage 1 scores EVERY candidate with the int8 codes (4x less memory
+# bandwidth than float32; exact BIGINT dot products, so the coarse
+# ranking is bit-identical across engines and reduction orders) and
+# keeps the top-25 per query; stage 2 re-scores ONLY those 25 with
+# exact float cosine and emits the top-5.  At 100 TB the float vectors
+# are touched for 25 rows per query instead of the whole corpus — the
+# scan is over the int8 sidecar column.  Query side (10 vectors) is
+# broadcast; candidate rerank is an equi-join on neighbor_id.  The
+# int8 dots are integers < 2^30, exact in either engine's double or
+# BIGINT accumulator, so stage-1 candidate sets agree exactly; stage-2
+# rounds the cosine to 6 decimals under the measure-zero rule.
+SIM9_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (
+    SELECT vec_id, v,
+           list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+    FROM e WHERE list_max(list_transform(v, x -> abs(x))) > 0
+),
+q8 AS (
+    SELECT vec_id, v,
+           list_transform(v, x ->
+               greatest(least(floor(x / scale + 0.5), 127.0), -127.0)) AS qv
+    FROM s
+),
+coarse AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_inner_product(q.qv, c.qv)::BIGINT AS coarse_dot
+    FROM q8 q JOIN q8 c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+),
+cand AS (
+    SELECT query_id, neighbor_id, coarse_dot FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY coarse_dot DESC, neighbor_id) AS crn
+        FROM coarse
+    ) WHERE crn <= 25
+),
+rerank AS (
+    SELECT cand.query_id, cand.neighbor_id, cand.coarse_dot,
+           {_COS_SQL.format(a="qe.v", b="ce.v")} AS cos_raw
+    FROM cand
+    JOIN e qe ON qe.vec_id = cand.query_id
+    JOIN e ce ON ce.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, coarse_dot, cos_sim FROM (
+    SELECT query_id, neighbor_id, coarse_dot,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(cos_raw * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM rerank
+) WHERE rank <= 5
+"""
+
+
+@register("sim9_quantized_rerank", SIM9_SQL, survey_ref="beyond reference: int8-coarse + float-rerank ANN serving")
+def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    scale = (amax / 127.0).alias("scale")
+    s = e.select("vec_id", "v", scale).where(amax > 0)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.least(F.floor(x / F.col("scale") + 0.5), F.lit(127.0)),
+            F.lit(-127.0),
+        ),
+    )
+    # int8 codes as doubles: every dot term is an integer < 2^30, exact.
+    q8 = s.select("vec_id", "v", qv.alias("qv"))
+    queries = q8.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    coarse = (
+        F.broadcast(queries)
+        .crossJoin(q8.select(F.col("vec_id").alias("neighbor_id"), "qv"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot(F.col("q_qv"), F.col("qv")).cast("long").alias("coarse_dot"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("coarse_dot").desc(), F.col("neighbor_id")
+    )
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= 25)
+        .drop("crn")
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("q_v"))
+    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("c_v"))
+    rerank = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(ce, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "coarse_dot",
+            cosine(F.col("q_v"), F.col("c_v")).alias("cos_raw"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        rerank.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "coarse_dot",
+            dround(F.col("cos_raw"), 6).alias("cos_sim"),
+        )
+    )

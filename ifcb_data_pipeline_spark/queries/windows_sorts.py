@@ -612,3 +612,77 @@ def w8_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("user_id").applyInPandas(
         smooth, schema="user_id bigint, event_id bigint, ewma double"
     )
+
+
+# --- W9: rolling z-score anomaly detection ---------------------------------
+# Per-sensor-key rolling anomaly scoring — the streaming-QC companion to
+# w6: for each event, mean/variance of the PREVIOUS 20 readings of that
+# user (ROWS 20 PRECEDING..1 PRECEDING, so the current reading never
+# standardizes itself) and the resulting z-score.  One partitioned
+# window per key: bounded frames, no global sort, linear per key at any
+# scale.  Determinism: both engines compute variance from the same
+# (n, Σx, Σx²) expression with identical association; the windowed sums
+# accumulate in different orders (add/retract vs rescan) so the doubles
+# differ ~1e-12 — value is an arbitrary-precision sensor double, so
+# rounding z to 4 decimals is measure-zero safe (finite-decimal rule
+# does NOT bite here; contrast w6).  Rows with fewer than 10 prior
+# readings or zero variance are emitted with NULL z (warm-up rule).
+W9_SQL = """
+WITH stats AS (
+    SELECT event_id, user_id, value,
+           count(value)       OVER w AS n,
+           sum(value)         OVER w AS s1,
+           sum(value * value) OVER w AS s2
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       CASE WHEN n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+            THEN floor((value - s1 / n)
+                       / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                       * 10000.0 + 0.5) / 10000.0
+       END AS z,
+       coalesce(n >= 10 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                AND abs(value - s1 / n)
+                    > 2.5 * sqrt((s2 - s1 * s1 / n) / (n - 1)),
+                FALSE) AS is_anomaly
+FROM stats
+"""
+
+
+@register("w9_rolling_zscore", W9_SQL, survey_ref="beyond reference: rolling z-score sensor anomaly flagging")
+def w9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count("value").over(w)
+    s1 = F.sum("value").over(w)
+    s2 = F.sum(F.col("value") * F.col("value")).over(w)
+    stats = events.select(
+        "event_id", "user_id", "value", n.alias("n"), s1.alias("s1"), s2.alias("s2")
+    )
+    # ANSI mode: clamp the denominators so warm-up rows (n=0/1) don't
+    # raise DIVIDE_BY_ZERO inside the unexecuted CASE branch — results are
+    # gated on n >= 10, where the clamp is an identity.  The oracle's CASE
+    # evaluates branch-lazily, so no clamp is needed there.
+    nc = F.greatest(F.col("n"), F.lit(2))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / nc) / (nc - 1)
+    ok = (F.col("n") >= 10) & (var > 0)
+    z = (F.col("value") - F.col("s1") / nc) / F.sqrt(var)
+    return stats.select(
+        "event_id",
+        "user_id",
+        F.when(ok, F.floor(z * 10000.0 + F.lit(0.5)) / 10000.0).alias("z"),
+        F.coalesce(
+            ok
+            & (
+                F.abs(F.col("value") - F.col("s1") / nc)
+                > 2.5 * F.sqrt(var)
+            ),
+            F.lit(False),
+        ).alias("is_anomaly"),
+    )

@@ -184,6 +184,14 @@ def test_dp5_correlations_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2, "dp5 re-scans lineitem per pair"
 
 
+def test_dp6_drift_single_scan(spark, sf_dir):
+    """dp6 profiles BOTH periods from ONE events scan (conditional
+    aggregates over the period flag) — a second scan or a self-join
+    means the fuse regressed."""
+    plan = plan_of(spark, "dp6_drift_profile", sf_dir)
+    assert plan.count("Scan parquet") <= 2, "dp6 re-scans events per period"
+
+
 def test_rollup_is_two_phase(spark, sf_dir):
     plan = plan_of(spark, "a1_biovolume_rollup", sf_dir)
     assert plan.count("HashAggregate") >= 2  # partial + final
