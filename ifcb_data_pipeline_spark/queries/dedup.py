@@ -536,3 +536,66 @@ def dd8_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_frac"),
         )
     )
+
+
+# --- DD9: normalization-canonicalized dedup --------------------------------
+# The "fuzzy-exact" dedup pass of C4/CCNet-style pipelines: documents are
+# lowercased, stripped of punctuation, and whitespace-collapsed BEFORE
+# hashing, so trivially re-formatted copies (case changes, punctuation,
+# double spaces) collapse into one group that raw-text hashing (dd1)
+# misses.  The variant corpus adds an upper-cased, punctuation-injected
+# copy of every 20th document; dd9 must unify each with its original.
+# Same two-phase scale shape as dd1: hash groupBy (map-side partial on
+# the md5 key), then a key-balanced join back — one shuffle on a
+# uniform hash key at any corpus size.
+DD9_SQL = """
+WITH corpus AS (
+    SELECT doc_id AS doc, text FROM documents
+    UNION ALL
+    SELECT doc_id + 20000, '  ' || upper(text) || ' !!'
+    FROM documents WHERE doc_id % 20 = 0
+),
+normed AS (
+    SELECT doc,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash
+    FROM corpus
+),
+groups AS (
+    SELECT norm_hash, count(*)::BIGINT AS n_copies, min(doc) AS canonical_id
+    FROM normed GROUP BY norm_hash
+)
+SELECT n.doc, n.norm_hash, g.n_copies, (n.doc = g.canonical_id) AS is_canonical
+FROM normed n JOIN groups g USING (norm_hash)
+"""
+
+
+@register("dd9_normalized_dedup", DD9_SQL, survey_ref="beyond reference: normalization-canonicalized (fuzzy-exact) dedup")
+def dd9_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(F.col("doc_id").alias("doc"), "text")
+    mutated = documents.where(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = base.unionByName(mutated)
+    norm = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    normed = corpus.select("doc", norm.alias("norm_hash"))
+    groups = normed.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc").alias("canonical_id")
+    )
+    return normed.join(groups, "norm_hash").select(
+        "doc",
+        "norm_hash",
+        "n_copies",
+        (F.col("doc") == F.col("canonical_id")).alias("is_canonical"),
+    )
