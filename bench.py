@@ -41,6 +41,8 @@ HEADLINE = [
     "sim8_kmeans_refine",
     "tp2_multimodal_corpus",
     "pk2_document_chunking",
+    "j14_bucketed_range_join",
+    "sim9_quantized_rerank",
 ]
 
 

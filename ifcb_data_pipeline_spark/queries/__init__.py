@@ -75,6 +75,14 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # p1/a1 biovolume-sum hardening, and the highest-value r3-era refreshes
 # (flagships, dd2, j4).  The remaining r3-era rows are exactly 2 rounds
 # old — the protocol ceiling — and rotate next round.
+# Round-6 rotation plan (write the next PREFIX_ORDER from this): the 35
+# r3-era rows not refreshed this round hit the 2-round protocol ceiling
+# at r5-end and must fill most of the next 50, together with the 7
+# operators NEW in round 5 after the prefix froze (j14_bucketed_range_join,
+# w9_rolling_zscore, a22_decayed_engagement, dp6_drift_profile,
+# pk3_length_bucketed_batching, sim9_quantized_rerank,
+# dd9_normalized_dedup — locally oracle-green, never driver-checked),
+# plus any entry whose code changes in round 6.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
