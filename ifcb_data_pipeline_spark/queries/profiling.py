@@ -506,3 +506,81 @@ def dp6_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         mean_c(b).alias("mean_b"),
         (cnt(b) - cnt(a)).cast("long").alias("n_drift"),
     )
+
+
+# --- DP7: binned quantile estimation ---------------------------------------
+# Percentiles the way they are actually computed at 100 TB: not by a
+# global sort (a20's exact path — fine per-group, wrong for a corpus
+# scan) but from a fixed-width histogram built map-side in one pass.
+# value ∈ [0, 500) is binned into 1000 half-unit bins; the p50/p95/p99
+# estimate is the LOWER EDGE of the first bin whose cumulative count
+# reaches ceil(p·n) — a deterministic integer rule, so both engines
+# agree exactly with no float comparisons anywhere.  Per event_type the
+# histogram is |bins|-bounded regardless of row count: the shuffle
+# carries ≤ types×1000 rows, and the cumulative scan runs inside each
+# type's ≤1000-row partition.
+DP7_SQL = """
+WITH binned AS (
+    SELECT event_type,
+           least(floor(value / 0.5)::BIGINT, 999) AS bin,
+           count(*)::BIGINT AS n
+    FROM events GROUP BY event_type, bin
+),
+cum AS (
+    SELECT event_type, bin, n,
+           sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cn,
+           sum(n) OVER (PARTITION BY event_type) AS total
+    FROM binned
+),
+hits AS (
+    SELECT event_type, p.p,
+           min(CASE WHEN cn >= ceil(p.p * total) THEN bin END) AS qbin
+    FROM cum CROSS JOIN (SELECT unnest([0.50, 0.95, 0.99]) AS p) p
+    GROUP BY event_type, p.p
+)
+SELECT event_type, p AS quantile, qbin * 0.5 AS est_value
+FROM hits
+"""
+
+
+@register("dp7_binned_quantiles", DP7_SQL, survey_ref="beyond reference: one-pass histogram quantiles (corpus-scan scale path)")
+def dp7_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    binned = (
+        events.select(
+            "event_type",
+            F.least(F.floor(F.col("value") / 0.5).cast("long"), F.lit(999)).alias(
+                "bin"
+            ),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(wcum).alias("cn"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    ps = F.explode(F.array(F.lit(0.50), F.lit(0.95), F.lit(0.99))).alias("p")
+    return (
+        cum.select("event_type", "bin", "cn", "total", ps)
+        .groupBy("event_type", "p")
+        .agg(
+            F.min(
+                F.when(F.col("cn") >= F.ceil(F.col("p") * F.col("total")), F.col("bin"))
+            ).alias("qbin")
+        )
+        .select(
+            "event_type",
+            F.col("p").alias("quantile"),
+            (F.col("qbin") * 0.5).alias("est_value"),
+        )
+    )
