@@ -963,3 +963,107 @@ def mm5_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("zcr"), 6).alias("zcr"),
         "peak",
     )
+
+
+# --- MM6: augmentation panel (kernel isotropy under flip / rot90) ----------
+# The augmentation step of a vision-training ingest (mirror + 90-degree
+# rotation), run through the FULL U1-U12 chain: each MM2_PANEL shape is
+# decoded, transformed, re-encoded and re-featured.  Two things are
+# verified at once: the Spark-side augmentation plumbing (decode →
+# numpy transform → encode inside one Arrow batch, no extra shuffle —
+# the transform rides the same mapInPandas wave as the synthesis), and
+# the kernels' isotropy — the orientation sets of the log-Gabor bank
+# are closed under mirror and 90-degree rotation, so Area/Solidity/
+# Biovolume must come out (near-)identical to the untransformed panel;
+# tests/test_multimodal_panel.py::test_mm6_isotropy pins that against
+# the live mm2 chain.  Baked like MM2_SQL: two consecutive runs
+# bit-identical.
+MM6_TRANSFORMS = ("flip_h", "rot90")
+
+
+def augmented_panel_rois(spark: SparkSession) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import ROI_SCHEMA
+
+    base = panel_rois(spark)
+    tdf = spark.createDataFrame(
+        [(t,) for t in MM6_TRANSFORMS], "transform string"
+    )
+    crossed = base.crossJoin(F.broadcast(tdf))
+
+    def aug(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.image_codec import decode_pgm, encode_pgm
+
+        for pdf in batches:
+            out = {"sample": [], "roi_number": [], "image": [], "width": [], "height": []}
+            for s, roi, blob, t in zip(
+                pdf["sample"], pdf["roi_number"], pdf["image"], pdf["transform"]
+            ):
+                img = decode_pgm(bytes(blob))
+                img2 = img[:, ::-1] if t == "flip_h" else np.rot90(img)
+                img2 = np.ascontiguousarray(img2)
+                out["sample"].append(f"{s}__{t}")
+                out["roi_number"].append(int(roi))
+                out["image"].append(encode_pgm(img2))
+                out["width"].append(img2.shape[1])
+                out["height"].append(img2.shape[0])
+            yield pd.DataFrame(out)
+
+    return crossed.mapInPandas(aug, schema=ROI_SCHEMA)
+
+
+MM6_SQL = """
+SELECT sample, transform, Area::DOUBLE AS Area, Perimeter::DOUBLE AS Perimeter,
+       Eccentricity::DOUBLE AS Eccentricity, Solidity::DOUBLE AS Solidity,
+       Biovolume::DOUBLE AS Biovolume, BiovolumeBranch,
+       summedArea::DOUBLE AS summedArea
+FROM (VALUES
+    ('disk_r12', 'flip_h', 450.0, 75.598, 0.2006, 0.9762, 7123.8231, 'sor', 450.0),
+    ('disk_r12', 'rot90', 450.0, 75.598, 0.2006, 0.9762, 7123.8231, 'sor', 450.0),
+    ('disk_r15', 'flip_h', 697.0, 99.7401, 0.1, 0.9605, 13559.6375, 'sor', 697.0),
+    ('disk_r15', 'rot90', 697.0, 99.7401, 0.1, 0.9605, 13559.6375, 'sor', 697.0),
+    ('disk_r6', 'flip_h', 133.0, 43.3137, 0.0, 0.9141, 1190.4018, 'sor', 133.0),
+    ('disk_r6', 'rot90', 133.0, 43.3137, 0.0, 0.9141, 1190.4018, 'sor', 133.0),
+    ('disk_r9', 'flip_h', 271.0, 58.6274, 0.2316, 0.9694, 3343.9636, 'sor', 271.0),
+    ('disk_r9', 'rot90', 271.0, 58.6274, 0.2316, 0.9694, 3343.9636, 'sor', 271.0),
+    ('ellipse_14x6', 'flip_h', 227.0, 68.2843, 0.931, 0.9285, 1534.9298, 'sor', 227.0),
+    ('ellipse_14x6', 'rot90', 227.0, 68.2843, 0.928, 0.9111, 1551.1614, 'sor', 227.0),
+    ('ellipse_18x8', 'flip_h', 421.0, 87.9411, 0.9204, 0.949, 4043.7533, 'sor', 421.0),
+    ('ellipse_18x8', 'rot90', 424.0, 88.7696, 0.9177, 0.9334, 4121.9005, 'sor', 424.0),
+    ('lshape_20x8', 'flip_h', 235.0, 85.0711, 0.8444, 0.6497, 1104.1764, 'distmap', 235.0),
+    ('lshape_20x8', 'rot90', 235.0, 85.0711, 0.8444, 0.6497, 1104.1764, 'distmap', 235.0),
+    ('rect_10x10', 'flip_h', 100.0, 36.0, 0.0, 1.0, 785.3982, 'sor', 100.0),
+    ('rect_10x10', 'rot90', 100.0, 36.0, 0.0, 1.0, 785.3982, 'sor', 100.0),
+    ('rect_12x5', 'flip_h', 68.0, 44.4853, 0.962, 0.6071, 192.8018, 'distmap', 68.0),
+    ('rect_12x5', 'rot90', 68.0, 44.4853, 0.962, 0.6071, 192.8018, 'distmap', 68.0),
+    ('rect_18x7', 'flip_h', 92.0, 43.6569, 0.9634, 0.9738, 358.1416, 'sor', 92.0),
+    ('rect_18x7', 'rot90', 91.0, 42.8284, 0.9621, 0.9866, 355.7854, 'sor', 91.0),
+    ('rect_24x9', 'flip_h', 168.0, 58.0, 0.9565, 1.0, 923.6282, 'sor', 168.0),
+    ('rect_24x9', 'rot90', 168.0, 58.0, 0.9565, 1.0, 923.6282, 'sor', 168.0),
+    ('ribbon_30x4', 'flip_h', 60.0, 60.0, 0.9978, 1.0, 94.2478, 'sor', 60.0),
+    ('ribbon_30x4', 'rot90', 60.0, 60.0, 0.9978, 1.0, 94.2478, 'sor', 60.0)
+) AS t(sample, transform, Area, Perimeter, Eccentricity, Solidity, Biovolume, BiovolumeBranch, summedArea)
+"""
+
+
+@register("mm6_augmentation_panel", MM6_SQL, survey_ref="beyond reference: augmentation (flip/rot90) + kernel isotropy, full U1-U12 chain")
+def mm6_augmentation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kernels import features_from_images
+
+    feats = features_from_images(augmented_panel_rois(spark))
+    return feats.select(
+        F.split_part(F.col("sample"), F.lit("__"), F.lit(1)).alias("sample"),
+        F.split_part(F.col("sample"), F.lit("__"), F.lit(2)).alias("transform"),
+        dround(F.col("Area"), 4).alias("Area"),
+        dround(F.col("Perimeter"), 4).alias("Perimeter"),
+        dround(F.col("Eccentricity"), 4).alias("Eccentricity"),
+        dround(F.col("Solidity"), 4).alias("Solidity"),
+        dround(F.col("Biovolume"), 4).alias("Biovolume"),
+        "BiovolumeBranch",
+        dround(F.col("summedArea"), 4).alias("summedArea"),
+    )

@@ -173,3 +173,42 @@ def test_mm2b_baked_oracle_matches_live_chain():
             assert float(baked[col]) == pytest.approx(live, abs=1e-9), (sample, col)
         assert baked["BiovolumeBranch"] == feats["BiovolumeBranch"]
         assert int(baked["numBlobs"]) == int(feats["numBlobs"])
+
+
+# --- MM6 isotropy ----------------------------------------------------------
+def chain_features_img(img: np.ndarray) -> dict:
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        benkrid_perimeter,
+        biovolume_auto,
+        blob_geometry,
+        hull_metrics,
+        perimeter_image,
+        segment_roi_pc,
+    )
+
+    mask = segment_roi_pc(img)
+    out = blob_geometry(mask)
+    out.update(biovolume_auto(mask))
+    hull = hull_metrics(mask)
+    out["Solidity"] = out["Area"] / hull["ConvexArea"] if hull["ConvexArea"] else 0.0
+    out["Perimeter"] = benkrid_perimeter(perimeter_image(mask))
+    return out
+
+
+@pytest.mark.parametrize("sample,kind,p1,p2", MM2_PANEL)
+def test_mm6_isotropy(sample, kind, p1, p2):
+    """The mm6 contract: the log-Gabor orientation set is closed under
+    mirror and 90-degree rotation, so the geometry features of a flipped
+    or rotated shape must match the original — exactly for the mirror
+    (same canvas), and within ~1.5% for rot90 (a non-square canvas
+    changes the FFT grid, perturbing the segmentation by edge pixels —
+    the baked mm6 oracle records the exact values)."""
+    m = panel_mask(kind, p1, p2)
+    img = np.full(m.shape, 215, dtype=np.uint8)
+    img[m] = 45
+    base = chain_features_img(img)
+    flip = chain_features_img(np.ascontiguousarray(img[:, ::-1]))
+    rot = chain_features_img(np.ascontiguousarray(np.rot90(img)))
+    for k in ("Area", "Perimeter", "Solidity", "Biovolume"):
+        assert flip[k] == pytest.approx(base[k], rel=1e-9), f"flip {k}"
+        assert rot[k] == pytest.approx(base[k], rel=0.02), f"rot90 {k}"
