@@ -311,3 +311,36 @@ def test_pk2_chunking_is_shuffle_free(spark, sf_dir):
     df = REGISTRY["pk2_document_chunking"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, "pk2 must stay shuffle-free"
+
+
+def test_sim9_coarse_is_bounded_broadcast(spark, sf_dir):
+    """sim9's only nested-loop join must be the bounded query set
+    (broadcast) against the int8 codes; the stage-2 rerank joins must be
+    hash/sort-merge equi-joins — a second BNLJ means the rerank
+    regressed to scoring the whole corpus with floats."""
+    plan = plan_of(spark, "sim9_quantized_rerank", sf_dir)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # query-set + qe reattach
+    assert "CartesianProduct" not in plan
+
+
+def test_pk3_windows_are_sharded(spark, sf_dir):
+    """pk3's row_number must run inside (bucket, shard) groups — an
+    unpartitioned window (single-reducer global sort) is the scale
+    regression the sharding exists to prevent."""
+    plan = plan_of(spark, "pk3_length_bucketed_batching", sf_dir)
+    import re
+
+    assert re.search(r"hashpartitioning\(bucket#\d+L?, shard#\d+", plan), (
+        "row_number exchange lost its (bucket, shard) keys"
+    )
+    assert re.search(r"windowspecdefinition\(bucket#\d+L?, shard#\d+", plan), (
+        "window lost its shard partition spec"
+    )
+
+
+def test_a22_max_ts_is_broadcast(spark, sf_dir):
+    """a22's global max-ts frame is 1 row; it must reach the weighting
+    map-side as a broadcast, never shuffle the fact side against it."""
+    plan = plan_of(spark, "a22_decayed_engagement", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
