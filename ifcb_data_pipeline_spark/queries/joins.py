@@ -515,3 +515,87 @@ def j14_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_purchase", F.lit(0)).cast("long").alias("n_purchase"),
         F.coalesce("value_cents", F.lit(0)).cast("long").alias("value_cents"),
     )
+
+
+# --- J8B: grid-bucketed spatial join (fact×fact scale path) ----------------
+# j8 bounds its theta join with an equi-key (nation) and lets AQE size
+# the supplier side; when BOTH point sets are fact-sized and share no
+# equi-key, the 100 TB form is the j14 pattern in two dimensions: snap
+# points to a lat/lon grid whose cell covers the search radius (0.5°
+# lat ≈ 55.6 km ≥ 50 km; 1° lon ≥ 50 km up to 60°N, the domain's
+# ceiling), replicate the probe side into its 3×3 cell neighborhood,
+# equi-join on the cell id, then apply the exact haversine.  Candidates
+# are bounded by per-cell point density — spatial-skew-governed, never
+# |C|×|S| — and the plan stays a shuffled hash/sort-merge join.
+J8B_SQL = f"""
+WITH c AS (
+    SELECT c_custkey, {LAT_SQL.format(k='c_custkey')} AS lat,
+           {LON_SQL.format(k='c_custkey')} AS lon
+    FROM customer
+), s AS (
+    SELECT s_suppkey, {LAT_SQL.format(k='s_suppkey')} AS lat,
+           {LON_SQL.format(k='s_suppkey')} AS lon
+    FROM supplier
+), pairs AS MATERIALIZED (
+    SELECT c.c_custkey, s.s_suppkey,
+           2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(s.lat - c.lat) / 2), 2)
+               + cos(radians(c.lat)) * cos(radians(s.lat))
+               * pow(sin(radians(s.lon - c.lon) / 2), 2))) AS d
+    FROM c JOIN s
+      ON 2 * 6371.0088 * asin(sqrt(
+             pow(sin(radians(s.lat - c.lat) / 2), 2)
+             + cos(radians(c.lat)) * cos(radians(s.lat))
+             * pow(sin(radians(s.lon - c.lon) / 2), 2))) <= 50.0
+)
+SELECT c_custkey, s_suppkey,
+       floor(d * 10000.0 + 0.5) / 10000.0 AS dist_km
+FROM pairs
+"""
+
+
+@register("j8b_grid_spatial_join", J8B_SQL, survey_ref="beyond reference: grid-bucketed fact×fact spatial join (j14 pattern in 2D)")
+def j8b_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        "c_custkey",
+        lat_expr(F.col("c_custkey")).alias("lat"),
+        lon_expr(F.col("c_custkey")).alias("lon"),
+    )
+    s = supplier.select(
+        "s_suppkey",
+        lat_expr(F.col("s_suppkey")).alias("lat"),
+        lon_expr(F.col("s_suppkey")).alias("lon"),
+    )
+    # build side: one cell per point; probe side: 3x3 neighborhood
+    s_cells = s.select(
+        "s_suppkey",
+        F.col("lat").alias("s_lat"),
+        F.col("lon").alias("s_lon"),
+        F.floor(F.col("lat") * 2).cast("long").alias("clat"),
+        F.floor(F.col("lon")).cast("long").alias("clon"),
+    )
+    d = F.explode(
+        F.array(*[F.lit(i) for i in (-1, 0, 1)])
+    )
+    c_cells = (
+        c.withColumn("dlat", d)
+        .withColumn("dlon", F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)])))
+        .select(
+            "c_custkey",
+            F.col("lat").alias("c_lat"),
+            F.col("lon").alias("c_lon"),
+            (F.floor(F.col("lat") * 2).cast("long") + F.col("dlat")).alias("clat"),
+            (F.floor(F.col("lon")).cast("long") + F.col("dlon")).alias("clon"),
+        )
+    )
+    pairs = c_cells.join(s_cells, ["clat", "clon"]).select(
+        "c_custkey",
+        "s_suppkey",
+        haversine_km(
+            F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon")
+        ).alias("d"),
+    )
+    return pairs.where(F.col("d") <= 50.0).select(
+        "c_custkey", "s_suppkey", dround(F.col("d"), 4).alias("dist_km")
+    )

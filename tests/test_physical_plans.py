@@ -142,6 +142,7 @@ def test_p1_window_is_partitioned(spark, sf_dir):
         "dd5_embedding_cosine_dup",
         "sim2_signlsh_ann",
         "j14_bucketed_range_join",
+        "j8b_grid_spatial_join",
     ],
 )
 def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
