@@ -1067,3 +1067,61 @@ def mm6_augmentation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "BiovolumeBranch",
         dround(F.col("summedArea"), 4).alias("summedArea"),
     )
+
+
+# --- ST6: sliding-window streaming rates -----------------------------------
+# The overlapping-window form st1's tumbling windows can't express: a
+# 1-hour window advancing every 30 minutes, so each event lands in
+# exactly two windows — the standard "rate over the trailing hour,
+# refreshed twice an hour" monitoring shape.  Same run contract as
+# st1: real Structured Streaming drained via availableNow with the
+# deterministic batch twin behind the exception-safe drain helper.
+# State is |open windows| × |event types| — bounded regardless of
+# stream length.  The oracle materializes the two candidate window
+# starts per event arithmetically.
+ST6_SQL = """
+WITH starts AS (
+    SELECT event_type, unnest([
+        time_bucket(INTERVAL '30 minutes', ts),
+        time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+    ]) AS window_start
+    FROM events
+)
+SELECT window_start::TIMESTAMP AS window_start, event_type,
+       count(*)::BIGINT AS n
+FROM starts GROUP BY window_start, event_type
+"""
+
+
+@register("st6_sliding_window_rates", ST6_SQL, survey_ref="SURVEY §2.10; sliding (overlapping) streaming windows")
+def st6_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    windowed = (
+        stream.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    if _drain_to_memory(
+        windowed.writeStream.format("memory").outputMode("complete"),
+        "st6_sliding",
+    ):
+        return spark.table("st6_sliding")
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
