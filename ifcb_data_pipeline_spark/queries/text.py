@@ -657,3 +657,55 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- SP6: per-domain token-budget capping -----------------------------------
+# The downsampling half of mixture construction (sp4/sp5 upsample): each
+# source domain is capped at a token budget (1000 tokens here — binding at every sf: domains carry ~1.4k tokens at sf0.01, ~14k at sf0.1) by
+# keeping documents in a deterministic hash order until the NEXT doc
+# would cross the budget — how over-represented domains (web crawl) are
+# trimmed before mixing.  One window per domain: hash-ranked cumulative
+# token sum, a bounded per-group scan (domains are the partition key, so
+# no global sort), and the keep rule is pure integer arithmetic —
+# bit-identical in both engines.  The kept set is stable under corpus
+# growth *within* the budget: appending new docs never evicts an
+# already-kept doc whose hash ranks earlier.
+_SP6_BUDGET = 1000
+
+SP6_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok,
+           {HASH32_SQL.format(x="doc_id::VARCHAR")} AS h
+    FROM documents
+),
+cum AS (
+    SELECT doc_id, source, tok,
+           sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+    FROM toks
+)
+SELECT doc_id, source, tok, cum_tok
+FROM cum WHERE cum_tok <= {_SP6_BUDGET}
+"""
+
+
+@register("sp6_domain_token_cap", SP6_SQL, survey_ref="beyond reference: per-domain token-budget downsampling")
+def sp6_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id",
+        "source",
+        token_count_ws(F.col("text")).cast("long").alias("tok"),
+        hash32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        toks.withColumn("cum_tok", F.sum("tok").over(w))
+        .where(F.col("cum_tok") <= _SP6_BUDGET)
+        .select("doc_id", "source", "tok", "cum_tok")
+    )
