@@ -551,3 +551,95 @@ def a22_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("engagement"),
         )
     )
+
+
+# --- A23: weekly cohort retention ------------------------------------------
+# The cohort-retention matrix over the event stream: users are grouped
+# by their first-activity week, and each later week counts how many of
+# that cohort came back.  Scale shape: first-touch is a per-user min
+# (one groupBy), activity weeks are a distinct projection, and the
+# matrix is their equi-join on user_id — no window over the whole
+# stream, no per-day distinct scans.  Weeks are integer epoch-week
+# indices (epoch_us // 604800e6), so every value is exact.  The cohort
+# event is a QUALIFYING purchase (value > 100): the raw stream is so
+# dense every user is active in week 0, which would collapse the matrix
+# to one cohort — the sparse subset spreads first-touch across all 5
+# weeks (120 of 150 users qualify at sf0.01).
+A23_SQL = """
+WITH act AS (
+    SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+    FROM events WHERE event_type = 'purchase' AND value > 100.0
+),
+first_touch AS (
+    SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id
+)
+SELECT f.cohort_week::BIGINT AS cohort_week,
+       (a.week - f.cohort_week)::BIGINT AS week_offset,
+       count(*)::BIGINT AS n_active
+FROM act a JOIN first_touch f USING (user_id)
+GROUP BY f.cohort_week, a.week - f.cohort_week
+"""
+
+
+@register("a23_cohort_retention", A23_SQL, survey_ref="beyond reference: first-touch weekly cohort retention matrix")
+def a23_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    week = (
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(604_800_000_000)
+    ).cast("long")
+    act = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .select("user_id", week.alias("week"))
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+# --- W10: cumulative distinct users (growth curve) -------------------------
+# Running count of distinct users by day — the naive form (a distinct
+# count over an expanding window) rescans the whole history per day,
+# which is quadratic at stream scale.  The scalable identity: a user
+# contributes to the running distinct exactly once, on their FIRST day
+# — so first-touch per user (one groupBy), daily new-user counts, and a
+# cumulative sum over the ~|days|-sized series.  The final window runs
+# over one row per day, the documented bounded-window exception.  Same
+# qualifying-purchase subset as a23 so the curve actually grows over
+# the month instead of saturating on day 1.
+W10_SQL = """
+WITH first_day AS (
+    SELECT user_id, min(ts::DATE) AS d FROM events
+    WHERE event_type = 'purchase' AND value > 100.0
+    GROUP BY user_id
+),
+daily AS (
+    SELECT d, count(*)::BIGINT AS new_users FROM first_day GROUP BY d
+)
+SELECT d AS day, new_users,
+       sum(new_users) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)::BIGINT
+           AS cum_users
+FROM daily
+"""
+
+
+@register("w10_cumulative_distinct", W10_SQL, survey_ref="beyond reference: running distinct via first-touch transform")
+def w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    first = (
+        events.where((F.col("event_type") == "purchase") & (F.col("value") > 100.0))
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d"))
+    )
+    daily = first.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.col("d").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
