@@ -599,3 +599,69 @@ def j8b_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(F.col("d") <= 50.0).select(
         "c_custkey", "s_suppkey", dround(F.col("d"), 4).alias("dist_km")
     )
+
+
+# --- I8: corpus snapshot diff ----------------------------------------------
+# The ingest-versioning primitive of an incremental refresh: given the
+# previous corpus snapshot and the new crawl, classify every document
+# as added / removed / changed (unchanged rows are suppressed — at
+# corpus scale they are the overwhelming majority and downstream only
+# consumes the delta).  The "new" snapshot is derived deterministically
+# here: every 30th doc dropped, every 25th doc's text rewritten, and a
+# fresh doc minted per dropped one.  Physical shape: ONE full-outer
+# equi-join on doc_id comparing content hashes — id-partitioned, so at
+# 100 TB both snapshots co-partition on the join key and the diff costs
+# a single balanced shuffle (or zero with bucketed snapshot tables,
+# plans/bucketing.py).
+I8_SQL = """
+WITH old AS (
+    SELECT doc_id, md5(text) AS h FROM documents
+),
+new AS (
+    SELECT doc_id, md5(CASE WHEN doc_id % 25 = 0 THEN 'rewritten: ' || text
+                            ELSE text END) AS h
+    FROM documents WHERE doc_id % 30 <> 0
+    UNION ALL
+    SELECT doc_id + 30000, md5('minted for ' || doc_id::VARCHAR)
+    FROM documents WHERE doc_id % 30 = 0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.h <> n.h
+"""
+
+
+@register("i8_snapshot_diff", I8_SQL, survey_ref="beyond reference (SURVEY §2.10 family): incremental corpus snapshot diff")
+def i8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    old = documents.select("doc_id", F.md5("text").alias("h"))
+    kept = documents.where(F.col("doc_id") % 30 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 25 == 0, F.concat(F.lit("rewritten: "), F.col("text"))
+            ).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    minted = documents.where(F.col("doc_id") % 30 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.md5(F.concat(F.lit("minted for "), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    new = kept.unionByName(minted)
+    o = old.select(F.col("doc_id").alias("o_id"), F.col("h").alias("o_h"))
+    n = new.select(F.col("doc_id").alias("n_id"), F.col("h").alias("n_h"))
+    joined = o.join(n, o.o_id == n.n_id, "full_outer")
+    return joined.where(
+        F.col("o_id").isNull() | F.col("n_id").isNull() | (F.col("o_h") != F.col("n_h"))
+    ).select(
+        F.coalesce("o_id", "n_id").alias("doc_id"),
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+    )
