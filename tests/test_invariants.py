@@ -254,3 +254,63 @@ def test_sp5_realized_mixture_follows_temperature(spark, sf_dir):
     # inverse-sqrt of share → weakly decreasing in domain size (ties when
     # both hit the 4.0 cap)
     assert all(a >= b - 1e-9 for a, b in zip(ws, ws[1:])), ws
+
+
+def test_sim9_rerank_recall_vs_exact(spark, sf_dir):
+    """The sim9 contract: the int8 coarse stage's top-25 must retain
+    (nearly) all of the exact float top-5 — quantization error is a
+    rounding of 64-dim dots, far smaller than typical neighbor gaps.
+    Pinned at mean recall >= 0.9 (observed 1.0 at sf0.01); a drop means
+    the coarse scorer or the candidate width regressed."""
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    exact = reg["sim1_cosine_topk"].fn(spark, sf_dir).collect()
+    rr = reg["sim9_quantized_rerank"].fn(spark, sf_dir).collect()
+    ex: dict[int, set] = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got: dict[int, set] = {}
+    for r in rr:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_sp6_budget_binding_and_maximal(spark, sf_dir):
+    """Every kept domain prefix must respect the budget AND be maximal:
+    the next doc in hash order would cross it (so the cap actually
+    trims, and trims no more than necessary)."""
+    from ifcb_data_pipeline_spark.queries import load_all
+    from ifcb_data_pipeline_spark.queries.text import _SP6_BUDGET
+
+    reg = load_all()
+    kept = reg["sp6_domain_token_cap"].fn(spark, sf_dir).collect()
+    by_src: dict[str, int] = {}
+    for r in kept:
+        assert r["cum_tok"] <= _SP6_BUDGET
+        by_src[r["source"]] = max(by_src.get(r["source"], 0), r["cum_tok"])
+    # maximality: re-derive the full hash-ordered token series per domain
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    rows = con.execute(
+        """
+        SELECT source, list(tok ORDER BY h, doc_id) FROM (
+            SELECT doc_id, source,
+                   len(string_split_regex(trim(text), '\\s+'))::BIGINT AS tok,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS h
+            FROM documents
+        ) GROUP BY source
+        """
+    ).fetchall()
+    for source, toks in rows:
+        cum, kept_cum = 0, by_src.get(source, 0)
+        for t in toks:
+            if cum + t > _SP6_BUDGET:
+                break
+            cum += t
+        assert cum == kept_cum, f"{source}: kept {kept_cum}, maximal is {cum}"

@@ -345,3 +345,32 @@ def test_a22_max_ts_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, "a22_decayed_engagement", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    ("name", "partition_key"),
+    [
+        ("w9_rolling_zscore", "user_id"),
+        ("dp7_binned_quantiles", "event_type"),
+        ("sp6_domain_token_cap", "source"),
+    ],
+)
+def test_new_windows_are_partitioned(spark, sf_dir, name, partition_key):
+    """Every round-5 windowed operator must keep its partition key — an
+    unpartitioned window is the single-reducer global sort these
+    designs exist to avoid."""
+    import re
+
+    plan = plan_of(spark, name, sf_dir)
+    assert re.search(
+        rf"windowspecdefinition\({partition_key}#", plan
+    ), f"{name}: window lost PARTITION BY {partition_key}"
+
+
+def test_i8_diff_is_equi_join(spark, sf_dir):
+    """i8's snapshot diff must stay a hash/sort-merge equi-join on
+    doc_id — a nested-loop full-outer means the id key was lost."""
+    plan = plan_of(spark, "i8_snapshot_diff", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
