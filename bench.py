@@ -43,6 +43,7 @@ HEADLINE = [
     "pk2_document_chunking",
     "j14_bucketed_range_join",
     "sim9_quantized_rerank",
+    "tp3_incremental_refresh",
 ]
 
 
