@@ -77,12 +77,14 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # old — the protocol ceiling — and rotate next round.
 # Round-6 rotation plan (write the next PREFIX_ORDER from this): the 35
 # r3-era rows not refreshed this round hit the 2-round protocol ceiling
-# at r5-end and must fill most of the next 50, together with the 7
-# operators NEW in round 5 after the prefix froze (j14_bucketed_range_join,
-# w9_rolling_zscore, a22_decayed_engagement, dp6_drift_profile,
-# pk3_length_bucketed_batching, sim9_quantized_rerank,
-# dd9_normalized_dedup — locally oracle-green, never driver-checked),
-# plus any entry whose code changes in round 6.
+# at r5-end, and 16 operators were added AFTER this prefix froze
+# (j14, j8b, w9, w10, a22, a23, dp6, dp7, pk3, sim9, dd9, mm6, st6,
+# sp6, i8, tp3 — all locally oracle-green at sf0.001/0.01/0.1, never
+# driver-checked).  35 + 16 = 51 candidates for 50 slots, before any
+# round-6 code changes: r3-era rows take priority (protocol ceiling),
+# then the new operators; whatever spills waits for round 7.  The
+# r4-era rows reach their own ceiling at round 6's end and rotate in
+# round 7.
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
