@@ -643,3 +643,49 @@ def w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     )
+
+
+# --- A24: skew-salted aggregation (driver-visible skew machinery) ----------
+# The "bloom day" case (SURVEY §7.3): a handful of group keys carry
+# almost all rows, so a naive groupBy funnels the corpus into 3 tasks.
+# operators/skew.salted_aggregate splits the aggregation into a partial
+# on (key, salt) — 16 tasks per hot key — and an algebraic final on the
+# key.  l_returnflag is exactly this shape (3 keys over the whole fact
+# table).  Every aggregate is integer-exact (counts, cents sums, max),
+# so the partial/final re-association cannot perturb the result and the
+# oracle is the plain GROUP BY.
+A24_SQL = """
+SELECT l_returnflag,
+       count(*)::BIGINT AS n,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::BIGINT)::BIGINT AS price_cents,
+       max(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@register("a24_salted_skew_rollup", A24_SQL, survey_ref="SURVEY §7.3 skew; beyond reference: salted two-stage aggregation")
+def a24_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    base = lineitem.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "l_quantity",
+    )
+    return salted_aggregate(
+        base,
+        keys=["l_returnflag"],
+        aggs={
+            "n": (None, "count", "sum"),
+            "price_cents": ("cents", "sum", "sum"),
+            "max_qty": ("l_quantity", "max", "max"),
+        },
+    ).select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("price_cents").cast("long").alias("price_cents"),
+        "max_qty",
+    )

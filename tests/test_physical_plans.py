@@ -374,3 +374,14 @@ def test_i8_diff_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "FullOuter" in plan or "full_outer" in plan.lower()
+
+
+def test_a24_salting_survives_optimizer(spark, sf_dir):
+    """a24's two-stage salted aggregation must keep its salt: the crc32
+    salt expression and two aggregation levels (four HashAggregate
+    nodes: partial+final on (key, salt), then partial+final on key) —
+    Catalyst collapsing them back to one groupBy would re-create the
+    3-task skew funnel the operator exists to avoid."""
+    plan = plan_of(spark, "a24_salted_skew_rollup", sf_dir)
+    assert "crc32" in plan, "salt expression optimized away"
+    assert plan.count("HashAggregate") >= 4, "salted two-stage agg collapsed"
