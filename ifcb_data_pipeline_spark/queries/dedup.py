@@ -599,3 +599,136 @@ def dd9_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         (F.col("doc") == F.col("canonical_id")).alias("is_canonical"),
     )
+
+
+# --- DD10: fuzzy eval-set decontamination (MinHash cross-set) --------------
+# dd8 removes training docs sharing EXACT shingles with the benchmark;
+# dd10 is its fuzzy upgrade: MinHash-LSH across the two sets catches
+# paraphrased / truncated leaks whose shingle overlap is partial.  The
+# eval side here is src0's documents plus a deliberately leaked 70%-
+# truncated copy of every 10th training doc — dd10 must flag those
+# training docs (est_jaccard >= 0.5) even though no full shingle-set
+# identity exists.  Scale shape is ASYMMETRIC by design: benchmark sets
+# are tiny next to a 100 TB corpus, so the eval band-signatures and
+# signature arrays are broadcast and the training side never shuffles —
+# candidate generation and the agreement estimate are both map-side
+# joins against broadcast frames (contrast dd2, whose self-join must
+# shuffle on the band key).
+DD10_SQL = """
+WITH train AS (
+    SELECT doc_id AS doc, lower(text) AS text FROM documents
+    WHERE source <> 'src0'
+),
+eval AS (
+    SELECT doc_id + 50000 AS doc, lower(text) AS text FROM documents
+    WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id + 60000,
+           array_to_string(
+               string_split(lower(text), ' ')[1:greatest(1,
+                   (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
+    FROM documents WHERE source <> 'src0' AND doc_id % 10 = 0
+),
+both_sides AS (
+    SELECT doc, text, FALSE AS is_eval FROM train
+    UNION ALL
+    SELECT doc, text, TRUE FROM eval
+),
+toks AS (SELECT doc, is_eval, string_split(text, ' ') AS w FROM both_sides),
+sh AS (
+    SELECT DISTINCT doc, is_eval, shingle FROM (
+        SELECT doc, is_eval, array_to_string(w[i:i+2], ' ') AS shingle
+        FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+    )
+),
+hw AS (
+    SELECT doc, is_eval,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
+mh AS (
+    SELECT doc, is_eval, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, is_eval, seed
+),
+bands AS (
+    SELECT doc, is_eval, (seed // 2)::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, is_eval, seed // 2
+),
+cand AS (
+    SELECT DISTINCT t.doc AS train_doc, e.doc AS eval_doc
+    FROM bands t JOIN bands e
+      ON t.band = e.band AND t.sig = e.sig
+     AND NOT t.is_eval AND e.is_eval
+),
+est AS MATERIALIZED (
+    SELECT c.train_doc, c.eval_doc,
+           (sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) / 16.0) AS est_jaccard
+    FROM cand c
+    JOIN mh x ON x.doc = c.train_doc
+    JOIN mh y ON y.doc = c.eval_doc AND y.seed = x.seed
+    GROUP BY c.train_doc, c.eval_doc
+)
+SELECT train_doc, eval_doc, est_jaccard FROM est WHERE est_jaccard >= 0.5
+"""
+
+
+@register("dd10_fuzzy_decontamination", DD10_SQL, survey_ref="beyond reference: MinHash cross-set eval decontamination (fuzzy dd8)")
+def dd10_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import banded_signatures, minhash_signatures, shingle_sets
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    train = documents.where(F.col("source") != "src0").select(
+        F.col("doc_id").alias("doc"), F.lower("text").alias("text")
+    )
+    w = F.split(F.lower(F.col("text")), " ")
+    keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
+    eval_side = (
+        documents.where(F.col("source") == "src0")
+        .select((F.col("doc_id") + 50000).alias("doc"), F.lower("text").alias("text"))
+        .unionByName(
+            documents.where((F.col("source") != "src0") & (F.col("doc_id") % 10 == 0)).select(
+                (F.col("doc_id") + 60000).alias("doc"),
+                F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+            )
+        )
+    )
+
+    def sigs(side: DataFrame) -> DataFrame:
+        return minhash_signatures(
+            shingle_sets(side, text_col="text", id_col="doc", k=3), num_hashes=16
+        )
+
+    t_sig = sigs(train).localCheckpoint()
+    e_sig = sigs(eval_side).localCheckpoint()
+    t_band = banded_signatures(t_sig, bands=8, num_hashes=16)
+    e_band = banded_signatures(e_sig, bands=8, num_hashes=16)
+    cand = (
+        t_band.join(
+            F.broadcast(e_band.select(F.col("doc").alias("eval_doc"), "band", "sig")),
+            ["band", "sig"],
+        )
+        .select(F.col("doc").alias("train_doc"), "eval_doc")
+        .dropDuplicates()
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_t", "sig_e", lambda x, y: x == y), lambda v: v)
+    )
+    est = (
+        cand.join(
+            t_sig.select(F.col("doc").alias("train_doc"), F.col("sig").alias("sig_t")),
+            "train_doc",
+        )
+        .join(
+            F.broadcast(
+                e_sig.select(F.col("doc").alias("eval_doc"), F.col("sig").alias("sig_e"))
+            ),
+            "eval_doc",
+        )
+        .select("train_doc", "eval_doc", (agree / 16).alias("est_jaccard"))
+    )
+    return est.where(F.col("est_jaccard") >= 0.5).select(
+        "train_doc", "eval_doc", "est_jaccard"
+    )

@@ -385,3 +385,13 @@ def test_a24_salting_survives_optimizer(spark, sf_dir):
     plan = plan_of(spark, "a24_salted_skew_rollup", sf_dir)
     assert "crc32" in plan, "salt expression optimized away"
     assert plan.count("HashAggregate") >= 4, "salted two-stage agg collapsed"
+
+
+def test_dd10_eval_side_is_broadcast(spark, sf_dir):
+    """dd10's asymmetric design: the (tiny) eval band-signatures and
+    signature arrays reach the training side as broadcasts — a shuffled
+    band self-join here means the cross-set special case regressed to
+    dd2's symmetric shape."""
+    plan = plan_of(spark, "dd10_fuzzy_decontamination", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
