@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import explode_bins_to_rois, extract_features
 from . import register
-from ._util import dround, tables
+from ._util import dround, hash32, tables
 
 
 def _drain_to_memory(writer, query_name: str, timeout: int = 60) -> bool:
@@ -1124,4 +1124,51 @@ def st6_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+# --- MM7: modality-coverage profile ----------------------------------------
+# The pre-flight QC before a multimodal join (tp2): per source domain,
+# how many documents actually HAVE an embedding, and the coverage
+# fraction — run before committing to a modality-equi-join so silent
+# missing-modality loss is visible.  One left join on the id key (at
+# scale: co-partitioned, or a broadcast of the smaller id set) + one
+# conditional aggregation; the fraction is one exact integer division.
+# The embedding store is modeled as incomplete (a deterministic-hash
+# quarter of the vectors missing) so the coverage dial is non-trivial
+# at every scale factor — at sf0.01 the raw tables align 1:1 and the
+# profile would read 100%, and an id-arithmetic drop would collapse to
+# 0/1 per source because source assignment shares the id's residue.
+MM7_SQL = """
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(e.vec_id)::BIGINT AS n_with_embedding,
+       floor(count(e.vec_id)::DOUBLE / count(*) * 1000000.0 + 0.5)
+           / 1000000.0 AS coverage
+FROM documents d
+LEFT JOIN (SELECT vec_id FROM embeddings
+           WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 4 <> 0) e
+  ON d.doc_id = e.vec_id
+GROUP BY d.source
+"""
+
+
+@register("mm7_modality_coverage", MM7_SQL, survey_ref="beyond reference: modality-completeness QC before the multimodal join")
+def mm7_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents, embeddings = tables(spark, sf_dir, "documents", "embeddings")
+    joined = documents.join(
+        embeddings.where(hash32(F.col("vec_id").cast("string")) % 4 != 0).select(
+            F.col("vec_id")
+        ),
+        documents.doc_id == F.col("vec_id"),
+        "left",
+    )
+    n_emb = F.count("vec_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_emb.alias("n_with_embedding"),
+        (
+            F.floor(n_emb.cast("double") / F.count(F.lit(1)) * 1000000.0 + F.lit(0.5))
+            / 1000000.0
+        ).alias("coverage"),
     )

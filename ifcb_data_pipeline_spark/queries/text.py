@@ -709,3 +709,119 @@ def sp6_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tok") <= _SP6_BUDGET)
         .select("doc_id", "source", "tok", "cum_tok")
     )
+
+
+# --- SP7: per-epoch deterministic reshuffle --------------------------------
+# Multi-epoch training ingest wants a DIFFERENT document order every
+# epoch, but each order must be reproducible (resume-from-step) and
+# computable without a global sort.  Order key = md5 hash of
+# (epoch, doc): uniform, stable, and distinct per epoch; positions are
+# assigned within (epoch, shard = doc_id // 64) ranges — the pk1
+# sharding — so the row_number window is bounded by shard width and
+# the global order is the (epoch, shard, position) lexicographic one a
+# sharded data-loader actually consumes.  Everything is integer/string
+# hashing: bit-identical across engines.
+_SP7_EPOCHS = 3
+
+SP7_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id, e.epoch, doc_id // 64 AS shard,
+           ('0x' || substr(md5(e.epoch::VARCHAR || ':' || doc_id::VARCHAR),
+                           1, 8))::BIGINT AS h
+    FROM documents
+    CROSS JOIN (SELECT unnest(range({_SP7_EPOCHS})) AS epoch) e
+)
+SELECT doc_id, epoch::INT AS epoch, shard::INT AS shard,
+       row_number() OVER (PARTITION BY epoch, shard ORDER BY h, doc_id)::BIGINT
+           AS position
+FROM keyed
+"""
+
+
+@register("sp7_epoch_shuffle", SP7_SQL, survey_ref="beyond reference: reproducible per-epoch reshuffle (sharded data-loader order)")
+def sp7_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    epochs = F.explode(
+        F.sequence(F.lit(0), F.lit(_SP7_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = documents.select("doc_id", epochs).select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        (F.col("doc_id") / 64).cast("long").cast("int").alias("shard"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return keyed.select(
+        "doc_id", "epoch", "shard", F.row_number().over(w).cast("long").alias("position")
+    )
+
+
+# --- TX12: n-gram novelty score --------------------------------------------
+# The memorization-risk / boilerplate dial: for each document, the
+# fraction of its distinct 3-grams that appear in NO other document
+# (df == 1).  Low novelty = template/boilerplate text; high novelty =
+# unique content.  Shape: distinct (doc, gram) projection, gram-keyed
+# df count (uniform md5-gram key, map-side partial), join back, one
+# per-doc aggregation — the dd4 inverted-index machinery pointed at
+# the df==1 tail instead of the heavy head.  Fractions are exact
+# integer divisions.
+TX12_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+),
+df AS (
+    SELECT g, count(*)::BIGINT AS df FROM grams GROUP BY g
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+       floor(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 1000000.0 + 0.5) / 1000000.0 AS novelty
+FROM grams JOIN df USING (g)
+GROUP BY doc_id
+"""
+
+
+@register("tx12_ngram_novelty", TX12_SQL, survey_ref="beyond reference: doc-unique n-gram fraction (memorization/boilerplate dial)")
+def tx12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_sets
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    corpus = documents.select(
+        F.col("doc_id").alias("doc"), F.lower("text").alias("text")
+    )
+    grams = shingle_sets(corpus, text_col="text", id_col="doc", k=3)
+    df = grams.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        grams.join(df, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            uniq.cast("long").alias("n_unique"),
+            (
+                F.floor(
+                    uniq.cast("double") / F.count(F.lit(1)) * 1000000.0 + F.lit(0.5)
+                )
+                / 1000000.0
+            ).alias("novelty"),
+        )
+    )
