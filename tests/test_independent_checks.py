@@ -1,0 +1,152 @@
+"""Independent semantic anchors for the round-5 operators.
+
+The oracle mirror proves Spark and DuckDB agree — but both sides are
+written from the same understanding, so a shared misreading would pass.
+These tests re-derive expected results a THIRD way (brute-force python
+over collected sf rows, or closed-form invariants) so the semantics are
+anchored outside the query/oracle pair.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from ifcb_data_pipeline_spark.queries import load_all
+
+REG = load_all()
+SMALL_SF = "/root/testdata/sf0.001"
+
+
+def test_j14_matches_bruteforce_small(spark):
+    """Every (error event -> following-hour stats) row re-derived by an
+    O(n^2) python scan over the sf0.001 events."""
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, epoch_us(ts) AS us, value "
+        f"FROM '{SMALL_SF}/events.parquet'"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for eid, uid, etype, us, val in rows:
+        by_user.setdefault(uid, []).append((eid, etype, us, val))
+    expected = {}
+    for eid, uid, etype, us, val in rows:
+        if etype != "error":
+            continue
+        n = npur = cents = 0
+        for feid, fetype, fus, fval in by_user[uid]:
+            if us < fus < us + 3_600_000_000:
+                n += 1
+                npur += fetype == "purchase"
+                cents += math.floor(fval * 100.0 + 0.5)
+        expected[eid] = (n, npur, cents)
+    got = {
+        r["err_id"]: (r["n_follow"], r["n_purchase"], r["value_cents"])
+        for r in REG["j14_bucketed_range_join"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+
+
+def test_j8b_matches_bruteforce_small(spark):
+    """Grid-bucketed spatial join vs an all-pairs python haversine."""
+    R = 2 * 6371.0088
+
+    def hav(lat1, lon1, lat2, lon2):
+        p = math.pi / 180.0
+        a = (
+            math.sin((lat2 - lat1) * p / 2) ** 2
+            + math.cos(lat1 * p)
+            * math.cos(lat2 * p)
+            * math.sin((lon2 - lon1) * p / 2) ** 2
+        )
+        return R * math.asin(math.sqrt(a))
+
+    custs = duckdb.sql(
+        f"SELECT c_custkey FROM '{SMALL_SF}/customer.parquet'"
+    ).fetchall()
+    supps = duckdb.sql(
+        f"SELECT s_suppkey FROM '{SMALL_SF}/supplier.parquet'"
+    ).fetchall()
+    pos = lambda k: (54.0 + (k % 600) / 100.0, 10.0 + (k % 1200) / 100.0)  # noqa: E731
+    expected = set()
+    for (c,) in custs:
+        clat, clon = pos(c)
+        for (s,) in supps:
+            slat, slon = pos(s)
+            if hav(clat, clon, slat, slon) <= 50.0:
+                expected.add((c, s))
+    got = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in REG["j8b_grid_spatial_join"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+
+
+def test_dp7_within_bin_width_of_exact(spark, sf_dir):
+    """The histogram estimate must sit within one bin (0.5) below the
+    exact quantile — the crossing rule returns the bin's lower edge."""
+    est = {
+        (r["event_type"], r["quantile"]): r["est_value"]
+        for r in REG["dp7_binned_quantiles"].fn(spark, sf_dir).collect()
+    }
+    exact = duckdb.sql(
+        f"""SELECT event_type, unnest([0.50, 0.95, 0.99]) AS q,
+                   unnest([quantile_disc(value, 0.50),
+                           quantile_disc(value, 0.95),
+                           quantile_disc(value, 0.99)]) AS v
+            FROM '{sf_dir}/events.parquet' GROUP BY event_type"""
+    ).fetchall()
+    for etype, q, v in exact:
+        e = est[(etype, float(q))]
+        assert e <= v < e + 0.5 + 1e-9, (etype, q, e, v)
+
+
+def test_w10_growth_curve_invariants(spark, sf_dir):
+    rows = sorted(
+        REG["w10_cumulative_distinct"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert all(r["new_users"] >= 1 for r in rows)
+    run = 0
+    for r in rows:
+        run += r["new_users"]
+        assert r["cum_users"] == run
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase' AND value > 100.0"
+    ).fetchone()[0]
+    assert rows[-1]["cum_users"] == total
+
+
+def test_a23_cohort_conservation(spark, sf_dir):
+    rows = REG["a23_cohort_retention"].fn(spark, sf_dir).collect()
+    cohort_size = {
+        r["cohort_week"]: r["n_active"] for r in rows if r["week_offset"] == 0
+    }
+    for r in rows:
+        assert r["week_offset"] >= 0
+        # week-0 row is the cohort itself; later weeks can't exceed it
+        assert r["n_active"] <= cohort_size[r["cohort_week"]]
+    total = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet' "
+        f"WHERE event_type = 'purchase' AND value > 100.0"
+    ).fetchone()[0]
+    assert sum(cohort_size.values()) == total
+
+
+def test_tp3_conserves_v2(spark, sf_dir):
+    """carried + cleaned + gate-rejected delta = |v2|, and the carried
+    count equals the unchanged-doc count by direct arithmetic."""
+    out = REG["tp3_incremental_refresh"].fn(spark, sf_dir).collect()
+    n_carried = sum(1 for r in out if r["status"] == "carried")
+    n_docs, n_drop, n_rewrite = duckdb.sql(
+        f"""SELECT count(*),
+                   sum((doc_id % 30 = 0)::INT),
+                   sum((doc_id % 25 = 0 AND doc_id % 30 <> 0)::INT)
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchone()
+    # v2 = (kept = n_docs - dropped) + (minted = dropped)
+    assert n_carried == n_docs - n_drop - n_rewrite
+    n_delta = n_rewrite + n_drop  # rewritten + minted
+    n_cleaned = sum(1 for r in out if r["status"] == "cleaned")
+    assert 0 <= n_cleaned <= n_delta
