@@ -150,3 +150,101 @@ def test_tp3_conserves_v2(spark, sf_dir):
     n_delta = n_rewrite + n_drop  # rewritten + minted
     n_cleaned = sum(1 for r in out if r["status"] == "cleaned")
     assert 0 <= n_cleaned <= n_delta
+
+
+def test_sp7_each_epoch_is_a_permutation(spark, sf_dir):
+    """Within every (epoch, shard): positions are exactly 1..n, and the
+    three epochs order the same doc set differently (hash keys differ)."""
+    rows = REG["sp7_epoch_shuffle"].fn(spark, sf_dir).collect()
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault((r["epoch"], r["shard"]), []).append(r)
+    orders: dict[int, list] = {}
+    for (epoch, shard), g in groups.items():
+        pos = sorted(x["position"] for x in g)
+        assert pos == list(range(1, len(g) + 1)), (epoch, shard)
+        orders.setdefault(epoch, []).extend(
+            (shard, x["position"], x["doc_id"]) for x in g
+        )
+    seq = {e: [d for *_, d in sorted(v)] for e, v in orders.items()}
+    assert seq[0] != seq[1] and seq[1] != seq[2], "epochs produced identical orders"
+    assert sorted(seq[0]) == sorted(seq[1]) == sorted(seq[2])
+
+
+def test_i8_delta_counts_by_arithmetic(spark, sf_dir):
+    """added/removed/changed counts re-derived from the mutation rules."""
+    out = REG["i8_snapshot_diff"].fn(spark, sf_dir).collect()
+    got = {"added": 0, "removed": 0, "changed": 0}
+    for r in out:
+        got[r["status"]] += 1
+    n_drop, n_rewrite = duckdb.sql(
+        f"""SELECT sum((doc_id % 30 = 0)::INT),
+                   sum((doc_id % 25 = 0 AND doc_id % 30 <> 0)::INT)
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchone()
+    assert got == {"added": n_drop, "removed": n_drop, "changed": n_rewrite}
+
+
+def test_st6_each_event_in_two_windows(spark, sf_dir):
+    """Sliding 1 h / 30 min: total windowed count = 2x the event count."""
+    rows = REG["st6_sliding_window_rates"].fn(spark, sf_dir).collect()
+    total = sum(r["n"] for r in rows)
+    n_events = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert total == 2 * n_events
+
+
+def test_pk3_batches_are_bounded_and_tight(spark, sf_dir):
+    """No batch exceeds 8 docs; sum_tok <= n_docs * max_tok; pad_eff in
+    (0, 1]; doc counts conserve the corpus."""
+    rows = REG["pk3_length_bucketed_batching"].fn(spark, sf_dir).collect()
+    n_docs_total = 0
+    for r in rows:
+        assert 1 <= r["n_docs"] <= 8
+        assert r["sum_tok"] <= r["n_docs"] * r["max_tok"]
+        assert 0.0 < r["pad_eff"] <= 1.0
+        n_docs_total += r["n_docs"]
+    corpus = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert n_docs_total == corpus
+
+
+def test_a22_matches_bruteforce_small(spark):
+    """Decayed engagement re-derived by a python loop over sf0.001."""
+    rows = duckdb.sql(
+        f"SELECT user_id, epoch_us(ts) AS us, value FROM '{SMALL_SF}/events.parquet'"
+    ).fetchall()
+    mx = max(us for _, us, _ in rows)
+    agg: dict[int, int] = {}
+    cnt: dict[int, int] = {}
+    for uid, us, val in rows:
+        w = min((mx - us) // 604_800_000_000, 8)
+        agg[uid] = agg.get(uid, 0) + math.floor(val * 100.0 + 0.5) * (2 ** (8 - w))
+        cnt[uid] = cnt.get(uid, 0) + 1
+    expected = {
+        u: (cnt[u], math.floor(t / 25600.0 * 10000.0 + 0.5) / 10000.0)
+        for u, t in agg.items()
+    }
+    got = {
+        r["user_id"]: (r["n_events"], r["engagement"])
+        for r in REG["a22_decayed_engagement"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+
+
+def test_dd10_flags_planted_leaks(spark, sf_dir):
+    """Most of the deliberately planted 70%-truncated leaks (eval ids
+    >= 60000) must be flagged — the fuzzy detector's whole point."""
+    rows = REG["dd10_fuzzy_decontamination"].fn(spark, sf_dir).collect()
+    planted_hits = {r["train_doc"] for r in rows if r["eval_doc"] >= 60000}
+    n_planted = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
+        f"WHERE source <> 'src0' AND doc_id % 10 = 0"
+    ).fetchone()[0]
+    # banded 8x2 LSH at est>=0.5 over 70% truncation: expect a solid
+    # majority caught (observed 28/47 at sf0.01); floor at 40%
+    assert len(planted_hits) >= 0.4 * n_planted
+    for r in rows:
+        assert 0.5 <= r["est_jaccard"] <= 1.0
