@@ -93,6 +93,59 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # broadcast plan pin; mm7/sp7/tx12: integer-exact one-join shapes) to
 # round 7.  The 42 r4-era rows reach their own ceiling
 # at round 6's end and rotate in round 7.
+# Ready-to-swap round-6 draft (50 = 37 r3-era + 13 new; regenerate if
+# round-6 code changes touch other queries — changed queries must enter
+# the prefix, displacing draft entries from the bottom up):
+#     "a10_duplicate_detection",
+#     "a11_distinct",
+#     "a12_minmax_summary",
+#     "a13_grid_cell_frequency",
+#     "a14_monthly_histogram",
+#     "a18_provenance_summary",
+#     "a19_cube_rollup",
+#     "a2_taxon_rollup",
+#     "a3_flag_frequency",
+#     "a5_grouped_top1",
+#     "a6_bloom_categorize",
+#     "a7_global_top1",
+#     "a8_last_per_group",
+#     "c3_name_type_split",
+#     "dd1_exact_dedup",
+#     "dd3_simhash",
+#     "dd4_ngram_jaccard",
+#     "dd4b_ngram_jaccard_dfcut",
+#     "dd6_dup_clusters",
+#     "dd7_dedup_materialize",
+#     "f11_missing_position_filter",
+#     "f1_select_rename",
+#     "f6_regional_filter",
+#     "j10_semi_join",
+#     "j11_incremental_anti_join",
+#     "j12_provenance_merge",
+#     "j13_classlist_full_join",
+#     "j1_enrichment_chain",
+#     "j4b_asof_backward",
+#     "j5_interval_join",
+#     "j6_coalescing_fill_join",
+#     "j7_full_outer_join",
+#     "j8_haversine_theta_join",
+#     "mm1_multimodal_features",
+#     "qf_flag_unification",
+#     "s6_json_scan",
+#     "u13_psd_fit",
+#     "a22_decayed_engagement",
+#     "a23_cohort_retention",
+#     "w10_cumulative_distinct",
+#     "j14_bucketed_range_join",
+#     "j8b_grid_spatial_join",
+#     "i8_snapshot_diff",
+#     "pk3_length_bucketed_batching",
+#     "dp6_drift_profile",
+#     "dp7_binned_quantiles",
+#     "sim9_quantized_rerank",
+#     "sp6_domain_token_cap",
+#     "tp3_incremental_refresh",
+#     "w9_rolling_zscore",
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
