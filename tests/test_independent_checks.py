@@ -248,3 +248,93 @@ def test_dd10_flags_planted_leaks(spark, sf_dir):
     assert len(planted_hits) >= 0.4 * n_planted
     for r in rows:
         assert 0.5 <= r["est_jaccard"] <= 1.0
+
+
+def test_w9_matches_bruteforce_small(spark):
+    """Rolling z-scores re-derived by a python loop (20-row trailing
+    frame, n>=10 warm-up, sample variance) over sf0.001."""
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) AS us, value "
+        f"FROM '{SMALL_SF}/events.parquet' ORDER BY user_id, us, event_id"
+    ).fetchall()
+    by_user: dict[int, list] = {}
+    for eid, uid, us, val in rows:
+        by_user.setdefault(uid, []).append((eid, val))
+    expected = {}
+    for uid, seq in by_user.items():
+        for i, (eid, val) in enumerate(seq):
+            frame = [v for _, v in seq[max(0, i - 20) : i]]
+            n = len(frame)
+            z, anom = None, False
+            if n >= 10:
+                s1 = sum(frame)
+                s2 = sum(v * v for v in frame)
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    z = math.floor(
+                        (val - s1 / n) / math.sqrt(var) * 10000.0 + 0.5
+                    ) / 10000.0
+                    anom = abs(val - s1 / n) > 2.5 * math.sqrt(var)
+            expected[eid] = (z, anom)
+    got = {
+        r["event_id"]: (r["z"], r["is_anomaly"])
+        for r in REG["w9_rolling_zscore"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+
+
+def test_dp6_counts_by_bruteforce(spark, sf_dir):
+    """Drift-profile counts re-derived by direct python tallies."""
+    rows = duckdb.sql(
+        f"SELECT event_type, user_id, ts < TIMESTAMP '2024-01-16 00:00:00' "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    na: dict[str, int] = {}
+    nb: dict[str, int] = {}
+    ua: dict[str, set] = {}
+    ub: dict[str, set] = {}
+    for etype, uid, p1 in rows:
+        if p1:
+            na[etype] = na.get(etype, 0) + 1
+            ua.setdefault(etype, set()).add(uid)
+        else:
+            nb[etype] = nb.get(etype, 0) + 1
+            ub.setdefault(etype, set()).add(uid)
+    for r in REG["dp6_drift_profile"].fn(spark, sf_dir).collect():
+        t = r["event_type"]
+        assert (r["n_a"], r["n_b"]) == (na[t], nb[t])
+        assert (r["users_a"], r["users_b"]) == (len(ua[t]), len(ub[t]))
+        assert r["n_drift"] == nb[t] - na[t]
+
+
+def test_dd9_unifies_every_planted_pair(spark, sf_dir):
+    """Each injected case/punctuation variant must land in its source's
+    group (n_copies = 2); untouched docs stay singletons."""
+    out = REG["dd9_normalized_dedup"].fn(spark, sf_dir).collect()
+    n_planted = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet' WHERE doc_id % 20 = 0"
+    ).fetchone()[0]
+    n_pairs = sum(1 for r in out if r["n_copies"] == 2)
+    assert n_pairs == 2 * n_planted
+    assert all(r["n_copies"] in (1, 2) for r in out)
+
+
+def test_tx12_unique_sum_matches_df1_count(spark, sf_dir):
+    """Σ n_unique over docs = number of df==1 grams in the corpus
+    (re-derived directly in DuckDB, a different aggregation route)."""
+    out = REG["tx12_ngram_novelty"].fn(spark, sf_dir).collect()
+    got = sum(r["n_unique"] for r in out)
+    expected = duckdb.sql(
+        f"""WITH toks AS (
+                SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+                FROM '{sf_dir}/documents.parquet'
+            ),
+            grams AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+                FROM toks, unnest(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+            )
+            SELECT count(*) FROM (SELECT g FROM grams GROUP BY g HAVING count(*) = 1)"""
+    ).fetchone()[0]
+    assert got == expected
+    for r in out:
+        assert 0.0 <= r["novelty"] <= 1.0
