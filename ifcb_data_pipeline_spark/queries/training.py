@@ -216,18 +216,24 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_lsh_pairs
 
     documents, embeddings = tables(spark, sf_dir, "documents", "embeddings")
+    # n_tok is reduced BEFORE the checkpoint: the only downstream
+    # consumer of text is the token gate, so the materialized corpus
+    # carries a 4-byte int instead of the full document body — at 100 TB
+    # that is the difference between checkpointing the corpus' metadata
+    # (ids + 64-dim vectors) and checkpointing the corpus itself.  The
+    # scaled variant reuses base's n_tok unchanged (same text).
     base = documents.join(
         embeddings, documents.doc_id == embeddings.vec_id
     ).select(
         F.col("doc_id").alias("doc"),
         "lang",
-        F.lower("text").alias("text"),
+        F.size(F.split(F.lower("text"), " ")).alias("n_tok"),
         F.col("embedding").cast("array<double>").alias("v"),
     )
     scaled = base.where(F.col("doc") % 10 == 0).select(
         (F.col("doc") + 10000).alias("doc"),
         "lang",
-        "text",
+        "n_tok",
         F.transform("v", lambda x: x * 1.5).alias("v"),
     )
     # The corpus frame feeds five consumers (both coded sides + both
@@ -249,12 +255,11 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dup = pairs.select(F.col("vec_b").alias("doc")).dropDuplicates()
     kept = corpus.join(dup, "doc", "left_anti")
-    n_tok = F.size(F.split("text", " "))
     return (
         kept.select(
             "doc",
             "lang",
-            n_tok.alias("n_tok"),
+            "n_tok",
             F.when(hash32(F.col("doc").cast("string")) % 100 < 80, "train")
             .otherwise("eval")
             .alias("split"),
