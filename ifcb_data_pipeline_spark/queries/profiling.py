@@ -584,3 +584,111 @@ def dp7_binned_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("qbin") * 0.5).alias("est_value"),
         )
     )
+
+
+# --- DP8: exact global quantiles (distributed rank) -------------------------
+# dp7's histogram quantiles are the one-pass approximate path; dp8 is its
+# exact twin, and the reason it can exist at 100 TB is the o1 machinery:
+# a range-partition exchange gives a total order, global position =
+# within-partition row_number + broadcast offset cumsum, and the three
+# interpolation targets are picked out by a broadcast equi-join on the
+# global rank — the fact table is never windowed on a single partition
+# and never collected.  Interpolation stays bit-identical across engines
+# because the probe points are quarter-exact: cents are exact integers,
+# (n-1)*p is an exact double for p ∈ {.25,.5,.75}, so lo + frac*(hi-lo)
+# has no rounding at all (finite-decimal rule, queries.__init__).
+DP8_SQL = """
+WITH c AS (
+    SELECT floor(l_extendedprice * 100.0 + 0.5)::BIGINT AS cents FROM lineitem
+),
+nn AS (SELECT count(*)::BIGINT AS n FROM c),
+s AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rn FROM c),
+t AS (
+    SELECT p,
+           (n - 1) * p AS rf,
+           floor((n - 1) * p)::BIGINT + 1 AS lo_idx,
+           least(floor((n - 1) * p)::BIGINT + 2, n) AS hi_idx
+    FROM (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS p) q CROSS JOIN nn
+)
+SELECT t.p AS quantile,
+       (lo.cents + (t.rf - floor(t.rf)) * (hi.cents - lo.cents)) / 100.0
+           AS q_value
+FROM t
+JOIN s lo ON lo.rn = t.lo_idx
+JOIN s hi ON hi.rn = t.hi_idx
+"""
+
+
+@register("dp8_exact_quantiles", DP8_SQL, survey_ref="beyond reference: exact global quantiles via distributed rank (dp7's exact twin)")
+def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    cents = lineitem.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents")
+    )
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = cents.repartitionByRange(n_part, F.col("cents")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    total = counts.agg(F.sum("__n").cast("long").alias("n"))
+    # 6 probe positions (3 quantiles × lo/hi), derived from the 1-row
+    # total — broadcast-scale by construction.
+    probes = (
+        total.select(
+            F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("p"), "n"
+        )
+        .select(
+            "p",
+            ((F.col("n") - 1) * F.col("p")).alias("rf"),
+            (F.floor((F.col("n") - 1) * F.col("p")).cast("long") + 1).alias("lo_idx"),
+            F.least(
+                F.floor((F.col("n") - 1) * F.col("p")).cast("long") + 2, F.col("n")
+            ).alias("hi_idx"),
+        )
+        .select(
+            "p",
+            "rf",
+            F.explode(
+                F.array(
+                    F.struct(F.col("lo_idx").alias("rn"), F.lit("lo").alias("side")),
+                    F.struct(F.col("hi_idx").alias("rn"), F.lit("hi").alias("side")),
+                )
+            ).alias("pr"),
+        )
+        .select("p", "rf", F.col("pr.rn").alias("rn"), F.col("pr.side").alias("side"))
+    )
+    within = Window.partitionBy("__pid").orderBy("cents")
+    ranked = (
+        ranged.withColumn("__rn", F.row_number().over(within))
+        .join(F.broadcast(offsets), "__pid")
+        .select("cents", (F.col("__rn") + F.col("__offset")).alias("rn"))
+    )
+    hit = ranked.join(F.broadcast(probes), "rn")
+    return (
+        hit.groupBy("p", "rf")
+        .agg(
+            F.max(F.when(F.col("side") == "lo", F.col("cents"))).alias("lo"),
+            F.max(F.when(F.col("side") == "hi", F.col("cents"))).alias("hi"),
+        )
+        .select(
+            F.col("p").alias("quantile"),
+            (
+                (
+                    F.col("lo")
+                    + (F.col("rf") - F.floor(F.col("rf"))) * (F.col("hi") - F.col("lo"))
+                )
+                / 100.0
+            ).alias("q_value"),
+        )
+    )

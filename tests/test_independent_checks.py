@@ -338,3 +338,26 @@ def test_tx12_unique_sum_matches_df1_count(spark, sf_dir):
     assert got == expected
     for r in out:
         assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_dp8_matches_numpy_interpolation(spark):
+    """Exact quantiles re-derived a third way: numpy-style linear
+    interpolation over the sorted cents array in python."""
+    cents = sorted(
+        math.floor(v * 100.0 + 0.5)
+        for (v,) in duckdb.sql(
+            f"SELECT l_extendedprice FROM '{SMALL_SF}/lineitem.parquet'"
+        ).fetchall()
+    )
+    n = len(cents)
+    expected = {}
+    for p in (0.25, 0.5, 0.75):
+        rf = (n - 1) * p
+        lo = math.floor(rf)
+        hi = min(lo + 1, n - 1)
+        expected[p] = (cents[lo] + (rf - lo) * (cents[hi] - cents[lo])) / 100.0
+    got = {
+        r["quantile"]: r["q_value"]
+        for r in REG["dp8_exact_quantiles"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected

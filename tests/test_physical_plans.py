@@ -395,3 +395,13 @@ def test_dd10_eval_side_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, "dd10_fuzzy_decontamination", sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dp8_rank_is_distributed(spark, sf_dir):
+    """dp8 reuses the o1 machinery: the fact-side row_number must be
+    partitioned by the range-partition id, and every SinglePartition
+    subtree must be bounded-frame (counts cumsum ≤ parallelism rows, the
+    1-row total, the 6-row probe frame) — never the cents column itself."""
+    plan = plan_of(spark, "dp8_exact_quantiles", sf_dir)
+    assert "rangepartitioning(cents" in plan, "dp8 lost its range-partitioning exchange"
+    assert "hashpartitioning(__pid" in plan, "fact-side window not partitioned by __pid"
