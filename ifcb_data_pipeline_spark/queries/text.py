@@ -825,3 +825,46 @@ def tx12_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# --- TX11: language-ID confusion matrix ------------------------------------
+# Closes the loop on tx3: the heuristic's predictions are only useful if
+# their error structure is known, and at corpus scale the confusion
+# matrix IS that structure (the reference's C8 F1-score plays the same
+# role for the CNN class scores).  Two-phase count over (labeled,
+# predicted) — the matrix is at most |langs|² rows, so the recall share
+# window runs on a bounded frame, never the corpus.
+TX11_SQL = f"""
+WITH pred AS (
+    SELECT lang AS labeled_lang, {_lang_id_sql()} AS predicted_lang
+    FROM documents
+),
+cells AS (
+    SELECT labeled_lang, predicted_lang, count(*)::BIGINT AS n
+    FROM pred GROUP BY labeled_lang, predicted_lang
+)
+SELECT labeled_lang, predicted_lang, n,
+       floor((n * 1.0 / sum(n) OVER (PARTITION BY labeled_lang)) * 1000000.0
+             + 0.5) / 1000000.0 AS label_share
+FROM cells
+"""
+
+
+@register("tx11_langid_confusion", TX11_SQL, survey_ref="beyond reference: language-ID confusion matrix (corpus-scale eval of tx3; C8's role for langid)")
+def tx11_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    cells = (
+        documents.select(
+            F.col("lang").alias("labeled_lang"),
+            lang_id(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        dround(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("label_share"),
+    )

@@ -361,3 +361,35 @@ def test_dp8_matches_numpy_interpolation(spark):
         for r in REG["dp8_exact_quantiles"].fn(spark, SMALL_SF).collect()
     }
     assert got == expected
+
+
+def test_tx11_matches_bruteforce_confusion(spark):
+    """Confusion matrix re-derived by a python re-implementation of the
+    marker-argmax heuristic over the sf0.001 documents."""
+    markers = [
+        ("en", ["the", "a", "and", "of"]),
+        ("de", ["der", "die", "und", "nicht"]),
+        ("fr", ["le", "la", "et", "les"]),
+        ("es", ["el", "los", "y", "que"]),
+        ("zh", ["的", "了", "是"]),
+    ]
+    expected: dict[tuple, int] = {}
+    for lang, text in duckdb.sql(
+        f"SELECT lang, text FROM '{SMALL_SF}/documents.parquet'"
+    ).fetchall():
+        toks = text.lower().split(" ")
+        best_lang, best_score = markers[0][0], sum(t in markers[0][1] for t in toks)
+        for ml, mset in markers[1:]:
+            s = sum(t in mset for t in toks)
+            if s > best_score:
+                best_lang, best_score = ml, s
+        key = (lang, best_lang)
+        expected[key] = expected.get(key, 0) + 1
+    rows = REG["tx11_langid_confusion"].fn(spark, SMALL_SF).collect()
+    got = {(r["labeled_lang"], r["predicted_lang"]): r["n"] for r in rows}
+    assert got == expected
+    # shares within a label partition sum to 1 (up to the 1e-6 floor)
+    by_label: dict[str, float] = {}
+    for r in rows:
+        by_label[r["labeled_lang"]] = by_label.get(r["labeled_lang"], 0.0) + r["label_share"]
+    assert all(abs(s - 1.0) < 1e-4 for s in by_label.values()), by_label
