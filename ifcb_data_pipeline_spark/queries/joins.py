@@ -9,7 +9,7 @@ for incremental work queues).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import haversine_km
@@ -664,4 +664,78 @@ def i8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_id").isNull(), "removed")
         .otherwise("changed")
         .alias("status"),
+    )
+
+
+# --- I9: SCD2 change compaction --------------------------------------------
+# The other half of incremental ingest (i8 diffs snapshots; i9 builds
+# history): collapse each user's event stream into type-2 validity
+# intervals — one row per RUN of consecutive equal states, with
+# valid_from / valid_to / is_current.  This is CDC compaction: at 100 TB
+# the run-length encoding is what makes a mutable-state history storable
+# (unchanged readings are the overwhelming majority).  Physical shape:
+# two windows and one aggregation, ALL partitioned by user_id — a single
+# balanced shuffle, no global ordering anywhere.
+I9_SQL = """
+WITH seq AS (
+    SELECT user_id, event_type, ts::TIMESTAMP AS ts, event_id,
+           CASE WHEN event_type = lag(event_type) OVER w THEN 0 ELSE 1 END
+               AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM seq
+),
+spans AS (
+    SELECT user_id, run_id,
+           min(event_type) AS state,
+           min(ts) AS valid_from,
+           count(*)::BIGINT AS n_events
+    FROM runs GROUP BY user_id, run_id
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       (lead(valid_from) OVER w2 IS NULL) AS is_current
+FROM spans
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+"""
+
+
+@register("i9_scd2_compaction", I9_SQL, survey_ref="beyond reference (SURVEY §2.10 family): CDC run-length compaction into SCD2 validity intervals")
+def i9_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == F.lag("event_type").over(w), F.lit(0)
+        )
+        .otherwise(F.lit(1))
+        .alias("chg"),
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return spans.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )

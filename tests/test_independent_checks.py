@@ -393,3 +393,33 @@ def test_tx11_matches_bruteforce_confusion(spark):
     for r in rows:
         by_label[r["labeled_lang"]] = by_label.get(r["labeled_lang"], 0.0) + r["label_share"]
     assert all(abs(s - 1.0) < 1e-4 for s in by_label.values()), by_label
+
+
+def test_i9_runs_by_bruteforce(spark):
+    """SCD2 spans re-derived by a python run-length pass per user over
+    the sf0.001 events, plus interval-chain invariants."""
+    rows = duckdb.sql(
+        f"SELECT user_id, event_type, ts, event_id FROM "
+        f"'{SMALL_SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    expected = {}
+    for uid, etype, ts, eid in rows:
+        runs = expected.setdefault(uid, [])
+        if runs and runs[-1][0] == etype:
+            runs[-1][2] += 1
+        else:
+            runs.append([etype, ts, 1])
+    got: dict[int, list] = {}
+    for r in sorted(
+        REG["i9_scd2_compaction"].fn(spark, SMALL_SF).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    ):
+        got.setdefault(r["user_id"], []).append(r)
+    assert set(got) == set(expected)
+    for uid, spans in got.items():
+        assert [[s["state"], s["valid_from"], s["n_events"]] for s in spans] == expected[uid]
+        # the validity chain tiles the timeline: each valid_to equals the
+        # next span's valid_from; exactly the last span is open/current
+        for a, b in zip(spans, spans[1:]):
+            assert a["valid_to"] == b["valid_from"] and not a["is_current"]
+        assert spans[-1]["valid_to"] is None and spans[-1]["is_current"]
