@@ -1172,3 +1172,84 @@ def mm7_modality_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000.0
         ).alias("coverage"),
     )
+
+
+# --- MM8: ViT-style patchification (oracle-checked) -------------------------
+# The tokenizer of a vision transformer ingest: normalize every ROI to a
+# fixed 16×16, split it into a 4×4 grid of 4×4 patches, one output row
+# per patch with its EXACT integer pixel sum.  Patch extraction is pure
+# per-image work (mapInPandas, zero shuffle after the bin explode); the
+# deterministic PGM pixels make every patch sum closed-form, so the
+# whole decode→resize→patchify chain has a value-level SQL twin (the
+# mm3 strategy, extended through the reshape).  Integer sums, not
+# means — the finite-decimal rule needs no rounding at all here.
+MM8_SQL = """
+WITH bins AS (
+    SELECT o_orderkey::VARCHAR AS sample, ((o_orderkey % 50) + 1)::INT AS n_rois
+    FROM orders WHERE o_orderkey % 400 = 0
+),
+rois AS (
+    SELECT sample, t.roi::INT AS roi,
+           (8 + t.roi % 16)::BIGINT AS w,
+           (8 + (t.roi * 3) % 16)::BIGINT AS h
+    FROM bins, unnest(range(1, n_rois + 1)) AS t(roi)
+),
+px AS (
+    SELECT sample, roi,
+           (y // 4)::INT AS patch_row, (x // 4)::INT AS patch_col,
+           ((roi * 31 + ((y * h) // 16) * w + ((x * w) // 16)) % 251) AS v
+    FROM rois, unnest(range(16)) AS yy(y), unnest(range(16)) AS xx(x)
+)
+SELECT sample, roi AS roi_number, patch_row, patch_col,
+       (patch_row * 4 + patch_col)::INT AS patch_idx,
+       sum(v)::BIGINT AS sum_px
+FROM px GROUP BY sample, roi, patch_row, patch_col
+"""
+
+
+@register("mm8_patchify", MM8_SQL, survey_ref="beyond reference: ViT patch tokenization (decode -> resize -> 4x4 patch grid, exact sums)")
+def mm8_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_rois
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    bins = orders.where(F.col("o_orderkey") % 400 == 0).select(
+        F.col("o_orderkey").cast("string").alias("sample"),
+        ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
+    )
+    resized = resize_rois(explode_bins_to_rois(bins), out_h=16, out_w=16)
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.multimodal import decode_image
+
+        for pdf in batches:
+            out = {
+                "sample": [], "roi_number": [], "patch_row": [],
+                "patch_col": [], "patch_idx": [], "sum_px": [],
+            }
+            for sample, roi, blob in zip(
+                pdf["sample"], pdf["roi_number"], pdf["image"]
+            ):
+                img = decode_image(bytes(blob), 16, 16).astype(np.int64)
+                sums = img.reshape(4, 4, 4, 4).sum(axis=(1, 3))
+                for pr in range(4):
+                    for pc in range(4):
+                        out["sample"].append(sample)
+                        out["roi_number"].append(roi)
+                        out["patch_row"].append(pr)
+                        out["patch_col"].append(pc)
+                        out["patch_idx"].append(pr * 4 + pc)
+                        out["sum_px"].append(int(sums[pr, pc]))
+            yield pd.DataFrame(out)
+
+    return resized.mapInPandas(
+        patchify,
+        schema=(
+            "sample string, roi_number int, patch_row int, patch_col int, "
+            "patch_idx int, sum_px long"
+        ),
+    )

@@ -423,3 +423,47 @@ def test_i9_runs_by_bruteforce(spark):
         for a, b in zip(spans, spans[1:]):
             assert a["valid_to"] == b["valid_from"] and not a["is_current"]
         assert spans[-1]["valid_to"] is None and spans[-1]["is_current"]
+
+
+def test_mm8_patch_sums_by_bruteforce(spark):
+    """Patch sums re-derived by pure-python loops over the closed-form
+    pixel function — a third derivation independent of both the Spark
+    decode->resize->reshape chain and the SQL twin.  Also checks the
+    partition property: the 16 patches of a ROI tile the image exactly
+    (their sums add to the whole-image sum)."""
+    expected = {}
+    # sf0.001 orders: o_orderkey % 400 == 0 bins
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SMALL_SF}/orders.parquet' "
+            f"WHERE o_orderkey % 400 = 0"
+        ).fetchall()
+    ]
+    for k in keys:
+        for roi in range(1, (k % 50) + 2):
+            w, h = 8 + roi % 16, 8 + (roi * 3) % 16
+            sums = [[0] * 4 for _ in range(4)]
+            for y in range(16):
+                for x in range(16):
+                    v = (roi * 31 + ((y * h) // 16) * w + ((x * w) // 16)) % 251
+                    sums[y // 4][x // 4] += v
+            for pr in range(4):
+                for pc in range(4):
+                    expected[(str(k), roi, pr, pc)] = sums[pr][pc]
+    rows = REG["mm8_patchify"].fn(spark, SMALL_SF).collect()
+    got = {
+        (r["sample"], r["roi_number"], r["patch_row"], r["patch_col"]): r["sum_px"]
+        for r in rows
+    }
+    assert got == expected
+    per_roi: dict[tuple, int] = {}
+    for (s, roi, _, _), v in got.items():
+        per_roi[(s, roi)] = per_roi.get((s, roi), 0) + v
+    for (s, roi), total in per_roi.items():
+        whole = sum(
+            (roi * 31 + ((y * (8 + (roi * 3) % 16)) // 16) * (8 + roi % 16)
+             + ((x * (8 + roi % 16)) // 16)) % 251
+            for y in range(16) for x in range(16)
+        )
+        assert total == whole, (s, roi)
