@@ -1253,3 +1253,54 @@ def mm8_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "patch_idx int, sum_px long"
         ),
     )
+
+
+# --- ST7: stream-static enrichment join ------------------------------------
+# The canonical streaming-ingest enrichment: a fact stream joined to a
+# slowly-changing dimension that lives as a plain batch table.  Unlike
+# st4's stream-stream join this needs NO watermark and NO join state —
+# Spark re-plans the static side into each micro-batch (broadcast-sized
+# dim ⇒ broadcast hash join per batch), which is exactly the 1000-
+# executor shape: the stream shuffles only for the final aggregation.
+# Exact integer cents through the sum (finite-decimal rule).
+ST7_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       count(*)::BIGINT AS n,
+       sum(floor(e.value * 100.0 + 0.5)::BIGINT)::BIGINT AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("st7_stream_static_join", ST7_SQL, survey_ref="SURVEY §2.10; stream-static dimension enrichment (no watermark, no join state)")
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (customer,) = tables(spark, sf_dir, "customer")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+
+    def shape(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(dim, fact.user_id == dim.c_custkey)
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).cast("long").alias("value_cents"),
+            )
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if _drain_to_memory(
+        shape(stream).writeStream.format("memory").outputMode("complete"),
+        "st7_enriched",
+    ):
+        return spark.table("st7_enriched")
+    (events,) = tables(spark, sf_dir, "events")
+    return shape(events)

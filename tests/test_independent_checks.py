@@ -467,3 +467,24 @@ def test_mm8_patch_sums_by_bruteforce(spark):
             for y in range(16) for x in range(16)
         )
         assert total == whole, (s, roi)
+
+
+def test_st7_stream_equals_batch_twin(spark):
+    """The streaming result must equal the batch twin exactly (same
+    shape() over a batch frame), and conservation must hold: segment
+    counts add up to the number of dim-matched events."""
+    rows = REG["st7_stream_static_join"].fn(spark, SMALL_SF).collect()
+    got = {(r["segment"], r["event_type"]): (r["n"], r["value_cents"]) for r in rows}
+    exp = duckdb.sql(
+        f"""SELECT c.c_mktsegment, e.event_type, count(*),
+                   sum(floor(e.value * 100.0 + 0.5)::BIGINT)
+            FROM '{SMALL_SF}/events.parquet' e
+            JOIN '{SMALL_SF}/customer.parquet' c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2"""
+    ).fetchall()
+    assert got == {(s, t): (n, int(v)) for s, t, n, v in exp}
+    matched = duckdb.sql(
+        f"""SELECT count(*) FROM '{SMALL_SF}/events.parquet' e
+            JOIN '{SMALL_SF}/customer.parquet' c ON e.user_id = c.c_custkey"""
+    ).fetchone()[0]
+    assert sum(n for n, _ in got.values()) == matched
