@@ -658,3 +658,152 @@ def sim9_quantized_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("cos_raw"), 6).alias("cos_sim"),
         )
     )
+
+
+# --- SIM10: product quantization + ADC top-k --------------------------------
+# The memory-bound ANN scale path: at 100 TB the corpus' 64 doubles/row
+# cannot live in RAM, but 4 one-byte codes can (128× compression).  The
+# operator has the three classic stages, each broadcast-shaped:
+#   1. codebook — M=4 subspaces × K=4 centroids (deterministic init from
+#      the table itself: centroid j of subspace m = vec_id j's m-th
+#      16-dim slice), a 16-row broadcast frame;
+#   2. encode — one corpus scan × broadcast codebook, argmin L2² per
+#      subspace, pivoted to a wide (code0..code3) codes table;
+#   3. ADC search — per query a 16-entry distance lookup table (query
+#      slice vs every centroid), joined onto the codes by 4 broadcast
+#      equi-joins; the approximate distance is the fixed-order sum
+#      d0+d1+d2+d3, so it is bit-identical across engines.
+# Ranking happens on raw doubles with id tie-breaks (the sim1
+# precedent); brute-force over CODES is the point — compute per row
+# drops from 64 mul-adds to 4 lookups.  Combine with sim5's IVF cells
+# to also cut the scanned row count.
+_PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16
+_PQ_L2 = (
+    "((list_inner_product({a}, {a})"
+    " - (2 * list_inner_product({a}, {b})))"
+    " + list_inner_product({b}, {b}))"
+)
+
+
+SIM10_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codebook AS (
+    SELECT e.vec_id::BIGINT AS j, m.m,
+           list_slice(e.v, m.m * {_PQ_SUB} + 1, (m.m + 1) * {_PQ_SUB}) AS c
+    FROM e, (SELECT unnest(range({_PQ_M})) AS m) m
+    WHERE e.vec_id < {_PQ_K}
+),
+enc AS (
+    SELECT x.vec_id, cb.m, cb.j,
+           row_number() OVER (
+               PARTITION BY x.vec_id, cb.m
+               ORDER BY {_PQ_L2.format(a='list_slice(x.v, cb.m * ' + str(_PQ_SUB) + ' + 1, (cb.m + 1) * ' + str(_PQ_SUB) + ')', b='cb.c')}, cb.j
+           ) AS rn
+    FROM e x CROSS JOIN codebook cb
+),
+codes AS (
+    SELECT vec_id,
+           max(CASE WHEN m = 0 THEN j END) AS code0,
+           max(CASE WHEN m = 1 THEN j END) AS code1,
+           max(CASE WHEN m = 2 THEN j END) AS code2,
+           max(CASE WHEN m = 3 THEN j END) AS code3
+    FROM enc WHERE rn = 1 GROUP BY vec_id
+),
+lut AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, cb.m, cb.j,
+           {_PQ_L2.format(a='list_slice(q.v, cb.m * ' + str(_PQ_SUB) + ' + 1, (cb.m + 1) * ' + str(_PQ_SUB) + ')', b='cb.c')} AS d
+    FROM e q CROSS JOIN codebook cb
+    WHERE q.vec_id < 10
+),
+adc AS MATERIALIZED (
+    SELECT l0.query_id, c.vec_id AS neighbor_id,
+           ((l0.d + l1.d) + (l2.d + l3.d)) AS dist
+    FROM codes c
+    JOIN lut l0 ON l0.m = 0 AND l0.j = c.code0
+    JOIN lut l1 ON l1.m = 1 AND l1.j = c.code1 AND l1.query_id = l0.query_id
+    JOIN lut l2 ON l2.m = 2 AND l2.j = c.code2 AND l2.query_id = l0.query_id
+    JOIN lut l3 ON l3.m = 3 AND l3.j = c.code3 AND l3.query_id = l0.query_id
+    WHERE c.vec_id <> l0.query_id
+)
+SELECT query_id, neighbor_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY dist, neighbor_id)::BIGINT AS rank,
+       floor(dist * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+FROM adc
+QUALIFY rank <= 5
+"""
+
+
+def _pq_l2(a, b):
+    return (dot(a, a) - (2 * dot(a, b))) + dot(b, b)
+
+
+@register("sim10_pq_adc", SIM10_SQL, survey_ref="beyond reference: product quantization + ADC lookup search (memory-bound ANN scale path)")
+def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def sub(col, m):
+        return F.slice(col, m * _PQ_SUB + 1, _PQ_SUB)
+
+    ms = F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m")
+    codebook = (
+        e.where(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("j"), "v", ms)
+        .select("j", "m", F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)).alias("c"))
+    )
+    enc = e.crossJoin(F.broadcast(codebook)).select(
+        "vec_id",
+        "m",
+        "j",
+        _pq_l2(F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("c")).alias("d"),
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    codes = (
+        enc.withColumn("rn", F.row_number().over(w_enc))
+        .where(F.col("rn") == 1)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("m") == m, F.col("j"))).alias(f"code{m}")
+                for m in range(_PQ_M)
+            ]
+        )
+    )
+    lut = (
+        e.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "v")
+        .crossJoin(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "m",
+            "j",
+            _pq_l2(F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("c")).alias("d"),
+        )
+    )
+    adc = codes.crossJoin(
+        F.broadcast(lut.select("query_id").dropDuplicates())
+    )
+    for m in range(_PQ_M):
+        lm = lut.where(F.col("m") == m).select(
+            F.col("query_id").alias(f"q{m}"),
+            F.col("j").alias(f"j{m}"),
+            F.col("d").alias(f"d{m}"),
+        )
+        adc = adc.join(
+            F.broadcast(lm),
+            (F.col("query_id") == F.col(f"q{m}"))
+            & (F.col(f"code{m}") == F.col(f"j{m}")),
+        )
+    dist = (F.col("d0") + F.col("d1")) + (F.col("d2") + F.col("d3"))
+    scored = adc.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.alias("dist"),
+    )
+    wr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", dround(F.col("dist"), 6).alias("adc_dist"))
+    )

@@ -488,3 +488,53 @@ def test_st7_stream_equals_batch_twin(spark):
             JOIN '{SMALL_SF}/customer.parquet' c ON e.user_id = c.c_custkey"""
     ).fetchone()[0]
     assert sum(n for n, _ in got.values()) == matched
+
+
+def test_sim10_matches_bruteforce_pq(spark):
+    """PQ codebook, codes, and ADC top-5 re-derived in pure python over
+    the sf0.001 embeddings (fixed-order float arithmetic mirroring the
+    engines' (ipaa - 2*ipab) + ipbb and (d0+d1)+(d2+d3) forms)."""
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM '{SMALL_SF}/embeddings.parquet'"
+    ).fetchall()
+    vecs = {vid: list(map(float, v)) for vid, v in rows}
+    M, K, S = 4, 4, 16
+
+    def ip(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def l2(a, b):
+        return (ip(a, a) - (2 * ip(a, b))) + ip(b, b)
+
+    cb = {(m, j): vecs[j][m * S:(m + 1) * S] for m in range(M) for j in range(K)}
+    codes = {
+        vid: [
+            min(range(K), key=lambda j: (l2(v[m * S:(m + 1) * S], cb[(m, j)]), j))
+            for m in range(M)
+        ]
+        for vid, v in vecs.items()
+    }
+    expected = {}
+    for q in [vid for vid in vecs if vid < 10]:
+        lut = {
+            (m, j): l2(vecs[q][m * S:(m + 1) * S], cb[(m, j)])
+            for m in range(M)
+            for j in range(K)
+        }
+        scored = []
+        for vid, c in codes.items():
+            if vid == q:
+                continue
+            d = (lut[(0, c[0])] + lut[(1, c[1])]) + (lut[(2, c[2])] + lut[(3, c[3])])
+            scored.append((d, vid))
+        scored.sort()
+        for rank, (d, vid) in enumerate(scored[:5], start=1):
+            expected[(q, rank)] = (vid, math.floor(d * 1e6 + 0.5) / 1e6)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["adc_dist"])
+        for r in REG["sim10_pq_adc"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected

@@ -8,6 +8,8 @@ the parquet scan.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from ifcb_data_pipeline_spark.queries import load_all
@@ -405,3 +407,28 @@ def test_dp8_rank_is_distributed(spark, sf_dir):
     plan = plan_of(spark, "dp8_exact_quantiles", sf_dir)
     assert "rangepartitioning(cents" in plan, "dp8 lost its range-partitioning exchange"
     assert "hashpartitioning(__pid" in plan, "fact-side window not partitioned by __pid"
+
+
+def test_sim10_corpus_never_broadcast(spark, sf_dir):
+    """PQ's whole point is that the CORPUS side stays partitioned: only
+    bounded frames broadcast (the 16-row codebook and 160-row LUT — both
+    gated by a vec_id < k filter — and the deduplicated query-id frame);
+    a broadcast hint on an unfiltered embeddings subtree has inverted
+    the design."""
+    df = REGISTRY["sim10_pq_adc"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    n_hints = 0
+    for node in _iter_nodes(plan):
+        if "Hint" not in node.getClass().getSimpleName():
+            continue
+        s = node.toString()
+        if "broadcast" not in s.lower():
+            continue
+        n_hints += 1
+        bounded = (
+            re.search(r"vec_id#\d+L? < cast\(", s) is not None
+            or "Deduplicate" in s
+            or "Aggregate [" in s
+        )
+        assert bounded, f"sim10 broadcast an unbounded corpus subtree:\n{s[:500]}"
+    assert n_hints >= 6, "sim10 lost its codebook/LUT broadcast hints"
