@@ -686,3 +686,65 @@ def w9_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(False),
         ).alias("is_anomaly"),
     )
+
+
+# --- O8: Z-order (Morton) data layout --------------------------------------
+# The data-layout primitive behind multi-dimensional scan pruning at
+# 100 TB: interleaving the bits of (user, day) gives a 1-D sort key
+# whose ranges are 2-D locality rectangles, so range-partitioned files
+# carry tight min/max on BOTH dimensions and a predicate on either one
+# prunes files (the Delta/Iceberg OPTIMIZE ZORDER idea, expressed as a
+# pure Catalyst integer expression — no UDF).  The query emits the
+# per-file clustering manifest (row count + both dimensions' min/max):
+# exactly the column statistics a file-skipping planner consumes.
+# Writing would be df.repartitionByRange(F.col("morton")) + write; the
+# manifest is the verifiable part.
+def _morton_sql(u: str, d: str, bits: int = 8) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({u} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({d} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+O8_SQL = f"""
+WITH dims AS (
+    SELECT (user_id % 256)::BIGINT AS u,
+           (date_diff('day', DATE '2024-01-01', ts) % 256)::BIGINT AS d
+    FROM events
+),
+keyed AS (
+    SELECT u, d, {_morton_sql('u', 'd')} AS morton FROM dims
+)
+SELECT (morton >> 4)::BIGINT AS file_id,
+       count(*)::BIGINT AS n_rows,
+       min(u)::BIGINT AS u_min, max(u)::BIGINT AS u_max,
+       min(d)::BIGINT AS d_min, max(d)::BIGINT AS d_max
+FROM keyed GROUP BY file_id
+"""
+
+
+@register("o8_zorder_layout", O8_SQL, survey_ref="beyond reference: Z-order multi-dimensional clustering manifest (file-skipping layout)")
+def o8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    u = F.col("user_id") % 256
+    d = F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 256
+    dims = events.select(u.cast("long").alias("u"), d.cast("long").alias("d"))
+    morton = None
+    for b in range(8):
+        for col, off in ((F.col("u"), 0), (F.col("d"), 1)):
+            term = F.shiftleft(
+                F.shiftright(col, b).bitwiseAND(F.lit(1)), 2 * b + off
+            )
+            morton = term if morton is None else morton + term
+    keyed = dims.select("u", "d", morton.alias("morton"))
+    return (
+        keyed.groupBy(F.shiftright(F.col("morton"), 4).cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("d").alias("d_min"),
+            F.max("d").alias("d_max"),
+        )
+    )

@@ -538,3 +538,37 @@ def test_sim10_matches_bruteforce_pq(spark):
         for r in REG["sim10_pq_adc"].fn(spark, SMALL_SF).collect()
     }
     assert got == expected
+
+
+def test_o8_matches_bruteforce_and_tiles(spark):
+    """Morton manifest re-derived by a python bit-interleave over the
+    sf0.001 events, plus the locality guarantee itself: dropping 4 low
+    morton bits makes every file exactly one 4x4 (u, d) tile, so both
+    per-file spans are <= 3 and all rows share the tile prefix."""
+    import datetime as dt
+
+    rows = duckdb.sql(
+        f"SELECT user_id, ts FROM '{SMALL_SF}/events.parquet'"
+    ).fetchall()
+    epoch = dt.date(2024, 1, 1)
+    expected: dict[int, list] = {}
+    for uid, ts in rows:
+        u = uid % 256
+        d = (ts.date() - epoch).days % 256
+        morton = 0
+        for b in range(8):
+            morton += ((u >> b) & 1) << (2 * b)
+            morton += ((d >> b) & 1) << (2 * b + 1)
+        f = morton >> 4
+        st = expected.setdefault(f, [0, 256, -1, 256, -1])
+        st[0] += 1
+        st[1], st[2] = min(st[1], u), max(st[2], u)
+        st[3], st[4] = min(st[3], d), max(st[4], d)
+    got = {
+        r["file_id"]: [r["n_rows"], r["u_min"], r["u_max"], r["d_min"], r["d_max"]]
+        for r in REG["o8_zorder_layout"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == {f: list(v) for f, v in expected.items()}
+    for f, (_, umin, umax, dmin, dmax) in got.items():
+        assert umax - umin <= 3 and dmax - dmin <= 3, (f, umin, umax, dmin, dmax)
+        assert umin >> 2 == umax >> 2 and dmin >> 2 == dmax >> 2
