@@ -44,6 +44,9 @@ HEADLINE = [
     "j14_bucketed_range_join",
     "sim9_quantized_rerank",
     "tp3_incremental_refresh",
+    "sim10_pq_adc",
+    "dp8_exact_quantiles",
+    "o8_zorder_layout",
 ]
 
 
