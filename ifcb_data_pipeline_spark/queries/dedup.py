@@ -9,7 +9,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -731,4 +731,80 @@ def dd10_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return est.where(F.col("est_jaccard") >= 0.5).select(
         "train_doc", "eval_doc", "est_jaccard"
+    )
+
+
+# --- DD11: span-level (paragraph) dedup -------------------------------------
+# Document-level dedup (dd1-dd10) drops whole documents; the C4/Dolma
+# recipe ALSO removes repeated spans — boilerplate shared across
+# otherwise-distinct pages.  Spans here are non-overlapping 8-word
+# chunks (the corpus has no sentence punctuation); an occurrence
+# survives iff it is the (doc_id, pos)-minimal occurrence of its chunk
+# text, so exactly one copy of every duplicated span remains, in its
+# canonical document.  Shapes: chunk explode (flatMap-like, no
+# shuffle), ONE chunk-keyed window (high-cardinality key — balanced),
+# and one doc-keyed reassembly aggregation.  Output carries the md5 of
+# the rebuilt text, not the text — delta-sized at any scale.
+DD11_SQL = """
+WITH words AS (
+    SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+    SELECT doc_id, i::BIGINT AS pos,
+           array_to_string(w[i*8+1:(i+1)*8], ' ') AS chunk
+    FROM words, unnest(range((len(w) + 7) // 8)) t(i)
+),
+marked AS (
+    SELECT doc_id, pos, chunk,
+           row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS occ
+    FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       md5(coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
+                               ORDER BY pos), '')) AS cleaned_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+@register("dd11_span_dedup", DD11_SQL, survey_ref="beyond reference: C4/Dolma span-level dedup (8-word chunks, canonical-occurrence survivor)")
+def dd11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = documents.select("doc_id", F.split("text", " ").alias("w"))
+    chunks = words.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.floor((F.size("w") + 7) / F.lit(8)).cast("long") - 1,
+            )
+        ).alias("pos"),
+        "w",
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(
+            F.slice("w", (F.col("pos") * 8 + 1).cast("int"), 8), " "
+        ).alias("chunk"),
+    )
+    w_occ = Window.partitionBy("chunk").orderBy("doc_id", "pos")
+    marked = chunks.withColumn("occ", F.row_number().over(w_occ))
+    kept_sorted = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("occ") == 1, F.struct(F.col("pos"), F.col("chunk"))
+                    )
+                )
+            ),
+            lambda s: s.getField("chunk"),
+        ),
+        " ",
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.md5(kept_sorted).alias("cleaned_md5"),
     )

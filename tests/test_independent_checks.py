@@ -572,3 +572,47 @@ def test_o8_matches_bruteforce_and_tiles(spark):
     for f, (_, umin, umax, dmin, dmax) in got.items():
         assert umax - umin <= 3 and dmax - dmin <= 3, (f, umin, umax, dmin, dmax)
         assert umin >> 2 == umax >> 2 and dmin >> 2 == dmax >> 2
+
+
+def test_dd11_span_dedup_by_bruteforce(spark):
+    """Span dedup re-derived by a python chunker over the sf0.001 docs:
+    same 8-word chunks, same (doc_id, pos)-minimal survivor rule, same
+    md5 of the rebuilt text.  Also checks conservation: every duplicated
+    chunk text survives in exactly one document."""
+    import hashlib
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SMALL_SF}/documents.parquet'"
+    ).fetchall()
+    chunks = []  # (doc_id, pos, chunk)
+    for did, text in docs:
+        w = text.split(" ")
+        for i in range((len(w) + 7) // 8):
+            chunks.append((did, i, " ".join(w[i * 8:(i + 1) * 8])))
+    first_occ = {}
+    for did, pos, c in sorted(chunks):
+        first_occ.setdefault(c, (did, pos))
+    expected = {}
+    for did, text in docs:
+        w = text.split(" ")
+        kept, dropped, n = [], 0, 0
+        for i in range((len(w) + 7) // 8):
+            c = " ".join(w[i * 8:(i + 1) * 8])
+            n += 1
+            if first_occ[c] == (did, i):
+                kept.append(c)
+            else:
+                dropped += 1
+        expected[did] = (
+            n, dropped, hashlib.md5(" ".join(kept).encode()).hexdigest()
+        )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_md5"])
+        for r in REG["dd11_span_dedup"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+    # conservation: total survivors of duplicated chunk texts == #texts
+    from collections import Counter
+    cnt = Counter(c for _, _, c in chunks)
+    total_kept = sum(n - d for n, d, _ in got.values())
+    assert total_kept == len(cnt)
