@@ -1304,3 +1304,102 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.table("st7_enriched")
     (events,) = tables(spark, sf_dir, "events")
     return shape(events)
+
+
+# --- MM9: perceptual-hash (dHash) image dedup manifest ----------------------
+# Pixel-space near-duplicate detection — the image-side sibling of the
+# text dedup family: decode each ROI, nearest-resize to 9×8, take the
+# 64 horizontal gradient signs as a difference hash, and group the
+# corpus by it.  Identical-looking images (the synthetic corpus plants
+# them: a ROI number fully determines its pixel pattern, so the same
+# ROI index recurs across bins) land in the same group regardless of
+# their source bin.  The hash is split into two exact BIGINT halves —
+# the manifest emits per-group stats, never O(n²) pairs, and grouping
+# by a 64-bit key is a single balanced shuffle at any corpus size.
+# Hamming-radius (rather than exact) matching would reuse sim2's
+# banding on the same halves.
+MM9_SQL = """
+WITH bins AS (
+    SELECT o_orderkey::BIGINT AS sample, ((o_orderkey % 50) + 1)::INT AS n_rois
+    FROM orders WHERE o_orderkey % 200 = 0
+),
+rois AS (
+    SELECT sample, t.roi::INT AS roi,
+           (8 + t.roi % 16)::BIGINT AS w,
+           (8 + (t.roi * 3) % 16)::BIGINT AS h
+    FROM bins, unnest(range(1, n_rois + 1)) AS t(roi)
+),
+px AS (
+    SELECT sample, roi, y, x,
+           ((roi * 31 + ((y * h) // 8) * w + ((x * w) // 9)) % 251) AS v
+    FROM rois, unnest(range(8)) AS yy(y), unnest(range(9)) AS xx(x)
+),
+bits AS (
+    SELECT a.sample, a.roi, a.y, a.x,
+           CASE WHEN b.v > a.v THEN 1 ELSE 0 END AS bit
+    FROM px a JOIN px b
+      ON a.sample = b.sample AND a.roi = b.roi AND a.y = b.y
+     AND b.x = a.x + 1
+    WHERE a.x < 8
+),
+hashes AS (
+    SELECT sample, roi,
+           sum(CASE WHEN y * 8 + x >= 32
+                    THEN bit << (y * 8 + x - 32) ELSE 0 END)::BIGINT AS dhash_hi,
+           sum(CASE WHEN y * 8 + x < 32
+                    THEN bit << (y * 8 + x) ELSE 0 END)::BIGINT AS dhash_lo
+    FROM bits GROUP BY sample, roi
+)
+SELECT dhash_hi, dhash_lo,
+       count(*)::BIGINT AS n_rois,
+       count(DISTINCT sample)::BIGINT AS n_samples,
+       min(sample)::BIGINT AS canonical_sample
+FROM hashes GROUP BY dhash_hi, dhash_lo
+"""
+
+
+@register("mm9_perceptual_dedup", MM9_SQL, survey_ref="beyond reference: dHash perceptual image dedup manifest (decode -> 9x8 resize -> gradient-sign hash)")
+def mm9_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    bins = orders.where(F.col("o_orderkey") % 200 == 0).select(
+        F.col("o_orderkey").cast("string").alias("sample"),
+        ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
+    )
+    rois = explode_bins_to_rois(bins)
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from ..operators.image_codec import resize_nearest
+        from ..operators.multimodal import decode_image
+
+        for pdf in batches:
+            out = {"sample": [], "roi_number": [], "dhash_hi": [], "dhash_lo": []}
+            for sample, roi, blob, w, h in zip(
+                pdf["sample"], pdf["roi_number"], pdf["image"],
+                pdf["width"], pdf["height"],
+            ):
+                img = resize_nearest(
+                    decode_image(bytes(blob), w, h), 8, 9
+                ).astype(np.int64)
+                bits = (img[:, 1:] > img[:, :-1]).astype(np.int64).ravel()
+                pos = np.arange(64, dtype=np.int64)
+                hi = int(((bits[32:] << (pos[32:] - 32))).sum())
+                lo = int((bits[:32] << pos[:32]).sum())
+                out["sample"].append(sample)
+                out["roi_number"].append(roi)
+                out["dhash_hi"].append(hi)
+                out["dhash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    hashes = rois.mapInPandas(
+        dhash, schema="sample string, roi_number int, dhash_hi long, dhash_lo long"
+    )
+    return hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("n_rois"),
+        F.countDistinct("sample").alias("n_samples"),
+        F.min(F.col("sample").cast("long")).alias("canonical_sample"),
+    )

@@ -616,3 +616,53 @@ def test_dd11_span_dedup_by_bruteforce(spark):
     cnt = Counter(c for _, _, c in chunks)
     total_kept = sum(n - d for n, d, _ in got.values())
     assert total_kept == len(cnt)
+
+
+def test_mm9_dhash_by_bruteforce(spark):
+    """dHash groups re-derived in pure python from the closed-form pixel
+    function, plus the planted-duplicate property: the pixel pattern of
+    a ROI depends only on its index, so every ROI index present in >= 2
+    bins must land in a group with n_samples >= 2."""
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SMALL_SF}/orders.parquet' "
+            f"WHERE o_orderkey % 200 = 0"
+        ).fetchall()
+    ]
+    groups: dict[tuple, list] = {}
+    roi_bins: dict[int, set] = {}
+    for k in keys:
+        for roi in range(1, (k % 50) + 2):
+            w, h = 8 + roi % 16, 8 + (roi * 3) % 16
+            img = [
+                [(roi * 31 + ((y * h) // 8) * w + ((x * w) // 9)) % 251
+                 for x in range(9)]
+                for y in range(8)
+            ]
+            hi = lo = 0
+            for y in range(8):
+                for x in range(8):
+                    bit = 1 if img[y][x + 1] > img[y][x] else 0
+                    p = y * 8 + x
+                    if p >= 32:
+                        hi += bit << (p - 32)
+                    else:
+                        lo += bit << p
+            groups.setdefault((hi, lo), []).append(k)
+            roi_bins.setdefault(roi, set()).add(k)
+    expected = {
+        hl: (len(samples), len(set(samples)), min(samples))
+        for hl, samples in groups.items()
+    }
+    got = {
+        (r["dhash_hi"], r["dhash_lo"]): (
+            r["n_rois"], r["n_samples"], r["canonical_sample"]
+        )
+        for r in REG["mm9_perceptual_dedup"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+    # planted duplicates must be found
+    multi = [roi for roi, bins in roi_bins.items() if len(bins) >= 2]
+    assert multi, "fixture should plant cross-bin duplicate ROIs"
+    assert any(n_samples >= 2 for _, n_samples, _ in got.values())
