@@ -47,6 +47,8 @@ HEADLINE = [
     "sim10_pq_adc",
     "dp8_exact_quantiles",
     "o8_zorder_layout",
+    "dd11_span_dedup",
+    "mm9_perceptual_dedup",
 ]
 
 
