@@ -546,3 +546,85 @@ def test_mm2_full_chain_branch_selection(spark):
     for r in rows[:5]:
         assert len(r["hog"]) == 81
         assert len(r["ringwedge"]) == 50 + 48 + 1
+
+
+# --- codec round-trip properties (hypothesis) -------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+from hypothesis.extra.numpy import arrays as h_arrays
+
+from ifcb_data_pipeline_spark.operators.image_codec import (
+    decode_image,
+    encode_pgm,
+    letterbox,
+    resize_nearest,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h_arrays(
+        dtype="uint8",
+        shape=hst.tuples(
+            hst.integers(min_value=1, max_value=24),
+            hst.integers(min_value=1, max_value=24),
+        ),
+    )
+)
+def test_pgm_roundtrip_lossless(img):
+    """encode_pgm -> decode_image is the identity for ANY uint8 image —
+    the contract every multimodal operator (mm1-mm9) leans on when it
+    re-encodes between pipeline stages."""
+    out = decode_image(encode_pgm(img))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert (out == img).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h_arrays(
+        dtype="uint8",
+        shape=hst.tuples(
+            hst.integers(min_value=1, max_value=24),
+            hst.integers(min_value=1, max_value=24),
+        ),
+    ),
+    hst.integers(min_value=1, max_value=16),
+    hst.integers(min_value=1, max_value=16),
+)
+def test_resize_nearest_samples_source_pixels(img, oh, ow):
+    """Every output pixel of the floor-mapping resize is an actual source
+    pixel at the documented index — no interpolation, no out-of-range."""
+    out = resize_nearest(img, oh, ow)
+    h, w = img.shape
+    assert out.shape == (oh, ow)
+    for y in range(oh):
+        for x in range(ow):
+            assert out[y, x] == img[(y * h) // oh, (x * w) // ow]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h_arrays(
+        dtype="uint8",
+        shape=hst.tuples(
+            hst.integers(min_value=1, max_value=20),
+            hst.integers(min_value=1, max_value=20),
+        ),
+    )
+)
+def test_letterbox_preserves_aspect_and_fills(img):
+    """Letterbox output is always the requested canvas; the content box
+    is the aspect-preserving nearest resize placed centered, and every
+    pixel outside it is exactly the fill value."""
+    out = letterbox(img, 16, 16, fill=7)
+    assert out.shape == (16, 16)
+    h, w = img.shape
+    scale = min(16 / h, 16 / w)
+    nh, nw = max(1, int(h * scale)), max(1, int(w * scale))
+    y0, x0 = (16 - nh) // 2, (16 - nw) // 2
+    content = out[y0:y0 + nh, x0:x0 + nw]
+    assert (content == resize_nearest(img, nh, nw)).all()
+    mask = np.ones((16, 16), dtype=bool)
+    mask[y0:y0 + nh, x0:x0 + nw] = False
+    assert (out[mask] == 7).all()
