@@ -548,3 +548,47 @@ def test_h5_class_scan_chunked(spark, tmp_path):
     rows = h5_class_scan(spark, str(tmp_path)).orderBy("roi_number").collect()
     assert [r["roi_number"] for r in rows] == [1, 2, 3]
     assert [r["class_name"] for r in rows] == ["Beta", "Alpha", "Gamma"]
+
+
+# --- S5 randomized round-trip (hypothesis) ----------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hst.lists(
+        hst.tuples(
+            hst.sampled_from(["f4", "f8", "i4", "i8", "u1"]),
+            hst.integers(min_value=1, max_value=13),   # rows
+            hst.integers(min_value=1, max_value=7),    # cols
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    hst.randoms(use_true_random=False),
+)
+def test_hdf5_roundtrip_random_datasets(specs, rnd):
+    """write_hdf5 (spec-built fixture) -> hdf5_lite.read_hdf5 is the
+    identity for arbitrary dataset mixes: random dtypes/shapes, a random
+    subset written chunked+deflate with random chunk shapes (exercising
+    edge-chunk clipping when the chunk does not divide the shape)."""
+    import numpy as np
+
+    from ifcb_data_pipeline_spark.sources.hdf5_lite import read_hdf5
+    from tests.hdf5_fixture import write_hdf5
+
+    datasets, chunks = {}, {}
+    for i, (dt, r, c) in enumerate(specs):
+        name = f"ds{i}"
+        a = np.arange(r * c, dtype=np.dtype(dt)).reshape(r, c)
+        a = (a * (i + 3) % 251).astype(np.dtype(dt))
+        datasets[name] = a
+        if rnd.random() < 0.5:
+            chunks[name] = (rnd.randint(1, r), rnd.randint(1, c))
+    buf = write_hdf5(datasets, chunks=chunks or None)
+    out = read_hdf5(buf)
+    assert set(out) == set(datasets)
+    for name, a in datasets.items():
+        assert out[name].dtype == a.dtype and out[name].shape == a.shape
+        assert (out[name] == a).all(), name
