@@ -432,3 +432,20 @@ def test_sim10_corpus_never_broadcast(spark, sf_dir):
         )
         assert bounded, f"sim10 broadcast an unbounded corpus subtree:\n{s[:500]}"
     assert n_hints >= 6, "sim10 lost its codebook/LUT broadcast hints"
+
+
+def test_i9_windows_are_user_partitioned(spark, sf_dir):
+    """Both of i9's windows (run-id cumsum, valid_to lead) must stay
+    partitioned by user_id — no SinglePartition exchange anywhere: the
+    history build never needs a global ordering."""
+    plan = plan_of(spark, "i9_scd2_compaction", sf_dir)
+    assert "SinglePartition" not in plan, "i9 grew an unpartitioned window"
+    assert "hashpartitioning(user_id" in plan, "i9 lost its user_id partitioning"
+
+
+def test_dd11_window_is_chunk_partitioned(spark, sf_dir):
+    """dd11's canonical-occurrence window must be keyed by the chunk
+    text (high-cardinality, balanced) — never a global window."""
+    plan = plan_of(spark, "dd11_span_dedup", sf_dir)
+    assert "SinglePartition" not in plan, "dd11 grew an unpartitioned window"
+    assert "hashpartitioning(chunk" in plan, "dd11 lost its chunk partitioning"
