@@ -592,3 +592,44 @@ def test_hdf5_roundtrip_random_datasets(specs, rnd):
     for name, a in datasets.items():
         assert out[name].dtype == a.dtype and out[name].shape == a.shape
         assert (out[name] == a).all(), name
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hst.lists(
+        hst.text(
+            alphabet=hst.sampled_from(
+                "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ_0123456789"
+            ),
+            min_size=1,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    hst.lists(
+        hst.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    hst.booleans(),
+)
+def test_parse_mat_v5_random_roundtrip(class_names, scores, compress):
+    """Spec-built MAT v5 writer -> parse_mat_v5 identity over random
+    class-name cell arrays, random double matrices, and both the plain
+    and zlib-compressed element layouts (S4)."""
+    from ifcb_data_pipeline_spark.sources.mat_v5 import parse_mat_v5
+
+    content = _mat_file(
+        _mat_cell_of_chars("TBclass", class_names),
+        _mat_double_matrix("TBscores", scores),
+        _mat_char_matrix("classifierName", "rand_v1"),
+        compress=compress,
+    )
+    out = parse_mat_v5(content)
+    assert out["TBclass"] == class_names
+    assert out["classifierName"] == "rand_v1"
+    got = np.asarray(out["TBscores"]).ravel().tolist()
+    assert got == scores
