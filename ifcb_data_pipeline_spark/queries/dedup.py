@@ -788,15 +788,29 @@ def dd11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("w", (F.col("pos") * 8 + 1).cast("int"), 8), " "
         ).alias("chunk"),
     )
-    w_occ = Window.partitionBy("chunk").orderBy("doc_id", "pos")
-    marked = chunks.withColumn("occ", F.row_number().over(w_occ))
+    # Canonical occurrence via two-phase min aggregation + equi-join, NOT
+    # a chunk-keyed window: a boilerplate span duplicated across millions
+    # of documents would serialize a window's fat partition onto one
+    # task, while partial aggregation combines the min map-side and the
+    # join fan-out stays splittable (AQE skew-join).  Same survivor rule:
+    # an occurrence survives iff it IS its chunk's (doc_id, pos) minimum.
+    minima = chunks.groupBy("chunk").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first_occ")
+    )
+    marked = chunks.join(minima, "chunk").select(
+        "doc_id",
+        "pos",
+        "chunk",
+        (
+            (F.col("first_occ.doc_id") == F.col("doc_id"))
+            & (F.col("first_occ.pos") == F.col("pos"))
+        ).alias("keep"),
+    )
     kept_sorted = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.when(
-                        F.col("occ") == 1, F.struct(F.col("pos"), F.col("chunk"))
-                    )
+                    F.when(F.col("keep"), F.struct(F.col("pos"), F.col("chunk")))
                 )
             ),
             lambda s: s.getField("chunk"),
@@ -805,6 +819,6 @@ def dd11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
-        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dropped"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
         F.md5(kept_sorted).alias("cleaned_md5"),
     )

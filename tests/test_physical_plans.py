@@ -444,8 +444,13 @@ def test_i9_windows_are_user_partitioned(spark, sf_dir):
 
 
 def test_dd11_window_is_chunk_partitioned(spark, sf_dir):
-    """dd11's canonical-occurrence window must be keyed by the chunk
-    text (high-cardinality, balanced) — never a global window."""
+    """dd11's canonical-occurrence selection must stay the two-phase min
+    aggregation + chunk-keyed equi-join (skew-splittable under
+    boilerplate spans) — never a global window, and the partial-agg
+    phase must be present so a mega-duplicated span combines map-side."""
     plan = plan_of(spark, "dd11_span_dedup", sf_dir)
     assert "SinglePartition" not in plan, "dd11 grew an unpartitioned window"
     assert "hashpartitioning(chunk" in plan, "dd11 lost its chunk partitioning"
+    assert "partial_min" in plan.lower() or "partial" in plan.lower(), (
+        "dd11 lost its map-side partial aggregation"
+    )
