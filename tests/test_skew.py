@@ -51,3 +51,33 @@ def test_salted_broadcast_join_matches_plain(spark, sf_dir):
     plain = lineitem.join(F.broadcast(part), "l_partkey").count()
     salted = salted_broadcast_join(lineitem, part, "l_partkey").count()
     assert salted == plain
+
+
+def test_dd11_survivor_rule_under_planted_boilerplate(spark):
+    """Correctness under the exact skew dd11's plan defends against: one
+    boilerplate chunk planted in EVERY document.  The boilerplate must
+    survive only in the (doc_id, pos)-minimal occurrence, every other
+    doc drops exactly one chunk, and unique chunks are untouched."""
+    import pandas as pd
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    reg = load_all()
+    boiler = "x " * 7 + "x"  # one 8-word span, identical everywhere
+    docs = [
+        (i, f"{boiler} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(40)
+    ]
+    pdf = pd.DataFrame(docs, columns=["doc_id", "text"])
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # registry queries read <sf_dir>/documents.parquet
+        pdf.to_parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["doc_id"]: r for r in reg["dd11_span_dedup"].fn(spark, d).collect()
+        }
+    assert rows[0]["n_dropped"] == 0                      # canonical keeps it
+    assert all(rows[i]["n_dropped"] == 1 for i in range(1, 40))
+    assert all(rows[i]["n_chunks"] == 2 for i in range(40))
