@@ -664,12 +664,16 @@ def tx10_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # source domain is capped at a token budget (1000 tokens here — binding at every sf: domains carry ~1.4k tokens at sf0.01, ~14k at sf0.1) by
 # keeping documents in a deterministic hash order until the NEXT doc
 # would cross the budget — how over-represented domains (web crawl) are
-# trimmed before mixing.  One window per domain: hash-ranked cumulative
-# token sum, a bounded per-group scan (domains are the partition key, so
-# no global sort), and the keep rule is pure integer arithmetic —
-# bit-identical in both engines.  The kept set is stable under corpus
-# growth *within* the budget: appending new docs never evicts an
-# already-kept doc whose hash ranks earlier.
+# trimmed before mixing.  The per-domain prefix sum is the o1/dp8
+# two-level form, NOT one window per domain: a web-crawl domain is
+# billions of rows, and a domain-keyed window would serialize it onto
+# one task.  Range-partition on (source, h, doc_id), per-partition
+# cumsum, then add a broadcast per-(source, partition) offset — the
+# only unsplittable frame is the |sources|×|partitions| offset table.
+# The keep rule is pure integer arithmetic — bit-identical in both
+# engines — and the kept set is stable under corpus growth *within*
+# the budget: appending new docs never evicts an already-kept doc
+# whose hash ranks earlier.
 _SP6_BUDGET = 1000
 
 SP6_SQL = f"""
@@ -699,13 +703,37 @@ def sp6_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws(F.col("text")).cast("long").alias("tok"),
         hash32(F.col("doc_id").cast("string")).alias("h"),
     )
-    w = (
-        Window.partitionBy("source")
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = toks.repartitionByRange(
+        n_part, F.col("source"), F.col("h"), F.col("doc_id")
+    ).withColumn("__pid", F.spark_partition_id())
+    # per-(source, partition) totals → broadcast offset cumsum over the
+    # bounded |sources|×|partitions| frame (the o1/dp8 pattern applied
+    # per group): global prefix sum without a domain-fat window.
+    part_sums = ranged.groupBy("source", "__pid").agg(
+        F.sum("tok").alias("__sum")
+    )
+    offsets = part_sums.select(
+        "source",
+        "__pid",
+        F.coalesce(
+            F.sum("__sum").over(
+                Window.partitionBy("source")
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    within = (
+        Window.partitionBy("__pid", "source")
         .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        toks.withColumn("cum_tok", F.sum("tok").over(w))
+        ranged.withColumn("__cum", F.sum("tok").over(within))
+        .join(F.broadcast(offsets), ["source", "__pid"])
+        .withColumn("cum_tok", F.col("__cum") + F.col("__offset"))
         .where(F.col("cum_tok") <= _SP6_BUDGET)
         .select("doc_id", "source", "tok", "cum_tok")
     )

@@ -454,3 +454,15 @@ def test_dd11_window_is_chunk_partitioned(spark, sf_dir):
     assert "partial_min" in plan.lower() or "partial" in plan.lower(), (
         "dd11 lost its map-side partial aggregation"
     )
+
+
+def test_sp6_prefix_sum_is_distributed(spark, sf_dir):
+    """sp6's per-domain cumulative sum must be the two-level form: a
+    range-partition exchange on (source, h, doc_id), the fact-side
+    window partitioned by (__pid, source), and no SinglePartition
+    subtree — a domain-keyed window over raw docs would serialize a
+    web-crawl domain onto one task."""
+    plan = plan_of(spark, "sp6_domain_token_cap", sf_dir)
+    assert "rangepartitioning(source" in plan, "sp6 lost its range partitioning"
+    assert "hashpartitioning(__pid" in plan, "sp6 window not partitioned by __pid"
+    assert "SinglePartition" not in plan, "sp6 grew an unpartitioned subtree"
