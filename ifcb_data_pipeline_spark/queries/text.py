@@ -896,3 +896,46 @@ def tx11_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         dround(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("label_share"),
     )
+
+
+# --- SP2b: stratified sampling, two-phase grouped TopK ----------------------
+# Same result as sp2 (top-3 docs per (lang, source) stratum in
+# deterministic hash order) with the plan a fat stratum needs: a
+# stratum-keyed window ranks EVERY row of the stratum on one task,
+# while the two-phase form first takes a LOCAL top-3 per stratum
+# within each input partition (window keyed by (stratum, partition id)
+# — splittable), then ranks only the ≤ 3×|partitions| survivors per
+# stratum.  This is takeOrdered's algebra in DataFrame form; the final
+# window is bounded by construction, not by data.
+SP2B_SQL = f"""
+WITH ranked AS (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY {HASH32_SQL.format(x="doc_id::VARCHAR")}, doc_id
+           )::BIGINT AS rk
+    FROM documents
+)
+SELECT doc_id, lang, source, rk FROM ranked WHERE rk <= 3
+"""
+
+
+@register("sp2b_stratified_topk", SP2B_SQL, survey_ref="beyond reference: sp2's scale twin — two-phase grouped TopK (local per-partition heads, bounded final rank)")
+def sp2b_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    h = hash32(F.col("doc_id").cast("string"))
+    base = documents.select("doc_id", "lang", "source", h.alias("h")).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("lang", "source", "__pid").orderBy("h", "doc_id")
+    survivors = (
+        base.withColumn("lrk", F.row_number().over(w_local))
+        .where(F.col("lrk") <= 3)
+        .drop("lrk", "__pid")
+    )
+    w_global = Window.partitionBy("lang", "source").orderBy("h", "doc_id")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w_global).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "lang", "source", "rk")
+    )

@@ -666,3 +666,14 @@ def test_mm9_dhash_by_bruteforce(spark):
     multi = [roi for roi, bins in roi_bins.items() if len(bins) >= 2]
     assert multi, "fixture should plant cross-bin duplicate ROIs"
     assert any(n_samples >= 2 for _, n_samples, _ in got.values())
+
+
+def test_sp2b_equals_sp2_and_is_bounded(spark, sf_dir):
+    """The two-phase grouped TopK must return EXACTLY sp2's rows (same
+    strata, same ranks, same docs) — the local-heads pass may only
+    discard rows that cannot be in the global top-3."""
+    a = sorted(
+        map(tuple, REG["sp2_stratified_sample"].fn(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, REG["sp2b_stratified_topk"].fn(spark, sf_dir).collect()))
+    assert a == b

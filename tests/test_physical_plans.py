@@ -466,3 +466,16 @@ def test_sp6_prefix_sum_is_distributed(spark, sf_dir):
     assert "rangepartitioning(source" in plan, "sp6 lost its range partitioning"
     assert "hashpartitioning(__pid" in plan, "sp6 window not partitioned by __pid"
     assert "SinglePartition" not in plan, "sp6 grew an unpartitioned subtree"
+
+
+def test_sp2b_local_heads_phase_present(spark, sf_dir):
+    """sp2b must keep its local-heads phase: a window keyed by
+    (lang, source, __pid) runs BEFORE the stratum-keyed final rank, so
+    the final window only ever sees <= 3 x |partitions| rows per
+    stratum.  Dropping the local phase silently reverts to sp2's
+    fat-stratum shape."""
+    plan = plan_of(spark, "sp2b_stratified_topk", sf_dir)
+    assert re.search(r"hashpartitioning\(lang#\d+, source#\d+, __pid", plan), (
+        "sp2b lost its (stratum, partition-id) local-heads window"
+    )
+    assert "SinglePartition" not in plan
