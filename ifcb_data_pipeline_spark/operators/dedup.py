@@ -327,3 +327,45 @@ def ngram_jaccard_pairs(
     return j.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float = 0.9, max_df: int | None = None
+) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| over shingle sets — the
+    subset-duplicate detector symmetric Jaccard misses: a document
+    quoted or truncated inside another scores near 1.0 in the contained
+    direction while its Jaccard can be arbitrarily low.  Same
+    inverted-index shape (and ``max_df`` hardening) as
+    :func:`ngram_jaccard_pairs`; emits both directions and keeps pairs
+    where either one clears the threshold."""
+    if max_df is not None:
+        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        shingles = (
+            shingles.join(df_counts.where(F.col("__df") <= max_df), "shingle")
+            .drop("__df")
+        )
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    c_ab = F.col("i") / F.col("na")
+    c_ba = F.col("i") / F.col("nb")
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where((c_ab >= threshold) | (c_ba >= threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(c_ab * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("cont_a_in_b"),
+            (F.floor(c_ba * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("cont_b_in_a"),
+        )
+    )

@@ -822,3 +822,45 @@ def dd11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
         F.md5(kept_sorted).alias("cleaned_md5"),
     )
+
+
+# --- DD12: asymmetric containment (subset-duplicate) pairs ------------------
+# Jaccard (dd4) misses the quote/truncation case: the augmented corpus'
+# mutated copies are 70%-prefix truncations, so their shingle sets are
+# SUBSETS of the originals — containment in the contained direction is
+# exactly 1.0 while Jaccard sits near 0.7 and keeps shrinking as the
+# quoted fraction drops.  Same df-cut inverted index as dd4b (a
+# ubiquitous shingle is O(df²) pair fan-out), both directions emitted,
+# pair kept when either clears 0.9.
+DD12_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+kept AS (
+    SELECT s.doc, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE dfc.df <= 50
+),
+sizes AS (SELECT doc, count(*)::BIGINT AS n FROM kept GROUP BY doc),
+inter AS (
+    SELECT a.doc AS doc_a, b.doc AS doc_b, count(*)::BIGINT AS i
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc < b.doc
+    GROUP BY 1, 2
+),
+c AS MATERIALIZED (
+    SELECT i.doc_a, i.doc_b,
+           (i.i / na.n) AS cab, (i.i / nb.n) AS cba
+    FROM inter i
+    JOIN sizes na ON na.doc = i.doc_a
+    JOIN sizes nb ON nb.doc = i.doc_b
+)
+SELECT doc_a, doc_b,
+       floor(cab * 1000000.0 + 0.5) / 1000000.0 AS cont_a_in_b,
+       floor(cba * 1000000.0 + 0.5) / 1000000.0 AS cont_b_in_a
+FROM c WHERE cab >= 0.9 OR cba >= 0.9
+"""
+
+
+@register("dd12_containment_pairs", DD12_SQL, survey_ref="beyond reference: asymmetric shingle containment (quote/truncation subset-dup detection)")
+def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    return containment_pairs(sh, threshold=0.9, max_df=50)

@@ -677,3 +677,55 @@ def test_sp2b_equals_sp2_and_is_bounded(spark, sf_dir):
     )
     b = sorted(map(tuple, REG["sp2b_stratified_topk"].fn(spark, sf_dir).collect()))
     assert a == b
+
+
+def test_dd12_finds_planted_truncations(spark):
+    """Every planted truncated copy (doc+10000, 70% prefix) must appear
+    in a containment pair with its original at cont(copy in orig) = 1.0
+    (its filtered shingle set is a subset), and a python shingle
+    re-derivation must agree on every emitted pair."""
+    docs = {
+        did: text.lower()
+        for did, text in duckdb.sql(
+            f"SELECT doc_id, text FROM '{SMALL_SF}/documents.parquet'"
+        ).fetchall()
+    }
+    corpus = dict(docs)
+    for did, text in docs.items():
+        if did % 25 == 0:
+            w = text.split(" ")
+            keep = max(1, (len(w) * 7) // 10)
+            corpus[did + 10000] = " ".join(w[:keep])
+
+    def sh(text):
+        w = text.split(" ")
+        n = max(len(w) - 2, 1)
+        return {" ".join(w[i:i + 3]) for i in range(n)}
+
+    sets = {d: sh(t) for d, t in corpus.items()}
+    from collections import Counter
+    dfc = Counter(s for ss in sets.values() for s in ss)
+    sets = {d: {s for s in ss if dfc[s] <= 50} for d, ss in sets.items()}
+    expected = {}
+    ds = sorted(sets)
+    import itertools
+    for a, b in itertools.combinations(ds, 2):
+        i = len(sets[a] & sets[b])
+        if not i:
+            continue
+        cab, cba = i / len(sets[a]), i / len(sets[b])
+        if cab >= 0.9 or cba >= 0.9:
+            expected[(a, b)] = (
+                math.floor(cab * 1e6 + 0.5) / 1e6,
+                math.floor(cba * 1e6 + 0.5) / 1e6,
+            )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in REG["dd12_containment_pairs"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+    planted = [d for d in docs if d % 25 == 0 and sets[d + 10000]]
+    assert planted
+    for d in planted:
+        pair = got.get((d, d + 10000))
+        assert pair is not None and pair[1] == 1.0, (d, pair)
