@@ -748,3 +748,78 @@ def o8_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("d_max"),
         )
     )
+
+
+# --- W11: CUSUM drift detection ---------------------------------------------
+# The sequential control chart w9's rolling z-score can't replace: CUSUM
+# accumulates small sustained shifts (sum of excesses over a slack band)
+# that never trip a per-point z threshold.  Recursive per key — same
+# execution contract as w8's EWMA: Arrow-batched applyInPandas linear
+# pass per user (state is two doubles), recursive-CTE oracle in
+# lockstep arithmetic (identical expression order ⇒ identical IEEE
+# trajectories, rounded only at the output).  At 100 TB a hot user
+# takes the same boundary-stitch escape hatch as i9.
+_W11_UP, _W11_DN, _W11_H = 60.0, 40.0, 300.0
+
+W11_SQL = f"""
+WITH RECURSIVE seq AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+),
+cs AS (
+    SELECT user_id, event_id, rn, value,
+           greatest(0.0, value - {_W11_UP}) AS s_hi,
+           greatest(0.0, {_W11_DN} - value) AS s_lo
+    FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT s.user_id, s.event_id, s.rn, s.value,
+           greatest(0.0, p.s_hi + (s.value - {_W11_UP})),
+           greatest(0.0, p.s_lo + ({_W11_DN} - s.value))
+    FROM seq s JOIN cs p ON s.user_id = p.user_id AND s.rn = p.rn + 1
+)
+SELECT user_id, event_id,
+       floor(s_hi * 1000000.0 + 0.5) / 1000000.0 AS cusum_hi,
+       floor(s_lo * 1000000.0 + 0.5) / 1000000.0 AS cusum_lo,
+       (s_hi > {_W11_H}) AS drift_up,
+       (s_lo > {_W11_H}) AS drift_down
+FROM cs
+"""
+
+
+@register("w11_cusum_drift", W11_SQL, survey_ref="beyond reference: CUSUM sequential drift detection (sustained-shift control chart)")
+def w11_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    base = events.select("user_id", "event_id", "ts", "value")
+
+    def cusum(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        s_hi = s_lo = 0.0
+        hi, lo, up, dn = [], [], [], []
+        for v in pdf["value"]:
+            v = float(v)
+            s_hi = max(0.0, s_hi + (v - _W11_UP))
+            s_lo = max(0.0, s_lo + (_W11_DN - v))
+            hi.append(math.floor(s_hi * 1000000.0 + 0.5) / 1000000.0)
+            lo.append(math.floor(s_lo * 1000000.0 + 0.5) / 1000000.0)
+            up.append(s_hi > _W11_H)
+            dn.append(s_lo > _W11_H)
+        pdf["cusum_hi"] = pd.Series(hi, dtype="float64")
+        pdf["cusum_lo"] = pd.Series(lo, dtype="float64")
+        pdf["drift_up"] = pd.Series(up, dtype="bool")
+        pdf["drift_down"] = pd.Series(dn, dtype="bool")
+        return pdf[
+            ["user_id", "event_id", "cusum_hi", "cusum_lo", "drift_up", "drift_down"]
+        ]
+
+    return base.groupBy("user_id").applyInPandas(
+        cusum,
+        schema=(
+            "user_id bigint, event_id bigint, cusum_hi double, cusum_lo double,"
+            " drift_up boolean, drift_down boolean"
+        ),
+    )

@@ -729,3 +729,35 @@ def test_dd12_finds_planted_truncations(spark):
     for d in planted:
         pair = got.get((d, d + 10000))
         assert pair is not None and pair[1] == 1.0, (d, pair)
+
+
+def test_w11_cusum_by_bruteforce(spark):
+    """CUSUM trajectories re-derived by an independent python pass over
+    the sf0.001 events, plus the control-chart invariants: s >= 0
+    everywhere and an alarm implies the unrounded state exceeds H."""
+    rows = duckdb.sql(
+        f"SELECT user_id, event_id, ts, value FROM "
+        f"'{SMALL_SF}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    expected = {}
+    state: dict[int, tuple] = {}
+    for uid, eid, _, v in rows:
+        s_hi, s_lo = state.get(uid, (0.0, 0.0))
+        s_hi = max(0.0, s_hi + (float(v) - 60.0))
+        s_lo = max(0.0, s_lo + (40.0 - float(v)))
+        state[uid] = (s_hi, s_lo)
+        expected[eid] = (
+            math.floor(s_hi * 1e6 + 0.5) / 1e6,
+            math.floor(s_lo * 1e6 + 0.5) / 1e6,
+            s_hi > 300.0,
+            s_lo > 300.0,
+        )
+    got = {
+        r["event_id"]: (r["cusum_hi"], r["cusum_lo"], r["drift_up"], r["drift_down"])
+        for r in REG["w11_cusum_drift"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected
+    assert any(u for _, _, u, _ in got.values()) or any(
+        d for _, _, _, d in got.values()
+    ), "constants should produce at least one drift alarm on this data"
+    assert all(h >= 0.0 and l >= 0.0 for h, l, _, _ in got.values())
