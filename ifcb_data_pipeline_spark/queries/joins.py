@@ -739,3 +739,107 @@ def i9_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+# --- J16: interval-overlap duration aggregation -----------------------------
+# Temporal-measure algebra on two FACT-sized interval sets: every error
+# opens a 30-min incident window, every purchase a 30-min activity
+# window; per user, total up the overlap duration between incident and
+# activity windows ("how much activity happened while incidents were
+# open").  Physical shape: both interval sets quantize to 1 h buckets —
+# a 30-min interval touches ≤ 2 — so candidates come from a shuffled
+# EQUI-join on (user, bucket) like j14, then pairs deduplicate (a pair
+# can meet in both buckets) and the exact measure
+# max(0, min(e1,e2) − max(s1,s2)) is pure BIGINT microsecond
+# arithmetic: exact, rounding-free.  No BNLJ anywhere.
+_J16_WIN_US = 1_800_000_000  # 30 min
+_J16_BUCKET_US = 3_600_000_000  # 1 h
+
+J16_SQL = f"""
+WITH a AS (
+    SELECT event_id AS a_id, user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {_J16_WIN_US} AS e
+    FROM events WHERE event_type = 'error'
+),
+b AS (
+    SELECT event_id AS b_id, user_id, epoch_us(ts) AS s,
+           epoch_us(ts) + {_J16_WIN_US} AS e
+    FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+    SELECT DISTINCT a.a_id, b.b_id, a.user_id,
+           greatest(0, least(a.e, b.e) - greatest(a.s, b.s)) AS ov
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.s < b.e AND b.s < a.e
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_overlapping_pairs,
+       sum(ov)::BIGINT AS overlap_us
+FROM pairs WHERE ov > 0
+GROUP BY user_id
+"""
+
+
+@register("j16_interval_overlap", J16_SQL, survey_ref="beyond reference: fact×fact interval-overlap measure (bucketed temporal algebra)")
+def j16_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    # session tz is UTC (queries._util.tables) so the NTZ->TZ cast is an
+    # identity and unix_micros is the exact epoch-us (the j4 pattern).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    def windows(etype: str, id_alias: str) -> DataFrame:
+        return events.where(F.col("event_type") == etype).select(
+            F.col("event_id").alias(id_alias),
+            "user_id",
+            us.alias("s"),
+            (us + _J16_WIN_US).alias("e"),
+        )
+
+    a = windows("error", "a_id")
+    b = windows("purchase", "b_id")
+    # bucket explosion: an interval [s, s+30m) touches floor(s/1h) and
+    # floor(e/1h) — replicate each side into its (≤2) buckets and join
+    # on (user, bucket); a pair meeting in both buckets dedupes below.
+    def bucketed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.floor(F.col("s") / _J16_BUCKET_US),
+                        F.floor(F.col("e") / _J16_BUCKET_US),
+                    )
+                )
+            ).alias("bucket"),
+        )
+
+    ab = bucketed(a).alias("a")
+    bb = bucketed(b).alias("b")
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("a.e"), F.col("b.e")) - F.greatest(F.col("a.s"), F.col("b.s")),
+    )
+    pairs = (
+        ab.join(
+            bb,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e")),
+        )
+        .select(
+            F.col("a.a_id").alias("a_id"),
+            F.col("b.b_id").alias("b_id"),
+            F.col("a.user_id").alias("user_id"),
+            ov.alias("ov"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return (
+        pairs.where(F.col("ov") > 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping_pairs"),
+            F.sum("ov").cast("long").alias("overlap_us"),
+        )
+    )

@@ -761,3 +761,36 @@ def test_w11_cusum_by_bruteforce(spark):
         d for _, _, _, d in got.values()
     ), "constants should produce at least one drift alarm on this data"
     assert all(h >= 0.0 and l >= 0.0 for h, l, _, _ in got.values())
+
+
+def test_j16_overlap_by_bruteforce(spark):
+    """Interval-overlap totals re-derived by an O(n^2) python scan per
+    user over the sf0.001 events — independent of the bucket-explosion
+    plan; also checks symmetry of the measure (ov(a,b) == ov(b,a))."""
+    rows = duckdb.sql(
+        f"SELECT event_id, user_id, event_type, epoch_us(ts) FROM "
+        f"'{SMALL_SF}/events.parquet'"
+    ).fetchall()
+    W = 1_800_000_000
+    by_user: dict[int, dict] = {}
+    for eid, uid, etype, us in rows:
+        d = by_user.setdefault(uid, {"error": [], "purchase": []})
+        if etype in d:
+            d[etype].append(us)
+    expected = {}
+    for uid, d in by_user.items():
+        n = tot = 0
+        for a in d["error"]:
+            for b in d["purchase"]:
+                ov = max(0, min(a + W, b + W) - max(a, b))
+                assert ov == max(0, min(b + W, a + W) - max(b, a))
+                if ov > 0:
+                    n += 1
+                    tot += ov
+        if n:
+            expected[uid] = (n, tot)
+    got = {
+        r["user_id"]: (r["n_overlapping_pairs"], r["overlap_us"])
+        for r in REG["j16_interval_overlap"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == expected

@@ -479,3 +479,10 @@ def test_sp2b_local_heads_phase_present(spark, sf_dir):
         "sp2b lost its (stratum, partition-id) local-heads window"
     )
     assert "SinglePartition" not in plan
+
+
+def test_j16_no_nested_loop(spark, sf_dir):
+    """j16's fact×fact interval overlap must stay a bucketed equi-join —
+    no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
+    plan = plan_of(spark, "j16_interval_overlap", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
