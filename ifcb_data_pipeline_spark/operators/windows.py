@@ -121,3 +121,35 @@ def gap_fill(
             filled = F.coalesce(filled, F.first(c, ignorenulls=True).over(w_up))
         out = out.withColumn(c, filled)
     return out
+
+
+def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
+    """Distributed total-order rank — the o1/dp8/sp6 machinery as a
+    reusable combinator: ONE range-partitioning exchange gives a total
+    order across partitions, ``spark_partition_id()`` is then monotone
+    in it, so global rank = within-partition row_number + a broadcast
+    per-partition offset cumsum.  The only unsplittable frame is the
+    ≤ |partitions|-row counts table (the bounded-window exception);
+    the fact side is never windowed on a single partition."""
+    spark = df.sparkSession
+    n_part = spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *keys).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    within = Window.partitionBy("__pid").orderBy(*keys)
+    return (
+        ranged.withColumn("__rn", F.row_number().over(within))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__rn") + F.col("__offset")).cast("long"))
+        .drop("__pid", "__rn", "__offset")
+    )

@@ -375,3 +375,59 @@ def tp3_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.select(
         "doc", F.lit("carried").alias("status"), "n_tok", split
     ).unionByName(cleaned.select("doc", F.lit("cleaned").alias("status"), "n_tok", split))
+
+
+# --- TP4: curriculum ordering (length-staged training order) ----------------
+# The write-order pass for curriculum learning: documents ranked
+# globally by (length, hash, id) — short/easy first — with a phase
+# label and a shard assignment derived from the rank, so the data
+# loader can stream phase 0 → 1 → 2 in a reproducible order.  The
+# global rank is the factored o1/dp8/sp6 machinery
+# (operators/windows.global_rank): one range exchange + broadcast
+# offsets, never a single-partition window.  Every ordering key is an
+# integer (token count, md5 hash, id) — no float enters the sort.
+TP4_SQL = f"""
+WITH keyed AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok,
+           {HASH32_SQL.format(x="'cur-' || doc_id::VARCHAR")} AS h
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, n_tok,
+           row_number() OVER (ORDER BY n_tok, h, doc_id)::BIGINT AS curriculum_rank
+    FROM keyed
+)
+SELECT doc_id, n_tok,
+       CASE WHEN n_tok < 20 THEN 0 WHEN n_tok < 40 THEN 1 ELSE 2 END AS phase,
+       curriculum_rank,
+       ((curriculum_rank - 1) // 64)::BIGINT AS shard
+FROM ranked
+"""
+
+
+@register("tp4_curriculum_order", TP4_SQL, survey_ref="beyond reference: curriculum training order (length-staged, distributed global rank)")
+def tp4_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count_ws
+    from ..operators.windows import global_rank
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    keyed = documents.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_tok"),
+        hash32(F.concat(F.lit("cur-"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    ranked = global_rank(
+        keyed, F.col("n_tok"), F.col("h"), F.col("doc_id"),
+        rank_col="curriculum_rank",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_tok",
+        F.when(F.col("n_tok") < 20, 0)
+        .when(F.col("n_tok") < 40, 1)
+        .otherwise(2)
+        .alias("phase"),
+        "curriculum_rank",
+        F.floor((F.col("curriculum_rank") - 1) / 64).cast("long").alias("shard"),
+    )

@@ -794,3 +794,24 @@ def test_j16_overlap_by_bruteforce(spark):
         for r in REG["j16_interval_overlap"].fn(spark, SMALL_SF).collect()
     }
     assert got == expected
+
+
+def test_tp4_curriculum_invariants(spark, sf_dir):
+    """The curriculum order must be a permutation 1..N, phases must be
+    non-decreasing along the rank (short-to-long staging), and shards
+    must be contiguous rank blocks of 64."""
+    rows = sorted(
+        REG["tp4_curriculum_order"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["curriculum_rank"],
+    )
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    assert [r["curriculum_rank"] for r in rows] == list(range(1, n + 1))
+    toks = [r["n_tok"] for r in rows]
+    assert toks == sorted(toks), "rank order must be non-decreasing in n_tok"
+    assert all(
+        r["phase"] == (0 if r["n_tok"] < 20 else 1 if r["n_tok"] < 40 else 2)
+        for r in rows
+    )
+    assert all(r["shard"] == (r["curriculum_rank"] - 1) // 64 for r in rows)

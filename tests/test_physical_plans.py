@@ -486,3 +486,13 @@ def test_j16_no_nested_loop(spark, sf_dir):
     no BroadcastNestedLoopJoin / CartesianProduct anywhere."""
     plan = plan_of(spark, "j16_interval_overlap", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_tp4_rank_is_distributed(spark, sf_dir):
+    """tp4 uses the factored global_rank combinator: range exchange +
+    __pid-partitioned window; the only SinglePartition subtree is the
+    bounded counts cumsum."""
+    plan = plan_of(spark, "tp4_curriculum_order", sf_dir)
+    assert "rangepartitioning(n_tok" in plan, "tp4 lost its range exchange"
+    assert "hashpartitioning(__pid" in plan, "tp4 window not partitioned by __pid"
+    assert plan.count("SinglePartition") <= 1
