@@ -11,7 +11,7 @@ memory sink) over the events parquet and returns the materialized result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import explode_bins_to_rois, extract_features
@@ -1402,4 +1402,115 @@ def mm9_perceptual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rois"),
         F.countDistinct("sample").alias("n_samples"),
         F.min(F.col("sample").cast("long")).alias("canonical_sample"),
+    )
+
+
+# --- MM10: voice-activity gating (VAD) over audio frames --------------------
+# The silence-removal pass of a speech-training ingest: frame the PCM
+# (the real mm5 Arrow kernel), gate frames on RMS energy, then keep
+# only ACTIVE RUNS of >= 3 consecutive frames — isolated energy blips
+# are noise, not speech.  The run-length machinery is i9's (change
+# flag -> run id via two audio-partitioned windows); per-audio frame
+# counts are bounded, and the gate compares the raw RMS doubles, which
+# are bit-identical across engines (exact-integer sums under sqrt).
+_MM10_RMS, _MM10_MIN_RUN = 73.0, 3
+
+MM10_SQL = f"""
+WITH auds AS (
+    SELECT o_orderkey AS a, ((o_orderkey % 1000) + 500)::INT AS n
+    FROM orders WHERE o_orderkey % 300 = 0
+),
+frames AS (
+    SELECT a, f.f::INT AS frame_idx FROM auds, unnest(range(n // 64)) AS f(f)
+),
+samp AS (
+    SELECT a, frame_idx, i.i AS i,
+           ((a * 13 + (frame_idx * 64 + i.i) * 7) % 251 - 125)::DOUBLE AS x
+    FROM frames, unnest(range(64)) AS i(i)
+),
+gated AS (
+    SELECT a, frame_idx,
+           (sqrt(avg(x * x)) >= {_MM10_RMS}) AS active,
+           max(abs(x))::INT AS peak
+    FROM samp GROUP BY a, frame_idx
+),
+chg AS (
+    SELECT a, frame_idx, active, peak,
+           CASE WHEN active = lag(active) OVER w THEN 0 ELSE 1 END AS flip
+    FROM gated
+    WINDOW w AS (PARTITION BY a ORDER BY frame_idx)
+),
+runs AS (
+    SELECT a, frame_idx, active, peak,
+           sum(flip) OVER (PARTITION BY a ORDER BY frame_idx
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM chg
+),
+segs AS (
+    SELECT a, run_id,
+           min(frame_idx) AS seg_start,
+           max(frame_idx) AS seg_end,
+           count(*)::BIGINT AS n_frames,
+           max(peak)::INT AS max_peak
+    FROM runs WHERE active GROUP BY a, run_id
+)
+SELECT a::VARCHAR AS audio_id, seg_start, seg_end, n_frames, max_peak
+FROM segs WHERE n_frames >= {_MM10_MIN_RUN}
+"""
+
+
+@register("mm10_voice_activity", MM10_SQL, survey_ref="beyond reference: VAD silence removal (energy gate + min-run smoothing over real PCM frames)")
+def mm10_voice_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import AUDIO_SCHEMA, audio_frame_features
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
+        F.col("o_orderkey").alias("a"),
+        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
+    )
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"audio_id": [], "n_samples": [], "sample_rate": [], "payload": []}
+            for a, n in zip(pdf["a"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
+                rows["audio_id"].append(str(a))
+                rows["n_samples"].append(int(n))
+                rows["sample_rate"].append(16000)
+                rows["payload"].append(x.tobytes())
+            yield pd.DataFrame(rows)
+
+    audio = meta.mapInPandas(synthesize, schema=AUDIO_SCHEMA)
+    feats = audio_frame_features(audio, frame=64)
+    gated = feats.select(
+        "audio_id",
+        "frame_idx",
+        (F.col("rms") >= _MM10_RMS).alias("active"),
+        "peak",
+    )
+    w = Window.partitionBy("audio_id").orderBy("frame_idx")
+    runs = gated.withColumn(
+        "run_id",
+        F.sum(
+            F.when(F.col("active") == F.lag("active").over(w), 0).otherwise(1)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.where(F.col("active"))
+        .groupBy("audio_id", "run_id")
+        .agg(
+            F.min("frame_idx").alias("seg_start"),
+            F.max("frame_idx").alias("seg_end"),
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("peak").alias("max_peak"),
+        )
+        .where(F.col("n_frames") >= _MM10_MIN_RUN)
+        .select("audio_id", "seg_start", "seg_end", "n_frames", "max_peak")
     )

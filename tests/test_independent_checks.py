@@ -815,3 +815,51 @@ def test_tp4_curriculum_invariants(spark, sf_dir):
         for r in rows
     )
     assert all(r["shard"] == (r["curriculum_rank"] - 1) // 64 for r in rows)
+
+
+def test_mm10_vad_by_bruteforce(spark):
+    """VAD segments re-derived in pure python from the closed-form PCM
+    (gate -> run-length -> min-run), plus the smoothing property: no
+    reported segment is shorter than 3 frames and segments per audio
+    never overlap."""
+    keys = [
+        (k, (k % 1000) + 500)
+        for (k,) in duckdb.sql(
+            f"SELECT o_orderkey FROM '{SMALL_SF}/orders.parquet' "
+            f"WHERE o_orderkey % 300 = 0"
+        ).fetchall()
+    ]
+    expected = {}
+    for a, n in keys:
+        runs = []
+        for fi in range(n // 64):
+            sq = [
+                float((a * 13 + (fi * 64 + i) * 7) % 251 - 125) ** 2
+                for i in range(64)
+            ]
+            peak = max(
+                abs((a * 13 + (fi * 64 + i) * 7) % 251 - 125) for i in range(64)
+            )
+            active = math.sqrt(sum(sq) / 64.0) >= 73.0
+            if runs and runs[-1][0] == active:
+                runs[-1][2] = fi
+                runs[-1][3] += 1
+                runs[-1][4] = max(runs[-1][4], peak)
+            else:
+                runs.append([active, fi, fi, 1, peak])
+        for act, s0, s1, cnt, pk in runs:
+            if act and cnt >= 3:
+                expected[(str(a), s0)] = (s1, cnt, pk)
+    got = {}
+    prev_end: dict[str, int] = {}
+    for r in sorted(
+        REG["mm10_voice_activity"].fn(spark, SMALL_SF).collect(),
+        key=lambda r: (r["audio_id"], r["seg_start"]),
+    ):
+        got[(r["audio_id"], r["seg_start"])] = (
+            r["seg_end"], r["n_frames"], r["max_peak"]
+        )
+        assert r["n_frames"] >= 3
+        assert r["seg_start"] > prev_end.get(r["audio_id"], -1)
+        prev_end[r["audio_id"]] = r["seg_end"]
+    assert got == expected and expected
