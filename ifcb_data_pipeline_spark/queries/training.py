@@ -431,3 +431,145 @@ def tp4_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "curriculum_rank",
         F.floor((F.col("curriculum_rank") - 1) / 64).cast("long").alias("shard"),
     )
+
+
+# --- TP5: pipeline funnel (yield) report ------------------------------------
+# The observability twin of tp1: how many documents and tokens survive
+# each gate (raw -> lang -> quality -> dedup) — the yield curve a data
+# team actually tracks per crawl snapshot.  Physical shape: the gates
+# are computed ONCE as boolean flags in a single projection pass, the
+# dedup survivor flag reuses tp1's fingerprint shuffle, and the four
+# funnel rows come from one conditional aggregation + a 4-row unpivot —
+# never four scans of the corpus.  Token counts are exact BIGINTs.
+TP5_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id AS doc, lang, lower(text) AS text FROM documents
+    UNION ALL
+    SELECT doc_id + 10000, lang,
+           array_to_string(string_split(lower(text), ' ')[1:greatest(1,
+               (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
+    FROM documents WHERE doc_id % 25 = 0
+),
+scored AS (
+    SELECT doc, lang,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           len(list_filter(string_split(text, ' '),
+                           x -> x IN ({_STOP_LIST}))) * 1.0
+               / len(string_split(text, ' ')) AS stop_ratio,
+           md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_head
+    FROM corpus
+),
+flagged AS (
+    SELECT doc, n_tok, fp_head,
+           (lang = 'en') AS g1,
+           (lang = 'en' AND n_tok >= 20 AND stop_ratio >= 0.02) AS g2
+    FROM scored
+),
+canon AS (
+    SELECT fp_head, min(doc) AS canonical FROM flagged WHERE g2 GROUP BY fp_head
+),
+final AS (
+    SELECT f.doc, f.n_tok, f.g1, f.g2,
+           (f.g2 AND f.doc = c.canonical) AS g3
+    FROM flagged f LEFT JOIN canon c ON f.fp_head = c.fp_head
+),
+agg AS (
+    SELECT count(*)::BIGINT AS d0, sum(n_tok)::BIGINT AS t0,
+           count(*) FILTER (g1)::BIGINT AS d1, coalesce(sum(n_tok) FILTER (g1), 0)::BIGINT AS t1,
+           count(*) FILTER (g2)::BIGINT AS d2, coalesce(sum(n_tok) FILTER (g2), 0)::BIGINT AS t2,
+           count(*) FILTER (g3)::BIGINT AS d3, coalesce(sum(n_tok) FILTER (g3), 0)::BIGINT AS t3
+    FROM final
+)
+SELECT s.stage, s.stage_idx,
+       CASE s.stage_idx WHEN 0 THEN d0 WHEN 1 THEN d1 WHEN 2 THEN d2 ELSE d3 END AS n_docs,
+       CASE s.stage_idx WHEN 0 THEN t0 WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END AS n_tokens
+FROM agg CROSS JOIN (
+    SELECT unnest(['raw', 'lang', 'quality', 'dedup']) AS stage,
+           unnest([0, 1, 2, 3])::INT AS stage_idx
+) s
+"""
+
+
+@register("tp5_funnel_report", TP5_SQL, survey_ref="beyond reference: per-gate doc/token yield funnel of the tp1 pipeline (single-scan observability)")
+def tp5_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        F.col("doc_id").alias("doc"), "lang", F.lower("text").alias("text")
+    )
+    w = F.split(F.lower(F.col("text")), " ")
+    keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
+    mutated = documents.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc"),
+        "lang",
+        F.array_join(F.slice(w, 1, keep), " ").alias("text"),
+    )
+    corpus = base.unionByName(mutated)
+    toks = F.split(F.col("text"), " ")
+    scored = corpus.select(
+        "doc",
+        "lang",
+        F.size(toks).cast("long").alias("n_tok"),
+        (F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))) / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("fp_head"),
+    )
+    flagged = scored.select(
+        "doc",
+        "n_tok",
+        "fp_head",
+        (F.col("lang") == "en").alias("g1"),
+        (
+            (F.col("lang") == "en")
+            & (F.col("n_tok") >= 20)
+            & (F.col("stop_ratio") >= 0.02)
+        ).alias("g2"),
+    )
+    canon = (
+        flagged.where("g2")
+        .groupBy("fp_head")
+        .agg(F.min("doc").alias("canonical"))
+    )
+    final = flagged.join(canon, "fp_head", "left").select(
+        "doc",
+        "n_tok",
+        "g1",
+        "g2",
+        (F.col("g2") & (F.col("doc") == F.col("canonical"))).alias("g3"),
+    )
+
+    def dsum(flag):
+        return F.coalesce(F.sum(F.when(flag, F.col("n_tok"))), F.lit(0)).cast("long")
+
+    agg = final.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_tok").cast("long").alias("t0"),
+        F.sum(F.col("g1").cast("long")).alias("d1"),
+        dsum(F.col("g1")).alias("t1"),
+        F.sum(F.col("g2").cast("long")).alias("d2"),
+        dsum(F.col("g2")).alias("t2"),
+        F.sum(F.coalesce(F.col("g3"), F.lit(False)).cast("long")).alias("d3"),
+        dsum(F.coalesce(F.col("g3"), F.lit(False))).alias("t3"),
+    )
+    stages = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(nm).alias("stage"), F.lit(i).alias("stage_idx"))
+                for i, nm in enumerate(["raw", "lang", "quality", "dedup"])
+            ]
+        )
+    ).alias("s")
+    return agg.select("*", stages).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.stage_idx").alias("stage_idx"),
+        F.when(F.col("s.stage_idx") == 0, F.col("d0"))
+        .when(F.col("s.stage_idx") == 1, F.col("d1"))
+        .when(F.col("s.stage_idx") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+        .alias("n_docs"),
+        F.when(F.col("s.stage_idx") == 0, F.col("t0"))
+        .when(F.col("s.stage_idx") == 1, F.col("t1"))
+        .when(F.col("s.stage_idx") == 2, F.col("t2"))
+        .otherwise(F.col("t3"))
+        .alias("n_tokens"),
+    )

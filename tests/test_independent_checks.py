@@ -863,3 +863,18 @@ def test_mm10_vad_by_bruteforce(spark):
         assert r["seg_start"] > prev_end.get(r["audio_id"], -1)
         prev_end[r["audio_id"]] = r["seg_end"]
     assert got == expected and expected
+
+
+def test_tp5_funnel_consistency_with_tp1(spark, sf_dir):
+    """The funnel must be monotone non-increasing, and its terminal
+    stage must agree EXACTLY with tp1's survivor corpus (same doc count,
+    same token total)."""
+    rows = {r["stage"]: r for r in REG["tp5_funnel_report"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"raw", "lang", "quality", "dedup"}
+    order = ["raw", "lang", "quality", "dedup"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a]["n_docs"] >= rows[b]["n_docs"]
+        assert rows[a]["n_tokens"] >= rows[b]["n_tokens"]
+    tp1 = REG["tp1_training_corpus"].fn(spark, sf_dir).collect()
+    assert rows["dedup"]["n_docs"] == len(tp1)
+    assert rows["dedup"]["n_tokens"] == sum(r["n_tok"] for r in tp1)

@@ -496,3 +496,13 @@ def test_tp4_rank_is_distributed(spark, sf_dir):
     assert "rangepartitioning(n_tok" in plan, "tp4 lost its range exchange"
     assert "hashpartitioning(__pid" in plan, "tp4 window not partitioned by __pid"
     assert plan.count("SinglePartition") <= 1
+
+
+def test_tp5_funnel_is_single_scan(spark, sf_dir):
+    """tp5's four funnel stages must come from ONE pass over the corpus
+    (flags + conditional aggregation), not four scans: at most the two
+    documents.parquet scans the corpus union inherently needs (base +
+    mutated side), plus the canon reuse."""
+    plan = plan_of(spark, "tp5_funnel_report", sf_dir)
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 4, f"tp5 grew to {n_scans} parquet scans — funnel not fused"
