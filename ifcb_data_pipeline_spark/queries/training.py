@@ -514,6 +514,10 @@ def tp5_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("fp_head"),
     )
+    # flagged feeds BOTH the canon aggregation and the final join; the
+    # localCheckpoint (I3 stage materialization, the tp2 pattern)
+    # computes the corpus scan + gate flags ONCE — and the frame is
+    # metadata-sized (ids, counts, hashes, booleans; no text).
     flagged = scored.select(
         "doc",
         "n_tok",
@@ -524,7 +528,7 @@ def tp5_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tok") >= 20)
             & (F.col("stop_ratio") >= 0.02)
         ).alias("g2"),
-    )
+    ).localCheckpoint()
     canon = (
         flagged.where("g2")
         .groupBy("fp_head")

@@ -499,10 +499,11 @@ def test_tp4_rank_is_distributed(spark, sf_dir):
 
 
 def test_tp5_funnel_is_single_scan(spark, sf_dir):
-    """tp5's four funnel stages must come from ONE pass over the corpus
-    (flags + conditional aggregation), not four scans: at most the two
-    documents.parquet scans the corpus union inherently needs (base +
-    mutated side), plus the canon reuse."""
+    """tp5's four funnel stages must come from ONE pass over the corpus:
+    the gate flags are checkpointed (I3), so the executed plan reads the
+    materialized flags frame and contains NO parquet scan at all —
+    a regression to per-stage re-derivation shows up as scans
+    reappearing."""
     plan = plan_of(spark, "tp5_funnel_report", sf_dir)
     n_scans = plan.count("Scan parquet")
-    assert n_scans <= 4, f"tp5 grew to {n_scans} parquet scans — funnel not fused"
+    assert n_scans == 0, f"tp5 re-derives the corpus ({n_scans} parquet scans)"
