@@ -49,6 +49,8 @@ HEADLINE = [
     "o8_zorder_layout",
     "dd11_span_dedup",
     "mm9_perceptual_dedup",
+    "tp4_curriculum_order",
+    "tp5_funnel_report",
 ]
 
 
