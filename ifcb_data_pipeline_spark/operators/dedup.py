@@ -289,19 +289,18 @@ def simhash(shingles: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc", fingerprint.alias("simhash"))
 
 
-def ngram_jaccard_pairs(
-    shingles: DataFrame, threshold: float = 0.3, max_df: int | None = None
+def _inverted_index_scores(
+    shingles: DataFrame, max_df: int | None
 ) -> DataFrame:
-    """Exact Jaccard over shingle sets via inverted-index self-join: only
-    pairs sharing ≥1 shingle are ever materialized.
-
-    ``max_df``: drop shingles occurring in more than ``max_df`` documents
-    BEFORE the self-join (document-frequency cut).  A ubiquitous shingle
-    contributes O(df²) candidate pairs — at 100 TB a single stop-word
-    3-gram would dominate the whole shuffle; the cut bounds per-shingle
-    fan-out at max_df².  Jaccard is then computed consistently over the
-    *filtered* shingle sets (an approximation of the full-set Jaccard;
-    ``None`` keeps the exact semantics)."""
+    """Shared candidate stage of the exact set-overlap measures
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`): optional
+    document-frequency cut, per-doc set sizes, and intersection counts
+    via the inverted-index self-join — only pairs sharing ≥1 surviving
+    shingle are ever materialized.  ``max_df`` bounds per-shingle
+    fan-out at max_df² (a ubiquitous shingle is O(df²) candidate
+    pairs); sizes are computed over the FILTERED sets so every measure
+    downstream is consistent with the cut.  Returns
+    (doc_a, doc_b, i, na, nb)."""
     if max_df is not None:
         df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
         shingles = (
@@ -319,10 +318,25 @@ def ngram_jaccard_pairs(
     )
     na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
-    j = (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .withColumn("jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i")))
+    return inter.join(na, "doc_a").join(nb, "doc_b")
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, threshold: float = 0.3, max_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard over shingle sets via inverted-index self-join: only
+    pairs sharing ≥1 shingle are ever materialized.
+
+    ``max_df``: drop shingles occurring in more than ``max_df`` documents
+    BEFORE the self-join (document-frequency cut).  A ubiquitous shingle
+    contributes O(df²) candidate pairs — at 100 TB a single stop-word
+    3-gram would dominate the whole shuffle; the cut bounds per-shingle
+    fan-out at max_df².  Jaccard is then computed consistently over the
+    *filtered* shingle sets (an approximation of the full-set Jaccard;
+    ``None`` keeps the exact semantics)."""
+    scored = _inverted_index_scores(shingles, max_df)
+    j = scored.withColumn(
+        "jaccard", F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
     )
     return j.where(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
@@ -339,29 +353,11 @@ def containment_pairs(
     inverted-index shape (and ``max_df`` hardening) as
     :func:`ngram_jaccard_pairs`; emits both directions and keeps pairs
     where either one clears the threshold."""
-    if max_df is not None:
-        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        shingles = (
-            shingles.join(df_counts.where(F.col("__df") <= max_df), "shingle")
-            .drop("__df")
-        )
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
-    b = shingles.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("nb"))
+    scored = _inverted_index_scores(shingles, max_df)
     c_ab = F.col("i") / F.col("na")
     c_ba = F.col("i") / F.col("nb")
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .where((c_ab >= threshold) | (c_ba >= threshold))
+        scored.where((c_ab >= threshold) | (c_ba >= threshold))
         .select(
             "doc_a",
             "doc_b",

@@ -96,7 +96,9 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # dd1-shaped; a24: integer-exact + plan-pinned; dd10: dd2-machinery +
 # broadcast plan pin; mm7/sp7/tx12: integer-exact one-join shapes;
 # mm8: pure-python third derivation + tiling property; sim10:
-# bruteforce-PQ anchor + corpus-never-broadcast pin; i9: run-length
+# bruteforce-PQ anchor + corpus-never-broadcast pin; dp8: numpy-
+# interpolation anchor + distributed-rank plan pin; tx11:
+# bruteforce-confusion anchor; i9: run-length
 # anchor + interval-chain invariants; o8: bit-interleave anchor +
 # tile-locality property; dd11/mm9: bruteforce python anchors +
 # conservation/planted-dup properties; sp2b: exact-equality anchor
@@ -105,6 +107,11 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # global_rank plan pin; mm10: python VAD re-derivation; tp5:
 # tp1-agreement anchor + zero-scan plan pin) to round 7.  The 42 r4-era rows
 # reach their own ceiling at round 6's end and rotate in round 7.
+# NOTE (late round-5 refactors): mm5's fixture moved into the shared
+# _synthetic_audio_frames helper and dd4/dd4b now route through
+# operators/dedup._inverted_index_scores — mm5 (r4-era) and dd4/dd4b
+# (already in the draft below) count as CHANGED for round-6 rotation;
+# mm5 must enter the round-6 prefix alongside the draft entries.
 # Ready-to-swap round-6 draft (50 = 37 r3-era + 13 new; regenerate if
 # round-6 code changes touch other queries — changed queries must enter
 # the prefix, displacing draft entries from the bottom up):

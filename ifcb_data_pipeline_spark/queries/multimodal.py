@@ -883,6 +883,42 @@ def st5_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared audio fixture + framing for mm5/mm10: deterministic signed
+    PCM slabs (sample i of audio a = (a*13 + i*7) % 251 - 125, int8)
+    synthesized in an Arrow batch, then framed through the REAL
+    operators.multimodal.audio_frame_features kernel.  One definition so
+    the two queries' SQL twins can never drift from different fixtures."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import AUDIO_SCHEMA, audio_frame_features
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
+        F.col("o_orderkey").alias("a"),
+        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
+    )
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {"audio_id": [], "n_samples": [], "sample_rate": [], "payload": []}
+            for a, n in zip(pdf["a"], pdf["n"]):
+                i = np.arange(int(n), dtype=np.int64)
+                x = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
+                rows["audio_id"].append(str(a))
+                rows["n_samples"].append(int(n))
+                rows["sample_rate"].append(16000)
+                rows["payload"].append(x.tobytes())
+            yield pd.DataFrame(rows)
+
+    audio = meta.mapInPandas(synthesize, schema=AUDIO_SCHEMA)
+    return audio_frame_features(audio, frame=64)
+
+
 # --- MM5: audio frame features (oracle-checked) ----------------------------
 # Completes the image/audio/video modality matrix: deterministic signed
 # PCM slabs (sample i of audio a = (a*13 + i*7) % 251 - 125, int8),
@@ -928,34 +964,7 @@ FROM base JOIN zc ON base.a = zc.a AND base.frame_idx = zc.frame_idx
 
 @register("mm5_audio_frame_features", MM5_SQL, survey_ref="north-star multimodal: audio frame features (RMS/ZCR/peak)")
 def mm5_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from ..operators.multimodal import AUDIO_SCHEMA, audio_frame_features
-
-    (orders,) = tables(spark, sf_dir, "orders")
-    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
-        F.col("o_orderkey").alias("a"),
-        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
-    )
-
-    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = {"audio_id": [], "n_samples": [], "sample_rate": [], "payload": []}
-            for a, n in zip(pdf["a"], pdf["n"]):
-                i = np.arange(int(n), dtype=np.int64)
-                x = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
-                rows["audio_id"].append(str(a))
-                rows["n_samples"].append(int(n))
-                rows["sample_rate"].append(16000)
-                rows["payload"].append(x.tobytes())
-            yield pd.DataFrame(rows)
-
-    audio = meta.mapInPandas(synthesize, schema=AUDIO_SCHEMA)
-    feats = audio_frame_features(audio, frame=64)
+    feats = _synthetic_audio_frames(spark, sf_dir)
     return feats.select(
         "audio_id",
         "frame_idx",
@@ -1461,34 +1470,7 @@ FROM segs WHERE n_frames >= {_MM10_MIN_RUN}
 
 @register("mm10_voice_activity", MM10_SQL, survey_ref="beyond reference: VAD silence removal (energy gate + min-run smoothing over real PCM frames)")
 def mm10_voice_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    from ..operators.multimodal import AUDIO_SCHEMA, audio_frame_features
-
-    (orders,) = tables(spark, sf_dir, "orders")
-    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
-        F.col("o_orderkey").alias("a"),
-        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
-    )
-
-    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            rows = {"audio_id": [], "n_samples": [], "sample_rate": [], "payload": []}
-            for a, n in zip(pdf["a"], pdf["n"]):
-                i = np.arange(int(n), dtype=np.int64)
-                x = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
-                rows["audio_id"].append(str(a))
-                rows["n_samples"].append(int(n))
-                rows["sample_rate"].append(16000)
-                rows["payload"].append(x.tobytes())
-            yield pd.DataFrame(rows)
-
-    audio = meta.mapInPandas(synthesize, schema=AUDIO_SCHEMA)
-    feats = audio_frame_features(audio, frame=64)
+    feats = _synthetic_audio_frames(spark, sf_dir)
     gated = feats.select(
         "audio_id",
         "frame_idx",

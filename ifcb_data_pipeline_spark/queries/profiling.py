@@ -621,27 +621,16 @@ JOIN s hi ON hi.rn = t.hi_idx
 
 @register("dp8_exact_quantiles", DP8_SQL, survey_ref="beyond reference: exact global quantiles via distributed rank (dp7's exact twin)")
 def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_rank
+
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     cents = lineitem.select(
         F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
         .cast("long")
         .alias("cents")
     )
-    n_part = spark.sparkContext.defaultParallelism
-    ranged = cents.repartitionByRange(n_part, F.col("cents")).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    offsets = counts.select(
-        "__pid",
-        F.coalesce(
-            F.sum("__n").over(
-                Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__offset"),
-    )
-    total = counts.agg(F.sum("__n").cast("long").alias("n"))
+    ranked = global_rank(cents, F.col("cents"), rank_col="rn")
+    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # 6 probe positions (3 quantiles × lo/hi), derived from the 1-row
     # total — broadcast-scale by construction.
     probes = (
@@ -667,12 +656,6 @@ def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pr"),
         )
         .select("p", "rf", F.col("pr.rn").alias("rn"), F.col("pr.side").alias("side"))
-    )
-    within = Window.partitionBy("__pid").orderBy("cents")
-    ranked = (
-        ranged.withColumn("__rn", F.row_number().over(within))
-        .join(F.broadcast(offsets), "__pid")
-        .select("cents", (F.col("__rn") + F.col("__offset")).alias("rn"))
     )
     hit = ranked.join(F.broadcast(probes), "rn")
     return (

@@ -770,6 +770,10 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # The LUT (160 rows) feeds the 4 per-subspace broadcast joins plus
+    # the query-id frame; localCheckpoint (I3, the tp2/tp5 pattern)
+    # computes the query scan × codebook once instead of per consumer —
+    # the SQL twin marks the same CTE MATERIALIZED.
     lut = (
         e.where(F.col("vec_id") < 10)
         .select(F.col("vec_id").alias("query_id"), "v")
@@ -780,6 +784,7 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             _pq_l2(F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("c")).alias("d"),
         )
+        .localCheckpoint()
     )
     adc = codes.crossJoin(
         F.broadcast(lut.select("query_id").dropDuplicates())

@@ -429,6 +429,10 @@ def test_sim10_corpus_never_broadcast(spark, sf_dir):
             re.search(r"vec_id#\d+L? < cast\(", s) is not None
             or "Deduplicate" in s
             or "Aggregate [" in s
+            # the checkpointed 160-row LUT renders as an RDD scan —
+            # bounded by construction (vec_id < 10 × 16-row codebook)
+            or "LogicalRDD" in s
+            or "ExistingRDD" in s
         )
         assert bounded, f"sim10 broadcast an unbounded corpus subtree:\n{s[:500]}"
     assert n_hints >= 6, "sim10 lost its codebook/LUT broadcast hints"
