@@ -13,11 +13,12 @@ Scale/exactly-once design, same contract on a 1000-executor cluster:
   listing delta per trigger, not a rescan.
 * The 30-min watermark bounds window state: open windows ≤
   |watermark| / |window| per sensor key regardless of stream length.
-* Append output mode emits each window EXACTLY ONCE (when the
-  watermark passes it), so the ``foreachBatch`` parquet append needs no
-  dedup — re-running with ``availableNow`` after new files arrive
-  appends only newly-finalized windows (verified by
-  ``tests/test_streaming_plan.py``).
+* Append output mode emits each window once (when the watermark
+  passes it), and the sink keys its writes on ``batch_id`` (per-batch
+  directory, overwrite) so even an at-least-once ``foreachBatch``
+  replay after a mid-commit crash lands idempotently — re-running with
+  ``availableNow`` after new files arrive adds only newly-finalized
+  windows (verified by ``tests/test_streaming_plan.py``).
 * All progress (source offsets + window state + watermark) lives in the
   checkpoint directory; the job is stop/start-safe at any trigger
   boundary.
@@ -32,7 +33,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 READING_SCHEMA = (
@@ -40,6 +41,16 @@ READING_SCHEMA = (
 )
 
 _SENTINELS = (-999.0, -9.99)
+
+# ONE definition of the window contract: windowed_means and batch_twin
+# must stay in lockstep or the equivalence tests diff confusingly.
+WINDOW = "10 minutes"
+WATERMARK = "30 minutes"
+
+
+def _cents(col: Column | None = None) -> Column:
+    c = F.col("value") if col is None else col
+    return F.floor(c * 100.0 + F.lit(0.5)).cast("long")
 
 
 def qc_gate(readings: DataFrame) -> DataFrame:
@@ -53,20 +64,19 @@ def qc_gate(readings: DataFrame) -> DataFrame:
         readings.withColumn("value", value)
         .where(F.col("value").isNotNull())
         .where(F.col("value") >= 0.0)
-        .where(F.col("flag") != "bad")
+        .where(F.col("flag").isNull() | (F.col("flag") != "bad"))
     )
 
 
 def windowed_means(readings: DataFrame) -> DataFrame:
     """10-min tumbling mean/count per sensor with a 30-min watermark —
     exact integer cents through the sum (finite-decimal rule)."""
-    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     return (
-        readings.withWatermark("ts", "30 minutes")
-        .groupBy(F.window("ts", "10 minutes").alias("w"), "sensor")
+        readings.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", WINDOW).alias("w"), "sensor")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(cents).alias("value_cents"),
+            F.sum(_cents()).alias("value_cents"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -88,10 +98,13 @@ def run_streaming_tick(
     append newly-finalized windows to ``output_dir`` as parquet, then
     stop.  Returns True when the trigger drained within the budget.
 
-    ``foreachBatch`` + append mode means each batch holds only windows
-    the advancing watermark just finalized — the parquet append is
-    naturally exactly-once across re-runs because finalized windows are
-    never re-emitted (state lives in ``checkpoint_dir``)."""
+    Exactly-once is a TWO-part contract: append mode never re-emits a
+    finalized window on the happy path, and the sink is keyed on
+    ``batch_id`` (per-batch directory, overwrite mode) so a replay of a
+    batch whose write landed but whose checkpoint commit did not simply
+    overwrites the same directory — ``foreachBatch`` alone is only
+    at-least-once.  Batch contents are deterministic per batch_id (the
+    source offsets are committed before the sink runs)."""
     from ..streaming.incremental import stream_directory
 
     stream = stream_directory(
@@ -100,9 +113,12 @@ def run_streaming_tick(
     finalized = windowed_means(qc_gate(stream))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch_df.write.mode("append").parquet(output_dir)
+        # overwrite of the batch-keyed directory = idempotent replay;
+        # no isEmpty() pre-check — it would execute the micro-batch plan
+        # twice, and an empty overwrite only ever replaces an empty dir.
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
 
     query = (
         finalized.writeStream.outputMode("append")
@@ -130,14 +146,13 @@ def batch_twin(spark: SparkSession, input_dir: str) -> DataFrame:
     )
     gated = qc_gate(readings)
     max_ts = gated.agg(F.max("ts").alias("m"))
-    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     windows = (
-        gated.groupBy(F.window("ts", "10 minutes").alias("w"), "sensor")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("value_cents"))
+        gated.groupBy(F.window("ts", WINDOW).alias("w"), "sensor")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(_cents()).alias("value_cents"))
     )
     return (
         windows.crossJoin(F.broadcast(max_ts))
-        .where(F.col("w.end") <= F.col("m") - F.expr("INTERVAL 30 MINUTES"))
+        .where(F.col("w.end") <= F.col("m") - F.expr(f"INTERVAL {WATERMARK}"))
         .select(
             F.col("w.start").alias("window_start"), "sensor", "n", "value_cents"
         )

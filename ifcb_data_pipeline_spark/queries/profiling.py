@@ -630,7 +630,10 @@ def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cents")
     )
     ranked = global_rank(cents, F.col("cents"), rank_col="rn")
-    total = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # total from a plain column count — global_rank preserves
+    # cardinality, and counting the ranked frame would re-execute the
+    # range-exchange + sort pipeline just to produce one number.
+    total = cents.agg(F.count(F.lit(1)).cast("long").alias("n"))
     # 6 probe positions (3 quantiles × lo/hi), derived from the 1-row
     # total — broadcast-scale by construction.
     probes = (

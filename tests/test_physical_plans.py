@@ -425,14 +425,16 @@ def test_sim10_corpus_never_broadcast(spark, sf_dir):
         if "broadcast" not in s.lower():
             continue
         n_hints += 1
+        # the checkpointed 160-row LUT renders as an RDD scan; accept it
+        # ONLY with the LUT's exact schema (query_id, m, j, d) — a
+        # checkpointed corpus-shaped frame must still fail this pin.
+        lut_rdd = re.search(
+            r"LogicalRDD \[query_id#\d+L?, m#\d+, j#\d+L?, d#\d+\]", s
+        )
         bounded = (
             re.search(r"vec_id#\d+L? < cast\(", s) is not None
-            or "Deduplicate" in s
+            or lut_rdd is not None
             or "Aggregate [" in s
-            # the checkpointed 160-row LUT renders as an RDD scan —
-            # bounded by construction (vec_id < 10 × 16-row codebook)
-            or "LogicalRDD" in s
-            or "ExistingRDD" in s
         )
         assert bounded, f"sim10 broadcast an unbounded corpus subtree:\n{s[:500]}"
     assert n_hints >= 6, "sim10 lost its codebook/LUT broadcast hints"

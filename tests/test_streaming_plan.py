@@ -36,11 +36,14 @@ def dirs():
 
 
 def _collect_out(spark, out):
-    if not glob.glob(os.path.join(out, "*.parquet")):
+    # sink layout: out/batch_id=N/part-*.parquet (batch-keyed overwrite)
+    if not glob.glob(os.path.join(out, "**", "*.parquet"), recursive=True):
         return []
     return sorted(
         (r["window_start"], r["sensor"], r["n"], r["value_cents"])
-        for r in spark.read.parquet(out).collect()
+        for r in spark.read.parquet(out)
+        .select("window_start", "sensor", "n", "value_cents")
+        .collect()
     )
 
 
@@ -55,6 +58,9 @@ def test_stream_matches_batch_twin(spark, dirs):
         ("sal", _mins(3), -999.0, "ok"),
         ("tmp", _mins(7), -1.0, "ok"),
         ("sal", _mins(11), 35.0, "bad"),
+        # empty flag parses as NULL — the convention is null = clean,
+        # so this reading MUST survive the gate (both engines)
+        ("sal", _mins(13), 33.0, ""),
     ]
     _write_csv(os.path.join(inp, "f1.csv"), rows)
     assert run_streaming_tick(spark, inp, out, ckpt)
