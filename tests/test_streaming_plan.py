@@ -98,3 +98,36 @@ def test_incremental_rerun_appends_exactly_once(spark, dirs):
         for r in batch_twin(spark, inp).collect()
     )
     assert final == want
+
+
+def test_late_data_is_dropped_after_finalization(spark, dirs):
+    """Watermark semantics pin: rows arriving AFTER their window
+    finalized are dropped — the finalized output must not change, and
+    must now (correctly) diverge from a naive batch recompute that
+    would count the late rows."""
+    inp, out, ckpt = dirs
+    _write_csv(
+        os.path.join(inp, "f1.csv"),
+        [("sal", _mins(m), 30.0, "ok") for m in range(0, 120, 5)],
+    )
+    assert run_streaming_tick(spark, inp, out, ckpt)
+    first = _collect_out(spark, out)
+    assert first
+    # a whole file of LATE rows: timestamps inside windows that the
+    # advancing watermark already finalized
+    _write_csv(
+        os.path.join(inp, "late.csv"),
+        [("sal", _mins(m), 99.0, "ok") for m in range(0, 30, 5)],
+    )
+    assert run_streaming_tick(spark, inp, out, ckpt)
+    assert _collect_out(spark, out) == first, (
+        "late rows must not mutate finalized windows"
+    )
+    naive = sorted(
+        (r["window_start"], r["sensor"], r["n"], r["value_cents"])
+        for r in batch_twin(spark, inp).collect()
+    )
+    assert naive != first, (
+        "sanity: the naive batch recompute DOES count the late rows — "
+        "the divergence is the watermark doing its job"
+    )
