@@ -34,3 +34,14 @@ def test_prefix_sweep_within_budget(spark, sf_dir):
         f"first-{PREFIX} prefix took {total:.1f}s (> {BUDGET_S}s budget); "
         f"slowest: {[(n, round(s, 2)) for n, s in slowest]}"
     )
+
+
+def test_bench_headline_names_resolve():
+    """bench.py is driver-executed: a renamed/removed registry entry in
+    HEADLINE would crash the round's bench run.  Pin the contract."""
+    import bench
+
+    reg = load_all()
+    missing = [n for n in bench.HEADLINE if n not in reg]
+    assert not missing, f"bench.HEADLINE references unknown queries: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headline"
