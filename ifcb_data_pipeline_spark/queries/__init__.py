@@ -81,17 +81,17 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 #   a2 a3 a5 a6 a7 a8 a10 a11 a12 a13 a14 a18 a19, c3, dd1 dd3 dd4
 #   dd4b dd6 dd7, f1 f6 f11, j1 j4b j5 j6 j7 j8 j10 j11 j12 j13,
 #   mm1, qf, s6, u13
-# — and 37 operators were added AFTER this prefix froze (j14, j8b, w9,
+# — and 38 operators were added AFTER this prefix froze (j14, j8b, w9,
 # w10, a22, a23, a24, dp6, dp7, pk3, sim9, dd9, dd10, mm6, mm7, st6,
 # sp6, sp7, tx12, i8, tp3, and the late-round batch dp8, tx11, i9,
 # mm8, st7, sim10, o8, dd11, mm9, sp2b, dd12, w11, j16, tp4, mm10,
-# tp5 — all
+# tp5, s6b — all
 # locally oracle-green at
 # sf0.001/0.01/0.1,
 # never driver-checked).
-# 37 + 37 = 74 candidates for 50 slots, before any round-6 code
+# 37 + 38 = 75 candidates for 50 slots, before any round-6 code
 # changes: r3-era rows take priority (protocol ceiling), then the new
-# operators; spill the 24 with the strongest independent local gates
+# operators; spill the 25 with the strongest independent local gates
 # (mm6: baked oracle + isotropy pytest; st6/st7: batch-twin; dd9:
 # dd1-shaped; a24: integer-exact + plan-pinned; dd10: dd2-machinery +
 # broadcast plan pin; mm7/sp7/tx12: integer-exact one-join shapes;
@@ -105,7 +105,8 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # against sp2 + local-heads plan pin; dd12/w11/j16: full python
 # re-derivations; tp4: permutation/monotonicity invariants +
 # global_rank plan pin; mm10: python VAD re-derivation; tp5:
-# tp1-agreement anchor + zero-scan plan pin) to round 7.  The 42 r4-era rows
+# tp1-agreement anchor + zero-scan plan pin; s6b: python-json
+# anchor) to round 7.  The 42 r4-era rows
 # reach their own ceiling at round 6's end and rotate in round 7.
 # NOTE (late round-5 refactors): mm5's fixture moved into the shared
 # _synthetic_audio_frames helper and dd4/dd4b now route through

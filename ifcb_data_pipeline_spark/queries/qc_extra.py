@@ -571,3 +571,46 @@ def u13b_psd_fit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("k"), 6).alias("k"),
         dround(F.col("r_sqr"), 6).alias("r_sqr"),
     )
+
+
+# --- S6b: JSON-column extraction (semi-structured payloads) -----------------
+# s6 scans JSON FILES; s6b is the other semi-structured shape — a JSON
+# string COLUMN riding inside a structured fact table (events.props).
+# Extraction is a pure Catalyst expression (get_json_object — no UDF,
+# fuses into the scan's codegen stage), so at 100 TB parsing costs are
+# per-row JVM work inside the existing scan, and the aggregation after
+# it is an ordinary two-phase groupBy.  Exact integers end to end.
+S6B_SQL = """
+WITH extracted AS (
+    SELECT event_type,
+           json_extract_string(props, '$.k')::BIGINT AS k,
+           floor(value * 100.0 + 0.5)::BIGINT AS cents
+    FROM events
+)
+SELECT event_type, (k // 10)::BIGINT AS k_decile,
+       count(*)::BIGINT AS n,
+       min(k)::BIGINT AS k_min, max(k)::BIGINT AS k_max,
+       sum(cents)::BIGINT AS value_cents
+FROM extracted GROUP BY event_type, k // 10
+"""
+
+
+@register("s6b_json_props_extract", S6B_SQL, survey_ref="SURVEY §2.1 S6 sibling: JSON column extraction (semi-structured payload in a fact table)")
+def s6b_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    extracted = events.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        extracted.groupBy(
+            "event_type", F.floor(F.col("k") / 10).cast("long").alias("k_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )

@@ -878,3 +878,28 @@ def test_tp5_funnel_consistency_with_tp1(spark, sf_dir):
     tp1 = REG["tp1_training_corpus"].fn(spark, sf_dir).collect()
     assert rows["dedup"]["n_docs"] == len(tp1)
     assert rows["dedup"]["n_tokens"] == sum(r["n_tok"] for r in tp1)
+
+
+def test_s6b_matches_python_json(spark):
+    """JSON extraction re-derived with python's json module over the
+    sf0.001 events — independent of both engines' JSON path code."""
+    import json as _json
+
+    rows = duckdb.sql(
+        f"SELECT event_type, props, value FROM '{SMALL_SF}/events.parquet'"
+    ).fetchall()
+    expected: dict[tuple, list] = {}
+    for etype, props, value in rows:
+        k = int(_json.loads(props)["k"])
+        key = (etype, k // 10)
+        st = expected.setdefault(key, [0, 10**9, -1, 0])
+        st[0] += 1
+        st[1], st[2] = min(st[1], k), max(st[2], k)
+        st[3] += math.floor(float(value) * 100.0 + 0.5)
+    got = {
+        (r["event_type"], r["k_decile"]): [
+            r["n"], r["k_min"], r["k_max"], r["value_cents"]
+        ]
+        for r in REG["s6b_json_props_extract"].fn(spark, SMALL_SF).collect()
+    }
+    assert got == {k: list(v) for k, v in expected.items()}
