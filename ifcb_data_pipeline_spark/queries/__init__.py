@@ -113,9 +113,12 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # operators/dedup._inverted_index_scores — mm5 (r4-era) and dd4/dd4b
 # (already in the draft below) count as CHANGED for round-6 rotation;
 # mm5 must enter the round-6 prefix alongside the draft entries.
-# Ready-to-swap round-6 draft (50 = 37 r3-era + 13 new; regenerate if
-# round-6 code changes touch other queries — changed queries must enter
-# the prefix, displacing draft entries from the bottom up):
+# Ready-to-swap round-6 draft (50 = 37 r3-era + mm5 (changed r4-era,
+# audio-fixture refactor) + 12 new; w9 moved to the round-7 spill — it
+# carries a full bruteforce anchor, the strongest local gate of the
+# former draft's 13 new entries.  Regenerate if round-6 code changes
+# touch other queries — changed queries must enter the prefix,
+# displacing draft entries from the bottom up):
 #     "a10_duplicate_detection",
 #     "a11_distinct",
 #     "a12_minmax_summary",
@@ -165,7 +168,7 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 #     "sim9_quantized_rerank",
 #     "sp6_domain_token_cap",
 #     "tp3_incremental_refresh",
-#     "w9_rolling_zscore",
+#     "mm5_audio_frame_features",
 PREFIX_ORDER = [
     # a trivial warm-up entry first: the opening query absorbs session
     # warm-up (first scans, first exchange, codegen) — keep that off the
