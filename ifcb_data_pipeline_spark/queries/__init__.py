@@ -63,174 +63,88 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 # Registry order = the order the driver's correctness gate executes queries
 # in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4), so the
-# first 50 names below are the round's driver-verified set.  Round-5 rotation
-# (VERDICT r4 item 1): retire every r2-era row — all 26 entries last checked
-# in round 2 are in this prefix — together with the 11 entries whose code
-# changed this round (w7 oracle precision fix; st1-st5 drain-helper refactor;
-# dd5/tp2 via the embedding_lsh_pairs repartition; mm2 via the shared
-# panel_rois/panel_mask extension) or that are new (k7, mm2b, pk2, sp5, w8),
-# plus the four queries hardened after the sf0.1 sweep caught a17's
-# order-dependent-sum rounding flip (a17 itself, and the same fix applied
-# preemptively to a4/a15/w6 — every round4(mean-of-2-decimal) site), the
-# p1/a1 biovolume-sum hardening, and the highest-value r3-era refreshes
-# (flagships, dd2, j4).  The remaining r3-era rows are exactly 2 rounds
-# old — the protocol ceiling — and rotate next round.
-# Round-6 rotation plan (write the next PREFIX_ORDER from this; counts
-# computed from the CORRECTNESS_r0N files): 37 r3-era rows hit the
-# 2-round protocol ceiling at r5-end —
-#   a2 a3 a5 a6 a7 a8 a10 a11 a12 a13 a14 a18 a19, c3, dd1 dd3 dd4
-#   dd4b dd6 dd7, f1 f6 f11, j1 j4b j5 j6 j7 j8 j10 j11 j12 j13,
-#   mm1, qf, s6, u13
-# — and 38 operators were added AFTER this prefix froze (j14, j8b, w9,
-# w10, a22, a23, a24, dp6, dp7, pk3, sim9, dd9, dd10, mm6, mm7, st6,
-# sp6, sp7, tx12, i8, tp3, and the late-round batch dp8, tx11, i9,
-# mm8, st7, sim10, o8, dd11, mm9, sp2b, dd12, w11, j16, tp4, mm10,
-# tp5, s6b — all
-# locally oracle-green at
-# sf0.001/0.01/0.1,
-# never driver-checked).
-# 37 + 38 = 75 candidates for 50 slots, before any round-6 code
-# changes: r3-era rows take priority (protocol ceiling), then the new
-# operators; spill the 25 with the strongest independent local gates
-# (mm6: baked oracle + isotropy pytest; st6/st7: batch-twin; dd9:
-# dd1-shaped; a24: integer-exact + plan-pinned; dd10: dd2-machinery +
-# broadcast plan pin; mm7/sp7/tx12: integer-exact one-join shapes;
-# mm8: pure-python third derivation + tiling property; sim10:
-# bruteforce-PQ anchor + corpus-never-broadcast pin; dp8: numpy-
-# interpolation anchor + distributed-rank plan pin; tx11:
-# bruteforce-confusion anchor; i9: run-length
-# anchor + interval-chain invariants; o8: bit-interleave anchor +
-# tile-locality property; dd11/mm9: bruteforce python anchors +
-# conservation/planted-dup properties; sp2b: exact-equality anchor
-# against sp2 + local-heads plan pin; dd12/w11/j16: full python
-# re-derivations; tp4: permutation/monotonicity invariants +
-# global_rank plan pin; mm10: python VAD re-derivation; tp5:
-# tp1-agreement anchor + zero-scan plan pin; s6b: python-json
-# anchor) to round 7.  The 42 r4-era rows
-# reach their own ceiling at round 6's end and rotate in round 7.
-# NOTE (late round-5 refactors): mm5's fixture moved into the shared
-# _synthetic_audio_frames helper and dd4/dd4b now route through
-# operators/dedup._inverted_index_scores — mm5 (r4-era) and dd4/dd4b
-# (already in the draft below) count as CHANGED for round-6 rotation;
-# mm5 must enter the round-6 prefix alongside the draft entries.
-# Ready-to-swap round-6 draft (50 = 37 r3-era + mm5 (changed r4-era,
-# audio-fixture refactor) + 12 new; w9 moved to the round-7 spill — it
-# carries a full bruteforce anchor, the strongest local gate of the
-# former draft's 13 new entries.  Regenerate if round-6 code changes
-# touch other queries — changed queries must enter the prefix,
-# displacing draft entries from the bottom up):
-#     "a10_duplicate_detection",
-#     "a11_distinct",
-#     "a12_minmax_summary",
-#     "a13_grid_cell_frequency",
-#     "a14_monthly_histogram",
-#     "a18_provenance_summary",
-#     "a19_cube_rollup",
-#     "a2_taxon_rollup",
-#     "a3_flag_frequency",
-#     "a5_grouped_top1",
-#     "a6_bloom_categorize",
-#     "a7_global_top1",
-#     "a8_last_per_group",
-#     "c3_name_type_split",
-#     "dd1_exact_dedup",
-#     "dd3_simhash",
-#     "dd4_ngram_jaccard",
-#     "dd4b_ngram_jaccard_dfcut",
-#     "dd6_dup_clusters",
-#     "dd7_dedup_materialize",
-#     "f11_missing_position_filter",
-#     "f1_select_rename",
-#     "f6_regional_filter",
-#     "j10_semi_join",
-#     "j11_incremental_anti_join",
-#     "j12_provenance_merge",
-#     "j13_classlist_full_join",
-#     "j1_enrichment_chain",
-#     "j4b_asof_backward",
-#     "j5_interval_join",
-#     "j6_coalescing_fill_join",
-#     "j7_full_outer_join",
-#     "j8_haversine_theta_join",
-#     "mm1_multimodal_features",
-#     "qf_flag_unification",
-#     "s6_json_scan",
-#     "u13_psd_fit",
-#     "a22_decayed_engagement",
-#     "a23_cohort_retention",
-#     "w10_cumulative_distinct",
-#     "j14_bucketed_range_join",
-#     "j8b_grid_spatial_join",
-#     "i8_snapshot_diff",
-#     "pk3_length_bucketed_batching",
-#     "dp6_drift_profile",
-#     "dp7_binned_quantiles",
-#     "sim9_quantized_rerank",
-#     "sp6_domain_token_cap",
-#     "tp3_incremental_refresh",
-#     "mm5_audio_frame_features",
+# first 50 names below are the round's driver-verified set.
+#
+# Round-6 rotation.  Round 5's gate artifacts (CORRECTNESS_r05 / BENCH_r05)
+# never landed in the repo, so the round-5 prefix was NEVER driver-verified:
+# every entry added or changed during round 5 — 55 in all — still has no
+# valid driver row.  Those outrank merely-stale rows (r2/r3/r4-era rows
+# stand: code unchanged since their last green check), so the 50 slots go
+# to:
+#   * 12 changed-in-r5 entries whose old rows lapsed with the change:
+#     w7 (microsecond-precision oracle), st1-st5 (exception-safe drain
+#     helper), dd5/tp2 (embedding_lsh_pairs repartition), mm2 (shared
+#     panel_rois/panel_mask), mm5 (_synthetic_audio_frames fixture
+#     refactor), dd4/dd4b (_inverted_index_scores routing);
+#   * 5 early-r5 additions: k7, mm2b, pk2, sp5, w8;
+#   * 33 of the 38 late-r5 additions (all locally oracle-green at
+#     sf0.001/0.01/0.1, never driver-checked).
+# The 5 late-r5 entries with the STRONGEST independent local gates spill
+# to round 7: w9 (full bruteforce anchor), mm6 (baked oracle + isotropy
+# pytest), st6 (batch-twin), dd9 (dd1-shaped), a24 (integer-exact +
+# plan-pinned).
+# Round-7 rotation plan: those 5 spills first, then the stale-row ladder —
+# 26 r2-era rows (o3 o5 o6×2 o7×2 w4 w5 a9 a20 a21 c4 c5 dp1 dp2 j9 j9b
+# sim1 sim3 sim4 sp1 tx1-tx4 tx6, now 5 rounds old), then the oldest
+# r3-era rows (a2 a3 a5 a6 a7 a8 a10-a14 a18 a19 c3 dd1 dd3 dd6 dd7
+# f1 f6 f11 j1 j4b j5-j8 j10-j13 mm1 qf s6 u13) until the 50 slots fill.
+# Any query whose code changes in round 6 must displace draft entries
+# from the bottom up.
 PREFIX_ORDER = [
-    # a trivial warm-up entry first: the opening query absorbs session
-    # warm-up (first scans, first exchange, codegen) — keep that off the
-    # queries whose rows matter most.  o3 is itself an r2-era refresh
-    # candidate, so the slot is not wasted.
-    "o3_union_by_name",
-    # changed this round: w7 microsecond-precision oracle; st1-st5
-    # exception-safe drain; dd5/tp2 signature-frame repartition; mm2
-    # shares panel_rois with the new mm2b
+    # cheap, robust opener: absorbs session warm-up (first scans, first
+    # exchange, codegen) so the heavier rows time cleanly
+    "w8_ewma_smoothing",
+    # changed in round 5 — old driver rows lapsed with the change
+    "dd4_ngram_jaccard",
+    "dd4b_ngram_jaccard_dfcut",
+    "dd5_embedding_cosine_dup",
+    "tp2_multimodal_corpus",
+    "mm2_real_kernel_features",
+    "mm5_audio_frame_features",
     "w7_native_session_window",
     "st1_stream_windowed_counts",
     "st2_stateful_user_counts",
     "st3_watermarked_append",
     "st4_stream_stream_join",
     "st5_streaming_dedup",
-    "dd5_embedding_cosine_dup",
-    "tp2_multimodal_corpus",
-    "mm2_real_kernel_features",
-    # new this round
-    "k7_ecotaxa_export",
+    # added in round 5 — never driver-checked
     "mm2b_kernel_topologies",
+    "k7_ecotaxa_export",
     "pk2_document_chunking",
     "sp5_temperature_resampling",
-    "w8_ewma_smoothing",
-    # refresh: the 25 remaining r2-era rows (o3 leads above)
-    "o5_split_apply_union",
-    "o6_pivot_longer",
-    "o6_pivot_wider",
-    "o7_set_except",
-    "o7_set_intersect",
-    "w4_newest_topk",
-    "w5_sessionization",
-    "a9_class_counts",
-    "a20_grouped_percentiles",
-    "a21_conversion_funnel",
-    "c4_taxa_resolver",
-    "c5_trophic_lookup",
-    "dp1_column_profile",
-    "dp2_winsorize",
-    "j9_basin_tagging",
-    "j9b_polygon_tagging",
-    "sim1_cosine_topk",
-    "sim3_label_centroids",
-    "sim4_ivf_search",
-    "sp1_train_test_split",
-    "tx1_token_count",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx6_trigram_logprob",
-    # refresh: 13 highest-value r3-era rows (flagship pipelines, dedup
-    # core, as-of joins, UDF kernel chain, PSD fit)
-    "p1_shark_export",
-    "p2_hab_alert",
-    "p3_dashboard_metadata",
-    "a1_biovolume_rollup",
-    "a4_monthly_stats",
-    "a15_mean_collapse",
-    "a17_qc_sums",
-    "w6_moving_average",
-    "dd2_minhash_lsh",
-    "j4_asof_join",
+    "st7_stream_static_join",
+    "a22_decayed_engagement",
+    "a23_cohort_retention",
+    "w10_cumulative_distinct",
+    "w11_cusum_drift",
+    "j14_bucketed_range_join",
+    "j8b_grid_spatial_join",
+    "j16_interval_overlap",
+    "i8_snapshot_diff",
+    "i9_scd2_compaction",
+    "dp6_drift_profile",
+    "dp7_binned_quantiles",
+    "dp8_exact_quantiles",
+    "pk3_length_bucketed_batching",
+    "sim9_quantized_rerank",
+    "sim10_pq_adc",
+    "dd10_fuzzy_decontamination",
+    "dd11_span_dedup",
+    "dd12_containment_pairs",
+    "mm7_modality_coverage",
+    "mm8_patchify",
+    "mm9_perceptual_dedup",
+    "mm10_voice_activity",
+    "sp2b_stratified_topk",
+    "sp6_domain_token_cap",
+    "sp7_epoch_shuffle",
+    "tx11_langid_confusion",
+    "tx12_ngram_novelty",
+    "tp3_incremental_refresh",
+    "tp4_curriculum_order",
+    "tp5_funnel_report",
+    "o8_zorder_layout",
+    "s6b_json_props_extract",
 ]
 
 
