@@ -13,6 +13,7 @@ from .dedup import (
     shingle_sets,
     simhash,
 )
+from .graph import connected_components
 from .joins import (
     asof_join,
     coalescing_fill_join,
@@ -27,6 +28,7 @@ __all__ = [
     "adjacency_flag_filter",
     "asof_join",
     "coalescing_fill_join",
+    "connected_components",
     "containment_pairs",
     "cosine",
     "cosine_topk",

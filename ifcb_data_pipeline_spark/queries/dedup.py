@@ -864,3 +864,68 @@ def dd12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
     return containment_pairs(sh, threshold=0.9, max_df=50)
+
+
+# --- DD13: connected components via star contraction -----------------------
+# The dup graphs dd6 labels are LSH-collision graphs — compact components
+# where min-label propagation's O(diameter) round count is fine.  dd13
+# exercises the opposite regime: a deterministic CHAIN-shaped graph
+# (doc i — doc i+1 inside 50-doc blocks, plus sparse +150 bridges merging
+# blocks) where propagation would need ~diameter rounds but the
+# large-star/small-star contraction (operators/graph.py) converges in
+# O(log n).  Oracle: recursive-CTE closure — algorithm-independent.
+DD13_SQL = """
+WITH nodes AS (SELECT doc_id AS node FROM documents),
+chain AS (
+    SELECT node AS src, node + 1 AS dst FROM nodes WHERE node % 50 != 49
+),
+bridge AS (
+    SELECT node AS src, node + 150 AS dst FROM nodes WHERE node % 97 = 0
+),
+edges AS (
+    SELECT src, dst FROM chain WHERE dst IN (SELECT node FROM nodes)
+    UNION
+    SELECT src, dst FROM bridge WHERE dst IN (SELECT node FROM nodes)
+),
+bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+closure AS MATERIALIZED (
+    WITH RECURSIVE r(node, root) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT bi.dst, r.root FROM r JOIN bi ON bi.src = r.node
+    )
+    SELECT node, min(root) AS cluster FROM r GROUP BY node
+),
+sizes AS (SELECT cluster, count(*)::BIGINT AS cluster_size FROM closure GROUP BY cluster)
+SELECT c.node, c.cluster, s.cluster_size
+FROM closure c JOIN sizes s USING (cluster)
+"""
+
+
+@register("dd13_star_components", DD13_SQL, survey_ref="beyond reference: O(log n)-round connected components (Kiveris et al. SoCC'14); generalizes 03_delete_duplicates.R:28-60 transitive closure")
+def dd13_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    nodes = documents.select(F.col("doc_id").alias("node"))
+    chain = nodes.where(F.col("node") % 50 != 49).select(
+        F.col("node").alias("src"), (F.col("node") + 1).alias("dst")
+    )
+    bridge = nodes.where(F.col("node") % 97 == 0).select(
+        F.col("node").alias("src"), (F.col("node") + 150).alias("dst")
+    )
+    present = nodes.select(F.col("node").alias("dst"))
+    edges = (
+        chain.join(present, "dst", "left_semi")
+        .unionByName(bridge.join(present, "dst", "left_semi"))
+    )
+    labels = connected_components(edges)
+    # isolated nodes (no incident edge) are singleton components
+    singletons = nodes.join(
+        labels.select(F.col("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("cluster"))
+    labels = labels.unionByName(singletons)
+    sizes = labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster").select("node", "cluster", "cluster_size")

@@ -360,3 +360,40 @@ def test_audio_frame_features_analytic(spark):
     assert out[("alt", 0)]["rms"] == 50.0
     assert out[("alt", 0)]["zcr"] == 1.0
     assert out[("alt", 1)]["peak"] == 50
+
+
+def test_connected_components_chain_logarithmic(spark):
+    """A 200-node chain: min-label propagation would need ~200 rounds;
+    the star contraction must label it in <= 10 (O(log n)) and return
+    component-min labels exactly."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.range(199).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rounds: list = []
+    labels = connected_components(edges, _round_counter=rounds)
+    rows = {r["node"]: r["cluster"] for r in labels.collect()}
+    assert rows == {n: 0 for n in range(200)}
+    assert rounds and rounds[0] <= 10, rounds
+
+
+def test_connected_components_forest_and_direction_insensitivity(spark):
+    """Multiple components, duplicate + reversed edges, self-loops: the
+    labeling must be the per-component minimum regardless of edge form."""
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    raw = [
+        (5, 3), (3, 5), (3, 9),          # component {3, 5, 9}
+        (20, 21), (22, 21), (22, 20),    # component {20, 21, 22} (cycle)
+        (40, 40),                        # self-loop only -> dropped
+        (50, 51),                        # pair
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    rows = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges).collect()
+    }
+    assert rows == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 50: 50, 51: 50}
