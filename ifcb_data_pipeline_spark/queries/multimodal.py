@@ -1315,6 +1315,105 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shape(events)
 
 
+# --- ST8: streaming session windows (watermarked, append mode) -------------
+# w5/w7 sessionize in batch; st8 is the streaming form: native
+# ``session_window`` state merged across events, 40-minute watermark,
+# APPEND output — a session is emitted exactly once, when the watermark
+# passes its end (last event + 30-minute gap).  State per key is one
+# open session, pruned by the watermark — bounded regardless of stream
+# length, the 100 TB contract.  With the availableNow drain the final
+# watermark is max(ts) − 40 min, so the emitted set is deterministic and
+# has an exact SQL twin: microsecond-precision sessionization (w7's
+# oracle form — never truncate to seconds, ADVICE r5) with sessions
+# finalized iff last_ts + 30 min <= max_ts − 40 min.  A boundary tie
+# needs two events exactly 4200 s apart — measure-zero at microsecond
+# grain (same adjudicated argument as st3).
+ST8_SQL = """
+WITH e AS (
+    SELECT user_id, ts::TIMESTAMP AS ts, epoch_us(ts::TIMESTAMP) AS us
+    FROM events
+),
+lagged AS (
+    SELECT user_id, ts, us,
+           lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev_us
+    FROM e
+),
+flagged AS (
+    SELECT user_id, ts, us,
+           CASE WHEN prev_us IS NULL OR us - prev_us >= 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM lagged
+),
+sess AS (
+    SELECT user_id, ts, us,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+),
+agg AS (
+    SELECT user_id, sid,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL '30 minutes' AS session_end,
+           count(*)::BIGINT AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM agg
+WHERE session_end <= (SELECT max(ts::TIMESTAMP) - INTERVAL '40 minutes' FROM events)
+"""
+
+
+@register("st8_streaming_sessions", ST8_SQL, survey_ref="SURVEY §2.10 + §2.6 W5; streaming session_window with watermark (native form of w5/w7 over an unbounded stream)")
+def st8_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def finalize(sessions: DataFrame, events: DataFrame) -> DataFrame:
+        mx = events.agg(F.max("ts").alias("mx"))
+        return (
+            sessions.crossJoin(F.broadcast(mx))
+            .where(F.col("session_end") <= F.col("mx") - F.expr("INTERVAL 40 minutes"))
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    sessions = (
+        stream.withWatermark("ts", "40 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    if _drain_to_memory(
+        sessions.writeStream.format("memory").outputMode("append"),
+        "st8_sessions",
+    ):
+        return spark.table("st8_sessions")
+    # Batch twin: native session_window in batch mode (no watermark there,
+    # so the finalized-set filter is applied explicitly).
+    (events,) = tables(spark, sf_dir, "events")
+    batch_sessions = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return finalize(batch_sessions, events)
+
+
 # --- MM9: perceptual-hash (dHash) image dedup manifest ----------------------
 # Pixel-space near-duplicate detection — the image-side sibling of the
 # text dedup family: decode each ROI, nearest-resize to 9×8, take the

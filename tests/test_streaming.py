@@ -171,3 +171,36 @@ def test_drain_helper_returns_false_on_streaming_failure(spark, sf_dir):
         "drain_helper_failure_probe",
     )
     assert ok is False
+
+
+def test_st8_streaming_path_drains(spark, sf_dir):
+    """The session-window stream must actually drain (availableNow) —
+    st8's correctness row must pin the STREAMING path, not the batch
+    twin.  After the run the memory sink holds exactly the finalized
+    sessions: every emitted session_end <= max(ts) - 40 min."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.queries.multimodal import (
+        st8_streaming_sessions,
+    )
+
+    out = st8_streaming_sessions(spark, sf_dir)
+    # the streaming drain registers a memory table; batch fallback doesn't
+    assert any(t.name == "st8_sessions" for t in spark.catalog.listTables()), (
+        "st8 fell back to the batch twin on a healthy stream"
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mx = events.agg(F.max("ts")).collect()[0][0]
+    rows = out.collect()
+    assert rows, "no finalized sessions at sf0.01"
+    import datetime as dt
+
+    cutoff = mx - dt.timedelta(minutes=40)
+    assert all(r["session_end"] <= cutoff for r in rows)
+    # sessions are per-user disjoint: starts strictly ordered per user
+    seen = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["session_start"])):
+        prev = seen.get(r["user_id"])
+        if prev is not None:
+            assert r["session_start"] >= prev, "overlapping sessions"
+        seen[r["user_id"]] = r["session_end"]
