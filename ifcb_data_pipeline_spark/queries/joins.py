@@ -843,3 +843,84 @@ def j16_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ov").cast("long").alias("overlap_us"),
         )
     )
+
+
+# --- I10: SCD1 merge-upsert (latest-wins + tombstones) ----------------------
+# The third leg of the incremental family (i8 diffs snapshots, i9 builds
+# SCD2 history): APPLY a CDC batch to a keyed snapshot — MERGE semantics
+# without a transactional table format.  Base = latest state per user
+# before the cutoff; change batch = events at/after it, where an 'error'
+# record is a tombstone.  Latest change per key wins: tombstone deletes
+# the key, anything else upserts.  Physical shape: one last-per-group
+# window on each side (both partitioned by user_id) and ONE full-outer
+# equi-join on user_id — two balanced key-partitioned shuffles, the same
+# plan a 100 TB foreachBatch-MERGE pipeline runs per micro-batch.
+I10_SQL = """
+WITH base AS (
+    SELECT user_id, event_type AS last_type, value, ts::TIMESTAMP AS last_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'
+    ) WHERE rn = 1
+),
+chg AS (
+    SELECT user_id, event_type AS last_type, value, ts::TIMESTAMP AS last_ts
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+    ) WHERE rn = 1
+)
+SELECT coalesce(c.user_id, b.user_id) AS user_id,
+       coalesce(c.last_type, b.last_type) AS last_type,
+       floor(coalesce(c.value, b.value) * 10000.0 + 0.5) / 10000.0 AS value,
+       coalesce(c.last_ts, b.last_ts) AS last_ts,
+       CASE WHEN c.user_id IS NULL THEN 'kept'
+            WHEN b.user_id IS NULL THEN 'inserted'
+            ELSE 'updated' END AS op
+FROM base b FULL OUTER JOIN chg c ON b.user_id = c.user_id
+WHERE NOT (c.user_id IS NOT NULL AND c.last_type = 'error')
+"""
+
+_I10_CUTOFF = "2024-01-16"
+
+
+@register("i10_merge_upsert", I10_SQL, survey_ref="beyond reference (SURVEY §2.10 family): SCD1 latest-wins merge with tombstones (foreachBatch-MERGE shape)")
+def i10_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(side: DataFrame) -> DataFrame:
+        return (
+            side.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "user_id",
+                F.col("event_type").alias("last_type"),
+                "value",
+                F.col("ts").alias("last_ts"),
+            )
+        )
+
+    cutoff = F.lit(_I10_CUTOFF).cast("timestamp")
+    base = latest(events.where(F.col("ts") < cutoff)).alias("b")
+    chg = latest(events.where(F.col("ts") >= cutoff)).alias("c")
+    merged = base.join(chg, F.col("b.user_id") == F.col("c.user_id"), "full_outer")
+    return (
+        merged.where(
+            ~(F.col("c.user_id").isNotNull() & (F.col("c.last_type") == "error"))
+        )
+        .select(
+            F.coalesce("c.user_id", "b.user_id").alias("user_id"),
+            F.coalesce("c.last_type", "b.last_type").alias("last_type"),
+            dround(F.coalesce("c.value", "b.value"), 4).alias("value"),
+            F.coalesce("c.last_ts", "b.last_ts").alias("last_ts"),
+            F.when(F.col("c.user_id").isNull(), "kept")
+            .when(F.col("b.user_id").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("op"),
+        )
+    )
