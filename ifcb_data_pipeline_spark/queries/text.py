@@ -939,3 +939,120 @@ def sp2b_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("doc_id", "lang", "source", "rk")
     )
+
+
+# --- TX13: BM25 retrieval (Okapi scoring, Lucene idf form) ------------------
+# Full-text retrieval over the corpus: a tiny literal query set scored
+# with BM25 (k1=1.2, b=0.75), top-5 docs per query.  Physical shape: the
+# classic inverted-index plan — (doc, term, tf) postings joined to the
+# BROADCAST query-term set (postings for non-query terms are pruned by
+# the join before any scoring math), partial scores grouped on
+# (query_id, doc_id), then a per-query top-k window over the scored
+# docs.  At 100 TB the postings join is a broadcast hash join on the
+# term column and the only corpus-wide shuffle is the (query, doc)
+# score aggregation — never a corpus × query product.  idf uses the
+# Lucene form ln(1 + (N - df + 0.5)/(df + 0.5)), positive for every df.
+_TX13_QUERIES = [
+    ("q1", ("spark", "join", "batch")),
+    ("q2", ("window", "sort")),
+    ("q3", ("stream", "filter", "merge")),
+]
+_TX13_K1 = 1.2
+_TX13_B = 0.75
+
+_TX13_QUERY_SQL = " UNION ALL ".join(
+    f"SELECT '{qid}' AS query_id, '{t}' AS w"
+    for qid, terms in _TX13_QUERIES
+    for t in terms
+)
+
+TX13_SQL = f"""
+WITH q(query_id, w) AS ({_TX13_QUERY_SQL}),
+dt AS (
+    SELECT doc_id, w, count(*)::BIGINT AS tf
+    FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+),
+dl AS (
+    SELECT doc_id, sum(tf)::DOUBLE AS dl FROM dt GROUP BY doc_id
+),
+stats AS (
+    SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+),
+df AS (SELECT w, count(*)::DOUBLE AS docfreq FROM dt GROUP BY w),
+partial AS (
+    SELECT q.query_id, dt.doc_id,
+           ln(1 + (s.n_docs - df.docfreq + 0.5) / (df.docfreq + 0.5))
+           * (dt.tf * ({_TX13_K1} + 1))
+           / (dt.tf + {_TX13_K1} * (1 - {_TX13_B} + {_TX13_B} * dl.dl / s.avgdl))
+               AS sc
+    FROM dt
+    JOIN q ON q.w = dt.w
+    JOIN df ON df.w = dt.w
+    JOIN dl ON dl.doc_id = dt.doc_id
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT query_id, doc_id, sum(sc) AS score FROM partial GROUP BY 1, 2
+),
+ranked AS (
+    SELECT query_id, doc_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id)::INT AS rank
+    FROM scored
+)
+SELECT query_id, doc_id,
+       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register("tx13_bm25_topk", TX13_SQL, survey_ref="north-star text: BM25 inverted-index retrieval (broadcast query set, no corpus×query product)")
+def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(qid, t) for qid, terms in _TX13_QUERIES for t in terms],
+        "query_id string, w string",
+    )
+    dt = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = dt.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    # df only matters for query terms: prune the vocabulary-sized frame
+    # with the broadcast query set BEFORE it meets the postings, so the
+    # idf side of the scoring join is |query terms| rows, not |vocab|.
+    df_ = (
+        dt.join(F.broadcast(q.select("w").dropDuplicates()), "w")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("double").alias("docfreq"))
+    )
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("docfreq") + 0.5) / (F.col("docfreq") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (_TX13_K1 + 1)) / (
+        F.col("tf")
+        + _TX13_K1 * (1 - _TX13_B + _TX13_B * F.col("dl") / F.col("avgdl"))
+    )
+    partial = (
+        dt.join(F.broadcast(q), "w")
+        .join(F.broadcast(df_), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", (idf * tf_norm).alias("sc"))
+    )
+    scored = partial.groupBy("query_id", "doc_id").agg(F.sum("sc").alias("score"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq).cast("int"))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id", "doc_id", dround(F.col("score"), 6).alias("score"), "rank"
+        )
+    )
