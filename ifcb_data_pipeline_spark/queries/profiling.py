@@ -678,3 +678,92 @@ def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_value"),
         )
     )
+
+
+# --- DP9: categorical mutual information -------------------------------------
+# Feature-relevance profiling for mixture design: how much does knowing a
+# document's source tell you about its language (and vice versa)?  One
+# corpus scan builds the (lang, source) joint contingency table; the
+# marginals, entropies, MI and normalized MI all derive from that tiny
+# joint frame — |langs| × |sources| rows — with no second pass.  At
+# 100 TB this is the only shape that works: the corpus is touched once
+# (a two-column groupBy with map-side partial aggregation) and every
+# information-theoretic quantity is algebra over the contingency table.
+# ln-based quantities are irrational-ish, so dround(6) is boundary-safe.
+DP9_SQL = """
+WITH joint AS (
+    SELECT lang, source, count(*)::DOUBLE AS c
+    FROM documents GROUP BY lang, source
+),
+tot AS (SELECT sum(c) AS n FROM joint),
+px AS (SELECT lang, sum(c) AS cx FROM joint GROUP BY lang),
+py AS (SELECT source, sum(c) AS cy FROM joint GROUP BY source),
+terms AS (
+    SELECT (j.c / t.n) * ln((j.c * t.n) / (px.cx * py.cy)) AS mi_term,
+           j.c, t.n
+    FROM joint j
+    JOIN px USING (lang) JOIN py USING (source) CROSS JOIN tot t
+),
+hx AS (
+    SELECT -sum((cx / t.n) * ln(cx / t.n)) AS h FROM px CROSS JOIN tot t
+),
+hy AS (
+    SELECT -sum((cy / t.n) * ln(cy / t.n)) AS h FROM py CROSS JOIN tot t
+),
+mi AS (SELECT sum(mi_term) AS mi FROM terms)
+SELECT floor(mi.mi * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
+       floor(hx.h * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
+       floor(hy.h * 1000000.0 + 0.5) / 1000000.0 AS h_source,
+       floor(mi.mi / sqrt(hx.h * hy.h) * 1000000.0 + 0.5) / 1000000.0 AS nmi
+FROM mi CROSS JOIN hx CROSS JOIN hy
+"""
+
+
+@register("dp9_mutual_information", DP9_SQL, survey_ref="beyond reference: categorical MI / entropy profile (single-scan contingency table)")
+def dp9_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    joint = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    # everything below operates on the tiny contingency frame
+    joint = joint.localCheckpoint()
+    tot = joint.agg(F.sum("c").alias("n"))
+    px = joint.groupBy("lang").agg(F.sum("c").alias("cx"))
+    py = joint.groupBy("source").agg(F.sum("c").alias("cy"))
+    terms = (
+        joint.join(px, "lang")
+        .join(py, "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("c") / F.col("n"))
+                * F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+            ).alias("mi_term")
+        )
+    )
+    mi = terms.agg(F.sum("mi_term").alias("mi"))
+    hx = px.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n")))).alias(
+            "h"
+        )
+    )
+    hy = py.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n")))).alias(
+            "h"
+        )
+    )
+    hx = hx.select(F.col("h").alias("h_lang"))
+    hy = hy.select(F.col("h").alias("h_source"))
+    mi = mi.select(F.col("mi").alias("mi_raw"))
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            dround(F.col("mi_raw"), 6).alias("mi_nats"),
+            dround(F.col("h_lang"), 6).alias("h_lang"),
+            dround(F.col("h_source"), 6).alias("h_source"),
+            dround(
+                F.col("mi_raw") / F.sqrt(F.col("h_lang") * F.col("h_source")), 6
+            ).alias("nmi"),
+        )
+    )

@@ -513,3 +513,14 @@ def test_tp5_funnel_is_single_scan(spark, sf_dir):
     plan = plan_of(spark, "tp5_funnel_report", sf_dir)
     n_scans = plan.count("Scan parquet")
     assert n_scans == 0, f"tp5 re-derives the corpus ({n_scans} parquet scans)"
+
+
+def test_dp9_mi_single_scan(spark, sf_dir):
+    """dp9 touches the corpus exactly once: the (lang, source) contingency
+    groupBy is checkpointed, so the MI/entropy algebra must run over the
+    materialized joint frame with ZERO further parquet scans."""
+    plan = plan_of(spark, "dp9_mutual_information", sf_dir)
+    assert plan.count("Scan parquet") == 0, (
+        "dp9's information algebra re-scans the corpus instead of reusing "
+        "the checkpointed contingency table"
+    )
