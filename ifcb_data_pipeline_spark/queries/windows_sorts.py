@@ -823,3 +823,72 @@ def w11_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " drift_up boolean, drift_down boolean"
         ),
     )
+
+
+# --- W12: MAD robust outlier detection --------------------------------------
+# Robust per-group outlier flagging: modified z-score
+# 0.6745·(x − median)/MAD (Iglewicz–Hoaglin), |z| > 3.5 ⇒ outlier.
+# Finite-decimal rule: event values are 2-decimal, so all order
+# statistics run over exact integer CENTS — the interpolated median of
+# integers is lo + 0.5·(hi − lo), binary-exact in both engines (0.5 is
+# a binary-exact factor), and the absolute deviations are exact
+# multiples of 0.5 cents, so the second median (the MAD) is exact too.
+# Only the final z-ratio is irrational-ish, rounded once (dround 4).
+# Physical shape: exact grouped percentiles via Spark's counting-based
+# `percentile` aggregate — a two-phase agg whose partial state is a
+# (value → count) map bounded by the value DOMAIN (≤ ~20k distinct
+# cents here), not the row count — then one broadcast join of the
+# |groups|-row stats frame back onto the fact scan.  No windows, no
+# per-group sort of the fact.
+W12_SQL = """
+WITH c AS (
+    SELECT event_id, event_type,
+           floor(value * 100.0 + 0.5)::BIGINT AS cents
+    FROM events
+),
+med AS (
+    SELECT event_type, quantile_cont(cents, 0.5) AS med_c FROM c GROUP BY event_type
+),
+dev AS (
+    SELECT c.event_id, c.event_type, c.cents, abs(c.cents - m.med_c) AS d
+    FROM c JOIN med m USING (event_type)
+),
+mad AS (
+    SELECT event_type, quantile_cont(d, 0.5) AS mad_c FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.cents / 100.0 AS value,
+       floor(0.6745 * (d.cents - m.med_c) / md.mad_c * 10000.0 + 0.5) / 10000.0
+           AS robust_z
+FROM dev d JOIN med m USING (event_type) JOIN mad md USING (event_type)
+WHERE abs(0.6745 * (d.cents - m.med_c) / md.mad_c) > 3.5
+"""
+
+
+@register("w12_mad_outliers", W12_SQL, survey_ref="beyond reference: Iglewicz-Hoaglin robust outlier flags (counting-based exact grouped percentiles)")
+def w12_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    c = events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    med = c.groupBy("event_type").agg(
+        F.percentile(F.col("cents"), F.lit(0.5)).alias("med_c")
+    )
+    dev = c.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("cents") - F.col("med_c"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("d"), F.lit(0.5)).alias("mad_c")
+    )
+    z = 0.6745 * (F.col("cents") - F.col("med_c")) / F.col("mad_c")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            (F.col("cents") / 100.0).alias("value"),
+            dround(z, 4).alias("robust_z"),
+        )
+    )
