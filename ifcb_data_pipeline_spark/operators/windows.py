@@ -153,3 +153,54 @@ def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
         .withColumn(rank_col, (F.col("__rn") + F.col("__offset")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+
+
+def grouped_prefix_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Inclusive per-group running sum of ``value_col`` in ``order_cols``
+    order — WITHOUT a group-fat window.
+
+    The naive ``sum().over(Window.partitionBy(group).orderBy(order))``
+    funnels each group through one task; a hot group (one domain holding
+    half the corpus) serializes.  This is the o1/dp8 two-level form
+    applied per group: range-partition by (group, order) so each task
+    holds a contiguous slice, per-(group, partition) subtotals feed a
+    broadcast offset cumsum over the bounded |groups|×|partitions|
+    frame, and the within-partition window runs partitioned by
+    (partition, group).  Every stage is balanced regardless of group
+    skew."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(
+        n_part, *[F.col(c) for c in group_cols + order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
+    part_sums = ranged.groupBy(*group_cols, "__pid").agg(
+        F.sum(value_col).alias("__sum")
+    )
+    offsets = part_sums.select(
+        *group_cols,
+        "__pid",
+        F.coalesce(
+            F.sum("__sum").over(
+                Window.partitionBy(*group_cols)
+                .orderBy("__pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    within = (
+        Window.partitionBy("__pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("__cum", F.sum(value_col).over(within))
+        .join(F.broadcast(offsets), group_cols + ["__pid"])
+        .withColumn(out_col, F.col("__cum") + F.col("__offset"))
+        .drop("__pid", "__cum", "__offset")
+    )

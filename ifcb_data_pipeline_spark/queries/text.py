@@ -697,44 +697,21 @@ FROM cum WHERE cum_tok <= {_SP6_BUDGET}
 @register("sp6_domain_token_cap", SP6_SQL, survey_ref="beyond reference: per-domain token-budget downsampling")
 def sp6_domain_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    from ..operators.windows import grouped_prefix_sum
+
     toks = documents.select(
         "doc_id",
         "source",
         token_count_ws(F.col("text")).cast("long").alias("tok"),
         hash32(F.col("doc_id").cast("string")).alias("h"),
     )
-    n_part = spark.sparkContext.defaultParallelism
-    ranged = toks.repartitionByRange(
-        n_part, F.col("source"), F.col("h"), F.col("doc_id")
-    ).withColumn("__pid", F.spark_partition_id())
-    # per-(source, partition) totals → broadcast offset cumsum over the
-    # bounded |sources|×|partitions| frame (the o1/dp8 pattern applied
-    # per group): global prefix sum without a domain-fat window.
-    part_sums = ranged.groupBy("source", "__pid").agg(
-        F.sum("tok").alias("__sum")
-    )
-    offsets = part_sums.select(
-        "source",
-        "__pid",
-        F.coalesce(
-            F.sum("__sum").over(
-                Window.partitionBy("source")
-                .orderBy("__pid")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__offset"),
-    )
-    within = (
-        Window.partitionBy("__pid", "source")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    # per-source running token total via the two-level prefix sum
+    # (operators/windows.grouped_prefix_sum): range-partitioned slices +
+    # broadcast offset cumsum — no domain-fat window even when one
+    # domain holds half the corpus.
+    cum = grouped_prefix_sum(toks, ["source"], ["h", "doc_id"], "tok", "cum_tok")
     return (
-        ranged.withColumn("__cum", F.sum("tok").over(within))
-        .join(F.broadcast(offsets), ["source", "__pid"])
-        .withColumn("cum_tok", F.col("__cum") + F.col("__offset"))
-        .where(F.col("cum_tok") <= _SP6_BUDGET)
+        cum.where(F.col("cum_tok") <= _SP6_BUDGET)
         .select("doc_id", "source", "tok", "cum_tok")
     )
 

@@ -892,3 +892,61 @@ def w12_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(z, 4).alias("robust_z"),
         )
     )
+
+
+# --- O9: small-file compaction planner --------------------------------------
+# The lakehouse maintenance pass a 100 TB table needs continuously: given
+# a file manifest (here documents as files: n_chars = bytes, source =
+# partition), assign files to compaction output groups targeting
+# _O9_TARGET bytes, preserving (source, doc_id) order so rewritten files
+# stay range-clustered.  Bin rule: a file belongs to
+# floor(bytes_before_it / target) — the streaming-fill rule, exactly
+# expressible as an exclusive running sum.  Physical shape: the running
+# sum is operators/windows.grouped_prefix_sum (range-partitioned
+# two-level cumsum, no partition-fat window), and the plan report is one
+# (source, bin) aggregation.  All-integer output: exact.
+_O9_TARGET = 2000
+
+
+O9_SQL = f"""
+WITH cum AS (
+    SELECT doc_id, source, n_chars,
+           sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_bytes
+    FROM documents
+),
+binned AS (
+    SELECT source, doc_id, n_chars,
+           ((cum_bytes - n_chars) // {_O9_TARGET})::BIGINT AS bin_id
+    FROM cum
+)
+SELECT source, bin_id,
+       count(*)::BIGINT AS n_files,
+       sum(n_chars)::BIGINT AS total_bytes,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM binned GROUP BY source, bin_id
+"""
+
+
+@register("o9_compaction_plan", O9_SQL, survey_ref="beyond reference: small-file compaction planner (streaming-fill bin assignment via two-level prefix sum)")
+def o9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_prefix_sum
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    files = documents.select("doc_id", "source", F.col("n_chars").alias("bytes"))
+    cum = grouped_prefix_sum(files, ["source"], ["doc_id"], "bytes", "cum_bytes")
+    binned = cum.select(
+        "source",
+        "doc_id",
+        "bytes",
+        F.floor((F.col("cum_bytes") - F.col("bytes")) / _O9_TARGET)
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -524,3 +524,14 @@ def test_dp9_mi_single_scan(spark, sf_dir):
         "dp9's information algebra re-scans the corpus instead of reusing "
         "the checkpointed contingency table"
     )
+
+
+def test_o9_prefix_sum_is_distributed(spark, sf_dir):
+    """o9's streaming-fill bin assignment must run on the two-level
+    prefix sum (grouped_prefix_sum): range-partitioned slices, window
+    partitioned by (__pid, source), and no unpartitioned subtree —
+    a partition-fat window here serializes the hottest table partition."""
+    plan = plan_of(spark, "o9_compaction_plan", sf_dir)
+    assert "rangepartitioning(source" in plan, "o9 lost its range partitioning"
+    assert "hashpartitioning(__pid" in plan, "o9 window not partitioned by __pid"
+    assert "SinglePartition" not in plan, "o9 grew an unpartitioned subtree"
