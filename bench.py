@@ -51,6 +51,8 @@ HEADLINE = [
     "mm9_perceptual_dedup",
     "tp4_curriculum_order",
     "tp5_funnel_report",
+    "dd13_star_components",
+    "tx13_bm25_topk",
 ]
 
 
