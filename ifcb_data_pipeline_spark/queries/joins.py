@@ -924,3 +924,73 @@ def i10_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("op"),
         )
     )
+
+
+# --- I11: late-data audit (watermark-delay sizing) --------------------------
+# Before picking st3/st8's watermark delay you measure HOW late the
+# stream actually is: an event is late w.r.t. delay D if its event time
+# is older than (max event time among PRIOR arrivals on its key) − D.
+# Arrival order is event_id (the synthetic ingest sequence); the prior
+# maximum is an exclusive running max per user — one balanced
+# user-partitioned window pass.  Each event then votes against each
+# candidate delay (a 4-element literal explode — row growth ×4 of one
+# projected column set, no extra scan), and the audit is a bounded
+# |delays|-row aggregate.  All-integer output: exact across engines.
+I11_SQL = """
+WITH m AS (
+    SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+           max(epoch_us(ts::TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM events
+),
+votes AS (
+    SELECT d.delay_s,
+           CASE WHEN m.prev_max IS NOT NULL
+                     AND m.us < m.prev_max - d.delay_s::BIGINT * 1000000
+                THEN 1 ELSE 0 END AS late
+    FROM m CROSS JOIN (VALUES (0), (600), (1800), (3600)) d(delay_s)
+)
+SELECT delay_s, sum(late)::BIGINT AS n_late, count(*)::BIGINT AS n_events
+FROM votes GROUP BY delay_s
+"""
+
+
+@register("i11_late_data_audit", I11_SQL, survey_ref="beyond reference (SURVEY §2.10 family): event-lateness audit for watermark-delay sizing")
+def i11_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # session tz is UTC (queries/_util.tables), so the NTZ->TZ cast is an
+    # identity and unix_micros is the exact epoch-us.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    m = events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.max(us).over(w).alias("prev_max"),
+    )
+    votes = m.select(
+        "us",
+        "prev_max",
+        F.explode(
+            F.array(F.lit(0), F.lit(600), F.lit(1800), F.lit(3600))
+        ).alias("delay_s"),
+    ).select(
+        "delay_s",
+        F.when(
+            F.col("prev_max").isNotNull()
+            & (F.col("us") < F.col("prev_max") - F.col("delay_s").cast("long") * 1000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("late"),
+    )
+    return votes.groupBy("delay_s").agg(
+        F.sum("late").cast("long").alias("n_late"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
