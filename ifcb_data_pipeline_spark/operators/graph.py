@@ -25,7 +25,7 @@ interchangeable and cross-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -47,29 +47,35 @@ def _neighborhoods(e: DataFrame) -> DataFrame:
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each u: connect every strictly-larger neighbor to
-    m(u) = min(Γ(u) ∪ {u})."""
+    m(u) = min(Γ(u) ∪ {u}).
+
+    One shuffle: the per-node minimum rides a window over the
+    neighborhood partition instead of a groupBy + join back (which would
+    cost two).  Output rows are already canonical (m < v) but NOT
+    deduplicated — the caller dedups once per star pair."""
     nbr = _neighborhoods(e)
-    mins = nbr.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-    return _canonical(
-        nbr.join(mins, "u")
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        nbr.withColumn("m", m)
         .where(F.col("v") > F.col("u"))
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .select(F.col("m").alias("u"), F.col("v").alias("v"))
     )
 
 
 def _small_star(e: DataFrame) -> DataFrame:
     """For each u: connect every ≤-neighbor (and u itself) to the minimum
-    of that closed ≤-neighborhood."""
+    of that closed ≤-neighborhood.  Same one-shuffle window form as
+    :func:`_large_star`; output is canonical, not deduplicated."""
     nbr = _neighborhoods(e)
     le = nbr.where(F.col("v") <= F.col("u"))
-    mins = le.groupBy("u").agg(F.min("v").alias("mn"))
-    mins = mins.select("u", F.least("mn", F.col("u")).alias("m"))
-    connected = le.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
+    withm = le.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    connected = withm.where(F.col("v") != F.col("m")).select(
+        F.col("m").alias("u"), F.col("v").alias("v")
     )
-    self_edges = mins.select(F.col("u"), F.col("m").alias("v"))
-    return _canonical(connected.unionByName(self_edges))
+    self_edges = withm.where(F.col("u") != F.col("m")).select(
+        F.col("m").alias("u"), F.col("u").alias("v")
+    )
+    return connected.unionByName(self_edges)
 
 
 def connected_components(
@@ -86,14 +92,15 @@ def connected_components(
     appears in ``edges``; isolated nodes are the caller's to union in
     (they are singleton components by definition).
 
-    Scale design: every round is whole-stage-codegen DataFrame ops — two
-    groupBy(min) + two joins — over the *current* edge set, which only
-    ever shrinks toward one star edge per non-root node.  The edge set is
-    ``localCheckpoint``-ed each round so the iterative plan's lineage
-    stays O(1) instead of O(rounds).  Convergence is detected by a
-    (count, xxhash64-sum) fingerprint and then *proven* with an exact
-    two-way subtract before exiting, so a fingerprint collision can never
-    return early with a wrong labeling.
+    Scale design: each star is ONE key-partitioned window shuffle over
+    the *current* edge set (window-min, not groupBy + join back), the
+    edge set is deduplicated once per star pair and
+    ``localCheckpoint``-ed every two pairs, so the iterative plan's
+    lineage stays O(1) and the per-round action count is halved.
+    Convergence is detected by a (count, bit_xor-of-xxhash64)
+    fingerprint and then *proven* with an exact two-way subtract before
+    exiting, so a fingerprint collision can never return early with a
+    wrong labeling.
     """
     e = _canonical(
         edges.select(
@@ -112,20 +119,28 @@ def connected_components(
         return row["n"], row["h"]
 
     fp = fingerprint(e)
-    for round_no in range(max_rounds):
-        nxt = _small_star(_large_star(e)).localCheckpoint()
+    # Two star-pair rounds per materialization: locally the cost is
+    # action-count (checkpoint + fingerprint jobs), so batching halves the
+    # job count at the price of at most one redundant (no-op) pair after
+    # the fixpoint; on a cluster the same batching halves the number of
+    # stage barriers.
+    rounds_done = 0
+    converged = False
+    while rounds_done < max_rounds:
+        nxt = _canonical(_small_star(_large_star(e)))
+        nxt = _canonical(_small_star(_large_star(nxt))).localCheckpoint()
+        rounds_done += 2
         nfp = fingerprint(nxt)
         if nfp == fp:
-            # fingerprints agree — prove set equality before stopping
-            if (
-                nxt.exceptAll(e).isEmpty()
-                and e.exceptAll(nxt).isEmpty()
-            ):
+            # fingerprints agree — prove set equality (one job) before
+            # stopping, so a fingerprint collision can't end early
+            if nxt.exceptAll(e).unionAll(e.exceptAll(nxt)).isEmpty():
                 if _round_counter is not None:
-                    _round_counter.append(round_no + 1)
+                    _round_counter.append(rounds_done)
+                converged = True
                 break
         e, fp = nxt, nfp
-    else:
+    if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
         )

@@ -535,3 +535,19 @@ def test_o9_prefix_sum_is_distributed(spark, sf_dir):
     assert "rangepartitioning(source" in plan, "o9 lost its range partitioning"
     assert "hashpartitioning(__pid" in plan, "o9 window not partitioned by __pid"
     assert "SinglePartition" not in plan, "o9 grew an unpartitioned subtree"
+
+
+def test_tx13_query_side_broadcast(spark, sf_dir):
+    """tx13's scoring join must stay a broadcast hash join on the tiny
+    query/idf side — a shuffle of the postings against a vocabulary-sized
+    frame (or any cartesian) means the pre-pruning regressed."""
+    plan = plan_of(spark, "tx13_bm25_topk", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "tx13 lost its broadcast query-side joins"
+    )
+    assert "CartesianProduct" not in plan
+    # the only nested-loop allowed is the 1-row corpus-stats cross join
+    # (formatted explain lists each node twice: tree + detail section)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, (
+        "tx13 grew a nested-loop join beyond the 1-row stats frame"
+    )
