@@ -204,3 +204,73 @@ def test_st8_streaming_path_drains(spark, sf_dir):
         if prev is not None:
             assert r["session_start"] >= prev, "overlapping sessions"
         seen[r["user_id"]] = r["session_end"]
+
+
+def test_st8_invariant_to_microbatch_slicing(spark, sf_dir, tmp_path):
+    """Sessions must merge correctly in state ACROSS micro-batch
+    boundaries: slicing the input into 4 arrival-ordered files processed
+    one per trigger (progressing watermark) must emit exactly the same
+    finalized-session set as the single-batch drain.  (Arrival order is
+    event time order in this data — i11 measures zero lateness — so no
+    event is dropped and the final watermark is identical.)"""
+    import pyspark.sql.functions as F
+
+    from ifcb_data_pipeline_spark.queries.multimodal import (
+        st8_streaming_sessions,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n = events.count()
+    src = str(tmp_path / "sliced")
+    # 4 arrival-ordered slices, one parquet file each, lexicographic
+    # file order = arrival order
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    ordered = events.orderBy("event_id").collect()
+    for i in range(4):
+        chunk = ordered[bounds[i] : bounds[i + 1]]
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .load(src)
+    )
+    sessions = (
+        stream.withWatermark("ts", "40 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("st8_sliced")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "sliced stream did not drain"
+    q.stop()
+
+    sliced = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.table("st8_sliced").collect()
+    }
+    single = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in st8_streaming_sessions(spark, sf_dir).collect()
+    }
+    assert sliced == single, (
+        f"micro-batch slicing changed the session set: "
+        f"only-sliced={len(sliced - single)} only-single={len(single - sliced)}"
+    )
