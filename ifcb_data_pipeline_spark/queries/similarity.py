@@ -812,3 +812,74 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", dround(F.col("dist"), 6).alias("adc_dist"))
     )
+
+
+# --- SIM11: maximum inner-product search via norm augmentation --------------
+# Recommendation/retrieval scoring wants argmax ⟨q, x⟩, not cosine — and
+# MIPS is not an LSH-able metric directly (inner product violates the
+# triangle inequality).  The published reduction (Shrivastava & Li,
+# NeurIPS'14; Neyshabur & Srebro, ICML'15): append one coordinate,
+#   x' = [x / M, sqrt(1 − |x|²/M²)]   (M = max corpus norm ⇒ |x'| = 1)
+#   q' = [q, 0]
+# then cos(q', x') = ⟨q, x⟩ / (M·|q|) — cosine order over the augmented
+# vectors IS inner-product order, so the ENTIRE cosine ANN stack
+# (sim1/sim2/sim4's machinery) serves MIPS unchanged.  The Spark side
+# genuinely routes through the augmentation + cosine_topk; the oracle
+# ranks by raw list_inner_product — a mismatch anywhere means the
+# reduction (or its max-norm scaling) broke.  Scale: one extra corpus
+# pass for M (1-row broadcast); augmentation is a shuffle-free
+# projection.  Final scores are re-derived as exact dots of the
+# ORIGINAL vectors (not back-scaled cosines), rounded once.
+SIM11_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_inner_product(q.v, c.v) AS dot_raw
+    FROM e q JOIN e c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY dot_raw DESC, neighbor_id)::BIGINT AS rank,
+           floor(dot_raw * 1000000.0 + 0.5) / 1000000.0 AS dot_product
+    FROM scored
+)
+SELECT query_id, neighbor_id, rank, dot_product FROM ranked WHERE rank <= 5
+"""
+
+
+@register("sim11_mips_topk", SIM11_SQL, survey_ref="north-star ANN: MIPS via norm-augmentation reduction to cosine (Shrivastava-Li / Neyshabur-Srebro)")
+def sim11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nsq = e.select("vec_id", "v", dot(F.col("v"), F.col("v")).alias("nsq"))
+    msq = nsq.agg(F.max("nsq").alias("msq"))
+    aug = nsq.crossJoin(F.broadcast(msq)).select(
+        "vec_id",
+        "v",
+        F.concat(
+            F.transform(F.col("v"), lambda x: x / F.sqrt("msq")),
+            F.array(
+                F.sqrt(F.greatest(F.lit(0.0), 1 - F.col("nsq") / F.col("msq")))
+            ),
+        ).alias("va"),
+    )
+    qaug = aug.where(F.col("vec_id") < 5).select(
+        "vec_id", F.concat(F.col("v"), F.array(F.lit(0.0))).alias("va")
+    )
+    top = cosine_topk(qaug, aug.select("vec_id", "va"), k=5, vec_col="va")
+    # exact dot of the ORIGINAL vectors for the emitted score
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    return (
+        top.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            dround(dot(F.col("qv"), F.col("cv")), 6).alias("dot_product"),
+        )
+    )
