@@ -577,3 +577,76 @@ def tp5_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("t3"))
         .alias("n_tokens"),
     )
+
+
+# --- TP6: dataset card (length composition of the released corpus) ----------
+# The artifact that ships WITH a training corpus: per (split, length
+# bucket) document/token counts, the bucket's token share of its split,
+# and the cumulative share in bucket order.  tp6 aggregates the ACTUAL
+# tp1 flagship output (not a re-derivation), so the card can never
+# drift from the corpus it describes; the oracle wraps TP1_SQL the same
+# way.  Buckets are a literal integer CASE ladder (exact in both
+# engines); shares are ratios of exact BIGINT token sums, so both
+# engines divide identical integers — bit-identical doubles into the
+# final rounding.  Physical shape: one aggregation of the tp1 result to
+# a ≤ |splits|×|buckets| frame; the share/cumshare windows run on that
+# tiny frame only.
+_TP6_BUCKET_SQL = """CASE WHEN n_tok < 32 THEN 20 WHEN n_tok < 64 THEN 32
+           WHEN n_tok < 128 THEN 64 WHEN n_tok < 256 THEN 128
+           ELSE 256 END"""
+
+TP6_SQL = f"""
+WITH t AS ({TP1_SQL}),
+b AS (
+    SELECT split, {_TP6_BUCKET_SQL} AS bucket,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tok::BIGINT)::BIGINT AS n_tokens
+    FROM t GROUP BY 1, 2
+),
+s AS (
+    SELECT split, bucket, n_docs, n_tokens,
+           n_tokens * 1.0 / sum(n_tokens) OVER (PARTITION BY split)
+               AS share,
+           sum(n_tokens) OVER (PARTITION BY split ORDER BY bucket
+                               ROWS UNBOUNDED PRECEDING) * 1.0
+               / sum(n_tokens) OVER (PARTITION BY split) AS cum_share
+    FROM b
+)
+SELECT split, bucket, n_docs, n_tokens,
+       floor(share * 1000000.0 + 0.5) / 1000000.0 AS token_share,
+       floor(cum_share * 1000000.0 + 0.5) / 1000000.0 AS cum_token_share
+FROM s
+"""
+
+
+@register("tp6_dataset_card", TP6_SQL, survey_ref="beyond reference: dataset card — length composition of the tp1 release (aggregates the flagship output itself)")
+def tp6_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = tp1_training_corpus(spark, sf_dir)
+    bucket = (
+        F.when(F.col("n_tok") < 32, 20)
+        .when(F.col("n_tok") < 64, 32)
+        .when(F.col("n_tok") < 128, 64)
+        .when(F.col("n_tok") < 256, 128)
+        .otherwise(256)
+    )
+    b = corpus.groupBy("split", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).cast("long").alias("n_tokens"),
+    )
+    wsplit = Window.partitionBy("split")
+    wcum = (
+        Window.partitionBy("split")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = F.sum("n_tokens").over(wsplit)
+    return b.select(
+        "split",
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        dround(F.col("n_tokens") * 1.0 / tot, 6).alias("token_share"),
+        dround(F.sum("n_tokens").over(wcum) * 1.0 / tot, 6).alias(
+            "cum_token_share"
+        ),
+    )
