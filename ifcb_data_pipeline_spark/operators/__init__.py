@@ -13,7 +13,7 @@ from .dedup import (
     shingle_sets,
     simhash,
 )
-from .graph import connected_components
+from .graph import connected_components, pagerank
 from .joins import (
     asof_join,
     coalescing_fill_join,
@@ -44,6 +44,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pagerank",
     "prefix_blacklist_anti_join",
     "salted_aggregate",
     "salted_broadcast_join",

@@ -20,7 +20,10 @@ families, serial crawls).  Two closure strategies live in this package:
   when component shape is unknown.
 
 Both return the same labeling (component minimum), so they are
-interchangeable and cross-checkable.
+interchangeable and cross-checkable.  :func:`pagerank` (fixed-iteration
+link analysis — the crawl-side quality signal) shares the same iterative
+discipline: per-iteration key-partitioned joins with localCheckpoint-ed
+O(1) lineage.
 """
 
 from __future__ import annotations
@@ -149,3 +152,59 @@ def connected_components(
     leaves = e.select(F.col("v").alias("node"), F.col("u").alias("cluster"))
     roots = e.select(F.col("u").alias("node"), F.col("u").alias("cluster"))
     return leaves.unionByName(roots).dropDuplicates()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 10,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Returns ``(node long, rank double)`` for every node appearing as a
+    source or destination.  Simplified model (no dangling-mass
+    redistribution): r_{i+1}(v) = (1-d)/N + d·Σ_{u→v} r_i(u)/outdeg(u) —
+    deterministic for a fixed iteration count, so it admits an exact
+    unrolled SQL twin.
+
+    Scale design: out-degrees are joined onto the edge list ONCE and the
+    combined frame is localCheckpoint-ed — each iteration is then one
+    hash join (ranks ⋈ edges on src) + one groupBy(dst) sum + a left
+    join back onto the node set, all key-partitioned shuffles.  Ranks
+    are checkpointed every other iteration to keep the lineage O(1).
+    The rank vector is |nodes| rows — never broadcast; N rides along as
+    a literal (one count job up front).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).dropDuplicates()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e_deg = e.join(deg, "src").localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(iterations):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+            "node",
+            (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias(
+                "rank"
+            ),
+        )
+        if i % 2 == 1 or i == iterations - 1:
+            ranks = ranks.localCheckpoint()
+    return ranks

@@ -22,7 +22,7 @@ from ..operators.dedup import (
     simhash,
 )
 from . import register
-from ._util import tables
+from ._util import dround, tables
 
 # --- shared augmented corpus ----------------------------------------------
 
@@ -929,3 +929,88 @@ def dd13_star_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size")
     )
     return labels.join(sizes, "cluster").select("node", "cluster", "cluster_size")
+
+
+# --- G1: PageRank (link-quality signal for crawl curation) ------------------
+# Link analysis is the classic crawl-side quality signal a pretraining
+# pipeline consumes (harvest prioritization, spam demotion).  The link
+# graph is deterministic from the corpus: every doc links to its
+# source-group hub (min doc id of the source) and to the next doc in
+# its source (chain), so ranks concentrate on hubs with chains feeding
+# them.  Fixed 6-iteration simplified PageRank (operators/graph.py
+# pagerank) admits an EXACT unrolled SQL twin — the oracle below is
+# generated per-iteration (aggregation is not allowed inside a
+# recursive CTE, so recursion is unrolled).
+_G1_ITERS = 6
+
+_G1_GRAPH_SQL = """
+d AS (SELECT doc_id, source FROM documents),
+hub AS (SELECT source, min(doc_id) AS h FROM d GROUP BY source),
+e1 AS (
+    SELECT d.doc_id AS src, hub.h AS dst
+    FROM d JOIN hub USING (source) WHERE d.doc_id <> hub.h
+),
+e2 AS (
+    SELECT doc_id AS src,
+           lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS dst
+    FROM d
+),
+edges AS (
+    SELECT src, dst FROM e1
+    UNION
+    SELECT src, dst FROM e2 WHERE dst IS NOT NULL
+),
+nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+deg AS (SELECT src, count(*)::BIGINT AS odeg FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.odeg FROM edges e JOIN deg USING (src)),
+r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)
+"""
+
+
+def _g1_oracle() -> str:
+    parts = [f"WITH {_G1_GRAPH_SQL.strip()}"]
+    for i in range(1, _G1_ITERS + 1):
+        parts.append(
+            f""",
+c{i} AS (
+    SELECT ed.dst, sum(r.rank / ed.odeg) AS m
+    FROM ed JOIN r{i - 1} r ON r.node = ed.src GROUP BY ed.dst
+),
+r{i} AS (
+    SELECT n.node, 0.15 / nn.n + 0.85 * coalesce(c.m, 0) AS rank
+    FROM nodes n CROSS JOIN nn LEFT JOIN c{i} c ON c.dst = n.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT node, floor(rank * 1000000.0 + 0.5) / 1000000.0 AS rank
+FROM r{_G1_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@register("g1_pagerank", _g1_oracle(), survey_ref="beyond reference: fixed-iteration PageRank (crawl-quality link signal; iterative DataFrame plan with O(1) lineage)")
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = documents.select("doc_id", "source")
+    hub = d.groupBy("source").agg(F.min("doc_id").alias("h"))
+    e1 = (
+        d.join(hub, "source")
+        .where(F.col("doc_id") != F.col("h"))
+        .select(F.col("doc_id").alias("src"), F.col("h").alias("dst"))
+    )
+    from pyspark.sql import Window as W
+
+    e2 = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id")
+        .over(W.partitionBy("source").orderBy("doc_id"))
+        .alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    ranks = pagerank(e1.unionByName(e2), iterations=_G1_ITERS, damping=0.85)
+    return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))

@@ -397,3 +397,25 @@ def test_connected_components_forest_and_direction_insensitivity(spark):
         for r in connected_components(edges).collect()
     }
     assert rows == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 22: 20, 50: 50, 51: 50}
+
+
+def test_pagerank_cycle_and_star(spark):
+    """Closed-form anchors: a 2-cycle is symmetric (rank 0.5 each, mass
+    conserved exactly); in a 5-leaf star feeding a hub that links back
+    to one leaf, the hub must dominate and the favored leaf must beat
+    the others."""
+    from ifcb_data_pipeline_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    r = {x["node"]: x["rank"] for x in pagerank(cyc, iterations=7).collect()}
+    assert r[1] == pytest.approx(0.5) and r[2] == pytest.approx(0.5)
+    assert sum(r.values()) == pytest.approx(1.0)
+
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    # the 0<->1 two-cycle makes ranks oscillate with damping 0.85^k —
+    # 30 iterations brings the swing inside the fixed-point ordering
+    s = {x["node"]: x["rank"] for x in pagerank(star, iterations=30).collect()}
+    assert s[0] > s[1] > s[2]
+    assert s[2] == pytest.approx(s[3]) == pytest.approx(s[4]) == pytest.approx(s[5])
