@@ -419,3 +419,59 @@ def test_pagerank_cycle_and_star(spark):
     s = {x["node"]: x["rank"] for x in pagerank(star, iterations=30).collect()}
     assert s[0] > s[1] > s[2]
     assert s[2] == pytest.approx(s[3]) == pytest.approx(s[4]) == pytest.approx(s[5])
+
+
+@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 80, 100), (3, 50, 25)])
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
+    """Cross-check the star contraction against a plain Python
+    union-find on deterministic pseudo-random graphs (sparse,
+    near-critical, and super-critical densities)."""
+    import random
+
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(seed)
+    raw = [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+    raw = [(a, b) for a, b in raw if a != b]
+
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for ab in raw for x in ab}
+    # canonical label = min node of the component among touched nodes
+    comp_min: dict = {}
+    for x in touched:
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in touched}
+
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    got = {
+        r["node"]: r["cluster"] for r in connected_components(edges).collect()
+    }
+    assert got == expected
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    """On a functional graph (every node has out-degree >= 1) no rank
+    mass leaks: the ranks must sum to exactly 1 at any iteration count."""
+    from ifcb_data_pipeline_spark.operators.graph import pagerank
+
+    n = 40
+    edges = [(i, (i * 17 + 5) % n) for i in range(n)]
+    edges = [(a, b if a != b else (a + 1) % n) for a, b in edges]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    ranks = [r["rank"] for r in pagerank(df, iterations=8).collect()]
+    assert len(ranks) == n
+    assert sum(ranks) == pytest.approx(1.0, rel=1e-9)
