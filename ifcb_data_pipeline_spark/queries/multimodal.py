@@ -1595,3 +1595,87 @@ def mm10_voice_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_frames") >= _MM10_MIN_RUN)
         .select("audio_id", "seg_start", "seg_end", "n_frames", "max_peak")
     )
+
+
+# --- MM11: scene-change detection (consecutive-frame L1 deltas) -------------
+# The video-curation gate mm4's sampler feeds: decode EVERY frame of the
+# slab, compute the per-pair L1 pixel delta |frame_f − frame_{f−1}|
+# (exact BIGINT — uint8 pixels), and flag cuts where the delta spikes.
+# The delta kernel runs INSIDE one Arrow-batched pass over each video's
+# payload (scene detection is a per-slab sequential computation — no
+# frame shuffle, no self-join of a frame table), so a 100 TB video
+# corpus costs one scan with per-video parallelism.  The oracle
+# re-derives the same deltas relationally: a pixel-aligned self-join of
+# the synthetic frame formula — same numbers, opposite plan, exact.
+_MM11_CUT = 3600
+
+
+MM11_SQL = f"""
+WITH vids AS (
+    SELECT o_orderkey AS v, ((o_orderkey % 24) + 4)::INT AS n_frames
+    FROM orders WHERE o_orderkey % 500 = 0
+),
+frames AS (
+    SELECT v, f.f::INT AS frame_idx
+    FROM vids, unnest(range(0, n_frames)) AS f(f)
+),
+px AS (
+    SELECT v, frame_idx, i.i AS i,
+           ((v * 7 + frame_idx * 13 + i.i) % 251) AS val
+    FROM frames, unnest(range(144)) AS i(i)
+),
+d AS (
+    SELECT a.v, a.frame_idx,
+           sum(abs(a.val - b.val))::BIGINT AS l1_delta
+    FROM px a JOIN px b
+      ON a.v = b.v AND b.frame_idx = a.frame_idx - 1 AND a.i = b.i
+    GROUP BY a.v, a.frame_idx
+)
+SELECT v::VARCHAR AS video_id, frame_idx, l1_delta,
+       (l1_delta > {_MM11_CUT}) AS is_cut
+FROM d
+"""
+
+
+@register("mm11_scene_cuts", MM11_SQL, survey_ref="north-star multimodal: video scene-change detection (per-slab sequential kernel, exact integer deltas)")
+def mm11_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 500 == 0).select(
+        F.col("o_orderkey").alias("v"),
+        ((F.col("o_orderkey") % 24) + 4).cast("int").alias("n_frames"),
+    )
+
+    def deltas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"video_id": [], "frame_idx": [], "l1_delta": [], "is_cut": []}
+            for v, n in zip(pdf["v"], pdf["n_frames"]):
+                n = int(n)
+                i = np.arange(n * 144, dtype=np.int64)
+                f = i // 144
+                slab = ((int(v) * 7 + f * 13 + (i % 144)) % 251).astype(np.uint8)
+                # round-trip through the binary payload form (the slab is
+                # an opaque bytes column in a real video table)
+                payload = slab.tobytes()
+                frames = (
+                    np.frombuffer(payload, dtype=np.uint8)
+                    .reshape(n, 144)
+                    .astype(np.int64)
+                )
+                l1 = np.abs(np.diff(frames, axis=0)).sum(axis=1)
+                for fi in range(1, n):
+                    out["video_id"].append(str(v))
+                    out["frame_idx"].append(fi)
+                    out["l1_delta"].append(int(l1[fi - 1]))
+                    out["is_cut"].append(bool(l1[fi - 1] > _MM11_CUT))
+            yield pd.DataFrame(out)
+
+    return meta.mapInPandas(
+        deltas,
+        schema="video_id string, frame_idx int, l1_delta long, is_cut boolean",
+    )
