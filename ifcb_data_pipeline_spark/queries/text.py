@@ -1033,3 +1033,113 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "doc_id", dround(F.col("score"), 6).alias("score"), "rank"
         )
     )
+
+
+# --- SP8: DSIR-style importance resampling ----------------------------------
+# Data Selection via Importance Resampling (Xie et al., NeurIPS'23): to
+# build a target-like pretraining mix from a raw pool, score every doc
+# by the log-likelihood RATIO between an n-gram model of the TARGET
+# distribution (here: the 'en' slice stands in for the curated target)
+# and one of the SOURCE pool (everything), then keep the docs the ratio
+# favors.  Character trigrams reuse tx6's model machinery; the target
+# model is add-one smoothed over the SOURCE vocabulary so unseen
+# trigrams stay finite.  Deterministic selection rule (kept =
+# length-normalized log-ratio > 0) instead of Gumbel sampling — same
+# shape, reproducible across engines/runs.  Scale: both models are
+# vocab-bounded (≤ charset³) and broadcast; the corpus is scanned once
+# into trigrams, joined map-side, and reduced per doc — one shuffle.
+SP8_SQL = """
+WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+tri AS (
+    SELECT doc_id, substr(t, i, 3) AS g
+    FROM d, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
+),
+src AS (SELECT g, count(*)::BIGINT AS cs FROM tri GROUP BY g),
+tgt0 AS (
+    SELECT tri.g, count(*)::BIGINT AS ct
+    FROM tri JOIN documents doc ON doc.doc_id = tri.doc_id
+    WHERE doc.lang = 'en' GROUP BY tri.g
+),
+stats AS (
+    SELECT (SELECT sum(cs)::DOUBLE FROM src) AS ns,
+           (SELECT coalesce(sum(ct), 0)::DOUBLE FROM tgt0) AS nt,
+           (SELECT count(*)::DOUBLE FROM src) AS v
+),
+ratio AS (
+    SELECT s.g,
+           ln(((coalesce(t.ct, 0) + 1) / (st.nt + st.v))
+              / ((s.cs + 1) / (st.ns + st.v))) AS lr
+    FROM src s LEFT JOIN tgt0 t USING (g) CROSS JOIN stats st
+),
+scored AS (
+    SELECT tri.doc_id,
+           count(*)::BIGINT AS n_trigrams,
+           avg(r.lr) AS logratio
+    FROM tri JOIN ratio r USING (g)
+    GROUP BY tri.doc_id
+)
+SELECT doc_id, n_trigrams,
+       floor(logratio * 1000000.0 + 0.5) / 1000000.0 AS logratio,
+       (logratio > 0) AS kept
+FROM scored
+"""
+
+
+@register("sp8_importance_resampling", SP8_SQL, survey_ref="north-star splits/mixture: DSIR importance resampling (Xie et al. NeurIPS'23) — broadcast n-gram ratio models")
+def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    tri = documents.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
+                " i -> substring(lower(text), i, 3))"
+            )
+        ).alias("g"),
+    )
+    src = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        tri.join(
+            documents.where(F.col("lang") == "en").select("doc_id"), "doc_id"
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    stats = (
+        src.agg(
+            F.sum("cs").cast("double").alias("ns"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+        .crossJoin(
+            F.broadcast(
+                tgt.agg(
+                    F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
+                )
+            )
+        )
+    )
+    ratio = (
+        src.join(F.broadcast(tgt), "g", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "g",
+            F.log(
+                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v")))
+                / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        tri.join(F.broadcast(ratio), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg("lr").alias("logratio"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        dround(F.col("logratio"), 6).alias("logratio"),
+        (F.col("logratio") > 0).alias("kept"),
+    )
