@@ -994,3 +994,66 @@ def i11_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("late").cast("long").alias("n_late"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- J17: point-in-time (unbounded backward as-of) join ---------------------
+# "What was the user's state when the order was placed?" — the temporal
+# lookup every SCD consumer runs.  J4/j4b bucket on the TOLERANCE width,
+# which doesn't exist here (the covering state can be arbitrarily old),
+# so this uses the other classic distributed as-of strategy: UNION the
+# probe rows into the event stream, sort once per user, and let a
+# last-non-null window carry each state forward to the probes that
+# follow it.  One user-partitioned sort-window over |events|+|probes|
+# rows — no range join, no buckets, no BNLJ; at 100 TB this is a single
+# balanced shuffle on the key (the sort is within-partition).  Events
+# sort before probes at equal timestamps (inclusive "at or before"),
+# ties among events resolve by event_id — identical in the oracle.
+J17_SQL = """
+WITH m AS MATERIALIZED (
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.event_type,
+           row_number() OVER (PARTITION BY o.o_orderkey
+                              ORDER BY e.ts DESC, e.event_id DESC) AS rn
+    FROM orders o JOIN events e
+      ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+)
+SELECT o.o_orderkey, o.o_custkey,
+       o.o_orderdate::TIMESTAMP AS order_ts,
+       m.event_type AS state_at_order
+FROM orders o LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (o_orderkey)
+"""
+
+
+@register("j17_point_in_time_join", J17_SQL, survey_ref="SURVEY §2.4 J4 family: unbounded backward as-of via union-merge window (the strategy tolerance-bucketing can't cover)")
+def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, events = tables(spark, sf_dir, "orders", "events")
+    probes = orders.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    states = events.select(
+        F.lit(None).cast("long").alias("probe_id"),
+        "user_id",
+        "ts",
+        F.lit(0).alias("kind"),
+        F.col("event_type").alias("state"),
+        F.col("event_id").alias("eid"),
+    )
+    merged = probes.unionByName(states)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "eid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.withColumn(
+        "state_at", F.last("state", ignorenulls=True).over(w)
+    )
+    return carried.where(F.col("kind") == 1).select(
+        F.col("probe_id").alias("o_orderkey"),
+        F.col("user_id").alias("o_custkey"),
+        F.col("ts").alias("order_ts"),
+        F.col("state_at").alias("state_at_order"),
+    )
