@@ -11,6 +11,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from ifcb_data_pipeline_spark.queries import load_all
 
@@ -552,3 +553,27 @@ def test_tx13_query_side_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2, (
         "tx13 grew a nested-loop join beyond the 1-row stats frame"
     )
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """The release-layout contract: materializing the tp1 corpus
+    partitioned by split must let a split-filtered read prune at the
+    PartitionFilters level (zero data files of the other split touched)
+    — the layout half of the o8/o9 file-skipping story."""
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    out = str(tmp_path / "release")
+    load_all()["tp1_training_corpus"].fn(spark, sf_dir).write.partitionBy(
+        "split"
+    ).mode("overwrite").parquet(out)
+
+    df = spark.read.parquet(out).where(F.col("split") == "train")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "split" in pf, f"split filter not pushed to partition pruning: {pf}"
+    # and the pruned read returns exactly the train rows
+    full = load_all()["tp1_training_corpus"].fn(spark, sf_dir)
+    assert df.count() == full.where(F.col("split") == "train").count()
