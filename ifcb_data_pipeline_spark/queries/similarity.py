@@ -883,3 +883,73 @@ def sim11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(dot(F.col("qv"), F.col("cv")), 6).alias("dot_product"),
         )
     )
+
+
+# --- SIM12: approximate kNN-graph construction ------------------------------
+# The batch artifact semantic-dedup and clustering pipelines consume
+# (SemDeDup-style): for EVERY corpus vector, its top-3 neighbors among
+# its sign-LSH candidates — a kNN edge list, not a per-query search.
+# Candidate generation reuses dd5's banded machinery (equi-join on
+# (band, signature), linear in corpus size, never all-pairs);
+# symmetrized candidates then rank per source node.  At 100 TB: one
+# signature shuffle + one candidate join + a per-node top-k window —
+# every stage keyed and balanced; graph consumers (dd13's star
+# contraction) take the edge list as-is.  Nodes whose buckets hold no
+# other vector emit no edges (documented ANN recall trade-off — the
+# oracle agrees exactly because it replays the same bands).
+from .dedup import _DD5_BANDS, _DD5_ROWS, _sig_sql as _sim12_sig_sql  # noqa: E402
+
+SIM12_SQL = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+coded AS (
+    {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sim12_sig_sql(b)} AS sig FROM e" for b in range(_DD5_BANDS))}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+    FROM coded a JOIN coded b
+      ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+),
+scored AS MATERIALIZED (
+    SELECT c.src, c.dst,
+           floor((list_inner_product(ea.v, eb.v)
+                  / sqrt(list_inner_product(ea.v, ea.v)
+                         * list_inner_product(eb.v, eb.v)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.src
+    JOIN e eb ON eb.vec_id = c.dst
+),
+ranked AS (
+    SELECT src, dst, cos_sim,
+           row_number() OVER (PARTITION BY src
+                              ORDER BY cos_sim DESC, dst)::INT AS rank
+    FROM scored
+)
+SELECT src, dst, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+@register("sim12_knn_graph", SIM12_SQL, survey_ref="north-star ANN: approximate kNN-graph construction (SemDeDup-style edge list; dd5's banded candidates + per-node top-k)")
+def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import embedding_lsh_pairs
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    pairs = embedding_lsh_pairs(
+        e, dim=64, bands=_DD5_BANDS, rows_per_band=_DD5_ROWS, threshold=-1.0
+    )
+    sym = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("src"), F.col("vec_a").alias("dst"), "cos_sim"
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("src", "dst", "rank", "cos_sim")
+    )
