@@ -767,3 +767,81 @@ def dp9_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+# --- DP10: ANOVA effect size (does the category explain the metric?) --------
+# dp9 quantifies categorical↔categorical association (MI); dp10 is the
+# categorical↔numeric counterpart: one-way ANOVA decomposition of
+# value by event_type — between/within sum-of-squares, η² effect size,
+# and the F statistic.  One corpus scan produces per-group
+# (n, Σcents, Σcents²) — exact BIGINTs (2-decimal values ⇒ integer
+# cents; squares stay < 2^63) — and every statistic is algebra over the
+# |groups|-row frame, derived IDENTICALLY in both engines from the same
+# exact integers.  Zero further scans (plan-pinned like dp9).
+DP10_SQL = """
+WITH c AS (
+    SELECT event_type, floor(value * 100.0 + 0.5)::BIGINT AS cents FROM events
+),
+g AS (
+    SELECT event_type, count(*)::BIGINT AS n,
+           sum(cents)::BIGINT AS s, sum(cents * cents)::BIGINT AS ss
+    FROM c GROUP BY event_type
+),
+tot AS (
+    SELECT sum(n)::BIGINT AS n, sum(s)::BIGINT AS s, sum(ss)::BIGINT AS ss,
+           count(*)::BIGINT AS k
+    FROM g
+),
+parts AS (
+    SELECT (SELECT sum(s * s / n::DOUBLE) FROM g) AS sum_gsq,
+           t.n, t.s, t.ss, t.k
+    FROM tot t
+),
+d AS (
+    SELECT (sum_gsq - (s::DOUBLE * s) / n) / 10000.0 AS ss_between,
+           (ss - sum_gsq) / 10000.0 AS ss_within,
+           k, n
+    FROM parts
+)
+SELECT floor(ss_between * 1000000.0 + 0.5) / 1000000.0 AS ss_between,
+       floor(ss_within * 1000000.0 + 0.5) / 1000000.0 AS ss_within,
+       floor(ss_between / (ss_between + ss_within) * 1000000.0 + 0.5) / 1000000.0
+           AS eta_squared,
+       floor((ss_between / (k - 1)) / (ss_within / (n - k)) * 1000000.0 + 0.5)
+           / 1000000.0 AS f_stat
+FROM d
+"""
+
+
+@register("dp10_anova_eta", DP10_SQL, survey_ref="beyond reference: one-way ANOVA effect-size profile (categorical vs numeric; single-scan exact-integer moments)")
+def dp10_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents * cents).cast("long").alias("ss"),
+    )
+    g = g.localCheckpoint()
+    agg = g.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("ss").cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n").cast("double")
+        ).alias("sum_gsq"),
+    )
+    ss_between = (
+        F.col("sum_gsq") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / 10000.0
+    ss_within = (F.col("ss") - F.col("sum_gsq")) / 10000.0
+    return agg.select(
+        dround(ss_between, 6).alias("ss_between"),
+        dround(ss_within, 6).alias("ss_within"),
+        dround(ss_between / (ss_between + ss_within), 6).alias("eta_squared"),
+        dround(
+            (ss_between / (F.col("k") - 1)) / (ss_within / (F.col("n") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )

@@ -577,3 +577,12 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     # and the pruned read returns exactly the train rows
     full = load_all()["tp1_training_corpus"].fn(spark, sf_dir)
     assert df.count() == full.where(F.col("split") == "train").count()
+
+
+def test_dp10_anova_single_scan(spark, sf_dir):
+    """dp10's ANOVA algebra must run over the checkpointed |groups|-row
+    moment frame with ZERO further parquet scans (dp9's contract)."""
+    plan = plan_of(spark, "dp10_anova_eta", sf_dir)
+    assert plan.count("Scan parquet") == 0, (
+        "dp10 re-scans events instead of reusing the checkpointed moments"
+    )
