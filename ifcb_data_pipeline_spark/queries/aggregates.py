@@ -689,3 +689,107 @@ def a24_salted_skew_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("price_cents").cast("long").alias("price_cents"),
         "max_qty",
     )
+
+
+# --- A25: Kaplan-Meier survival curve ---------------------------------------
+# Cohort analytics' canonical estimator: user "lifetime" = whole days
+# between first and last event; users whose last activity falls within
+# 2 days of the stream's end are right-CENSORED (still alive).  For
+# each observed lifetime t: risk set n_t (users with T >= t), deaths
+# d_t (uncensored with T = t), censored c_t, and the product-limit
+# survival S(t) = Π_{i<=t}(1 - d_i/n_i).  The cumulative product runs
+# as exp(Σ ln(factor)) over the positive factors with an explicit
+# zero-factor counter (a 1-d_i/n_i = 0 step drives S to exactly 0;
+# ln(0) is null in Spark and -inf in DuckDB, so the counter keeps the
+# two engines identical).  One user-level aggregation over the fact
+# table; every window runs on the bounded |distinct lifetimes| frame.
+A25_SQL = """
+WITH bounds AS (SELECT max(ts) AS mx FROM events),
+per_user AS (
+    SELECT user_id,
+           date_diff('day', min(ts), max(ts))::BIGINT AS t,
+           (max(ts) < (SELECT mx FROM bounds) - INTERVAL 2 DAY) AS died
+    FROM events GROUP BY user_id
+),
+tbl AS (
+    SELECT t,
+           sum(CASE WHEN died THEN 1 ELSE 0 END)::BIGINT AS d,
+           sum(CASE WHEN died THEN 0 ELSE 1 END)::BIGINT AS c,
+           count(*)::BIGINT AS leaving
+    FROM per_user GROUP BY t
+),
+risk AS (
+    SELECT t, d, c,
+           (SELECT count(*) FROM per_user) -
+           coalesce(sum(leaving) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n
+    FROM tbl
+),
+surv AS (
+    SELECT t, d, c, n,
+           sum(CASE WHEN d = n THEN 1 ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS n_zero,
+           sum(CASE WHEN d > 0 AND d < n THEN ln(1.0 - d::DOUBLE / n) ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s
+    FROM risk
+)
+SELECT t AS lifetime_days, n AS n_risk, d AS n_deaths, c AS n_censored,
+       CASE WHEN n_zero > 0 THEN 0.0
+            ELSE floor(exp(log_s) * 1000000.0 + 0.5) / 1000000.0 END AS survival
+FROM surv
+"""
+
+
+@register("a25_survival_curve", A25_SQL, survey_ref="beyond reference: Kaplan-Meier product-limit survival over user lifetimes (right-censored)")
+def a25_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts").alias("mx"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("umx"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.col("umx"), F.col("mn")).cast("long").alias("t"),
+            (F.col("umx") < F.col("mx") - F.expr("INTERVAL 2 DAY")).alias("died"),
+        )
+    )
+    per_user = per_user.localCheckpoint()
+    total = per_user.count()
+    tbl = per_user.groupBy("t").agg(
+        F.sum(F.when(F.col("died"), 1).otherwise(0)).cast("long").alias("d"),
+        F.sum(F.when(F.col("died"), 0).otherwise(1)).cast("long").alias("c"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = tbl.withColumn(
+        "n",
+        F.lit(total) - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+    )
+    surv = risk.select(
+        "t",
+        "d",
+        "c",
+        "n",
+        F.sum(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
+        .over(w_cum)
+        .alias("n_zero"),
+        F.sum(
+            F.when(
+                (F.col("d") > 0) & (F.col("d") < F.col("n")),
+                F.log(1.0 - F.col("d").cast("double") / F.col("n")),
+            ).otherwise(0.0)
+        )
+        .over(w_cum)
+        .alias("log_s"),
+    )
+    return surv.select(
+        F.col("t").alias("lifetime_days"),
+        F.col("n").alias("n_risk"),
+        F.col("d").alias("n_deaths"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("n_zero") > 0, F.lit(0.0))
+        .otherwise(dround(F.exp(F.col("log_s")), 6))
+        .alias("survival"),
+    )
