@@ -1679,3 +1679,109 @@ def mm11_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         deltas,
         schema="video_id string, frame_idx int, l1_delta long, is_cut boolean",
     )
+
+
+# --- MM12: audio spectral features (8-point DFT magnitudes) -----------------
+# The spectral half of the audio family (mm5 = time-domain RMS/ZCR/peak,
+# mm10 = VAD): an 8-point DFT over the head of each 64-sample frame,
+# emitting power in bins k=0..4.  Both engines evaluate the SAME
+# left-associated sum Σ_n x_n·coef with the SAME full-precision decimal
+# coefficient literals — the Spark kernel accumulates in index order
+# (not np.dot's pairwise order), so the doubles are bit-identical
+# before the final rounding.  Scale: one Arrow-batched pass over the
+# PCM payloads, shuffle-free; bins are fixed columns, never exploded.
+import math as _math
+
+_MM12_N = 8
+_MM12_K = 5
+_MM12_COS = [
+    [_math.cos(2 * _math.pi * k * n / _MM12_N) for n in range(_MM12_N)]
+    for k in range(_MM12_K)
+]
+_MM12_SIN = [
+    [_math.sin(2 * _math.pi * k * n / _MM12_N) for n in range(_MM12_N)]
+    for k in range(_MM12_K)
+]
+
+
+def _mm12_x_sql(n: int) -> str:
+    return f"((a * 13 + (f * 64 + {n}) * 7) % 251 - 125)"
+
+
+def _mm12_power_sql(k: int) -> str:
+    re = " + ".join(
+        f"{_mm12_x_sql(n)} * ({_MM12_COS[k][n]!r})" for n in range(_MM12_N)
+    )
+    im = " + ".join(
+        f"{_mm12_x_sql(n)} * ({_MM12_SIN[k][n]!r})" for n in range(_MM12_N)
+    )
+    return (
+        f"floor((({re}) * ({re}) + ({im}) * ({im})) * 1000000.0 + 0.5)"
+        " / 1000000.0"
+    )
+
+
+MM12_SQL = f"""
+WITH auds AS (
+    SELECT o_orderkey AS a, ((o_orderkey % 1000) + 500)::INT AS n
+    FROM orders WHERE o_orderkey % 300 = 0
+),
+frames AS (
+    SELECT a, u.f::INT AS frame_idx, u.f AS f
+    FROM auds, unnest(range(n // 64)) AS u(f)
+)
+SELECT a::VARCHAR AS audio_id, frame_idx,
+       {", ".join(f"{_mm12_power_sql(k)} AS power_{k}" for k in range(_MM12_K))}
+FROM frames
+"""
+
+
+@register("mm12_spectral_frames", MM12_SQL, survey_ref="north-star multimodal: audio spectral features (8-point DFT power bins, bit-identical left-associated sums)")
+def mm12_spectral_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    meta = orders.where(F.col("o_orderkey") % 300 == 0).select(
+        F.col("o_orderkey").alias("a"),
+        ((F.col("o_orderkey") % 1000) + 500).cast("int").alias("n"),
+    )
+
+    def spectra(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cos = np.array(_MM12_COS)
+        sin = np.array(_MM12_SIN)
+        for pdf in batches:
+            out: dict = {"audio_id": [], "frame_idx": []}
+            for k in range(_MM12_K):
+                out[f"power_{k}"] = []
+            for a, n in zip(pdf["a"], pdf["n"]):
+                n = int(n)
+                i = np.arange(n, dtype=np.int64)
+                pcm = ((int(a) * 13 + i * 7) % 251 - 125).astype(np.int8)
+                payload = pcm.tobytes()
+                x = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                n_frames = n // 64
+                heads = x[: n_frames * 64].reshape(n_frames, 64)[:, :_MM12_N]
+                for k in range(_MM12_K):
+                    # accumulate in index order to match the SQL twin's
+                    # left-associated sum bit-for-bit
+                    re = np.zeros(n_frames)
+                    im = np.zeros(n_frames)
+                    for idx in range(_MM12_N):
+                        re = re + heads[:, idx] * cos[k][idx]
+                        im = im + heads[:, idx] * sin[k][idx]
+                    p = re * re + im * im
+                    out[f"power_{k}"].extend(
+                        np.floor(p * 1e6 + 0.5) / 1e6
+                    )
+                out["audio_id"].extend([str(a)] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+            yield pd.DataFrame(out)
+
+    schema = "audio_id string, frame_idx int, " + ", ".join(
+        f"power_{k} double" for k in range(_MM12_K)
+    )
+    return meta.mapInPandas(spectra, schema=schema)
