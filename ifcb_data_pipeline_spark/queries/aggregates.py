@@ -793,3 +793,92 @@ def a25_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(dround(F.exp(F.col("log_s")), 6))
         .alias("survival"),
     )
+
+
+# --- A26: ordered sequence funnel with per-stage time windows ---------------
+# a21 counts unordered stage membership; a26 is the MATCH_RECOGNIZE-
+# style sequence funnel: signup → first click within 1 day of the
+# signup → first purchase within 1 day of that click.  Each stage's
+# anchor is the PREVIOUS stage's timestamp (a per-user scalar), so the
+# plan is a cascade of user-keyed conditional aggregations joined back
+# on user_id — three balanced key shuffles, no per-user sort of the
+# full stream, no sequence explosion.  Timestamps compare exactly
+# (microsecond integers); output is timestamps + an integer stage.
+A26_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS s_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, min(e.ts) AS c_ts
+    FROM events e JOIN s ON s.user_id = e.user_id
+    WHERE e.event_type = 'click'
+      AND e.ts > s.s_ts AND e.ts <= s.s_ts + INTERVAL 1 DAY
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, min(e.ts) AS p_ts
+    FROM events e JOIN c ON c.user_id = e.user_id
+    WHERE e.event_type = 'purchase'
+      AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 1 DAY
+    GROUP BY e.user_id
+)
+SELECT s.user_id,
+       s.s_ts::TIMESTAMP AS signup_ts,
+       c.c_ts::TIMESTAMP AS click_ts,
+       p.p_ts::TIMESTAMP AS purchase_ts,
+       (1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+          + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END)::INT AS stage
+FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@register("a26_sequence_funnel", A26_SQL, survey_ref="beyond reference: MATCH_RECOGNIZE-style ordered funnel (per-stage 1-day windows anchored on the previous stage)")
+def a26_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    s = (
+        events.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    c = (
+        clicks.join(s, "user_id")
+        .where(
+            (F.col("ets") > F.col("s_ts"))
+            & (F.col("ets") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ets").alias("c_ts"))
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("ets")
+    )
+    p = (
+        purchases.join(c, "user_id")
+        .where(
+            (F.col("ets") > F.col("c_ts"))
+            & (F.col("ets") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ets").alias("p_ts"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.col("s_ts").alias("signup_ts"),
+            F.col("c_ts").alias("click_ts"),
+            F.col("p_ts").alias("purchase_ts"),
+            (
+                F.lit(1)
+                + F.when(F.col("c_ts").isNull(), 0).otherwise(1)
+                + F.when(F.col("p_ts").isNull(), 0).otherwise(1)
+            )
+            .cast("int")
+            .alias("stage"),
+        )
+    )

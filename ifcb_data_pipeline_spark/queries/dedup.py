@@ -1014,3 +1014,86 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("dst").isNotNull())
     ranks = pagerank(e1.unionByName(e2), iterations=_G1_ITERS, damping=0.85)
     return ranks.select("node", dround(F.col("rank"), 6).alias("rank"))
+
+
+# --- DD14: LSH recall evaluation against the planted ground truth -----------
+# The eval loop every production dedup pipeline needs: the augmented
+# corpus PLANTS its near-duplicates (doc d ↔ d+10000 for d % 25 = 0),
+# so candidate-generation recall is measurable exactly — what fraction
+# of true pairs does dd2/dd6's banded MinHash-LSH (16 hashes × 8 bands)
+# surface as candidates?  Output is one audit row: true pairs, hits,
+# total candidates, recall.  recall is a ratio of exact BIGINTs —
+# bit-identical doubles in both engines.  Scale: the candidate join is
+# the same linear banded equi-join the dedup queries run; the truth set
+# is a projection of the corpus; metrics are two semi-join counts.
+DD14_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+hw AS (
+    SELECT doc,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
+mh AS (
+    SELECT doc, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, seed
+),
+bands AS (
+    SELECT doc, (seed // 2)::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, seed // 2
+),
+cand AS (
+    SELECT DISTINCT a.doc AS src, b.doc AS dst
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+),
+truth AS (
+    SELECT doc_id AS src, doc_id + 10000 AS dst
+    FROM documents WHERE doc_id % 25 = 0
+),
+hit AS (
+    SELECT count(*)::BIGINT AS n_hit
+    FROM truth t JOIN cand c ON c.src = t.src AND c.dst = t.dst
+),
+nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand)
+SELECT nt.n_true, hit.n_hit, nc.n_candidates,
+       floor(hit.n_hit * 1.0 / nt.n_true * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM nt CROSS JOIN hit CROSS JOIN nc
+"""
+
+
+@register("dd14_lsh_recall", DD14_SQL, survey_ref="beyond reference: candidate-generation recall audit of the banded MinHash-LSH against planted duplicates")
+def dd14_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    banded = banded_signatures(sigs, bands=8, num_hashes=16)
+    a = banded.select(F.col("doc").alias("src"), "band", "sig")
+    b = banded.select(F.col("doc").alias("dst"), "band", "sig")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .dropDuplicates()
+        .localCheckpoint()
+    )
+    truth = documents.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 10000).alias("dst")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nh = truth.join(cand, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        nt.crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_true",
+            "n_hit",
+            "n_candidates",
+            dround(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("recall"),
+        )
+    )
