@@ -53,6 +53,8 @@ HEADLINE = [
     "tp5_funnel_report",
     "dd13_star_components",
     "tx13_bm25_topk",
+    "j17_point_in_time_join",
+    "sp8_importance_resampling",
 ]
 
 

@@ -1090,6 +1090,7 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     tri = documents.select(
         "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
         F.explode(
             F.expr(
                 "transform(sequence(1, greatest(length(lower(text)) - 2, 1)),"
@@ -1097,37 +1098,29 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    src = tri.groupBy("g").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = (
-        tri.join(
-            documents.where(F.col("lang") == "en").select("doc_id"), "doc_id"
-        )
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # The exploded frame feeds two consumers (model build + per-doc
+    # scoring); checkpoint it so the corpus is exploded once.  At 100 TB
+    # this is the standard persist-or-recompute dial — either way each
+    # consumer is one balanced shuffle.
+    tri = tri.localCheckpoint()
+    # BOTH models from ONE conditional aggregation: cs = pool count,
+    # ct = target count — single scan, single shuffle, no second model
+    # join.
+    model = tri.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cs"),
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("ct"),
     )
-    stats = (
-        src.agg(
-            F.sum("cs").cast("double").alias("ns"),
-            F.count(F.lit(1)).cast("double").alias("v"),
-        )
-        .crossJoin(
-            F.broadcast(
-                tgt.agg(
-                    F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt")
-                )
-            )
-        )
+    stats = model.agg(
+        F.sum("cs").cast("double").alias("ns"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+        F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt"),
     )
-    ratio = (
-        src.join(F.broadcast(tgt), "g", "left")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "g",
-            F.log(
-                ((F.coalesce(F.col("ct"), F.lit(0)) + 1) / (F.col("nt") + F.col("v")))
-                / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
-            ).alias("lr"),
-        )
+    ratio = model.crossJoin(F.broadcast(stats)).select(
+        "g",
+        F.log(
+            ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+            / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+        ).alias("lr"),
     )
     scored = (
         tri.join(F.broadcast(ratio), "g")
