@@ -1097,3 +1097,110 @@ def dd14_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("recall"),
         )
     )
+
+
+# --- DD15: LSH parameter-sweep audit (the S-curve tradeoff) -----------------
+# dd14 audits ONE configuration; dd15 sweeps the banding of the same 16
+# MinHashes — (bands, rows/band) ∈ {(2,8), (4,4), (8,2)} — and reports
+# candidate volume vs planted-pair recall per configuration: the exact
+# artifact that picks LSH parameters before a 100 TB run.  All three
+# configurations re-band the SAME signature frame (one shingle +
+# minhash computation, checkpointed), so the sweep costs one corpus
+# pass plus three banded equi-joins — never three pipelines.
+_DD15_CONFIGS = [(2, 8), (4, 4), (8, 2)]
+
+
+def _dd15_bands_sql(bands: int, rows: int) -> str:
+    return f"""
+    SELECT doc, (seed // {rows})::INT AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY seed) AS sig
+    FROM mh GROUP BY doc, seed // {rows}
+"""
+
+
+def _dd15_cfg_sql(bands: int, rows: int) -> str:
+    return f"""
+SELECT {bands} AS bands, {rows} AS rows_per_band,
+       (SELECT count(*) FROM (
+            SELECT DISTINCT a.doc, b.doc
+            FROM b{bands} a JOIN b{bands} b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+        ))::BIGINT AS n_candidates,
+       (SELECT count(*) FROM truth t WHERE EXISTS (
+            SELECT 1 FROM b{bands} a JOIN b{bands} b
+              ON a.band = b.band AND a.sig = b.sig
+             AND a.doc = t.src AND b.doc = t.dst
+        ))::BIGINT AS n_hit
+"""
+
+
+DD15_SQL = f"""
+WITH {SHINGLES_SQL.strip()},
+hw AS (
+    SELECT doc,
+           ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 9, 8))::BIGINT | 1) AS h2
+    FROM sh
+),
+mh AS (
+    SELECT doc, seed, min((h1 + seed * h2) % 4294967296) AS mh
+    FROM hw CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+    GROUP BY doc, seed
+),
+{",".join(f"b{b} AS ({_dd15_bands_sql(b, r)})" for b, r in _DD15_CONFIGS)},
+truth AS (
+    SELECT doc_id AS src, doc_id + 10000 AS dst
+    FROM documents WHERE doc_id % 25 = 0
+),
+nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+cfg AS ({" UNION ALL ".join(_dd15_cfg_sql(b, r) for b, r in _DD15_CONFIGS)})
+SELECT cfg.bands, cfg.rows_per_band, cfg.n_candidates, cfg.n_hit, nt.n_true,
+       floor(cfg.n_hit * 1.0 / nt.n_true * 1000000.0 + 0.5) / 1000000.0 AS recall
+FROM cfg CROSS JOIN nt
+"""
+
+
+@register("dd15_lsh_parameter_sweep", DD15_SQL, survey_ref="beyond reference: LSH S-curve parameter sweep (candidate volume vs recall per banding of one shared signature set)")
+def dd15_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
+    sigs = minhash_signatures(sh, num_hashes=16).localCheckpoint()
+    truth = documents.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 10000).alias("dst")
+    )
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    outs = []
+    for bands, rows in _DD15_CONFIGS:
+        banded = banded_signatures(sigs, bands=bands, num_hashes=16)
+        a = banded.select(F.col("doc").alias("src"), "band", "sig")
+        b = banded.select(F.col("doc").alias("dst"), "band", "sig")
+        cand = (
+            a.join(b, ["band", "sig"])
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .dropDuplicates()
+            .localCheckpoint()
+        )
+        nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        nh = truth.join(cand, ["src", "dst"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hit")
+        )
+        outs.append(
+            nc.crossJoin(F.broadcast(nh)).select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                "n_candidates",
+                "n_hit",
+            )
+        )
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged.crossJoin(F.broadcast(nt)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_hit",
+        "n_true",
+        dround(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("recall"),
+    )
