@@ -586,3 +586,32 @@ def test_dp10_anova_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 0, (
         "dp10 re-scans events instead of reusing the checkpointed moments"
     )
+
+
+def test_i10_merge_is_single_full_outer(spark, sf_dir):
+    """i10's MERGE plan: exactly one full-outer hash join on user_id —
+    a nested loop or a second fact join means the latest-wins reduction
+    regressed."""
+    plan = plan_of(spark, "i10_merge_upsert", sf_dir)
+    assert "FullOuter" in plan, "i10 lost its full-outer merge join"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_w12_no_fact_sort(spark, sf_dir):
+    """w12's exact percentiles are counting-based aggregates — a
+    fact-side Sort node means the plan regressed to sort-based order
+    statistics (unbounded per-group memory at scale)."""
+    plan = plan_of(spark, "w12_mad_outliers", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Window-free: no fact-wide Window operator anywhere
+    assert "WindowExec" not in plan and "RunningWindowFunction" not in plan
+
+
+def test_a26_funnel_no_nested_loop(spark, sf_dir):
+    """a26's stage anchors join back on user_id — all hash joins, never
+    a nested-loop time-range join."""
+    plan = plan_of(spark, "a26_sequence_funnel", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
