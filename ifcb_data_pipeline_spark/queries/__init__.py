@@ -85,7 +85,7 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # plan-pinned).
 # Round-7 rotation plan: those 5 spills first, then the round-6
 # additions (dd13, st8, i10, tx13, dp9, w12, o9, i11, sim11, tp6, g1,
-# mm11, sp8, j17, sim12, dp10, a25, mm12, a26, dd14, dd15 — all locally oracle-green at sf0.001/0.01/0.1 with plan pins /
+# mm11, sp8, j17, sim12, dp10, a25, mm12, a26, dd14, dd15, i12 — all locally oracle-green at sf0.001/0.01/0.1 with plan pins /
 # chain and closed-form pytests / streaming-drain pytest as independent
 # anchors), then the stale-row ladder — 26 r2-era rows (o3 o5 o6×2 o7×2 w4 w5 a9 a20 a21 c4 c5 dp1
 # dp2 j9 j9b sim1 sim3 sim4 sp1 tx1-tx4 tx6, 5 rounds old by then),

@@ -1057,3 +1057,52 @@ def j17_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("order_ts"),
         F.col("state_at").alias("state_at_order"),
     )
+
+
+# --- I12: incremental aggregate maintenance ---------------------------------
+# The rollup-refresh primitive: a materialized per-type aggregate built
+# BEFORE the cutoff is brought current by merging the DELTA's partial
+# aggregate — counts add, sums add, mins/maxes combine — without ever
+# rescanning history.  The Spark side computes genuinely incrementally
+# (two filtered scans, partial-merge on the |types|-row frames); the
+# oracle aggregates the whole table in one pass — the green match IS
+# the algebraic-maintenance proof.  Exact integer cents throughout.
+I12_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS cents,
+       min(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS min_cents,
+       max(floor(value * 100.0 + 0.5)::BIGINT)::BIGINT AS max_cents
+FROM events GROUP BY event_type
+"""
+
+_I12_CUTOFF = "2024-01-20"
+
+
+@register("i12_incremental_rollup", I12_SQL, survey_ref="beyond reference (SURVEY §2.10 family): algebraic aggregate maintenance — base + delta partial merge equals full recompute")
+def i12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    cutoff = F.lit(_I12_CUTOFF).cast("timestamp")
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+            F.min(cents).cast("long").alias("min_cents"),
+            F.max(cents).cast("long").alias("max_cents"),
+        )
+
+    # the "materialized" base (in production: read back from storage)
+    base = partial(events.where(F.col("ts") < cutoff)).localCheckpoint()
+    delta = partial(events.where(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.min("min_cents").cast("long").alias("min_cents"),
+            F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
