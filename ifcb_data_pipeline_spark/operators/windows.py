@@ -123,6 +123,18 @@ def gap_fill(
     return out
 
 
+def pid_stamped_range(df: DataFrame, cols: list) -> DataFrame:
+    """Range-partition ``df`` on ``cols`` and stamp each row with its
+    partition id — the shared first stage of :func:`global_rank` and
+    :func:`grouped_prefix_sum`, exposed un-checkpointed so the plan tests
+    can pin the ``rangepartitioning`` exchange that the eager
+    ``localCheckpoint`` in the combinators hides from downstream plans."""
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n_part, *cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+
+
 def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
     """Distributed total-order rank — the o1/dp8/sp6 machinery as a
     reusable combinator: ONE range-partitioning exchange gives a total
@@ -131,11 +143,14 @@ def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
     per-partition offset cumsum.  The only unsplittable frame is the
     ≤ |partitions|-row counts table (the bounded-window exception);
     the fact side is never windowed on a single partition."""
-    spark = df.sparkSession
-    n_part = spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *keys).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    # localCheckpoint: the pid-stamped frame is consumed by TWO plan
+    # branches (offsets aggregate + within-partition window, joined on
+    # __pid).  Range boundaries are SAMPLED per exchange, so if the two
+    # exchanges are not de-duplicated (AQE re-planning / column pruning
+    # can change their canonical forms), each branch sees different
+    # boundaries and __pid disagrees between them — silently wrong ranks.
+    # Materializing once pins a single boundary sample for both branches.
+    ranged = pid_stamped_range(df, list(keys)).localCheckpoint()
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = counts.select(
         "__pid",
@@ -174,10 +189,14 @@ def grouped_prefix_sum(
     frame, and the within-partition window runs partitioned by
     (partition, group).  Every stage is balanced regardless of group
     skew."""
-    n_part = df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(
-        n_part, *[F.col(c) for c in group_cols + order_cols]
-    ).withColumn("__pid", F.spark_partition_id())
+    # Same dual-consumption hazard as global_rank: __pid must come from
+    # ONE materialized range exchange, or the offsets side and the window
+    # side can sample different range boundaries and disagree on __pid
+    # (the round-6 sp6 intermittent hash mismatch).  localCheckpoint pins
+    # a single boundary sample for both branches.
+    ranged = pid_stamped_range(
+        df, [F.col(c) for c in group_cols + order_cols]
+    ).localCheckpoint()
     part_sums = ranged.groupBy(*group_cols, "__pid").agg(
         F.sum(value_col).alias("__sum")
     )

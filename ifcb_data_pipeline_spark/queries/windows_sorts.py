@@ -134,37 +134,15 @@ def o1_multi_key_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtered = orders.where(F.col("o_totalprice") > 400000).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    n_part = spark.sparkContext.defaultParallelism
-    # One range-partitioning exchange gives a total order across
-    # partitions; spark_partition_id() is then monotone in the sort
-    # order, so global_rank = within-partition row_number + offset.
-    ranged = filtered.repartitionByRange(n_part, *keys).withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
-    # cumsum over ≤ n_part rows — the bounded-frame exception, same
-    # pattern as the p1 boundary stitch.
-    offsets = counts.select(
-        "__pid",
-        (
-            F.coalesce(
-                F.sum("__n").over(
-                    Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            )
-        ).alias("__offset"),
-    )
-    within = Window.partitionBy("__pid").orderBy(*keys)
-    return (
-        ranged.withColumn("__rn", F.row_number().over(within))
-        .join(F.broadcast(offsets), "__pid")
-        .select(
-            "o_orderkey",
-            "o_orderpriority",
-            "o_totalprice",
-            (F.col("__rn") + F.col("__offset")).cast("long").alias("rank"),
-        )
+    # Factored rank combinator: one CHECKPOINTED range exchange gives a
+    # total order (spark_partition_id monotone in it), global rank =
+    # within-partition row_number + broadcast per-partition offsets.
+    # The checkpoint pins a single range-boundary sample for both plan
+    # branches (the round-6 sp6 dual-sampling hazard).
+    from ifcb_data_pipeline_spark.operators.windows import global_rank
+
+    return global_rank(filtered, *keys).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice", "rank"
     )
 
 

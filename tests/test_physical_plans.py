@@ -105,14 +105,35 @@ def test_no_hint_on_raw_fact_scan(spark, sf_dir, name):
         )
 
 
+def test_pid_stamp_is_range_partitioned(spark, sf_dir):
+    """The shared first stage of global_rank/grouped_prefix_sum is ONE
+    range-partitioning exchange (total order across partitions, so
+    spark_partition_id is monotone).  The combinators localCheckpoint it
+    — which hides the exchange from downstream query plans — so the
+    exchange is pinned here on the un-checkpointed helper directly."""
+    from ifcb_data_pipeline_spark.operators.windows import pid_stamped_range
+
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        pid_stamped_range(df, [F.col("o_orderpriority"), F.col("o_orderkey")])
+        ._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "rangepartitioning(o_orderpriority" in plan, (
+        "pid_stamped_range lost its range-partitioning exchange"
+    )
+
+
 def test_o1_rank_is_distributed(spark, sf_dir):
     """o1's total-order rank must never run an unpartitioned Window over
     the fact table: the fact-side row_number is partitioned by the range
-    partition id, and the only SinglePartition exchange allowed is the
-    cumsum over the tiny per-partition counts frame (≤ parallelism rows)."""
+    partition id (from the ONE checkpointed range exchange — the
+    `Scan ExistingRDD` leaf), and the only SinglePartition exchange
+    allowed is the cumsum over the tiny per-partition counts frame
+    (≤ parallelism rows)."""
     plan = plan_of(spark, "o1_multi_key_sort", sf_dir)
-    assert "rangepartitioning(o_orderpriority" in plan, (
-        "o1 lost its range-partitioning exchange"
+    assert "Scan ExistingRDD" in plan, (
+        "o1 lost the checkpointed range exchange (dual-sampling hazard back)"
     )
     assert "hashpartitioning(__pid" in plan, "fact-side window not partitioned by __pid"
     assert plan.count("SinglePartition") <= 1, "unpartitioned window over the fact table"
@@ -407,7 +428,9 @@ def test_dp8_rank_is_distributed(spark, sf_dir):
     subtree must be bounded-frame (counts cumsum ≤ parallelism rows, the
     1-row total, the 6-row probe frame) — never the cents column itself."""
     plan = plan_of(spark, "dp8_exact_quantiles", sf_dir)
-    assert "rangepartitioning(cents" in plan, "dp8 lost its range-partitioning exchange"
+    assert "Scan ExistingRDD" in plan, (
+        "dp8 lost the checkpointed range exchange (dual-sampling hazard back)"
+    )
     assert "hashpartitioning(__pid" in plan, "fact-side window not partitioned by __pid"
 
 
@@ -471,7 +494,9 @@ def test_sp6_prefix_sum_is_distributed(spark, sf_dir):
     subtree — a domain-keyed window over raw docs would serialize a
     web-crawl domain onto one task."""
     plan = plan_of(spark, "sp6_domain_token_cap", sf_dir)
-    assert "rangepartitioning(source" in plan, "sp6 lost its range partitioning"
+    assert "Scan ExistingRDD" in plan, (
+        "sp6 lost the checkpointed range exchange (dual-sampling hazard back)"
+    )
     assert "hashpartitioning(__pid" in plan, "sp6 window not partitioned by __pid"
     assert "SinglePartition" not in plan, "sp6 grew an unpartitioned subtree"
 
@@ -501,7 +526,9 @@ def test_tp4_rank_is_distributed(spark, sf_dir):
     __pid-partitioned window; the only SinglePartition subtree is the
     bounded counts cumsum."""
     plan = plan_of(spark, "tp4_curriculum_order", sf_dir)
-    assert "rangepartitioning(n_tok" in plan, "tp4 lost its range exchange"
+    assert "Scan ExistingRDD" in plan, (
+        "tp4 lost the checkpointed range exchange (dual-sampling hazard back)"
+    )
     assert "hashpartitioning(__pid" in plan, "tp4 window not partitioned by __pid"
     assert plan.count("SinglePartition") <= 1
 
@@ -534,7 +561,9 @@ def test_o9_prefix_sum_is_distributed(spark, sf_dir):
     partitioned by (__pid, source), and no unpartitioned subtree —
     a partition-fat window here serializes the hottest table partition."""
     plan = plan_of(spark, "o9_compaction_plan", sf_dir)
-    assert "rangepartitioning(source" in plan, "o9 lost its range partitioning"
+    assert "Scan ExistingRDD" in plan, (
+        "o9 lost the checkpointed range exchange (dual-sampling hazard back)"
+    )
     assert "hashpartitioning(__pid" in plan, "o9 window not partitioned by __pid"
     assert "SinglePartition" not in plan, "o9 grew an unpartitioned subtree"
 
