@@ -97,6 +97,16 @@ def main() -> None:
         n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    # Spread/detail goes to stderr: the driver captures only a bounded
+    # tail of stdout, and round 6's single fat line (~3.4 kB with spreads)
+    # overflowed that window, starting the captured tail mid-line —
+    # "parsed": null, no bench number landed.  stdout ends with ONE
+    # compact summary line (the driver's parse target) small enough to
+    # survive any tail cut.
+    print(
+        json.dumps({"metric": "spread_detail", "spread": spread, "passes": 3}),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -104,8 +114,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "spread": spread,
-                "passes": 3,
                 "sf": sf,
             }
         )
