@@ -62,101 +62,96 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 
 # Registry order = the order the driver's correctness gate executes queries
-# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4), so the
-# first 50 names below are the round's driver-verified set.
+# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6), so
+# the first 50 names below are the round's driver-verified set.
 #
-# Round-6 rotation.  Round 5's gate artifacts (CORRECTNESS_r05 / BENCH_r05)
-# never landed in the repo, so the round-5 prefix was NEVER driver-verified:
-# every entry added or changed during round 5 — 55 in all — still has no
-# valid driver row.  Those outrank merely-stale rows (r2/r3/r4-era rows
-# stand: code unchanged since their last green check), so the 50 slots go
-# to:
-#   * 12 changed-in-r5 entries whose old rows lapsed with the change:
-#     w7 (microsecond-precision oracle), st1-st5 (exception-safe drain
-#     helper), dd5/tp2 (embedding_lsh_pairs repartition), mm2 (shared
-#     panel_rois/panel_mask), mm5 (_synthetic_audio_frames fixture
-#     refactor), dd4/dd4b (_inverted_index_scores routing);
-#   * 5 early-r5 additions: k7, mm2b, pk2, sp5, w8;
-#   * 33 of the 38 late-r5 additions (all locally oracle-green at
-#     sf0.001/0.01/0.1, never driver-checked).
-# The 5 late-r5 entries with the STRONGEST independent local gates spill
-# to round 7: w9 (full bruteforce anchor), mm6 (baked oracle + isotropy
-# pytest), st6 (batch-twin), dd9 (dd1-shaped), a24 (integer-exact +
-# plan-pinned).
-# Round-7 rotation plan: those 5 spills first, then the round-6
-# additions (dd13, st8, i10, tx13, dp9, w12, o9, i11, sim11, tp6, g1,
-# mm11, sp8, j17, sim12, dp10, a25, mm12, a26, dd14, dd15, i12 — all locally oracle-green at sf0.001/0.01/0.1 with plan pins /
-# chain and closed-form pytests / streaming-drain pytest as independent
-# anchors), then the stale-row ladder — 26 r2-era rows (o3 o5 o6×2 o7×2 w4 w5 a9 a20 a21 c4 c5 dp1
-# dp2 j9 j9b sim1 sim3 sim4 sp1 tx1-tx4 tx6, 5 rounds old by then),
-# then the oldest r3-era rows (a2 a3 a5 a6 a7 a8 a10-a14 a18 a19 c3
-# dd1 dd3 dd6 dd7 f1 f6 f11 j1 j4b j5-j8 j10-j13 mm1 qf s6 u13) until
-# the 50 slots fill.  NOTE: sp6 (in this prefix) was refactored in
-# round 6 onto operators/windows.grouped_prefix_sum — its row this
-# round checks the refactored code, no further action needed.
-# Any query whose code changes in round 6 must displace draft entries
-# from the bottom up.
-# Staleness mitigation while the backlog drains: round 6 ran the FULL
-# registry (every stale r2/r3/r4-era row included) through the local
-# oracle mirror at sf0.001, sf0.01 AND sf0.1 — 177-178/178 green at
-# each scale — so although the old driver rows age, every query's
-# current code is freshly value-verified against its oracle this round.
+# Round-7 rotation (per VERDICT r6 items 1 & 3).  Slot assignment:
+#   * sp6 FIRST: round 6's one red row (intermittent hash mismatch from
+#     the grouped_prefix_sum dual-evaluation hazard, fixed this round by
+#     localCheckpointing the pid-stamped range frame) — needs a green
+#     driver row on the fixed code.
+#   * o1/dp8/tp4: changed this round — they share the fixed
+#     global_rank/grouped_prefix_sum machinery (o1 additionally
+#     refactored onto the combinator), so their old rows lapsed.
+#   * the 5 round-5 spills (w9, mm6, st6, dd9, a24) — never
+#     driver-checked, strongest independent local anchors.
+#   * all 22 round-6 additions — never driver-checked (o9 shares the
+#     fixed prefix-sum machinery too; sp8/tx13/dp9/dp10 additionally
+#     changed this round: sp8 bucket-hashed DSIR model, deterministic
+#     summation-order hardening per ADVICE r6).
+#   * remaining 19 slots: the r2-era stale ladder head (rows 5 rounds
+#     old).  Spilling to round 8: sim4 sp1 tx1 tx2 tx3 tx4 tx6 (the
+#     r2-era tail), then the r3-era ladder (a2 a3 a5 a6 a7 a8 a10-a14
+#     a18 a19 c3 dd1 dd3 dd6 dd7 f1 f6 f11 j1 j4b j5-j8 j10-j13 mm1 qf
+#     s6 u13).
+# Never-driver-checked after this round: ZERO (verdict item 3 done).
+# Round-7 adds are throttled (verdict item 4) so the backlog drains.
+# Staleness mitigation while the ladder drains: the FULL registry
+# (every stale row included) is swept through the local oracle mirror
+# at sf0.001/0.01/0.1 each round; any non-green sweep result must be
+# recorded HERE with the failing query named (round-6's unnamed
+# "177-178/178" cost the sp6 red row its root-cause trail).  Round-7
+# sweep ledger: see SWEEP note below the list.
 PREFIX_ORDER = [
-    # cheap, robust opener: absorbs session warm-up (first scans, first
-    # exchange, codegen) so the heavier rows time cleanly
-    "w8_ewma_smoothing",
-    # changed in round 5 — old driver rows lapsed with the change
-    "dd4_ngram_jaccard",
-    "dd4b_ngram_jaccard_dfcut",
-    "dd5_embedding_cosine_dup",
-    "tp2_multimodal_corpus",
-    "mm2_real_kernel_features",
-    "mm5_audio_frame_features",
-    "w7_native_session_window",
-    "st1_stream_windowed_counts",
-    "st2_stateful_user_counts",
-    "st3_watermarked_append",
-    "st4_stream_stream_join",
-    "st5_streaming_dedup",
-    # added in round 5 — never driver-checked
-    "mm2b_kernel_topologies",
-    "k7_ecotaxa_export",
-    "pk2_document_chunking",
-    "sp5_temperature_resampling",
-    "st7_stream_static_join",
-    "a22_decayed_engagement",
-    "a23_cohort_retention",
-    "w10_cumulative_distinct",
-    "w11_cusum_drift",
-    "j14_bucketed_range_join",
-    "j8b_grid_spatial_join",
-    "j16_interval_overlap",
-    "i8_snapshot_diff",
-    "i9_scd2_compaction",
-    "dp6_drift_profile",
-    "dp7_binned_quantiles",
-    "dp8_exact_quantiles",
-    "pk3_length_bucketed_batching",
-    "sim9_quantized_rerank",
-    "sim10_pq_adc",
-    "dd10_fuzzy_decontamination",
-    "dd11_span_dedup",
-    "dd12_containment_pairs",
-    "mm7_modality_coverage",
-    "mm8_patchify",
-    "mm9_perceptual_dedup",
-    "mm10_voice_activity",
-    "sp2b_stratified_topk",
+    # round-6 red row — fixed machinery, must re-verify first
     "sp6_domain_token_cap",
-    "sp7_epoch_shuffle",
-    "tx11_langid_confusion",
-    "tx12_ngram_novelty",
-    "tp3_incremental_refresh",
+    # changed this round: share the fixed global_rank/grouped_prefix_sum
+    "o1_multi_key_sort",
+    "dp8_exact_quantiles",
     "tp4_curriculum_order",
-    "tp5_funnel_report",
-    "o8_zorder_layout",
-    "s6b_json_props_extract",
+    "o9_compaction_plan",
+    # round-5 spills — never driver-checked
+    "w9_rolling_zscore",
+    "mm6_augmentation_panel",
+    "st6_sliding_window_rates",
+    "dd9_normalized_dedup",
+    "a24_salted_skew_rollup",
+    # round-6 additions — never driver-checked
+    "dd13_star_components",
+    "g1_pagerank",
+    "st8_streaming_sessions",
+    "i10_merge_upsert",
+    "i11_late_data_audit",
+    "i12_incremental_rollup",
+    "j17_point_in_time_join",
+    "tx13_bm25_topk",
+    "sp8_importance_resampling",
+    "dp9_mutual_information",
+    "dp10_anova_eta",
+    "w12_mad_outliers",
+    "sim11_mips_topk",
+    "sim12_knn_graph",
+    "mm11_scene_cuts",
+    "mm12_spectral_frames",
+    "tp6_dataset_card",
+    "a25_survival_curve",
+    "a26_sequence_funnel",
+    "dd14_lsh_recall",
+    "dd15_lsh_parameter_sweep",
+    # r2-era stale ladder (rows 5 rounds old; code unchanged since green)
+    "o3_union_by_name",
+    "o5_split_apply_union",
+    "o6_pivot_wider",
+    "o6_pivot_longer",
+    "o7_set_intersect",
+    "o7_set_except",
+    "w4_newest_topk",
+    "w5_sessionization",
+    "a9_class_counts",
+    "a20_grouped_percentiles",
+    "a21_conversion_funnel",
+    "c4_taxa_resolver",
+    "c5_trophic_lookup",
+    "dp1_column_profile",
+    "dp2_winsorize",
+    "j9_basin_tagging",
+    "j9b_polygon_tagging",
+    "sim1_cosine_topk",
+    "sim3_label_centroids",
 ]
+# SWEEP ledger (round 7): full-registry oracle mirror at
+# sf0.001/0.01/0.1 — results recorded at the end of the round; any
+# failure is named here with its seed/config.
 
 
 def load_all() -> dict[str, QueryDef]:
