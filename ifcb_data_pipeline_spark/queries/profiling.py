@@ -699,22 +699,27 @@ tot AS (SELECT sum(c) AS n FROM joint),
 px AS (SELECT lang, sum(c) AS cx FROM joint GROUP BY lang),
 py AS (SELECT source, sum(c) AS cy FROM joint GROUP BY source),
 terms AS (
-    SELECT (j.c / t.n) * ln((j.c * t.n) / (px.cx * py.cy)) AS mi_term,
-           j.c, t.n
+    SELECT floor((j.c / t.n) * ln((j.c * t.n) / (px.cx * py.cy))
+                 * 1000000000000.0 + 0.5)::BIGINT AS mi_u
     FROM joint j
     JOIN px USING (lang) JOIN py USING (source) CROSS JOIN tot t
 ),
 hx AS (
-    SELECT -sum((cx / t.n) * ln(cx / t.n)) AS h FROM px CROSS JOIN tot t
+    SELECT -sum(floor((cx / t.n) * ln(cx / t.n)
+                      * 1000000000000.0 + 0.5)::BIGINT)::BIGINT AS h_u
+    FROM px CROSS JOIN tot t
 ),
 hy AS (
-    SELECT -sum((cy / t.n) * ln(cy / t.n)) AS h FROM py CROSS JOIN tot t
+    SELECT -sum(floor((cy / t.n) * ln(cy / t.n)
+                      * 1000000000000.0 + 0.5)::BIGINT)::BIGINT AS h_u
+    FROM py CROSS JOIN tot t
 ),
-mi AS (SELECT sum(mi_term) AS mi FROM terms)
-SELECT floor(mi.mi * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
-       floor(hx.h * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
-       floor(hy.h * 1000000.0 + 0.5) / 1000000.0 AS h_source,
-       floor(mi.mi / sqrt(hx.h * hy.h) * 1000000.0 + 0.5) / 1000000.0 AS nmi
+mi AS (SELECT sum(mi_u)::BIGINT AS mi_u FROM terms)
+SELECT floor(mi.mi_u / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS mi_nats,
+       floor(hx.h_u / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_lang,
+       floor(hy.h_u / 1e12 * 1000000.0 + 0.5) / 1000000.0 AS h_source,
+       floor((mi.mi_u / 1e12) / sqrt((hx.h_u / 1e12) * (hy.h_u / 1e12))
+             * 1000000.0 + 0.5) / 1000000.0 AS nmi
 FROM mi CROSS JOIN hx CROSS JOIN hy
 """
 
@@ -730,40 +735,48 @@ def dp9_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = joint.agg(F.sum("c").alias("n"))
     px = joint.groupBy("lang").agg(F.sum("c").alias("cx"))
     py = joint.groupBy("source").agg(F.sum("c").alias("cy"))
+    # Each information term is quantized to integer pico-units
+    # (floor(x*1e12+0.5) BIGINT) BEFORE the sum: the contingency frame's
+    # partial-merge order then cannot drift the totals (ADVICE r6 — the
+    # same order-dependent-double-sum class as the r5 a17 flip).
+    def _q12(col):
+        return F.floor(col * 1e12 + F.lit(0.5)).cast("long")
+
     terms = (
         joint.join(px, "lang")
         .join(py, "source")
         .crossJoin(F.broadcast(tot))
         .select(
-            (
+            _q12(
                 (F.col("c") / F.col("n"))
                 * F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
-            ).alias("mi_term")
+            ).alias("mi_u")
         )
     )
-    mi = terms.agg(F.sum("mi_term").alias("mi"))
+    mi = terms.agg(F.sum("mi_u").alias("mi_u"))
     hx = px.crossJoin(F.broadcast(tot)).agg(
-        (-F.sum((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n")))).alias(
-            "h"
+        (-F.sum(_q12((F.col("cx") / F.col("n")) * F.log(F.col("cx") / F.col("n"))))).alias(
+            "h_u"
         )
     )
     hy = py.crossJoin(F.broadcast(tot)).agg(
-        (-F.sum((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n")))).alias(
-            "h"
+        (-F.sum(_q12((F.col("cy") / F.col("n")) * F.log(F.col("cy") / F.col("n"))))).alias(
+            "h_u"
         )
     )
-    hx = hx.select(F.col("h").alias("h_lang"))
-    hy = hy.select(F.col("h").alias("h_source"))
-    mi = mi.select(F.col("mi").alias("mi_raw"))
+    hx = hx.select(F.col("h_u").alias("hx_u"))
+    hy = hy.select(F.col("h_u").alias("hy_u"))
     return (
         mi.crossJoin(F.broadcast(hx))
         .crossJoin(F.broadcast(hy))
         .select(
-            dround(F.col("mi_raw"), 6).alias("mi_nats"),
-            dround(F.col("h_lang"), 6).alias("h_lang"),
-            dround(F.col("h_source"), 6).alias("h_source"),
+            dround(F.col("mi_u") / 1e12, 6).alias("mi_nats"),
+            dround(F.col("hx_u") / 1e12, 6).alias("h_lang"),
+            dround(F.col("hy_u") / 1e12, 6).alias("h_source"),
             dround(
-                F.col("mi_raw") / F.sqrt(F.col("h_lang") * F.col("h_source")), 6
+                (F.col("mi_u") / 1e12)
+                / F.sqrt((F.col("hx_u") / 1e12) * (F.col("hy_u") / 1e12)),
+                6,
             ).alias("nmi"),
         )
     )
@@ -793,7 +806,8 @@ tot AS (
     FROM g
 ),
 parts AS (
-    SELECT (SELECT sum(s * s / n::DOUBLE) FROM g) AS sum_gsq,
+    SELECT (SELECT sum(floor(s::DOUBLE * s / n * 10000.0 + 0.5)::BIGINT)
+            FROM g)::DOUBLE / 10000.0 AS sum_gsq,
            t.n, t.s, t.ss, t.k
     FROM tot t
 ),
@@ -823,13 +837,24 @@ def dp10_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents * cents).cast("long").alias("ss"),
     )
     g = g.localCheckpoint()
+    # s²/n is the one non-integer term; quantize each group's value to
+    # 1e-4 cents² (floor-form, identical IEEE ops in both engines) and
+    # sum the exact integers — the |groups|-row aggregation can then
+    # never drift with merge order (ADVICE r6).  Sum as decimal so the
+    # quantized units keep headroom beyond BIGINT at larger scales.
     agg = g.agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("s").cast("long").alias("s"),
         F.sum("ss").cast("long").alias("ss"),
         F.count(F.lit(1)).cast("long").alias("k"),
-        F.sum(
-            F.col("s").cast("double") * F.col("s") / F.col("n").cast("double")
+        (
+            F.sum(
+                F.floor(
+                    F.col("s").cast("double") * F.col("s") / F.col("n") * 1e4
+                    + F.lit(0.5)
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e4
         ).alias("sum_gsq"),
     )
     ss_between = (

@@ -951,18 +951,21 @@ dt AS (
     GROUP BY doc_id, w
 ),
 dl AS (
-    SELECT doc_id, sum(tf)::DOUBLE AS dl FROM dt GROUP BY doc_id
+    SELECT doc_id, sum(tf)::BIGINT AS dl FROM dt GROUP BY doc_id
 ),
 stats AS (
-    SELECT count(*)::DOUBLE AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl
+    SELECT count(*)::DOUBLE AS n_docs,
+           (sum(dl)::BIGINT)::DOUBLE / count(*) AS avgdl
+    FROM dl
 ),
 df AS (SELECT w, count(*)::DOUBLE AS docfreq FROM dt GROUP BY w),
 partial AS (
     SELECT q.query_id, dt.doc_id,
-           ln(1 + (s.n_docs - df.docfreq + 0.5) / (df.docfreq + 0.5))
-           * (dt.tf * ({_TX13_K1} + 1))
-           / (dt.tf + {_TX13_K1} * (1 - {_TX13_B} + {_TX13_B} * dl.dl / s.avgdl))
-               AS sc
+           floor(ln(1 + (s.n_docs - df.docfreq + 0.5) / (df.docfreq + 0.5))
+                 * (dt.tf * ({_TX13_K1} + 1))
+                 / (dt.tf + {_TX13_K1}
+                    * (1 - {_TX13_B} + {_TX13_B} * dl.dl / s.avgdl))
+                 * 1000000000.0 + 0.5)::BIGINT AS sc_u
     FROM dt
     JOIN q ON q.w = dt.w
     JOIN df ON df.w = dt.w
@@ -970,16 +973,18 @@ partial AS (
     CROSS JOIN stats s
 ),
 scored AS (
-    SELECT query_id, doc_id, sum(sc) AS score FROM partial GROUP BY 1, 2
+    SELECT query_id, doc_id, sum(sc_u)::BIGINT AS sc_sum
+    FROM partial GROUP BY 1, 2
 ),
 ranked AS (
-    SELECT query_id, doc_id, score,
+    SELECT query_id, doc_id, sc_sum,
            row_number() OVER (PARTITION BY query_id
-                              ORDER BY score DESC, doc_id)::INT AS rank
+                              ORDER BY sc_sum DESC, doc_id)::INT AS rank
     FROM scored
 )
 SELECT query_id, doc_id,
-       floor(score * 1000000.0 + 0.5) / 1000000.0 AS score, rank
+       floor(sc_sum / 1000000000.0 * 1000000.0 + 0.5) / 1000000.0 AS score,
+       rank
 FROM ranked WHERE rank <= 5
 """
 
@@ -996,10 +1001,14 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dl = dt.groupBy("doc_id").agg(F.sum("tf").cast("double").alias("dl"))
+    # dl stays an exact BIGINT and avgdl a ratio of exact integers
+    # (Σdl / n_docs): a float avg over the corpus is summation-order
+    # dependent and would drift last-ulp between engines/runs, shifting
+    # every score (ADVICE r6 determinism hardening).
+    dl = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
     # df only matters for query terms: prune the vocabulary-sized frame
     # with the broadcast query set BEFORE it meets the postings, so the
@@ -1017,20 +1026,33 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + _TX13_K1 * (1 - _TX13_B + _TX13_B * F.col("dl") / F.col("avgdl"))
     )
+    # Per-term partials quantized to integer nano-units: the (query, doc)
+    # score sum is then exact BIGINT algebra — order-insensitive across
+    # Spark partial merges and vs DuckDB — and the rank ordering is an
+    # exact integer comparison (no float-tie nondeterminism).
     partial = (
         dt.join(F.broadcast(q), "w")
         .join(F.broadcast(df_), "w")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", (idf * tf_norm).alias("sc"))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor((idf * tf_norm) * 1e9 + F.lit(0.5)).cast("long").alias("sc_u"),
+        )
     )
-    scored = partial.groupBy("query_id", "doc_id").agg(F.sum("sc").alias("score"))
-    wq = Window.partitionBy("query_id").orderBy(F.col("score").desc(), "doc_id")
+    scored = partial.groupBy("query_id", "doc_id").agg(
+        F.sum("sc_u").alias("sc_sum")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("sc_sum").desc(), "doc_id")
     return (
         scored.withColumn("rank", F.row_number().over(wq).cast("int"))
         .where(F.col("rank") <= 5)
         .select(
-            "query_id", "doc_id", dround(F.col("score"), 6).alias("score"), "rank"
+            "query_id",
+            "doc_id",
+            dround(F.col("sc_sum") / 1e9, 6).alias("score"),
+            "rank",
         )
     )
 
@@ -1041,51 +1063,68 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by the log-likelihood RATIO between an n-gram model of the TARGET
 # distribution (here: the 'en' slice stands in for the curated target)
 # and one of the SOURCE pool (everything), then keep the docs the ratio
-# favors.  Character trigrams reuse tx6's model machinery; the target
-# model is add-one smoothed over the SOURCE vocabulary so unseen
-# trigrams stay finite.  Deterministic selection rule (kept =
-# length-normalized log-ratio > 0) instead of Gumbel sampling — same
-# shape, reproducible across engines/runs.  Scale: both models are
-# vocab-bounded (≤ charset³) and broadcast; the corpus is scanned once
-# into trigrams, joined map-side, and reduced per doc — one shuffle.
-SP8_SQL = """
-WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+# favors.  Deterministic selection rule (kept = length-normalized
+# log-ratio > 0) instead of Gumbel sampling — same shape, reproducible
+# across engines/runs.
+#
+# Scale (round 7, ADVICE r6): trigrams are HASHED into a fixed
+# 2^20-bucket space before the model groupBy — exactly the DSIR paper's
+# hashed n-gram models (Xie et al. §3).  A raw-string model is
+# "vocab-bounded" only for an ASCII corpus; real Unicode pretraining
+# corpora reach ~1e8 distinct character trigrams and the broadcast
+# model becomes a driver OOM.  With hashing the broadcast ratio frame
+# is ≤ 2^20 rows (~16 MB) at ANY corpus scale.  The corpus is scanned
+# once into trigram buckets (checkpointed), both models come from ONE
+# conditional aggregation, and scoring is a map-side broadcast join +
+# one per-doc reduce.
+#
+# Determinism (ADVICE r6): per-bucket log-ratios are quantized to
+# integer nano-units (floor(lr*1e9+0.5) BIGINT) before the per-doc
+# sum, so the group aggregation is exact-integer and order-insensitive
+# in both engines; logratio and kept derive from the exact sum.
+SP8_BUCKETS = 1 << 20
+SP8_SQL = f"""
+WITH d AS (
+    SELECT doc_id, (lang = 'en') AS is_en, lower(text) AS t FROM documents
+),
 tri AS (
-    SELECT doc_id, substr(t, i, 3) AS g
+    SELECT doc_id, is_en,
+           {HASH32_SQL.format(x="substr(t, i, 3)")} % {SP8_BUCKETS} AS b
     FROM d, unnest(range(1, greatest(length(t) - 2, 1) + 1)) AS u(i)
 ),
-src AS (SELECT g, count(*)::BIGINT AS cs FROM tri GROUP BY g),
-tgt0 AS (
-    SELECT tri.g, count(*)::BIGINT AS ct
-    FROM tri JOIN documents doc ON doc.doc_id = tri.doc_id
-    WHERE doc.lang = 'en' GROUP BY tri.g
+model AS (
+    SELECT b, count(*)::BIGINT AS cs,
+           sum(CASE WHEN is_en THEN 1 ELSE 0 END)::BIGINT AS ct
+    FROM tri GROUP BY b
 ),
 stats AS (
-    SELECT (SELECT sum(cs)::DOUBLE FROM src) AS ns,
-           (SELECT coalesce(sum(ct), 0)::DOUBLE FROM tgt0) AS nt,
-           (SELECT count(*)::DOUBLE FROM src) AS v
+    SELECT sum(cs)::DOUBLE AS ns, sum(ct)::DOUBLE AS nt,
+           count(*)::DOUBLE AS v
+    FROM model
 ),
 ratio AS (
-    SELECT s.g,
-           ln(((coalesce(t.ct, 0) + 1) / (st.nt + st.v))
-              / ((s.cs + 1) / (st.ns + st.v))) AS lr
-    FROM src s LEFT JOIN tgt0 t USING (g) CROSS JOIN stats st
+    SELECT m.b,
+           floor(ln(((m.ct + 1) / (st.nt + st.v))
+                    / ((m.cs + 1) / (st.ns + st.v))) * 1000000000.0 + 0.5)::BIGINT
+               AS lr_u
+    FROM model m CROSS JOIN stats st
 ),
 scored AS (
     SELECT tri.doc_id,
            count(*)::BIGINT AS n_trigrams,
-           avg(r.lr) AS logratio
-    FROM tri JOIN ratio r USING (g)
+           sum(r.lr_u)::BIGINT AS lr_sum
+    FROM tri JOIN ratio r USING (b)
     GROUP BY tri.doc_id
 )
 SELECT doc_id, n_trigrams,
-       floor(logratio * 1000000.0 + 0.5) / 1000000.0 AS logratio,
-       (logratio > 0) AS kept
+       floor(lr_sum / (n_trigrams * 1000000000.0) * 1000000.0 + 0.5)
+           / 1000000.0 AS logratio,
+       (lr_sum > 0) AS kept
 FROM scored
 """
 
 
-@register("sp8_importance_resampling", SP8_SQL, survey_ref="north-star splits/mixture: DSIR importance resampling (Xie et al. NeurIPS'23) — broadcast n-gram ratio models")
+@register("sp8_importance_resampling", SP8_SQL, survey_ref="north-star splits/mixture: DSIR importance resampling (Xie et al. NeurIPS'23) — hashed n-gram models, constant-size broadcast")
 def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     tri = documents.select(
@@ -1097,6 +1136,8 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " i -> substring(lower(text), i, 3))"
             )
         ).alias("g"),
+    ).select(
+        "doc_id", "is_en", (hash32(F.col("g")) % SP8_BUCKETS).alias("b")
     )
     # The exploded frame feeds two consumers (model build + per-doc
     # scoring); checkpoint it so the corpus is exploded once.  At 100 TB
@@ -1105,8 +1146,9 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = tri.localCheckpoint()
     # BOTH models from ONE conditional aggregation: cs = pool count,
     # ct = target count — single scan, single shuffle, no second model
-    # join.
-    model = tri.groupBy("g").agg(
+    # join.  Keyed by the hashed bucket, so the frame (and the broadcast
+    # below) is ≤ SP8_BUCKETS rows at any corpus scale.
+    model = tri.groupBy("b").agg(
         F.count(F.lit(1)).alias("cs"),
         F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("ct"),
     )
@@ -1115,24 +1157,33 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("v"),
         F.coalesce(F.sum("ct"), F.lit(0)).cast("double").alias("nt"),
     )
+    # lr quantized to exact integer nano-units: the per-doc sum below is
+    # then order-insensitive (BIGINT algebra), so Spark's partial-merge
+    # order can never flip the rounding boundary or the kept flag.
     ratio = model.crossJoin(F.broadcast(stats)).select(
-        "g",
-        F.log(
-            ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
-            / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
-        ).alias("lr"),
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+                / ((F.col("cs") + 1) / (F.col("ns") + F.col("v")))
+            )
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_u"),
     )
     scored = (
-        tri.join(F.broadcast(ratio), "g")
+        tri.join(F.broadcast(ratio), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),
-            F.avg("lr").alias("logratio"),
+            F.sum("lr_u").alias("lr_sum"),
         )
     )
     return scored.select(
         "doc_id",
         "n_trigrams",
-        dround(F.col("logratio"), 6).alias("logratio"),
-        (F.col("logratio") > 0).alias("kept"),
+        dround(F.col("lr_sum") / (F.col("n_trigrams") * 1e9), 6).alias("logratio"),
+        (F.col("lr_sum") > 0).alias("kept"),
     )

@@ -521,6 +521,32 @@ def test_j16_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+def test_sp8_broadcasts_only_bucket_model(spark, sf_dir):
+    """sp8's DSIR models are hashed into a fixed 2^20-bucket space, so
+    the ONLY broadcast subtrees are aggregates over the bucket key (the
+    ratio model, ≤ SP8_BUCKETS rows at any corpus scale) and the 1-row
+    stats frame — a broadcast of the raw trigram/corpus frame (a
+    LogicalRDD with doc_id, no Aggregate) is the driver-OOM regression
+    the hashing exists to prevent (ADVICE r6)."""
+    df = REGISTRY["sp8_importance_resampling"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed()
+    n_hints, n_bucket_keyed = 0, 0
+    for node in _iter_nodes(plan):
+        if "Hint" not in node.getClass().getSimpleName():
+            continue
+        s = node.toString()
+        if "broadcast" not in s.lower():
+            continue
+        n_hints += 1
+        assert "Aggregate [" in s, (
+            f"sp8 broadcast a non-aggregated (corpus-shaped) subtree:\n{s[:500]}"
+        )
+        if re.search(r"Aggregate \[b#\d+L?\]", s):
+            n_bucket_keyed += 1
+    assert n_hints >= 2, "sp8 lost its model/stats broadcast hints"
+    assert n_bucket_keyed >= 1, "sp8's broadcast model is not keyed by the hash bucket"
+
+
 def test_tp4_rank_is_distributed(spark, sf_dir):
     """tp4 uses the factored global_rank combinator: range exchange +
     __pid-partitioned window; the only SinglePartition subtree is the
