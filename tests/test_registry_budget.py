@@ -36,6 +36,33 @@ def test_prefix_sweep_within_budget(spark, sf_dir):
     )
 
 
+def test_bench_summary_line_fits_tail_window():
+    """The driver captures only a bounded tail of bench.py's stdout;
+    round 6's 3.4 kB line (queries + spreads) overflowed it and the
+    round landed no parseable bench number.  Pin the worst-case size of
+    the final summary line (every median rendered at max width) well
+    under the observed-safe ~2 kB so adding headline queries can't
+    silently push it past the window again."""
+    import json
+
+    import bench
+
+    worst = json.dumps(
+        {
+            "metric": "headline_suite_wall_time",
+            "value": 99999.999,
+            "unit": "sec",
+            "queries": {n: 99999.999 for n in bench.HEADLINE},
+            "sf": 0.1,
+        }
+    )
+    assert len(worst) < 1600, (
+        f"bench summary line worst-case {len(worst)} B — trim HEADLINE or "
+        "move the query map to stderr before it overflows the driver's "
+        "tail-capture window again"
+    )
+
+
 def test_bench_headline_names_resolve():
     """bench.py is driver-executed: a renamed/removed registry entry in
     HEADLINE would crash the round's bench run.  Pin the contract."""
