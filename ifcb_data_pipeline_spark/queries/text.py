@@ -17,7 +17,7 @@ from ..operators.text import (
     tokens,
 )
 from . import register
-from ._util import HASH32_SQL, dround, hash32, tables
+from ._util import HASH32_SQL, dround, fan_out, hash32, tables
 
 
 def _in_list_sql(var: str, words: list[str]) -> str:
@@ -992,6 +992,9 @@ FROM ranked WHERE rank <= 5
 @register("tx13_bm25_topk", TX13_SQL, survey_ref="north-star text: BM25 inverted-index retrieval (broadcast query set, no corpus×query product)")
 def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # (measured: fan_out on the scan HURTS here — the tokenize feeds a
+    # groupBy whose map-side partial aggregation amortizes the single
+    # scan task, and the extra exchange costs more than it frees.)
     q = spark.createDataFrame(
         [(qid, t) for qid, terms in _TX13_QUERIES for t in terms],
         "query_id string, w string",
@@ -1127,6 +1130,10 @@ FROM scored
 @register("sp8_importance_resampling", SP8_SQL, survey_ref="north-star splits/mixture: DSIR importance resampling (Xie et al. NeurIPS'23) — hashed n-gram models, constant-size broadcast")
 def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # The explode+hash below is the expensive narrow stage; a
+    # single-row-group source would serialize it onto one task
+    # (fan_out is a no-op whenever the scan already has ≥ cores splits).
+    documents = fan_out(documents)
     tri = documents.select(
         "doc_id",
         (F.col("lang") == "en").alias("is_en"),
