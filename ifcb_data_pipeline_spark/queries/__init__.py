@@ -161,6 +161,12 @@ PREFIX_ORDER = [
 # median is 2.395 s, spread [2.307, 2.414] — the r6 [3.0, 4.14]
 # reading was measurement contention, not a plan regression; sp8's
 # r6 spread [5.8, 23.2] likewise collapsed to [5.85, 5.99].
+# Noise floor calibration (three idle-machine bench runs this round):
+# suite totals 43.4 / 51.5 / 41.4 s on IDENTICAL code except sp8's
+# fan-out — whole-run throughput swings ±25% between runs (VM
+# co-tenancy), uniformly across queries.  Per-query medians within a
+# run are comparable; totals across runs are not — read deltas
+# against same-run neighbors, not across rounds.
 
 
 def load_all() -> dict[str, QueryDef]:
