@@ -2,8 +2,15 @@
 
 Runs a registry query on Spark and its oracle SQL on DuckDB (same parquet
 tables registered as views), then compares row count, sorted column names,
-and order-insensitive values (floats to 1e-9 relative tolerance — the
-queries themselves round, so any real mismatch shows up far above this).
+and order-insensitive values.
+
+Floats compare EXACTLY by default (round 7): the driver's gate hashes
+values, so a last-ulp cross-engine difference that a tolerance would
+forgive locally still reds the driver row — the mirror must be at least
+as strict as the gate it mirrors.  The repo's float policy (floor-form
+dround over exact-integer-derived doubles, quantized integer sums) is
+designed to make exact equality hold; a tolerance here would hide
+exactly the policy violations the mirror exists to catch.
 """
 
 from __future__ import annotations
@@ -49,7 +56,7 @@ def _sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
-def compare(spark_df, con, oracle: str, rel_tol: float = 1e-9):
+def compare(spark_df, con, oracle: str, rel_tol: float = 0.0):
     """Returns (ok, message)."""
     sdf = spark_df
     spark_cols = sorted(sdf.columns)
@@ -88,6 +95,8 @@ def _values_equal(a, b, rel_tol) -> bool:
         if isinstance(a, str) or isinstance(b, str):  # "NaN" markers
             return a == b
         try:
+            if rel_tol == 0.0:
+                return float(a) == float(b)  # driver-strict: bit-exact
             return math.isclose(float(a), float(b), rel_tol=rel_tol, abs_tol=1e-9)
         except (TypeError, ValueError):
             return a == b
