@@ -153,7 +153,13 @@ PREFIX_ORDER = [
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
 # suite), 189/189 at sf0.1 (463.5 s) — one sequential uncontended run
 # each, after the combinator fix and the sp8/tx13/dp9/dp10
-# determinism hardening.  Zero failures → nothing to name.  The
+# determinism hardening.  Zero failures → nothing to name.
+# Mirror upgraded to DRIVER-STRICT mid-round (oracle_harness compare
+# now bit-exact on floats, no tolerance — the driver hashes values, so
+# the old 1e-9 rel_tol could forgive a diff the gate would red): the
+# full registry re-swept green under exact comparison at ALL THREE SFs
+# (sf0.01 137.5 s, sf0.001 115.4 s, sf0.1 416.2 s), plus repeats at
+# local[8] and driver-like local[32].  Every oracle pair is bit-exact.  The
 # rank-combinator machinery additionally passed 5 repeated prefix-
 # family value-hash runs and the new tests/test_rank_combinators.py
 # config sweep (AQE on/off × shuffle-partition counts).
