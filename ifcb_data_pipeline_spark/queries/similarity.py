@@ -897,12 +897,44 @@ def sim11_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contraction) take the edge list as-is.  Nodes whose buckets hold no
 # other vector emit no edges (documented ANN recall trade-off — the
 # oracle agrees exactly because it replays the same bands).
-from .dedup import _DD5_BANDS, _DD5_ROWS, _sig_sql as _sim12_sig_sql  # noqa: E402
+# sim12 uses a LONGER signature than dd5: 8 bands × 8 rows instead of
+# 4 × 4.  4-bit bands collide for ~(1/2)^4 of RANDOM vector pairs per
+# band — ~23% of ALL pairs become candidates (measured: 462k pairs from
+# 2k vectors), which is morally quadratic at corpus scale.  8-bit bands
+# cut the random-collision mass to ~8·(1/2)^8 ≈ 3% while 8 bands keep
+# near-dup recall high (S-curve: 1-(1-(1-θ/π)^8)^8 — see dd15's
+# parameter-sweep tooling for the framing).  dd5 keeps 4×4: its 0.95
+# cosine threshold prunes after verification and its driver rows stand.
+_SIM12_BANDS, _SIM12_ROWS = 8, 8
+
+
+def _sim12_planes():
+    from ..operators.dedup import sign_hyperplanes
+
+    return sign_hyperplanes(64, _SIM12_BANDS * _SIM12_ROWS)
+
+
+_SIM12_PLANES = _sim12_planes()
+
+
+def _sim12_plane_sql(p: int) -> str:
+    return (
+        "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in _SIM12_PLANES[p]) + "]"
+    )
+
+
+def _sim12_sig_sql(b: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_inner_product(v, {_sim12_plane_sql(b * _SIM12_ROWS + r)}) > 0"
+        " THEN '1' ELSE '0' END)"
+        for r in range(_SIM12_ROWS)
+    )
+
 
 SIM12_SQL = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 coded AS (
-    {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sim12_sig_sql(b)} AS sig FROM e" for b in range(_DD5_BANDS))}
+    {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sim12_sig_sql(b)} AS sig FROM e" for b in range(_SIM12_BANDS))}
 ),
 cand AS (
     SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
@@ -938,7 +970,7 @@ def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     pairs = embedding_lsh_pairs(
-        e, dim=64, bands=_DD5_BANDS, rows_per_band=_DD5_ROWS, threshold=-1.0
+        e, dim=64, bands=_SIM12_BANDS, rows_per_band=_SIM12_ROWS, threshold=-1.0
     )
     sym = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
