@@ -159,7 +159,10 @@ PREFIX_ORDER = [
 # the old 1e-9 rel_tol could forgive a diff the gate would red): the
 # full registry re-swept green under exact comparison at ALL THREE SFs
 # (sf0.01 137.5 s, sf0.001 115.4 s, sf0.1 416.2 s), plus repeats at
-# local[8] and driver-like local[32].  Every oracle pair is bit-exact.  The
+# local[8] and driver-like local[32].  Every oracle pair is bit-exact.
+# End-of-round validation (after sim12 re-banding + sp8 fan-out): full
+# suite 469 green under exact comparison; bench sequential-clean total
+# 39.5 s / 31 queries at sf0.1 (p1 2.46 s, sp8 2.26 s, tx13 1.58 s).  The
 # rank-combinator machinery additionally passed 5 repeated prefix-
 # family value-hash runs and the new tests/test_rank_combinators.py
 # config sweep (AQE on/off × shuffle-partition counts).
