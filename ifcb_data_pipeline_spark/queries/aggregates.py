@@ -720,10 +720,10 @@ tbl AS (
 ),
 risk AS (
     SELECT t, d, c,
-           (SELECT count(*) FROM per_user) -
-           coalesce(sum(leaving) OVER (ORDER BY t
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               AS n
+           ((SELECT count(*) FROM per_user) -
+            coalesce(sum(leaving) OVER (ORDER BY t
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           )::BIGINT AS n
     FROM tbl
 ),
 surv AS (

@@ -536,10 +536,10 @@ cum AS (
 hits AS (
     SELECT event_type, p.p,
            min(CASE WHEN cn >= ceil(p.p * total) THEN bin END) AS qbin
-    FROM cum CROSS JOIN (SELECT unnest([0.50, 0.95, 0.99]) AS p) p
+    FROM cum CROSS JOIN (SELECT unnest([0.50, 0.95, 0.99]::DOUBLE[]) AS p) p
     GROUP BY event_type, p.p
 )
-SELECT event_type, p AS quantile, qbin * 0.5 AS est_value
+SELECT event_type, p AS quantile, (qbin * 0.5)::DOUBLE AS est_value
 FROM hits
 """
 

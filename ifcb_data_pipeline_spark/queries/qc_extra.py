@@ -540,7 +540,7 @@ U13B_SQL = """
 SELECT s::BIGINT AS sample, 20::BIGINT AS n_bins,
        floor((50.0 + 10.0 * s) * 1000000.0 + 0.5) / 1000000.0 AS a,
        floor((-1.5 - 0.02 * s) * 1000000.0 + 0.5) / 1000000.0 AS k,
-       1.0 AS r_sqr
+       1.0::DOUBLE AS r_sqr
 FROM unnest(range(100)) AS t(s)
 """
 

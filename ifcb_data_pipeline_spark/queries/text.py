@@ -686,7 +686,7 @@ WITH toks AS (
 cum AS (
     SELECT doc_id, source, tok,
            sum(tok) OVER (PARTITION BY source ORDER BY h, doc_id
-                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tok
     FROM toks
 )
 SELECT doc_id, source, tok, cum_tok

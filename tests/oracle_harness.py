@@ -56,6 +56,40 @@ def _sort_key(row):
     return tuple((x is None, str(x)) for x in row)
 
 
+# Spark simpleString -> the ONE DuckDB type it may pair with.  The driver's
+# value-hash is type-sensitive (a DuckDB HUGEINT round-trips through pandas
+# as float64, so `24` hashes as `24.0`), so the mirror must reject any pair
+# outside this map — the r6/r7 sp6/a25 red rows were exactly this class
+# (uncast windowed sums typed HUGEINT) and the old type-blind compare let
+# them ship twice.  The only non-identity equivalence is
+# timestamp_ntz ≡ TIMESTAMP (observed benign across 18 green driver rows).
+_TYPE_EQUIV = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "string": "VARCHAR",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+}
+
+
+def _type_mismatches(spark_schema, duck_cols, duck_types):
+    """Cross-engine type audit: every column must pair per _TYPE_EQUIV."""
+    duck_by_col = dict(zip(duck_cols, (str(t) for t in duck_types)))
+    bad = []
+    for f in spark_schema.fields:
+        st = f.dataType.simpleString()
+        dt = duck_by_col.get(f.name)
+        if dt is None:
+            continue  # column-name mismatch is reported separately
+        want = _TYPE_EQUIV.get(st)
+        if want is None or dt != want:
+            bad.append(f"{f.name}: spark={st} duck={dt}")
+    return bad
+
+
 def compare(spark_df, con, oracle: str, rel_tol: float = 0.0):
     """Returns (ok, message)."""
     sdf = spark_df
@@ -64,15 +98,20 @@ def compare(spark_df, con, oracle: str, rel_tol: float = 0.0):
         tuple(_norm(r[c]) for c in spark_cols) for r in sdf.collect()
     ]
 
-    ddf = con.execute(oracle)
-    duck_cols_raw = [d[0] for d in ddf.description]
-    duck_all = ddf.fetchall()
+    drel = con.sql(oracle)
+    duck_cols_raw = list(drel.columns)
+    duck_types_raw = list(drel.types)
+    duck_all = drel.fetchall()
     order = sorted(range(len(duck_cols_raw)), key=lambda i: duck_cols_raw[i])
     duck_cols = [duck_cols_raw[i] for i in order]
     duck_rows = [tuple(_norm(r[i]) for i in order) for r in duck_all]
 
     if spark_cols != duck_cols:
         return False, f"schema mismatch: spark={spark_cols} duck={duck_cols}"
+
+    type_bad = _type_mismatches(sdf.schema, duck_cols_raw, duck_types_raw)
+    if type_bad:
+        return False, "type mismatch: " + "; ".join(type_bad)
     if len(spark_rows) != len(duck_rows):
         return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
 
