@@ -123,6 +123,15 @@ def gap_fill(
     return out
 
 
+# Test-introspection hook (ADVICE r7): the eager localCheckpoint hides the
+# range exchange from downstream plans, so the combinators record the
+# pre-checkpoint frame they ACTUALLY consumed here (keyed by combinator
+# name, overwritten per call) for tests/test_physical_plans.py to pin the
+# rangepartitioning exchange on directly — per query, not just on the bare
+# helper.  Read-only outside tests.
+LAST_PRE_CHECKPOINT: dict[str, DataFrame] = {}
+
+
 def pid_stamped_range(df: DataFrame, cols: list) -> DataFrame:
     """Range-partition ``df`` on ``cols`` and stamp each row with its
     partition id — the shared first stage of :func:`global_rank` and
@@ -150,7 +159,16 @@ def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
     # can change their canonical forms), each branch sees different
     # boundaries and __pid disagrees between them — silently wrong ranks.
     # Materializing once pins a single boundary sample for both branches.
-    ranged = pid_stamped_range(df, list(keys)).localCheckpoint()
+    # Trade-offs (ADVICE r7): localCheckpoint is EAGER — the range
+    # exchange runs NOW, at construction time — and its executor-local
+    # storage is non-reliable, so on a cluster an executor loss after
+    # this point fails the query rather than recomputing (see SCALE.md
+    # "global_rank combinator" for the reliable-checkpoint alternative
+    # at scale); repeated constructions accumulate persisted RDDs until
+    # JVM GC reclaims them.
+    pre = pid_stamped_range(df, list(keys))
+    LAST_PRE_CHECKPOINT["global_rank"] = pre
+    ranged = pre.localCheckpoint()
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = counts.select(
         "__pid",
@@ -191,12 +209,15 @@ def grouped_prefix_sum(
     skew."""
     # Same dual-consumption hazard as global_rank: __pid must come from
     # ONE materialized range exchange, or the offsets side and the window
-    # side can sample different range boundaries and disagree on __pid
-    # (the round-6 sp6 intermittent hash mismatch).  localCheckpoint pins
-    # a single boundary sample for both branches.
-    ranged = pid_stamped_range(
-        df, [F.col(c) for c in group_cols + order_cols]
-    ).localCheckpoint()
+    # side can sample different range boundaries and disagree on __pid.
+    # localCheckpoint pins a single boundary sample for both branches
+    # (eager + non-reliable storage — same trade-offs as global_rank).
+    # Attribution note (round 8): the r6/r7 sp6 driver reds were oracle
+    # HUGEINT typing, not this hazard — the checkpoint stays as
+    # hardening against a real but never-observed-firing latent bug.
+    pre = pid_stamped_range(df, [F.col(c) for c in group_cols + order_cols])
+    LAST_PRE_CHECKPOINT["grouped_prefix_sum"] = pre
+    ranged = pre.localCheckpoint()
     part_sums = ranged.groupBy(*group_cols, "__pid").agg(
         F.sum(value_col).alias("__sum")
     )

@@ -85,12 +85,12 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 #     Spark's double), so their r4/r6 rows lapsed.
 #   * slots 5-11: the r2-era tail (sim4 sp1 tx1-tx4 tx6) — drains the
 #     r2 era completely.
-#   * slots 12-50: 39 of the 44 r3-era rows.  Spilling to round 9 the
-#     5 with the strongest independent anchors: p1/p2/p3 (benched every
-#     round + end-to-end file-contract tests), dd2 (benched every
-#     round), j4 (hypothesis property suite + benched).
+#   * tx13 + dp10: oracle text changed this round too (ADVICE r7
+#     items 1 & 4), so their fresh r7 rows lapsed — they re-enter.
+#   * slots 14-50: 37 of the 44 r3-era rows.  Spilling to round 9 the
+#     7 with the strongest independent anchors (see list comment).
 # Max row age after this round: r4 (a17 etc. = 4 rounds) — within the
-# judge's <=4 target; round 9 takes the 5 spills + the r4-era ladder.
+# judge's <=4 target; round 9 takes the 7 spills + the r4-era ladder.
 # Staleness mitigation while the ladder drains: the FULL registry
 # (every stale row included) is swept through the local oracle mirror
 # at sf0.001/0.01/0.1 each round under the driver-strict, TYPE-AWARE
@@ -103,6 +103,11 @@ PREFIX_ORDER = [
     # oracle text changed this round (type-lint DECIMAL->DOUBLE casts)
     "dp7_binned_quantiles",
     "u13b_psd_fit_pandas",
+    # oracle text changed this round (ADVICE r7: tx13 association
+    # parenthesized to match Spark's IEEE order; dp10 per-term quantized
+    # cast ::BIGINT -> ::HUGEINT so the mirror can't overflow at scale)
+    "tx13_bm25_topk",
+    "dp10_anova_eta",
     # r2-era tail — drains the r2 era
     "sim4_ivf_search",
     "sp1_train_test_split",
@@ -111,7 +116,11 @@ PREFIX_ORDER = [
     "tx3_lang_id",
     "tx4_fingerprint",
     "tx6_trigram_logprob",
-    # r3-era ladder (39 of 44; p1/p2/p3/dd2/j4 spill to round 9)
+    # r3-era ladder (37 of 44; p1/p2/p3/dd2/j4/u13/mm1 spill to round 9
+    # — the 7 with the strongest independent anchors: p1/p2/p3 benched
+    # every round + e2e file-contract tests, dd2 benched, j4 hypothesis
+    # property suite, u13 test_psd.py + u13b (same estimator) in slot 4,
+    # mm1 byte-exact ADC/ROI pytest)
     "a1_biovolume_rollup",
     "a2_taxon_rollup",
     "a3_flag_frequency",
@@ -147,10 +156,8 @@ PREFIX_ORDER = [
     "j11_incremental_anti_join",
     "j12_provenance_merge",
     "j13_classlist_full_join",
-    "mm1_multimodal_features",
     "qf_flag_unification",
     "s6_json_scan",
-    "u13_psd_fit",
 ]
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
 # sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed

@@ -730,13 +730,16 @@ surv AS (
     SELECT t, d, c, n,
            sum(CASE WHEN d = n THEN 1 ELSE 0 END)
                OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS n_zero,
-           sum(CASE WHEN d > 0 AND d < n THEN ln(1.0 - d::DOUBLE / n) ELSE 0 END)
-               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS log_s
+           sum(CASE WHEN d > 0 AND d < n
+                    THEN floor(ln(1.0 - d::DOUBLE / n) * 1000000000.0 + 0.5)::BIGINT
+                    ELSE 0 END)
+               OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)::BIGINT AS log_su
     FROM risk
 )
 SELECT t AS lifetime_days, n AS n_risk, d AS n_deaths, c AS n_censored,
        CASE WHEN n_zero > 0 THEN 0.0
-            ELSE floor(exp(log_s) * 1000000.0 + 0.5) / 1000000.0 END AS survival
+            ELSE floor(exp(log_su / 1000000000.0) * 1000000.0 + 0.5) / 1000000.0
+            END AS survival
 FROM surv
 """
 
@@ -775,14 +778,23 @@ def a25_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("d") == F.col("n"), 1).otherwise(0))
         .over(w_cum)
         .alias("n_zero"),
+        # Each ln(1 - d/n) term is quantized to integer nano-units before
+        # the running sum (the tx13/sp8 recipe, VERDICT r7 item 7): d/n is
+        # an exact-integer ratio so the per-term IEEE ops are identical in
+        # both engines, and the BIGINT sum is order-insensitive — a
+        # last-ulp ln/exp divergence can no longer accumulate into the
+        # floor(·1e6) boundary of the survival output.
         F.sum(
             F.when(
                 (F.col("d") > 0) & (F.col("d") < F.col("n")),
-                F.log(1.0 - F.col("d").cast("double") / F.col("n")),
-            ).otherwise(0.0)
+                F.floor(
+                    F.log(1.0 - F.col("d").cast("double") / F.col("n")) * 1e9
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
         )
         .over(w_cum)
-        .alias("log_s"),
+        .alias("log_su"),
     )
     return surv.select(
         F.col("t").alias("lifetime_days"),
@@ -790,7 +802,7 @@ def a25_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_deaths"),
         F.col("c").alias("n_censored"),
         F.when(F.col("n_zero") > 0, F.lit(0.0))
-        .otherwise(dround(F.exp(F.col("log_s")), 6))
+        .otherwise(dround(F.exp(F.col("log_su") / 1e9), 6))
         .alias("survival"),
     )
 

@@ -806,7 +806,7 @@ tot AS (
     FROM g
 ),
 parts AS (
-    SELECT (SELECT sum(floor(s::DOUBLE * s / n * 10000.0 + 0.5)::BIGINT)
+    SELECT (SELECT sum(floor(s::DOUBLE * s / n * 10000.0 + 0.5)::HUGEINT)
             FROM g)::DOUBLE / 10000.0 AS sum_gsq,
            t.n, t.s, t.ss, t.k
     FROM tot t
@@ -841,7 +841,13 @@ def dp10_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1e-4 cents² (floor-form, identical IEEE ops in both engines) and
     # sum the exact integers — the |groups|-row aggregation can then
     # never drift with merge order (ADVICE r6).  Sum as decimal so the
-    # quantized units keep headroom beyond BIGINT at larger scales.
+    # quantized units keep headroom beyond BIGINT at larger scales; the
+    # oracle mirrors with ::HUGEINT per term (ADVICE r7 — a ::BIGINT
+    # per-term cast would ERROR above ~9.2e18 rather than mirror).
+    # Exactness caveat: once a per-term double s²/n·1e4 exceeds 2^53 the
+    # +0.5 quantization is vacuous (floor of a >2^53 double is that
+    # double) — still cross-engine CONSISTENT, since both engines run
+    # identical IEEE ops on identical exact-integer inputs.
     agg = g.agg(
         F.sum("n").cast("long").alias("n"),
         F.sum("s").cast("long").alias("s"),

@@ -962,9 +962,9 @@ df AS (SELECT w, count(*)::DOUBLE AS docfreq FROM dt GROUP BY w),
 partial AS (
     SELECT q.query_id, dt.doc_id,
            floor(ln(1 + (s.n_docs - df.docfreq + 0.5) / (df.docfreq + 0.5))
-                 * (dt.tf * ({_TX13_K1} + 1))
-                 / (dt.tf + {_TX13_K1}
-                    * (1 - {_TX13_B} + {_TX13_B} * dl.dl / s.avgdl))
+                 * ((dt.tf * ({_TX13_K1} + 1))
+                    / (dt.tf + {_TX13_K1}
+                       * (1 - {_TX13_B} + {_TX13_B} * dl.dl / s.avgdl)))
                  * 1000000000.0 + 0.5)::BIGINT AS sc_u
     FROM dt
     JOIN q ON q.w = dt.w
@@ -1032,7 +1032,11 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-term partials quantized to integer nano-units: the (query, doc)
     # score sum is then exact BIGINT algebra — order-insensitive across
     # Spark partial merges and vs DuckDB — and the rank ordering is an
-    # exact integer comparison (no float-tie nondeterminism).
+    # exact integer comparison (no float-tie nondeterminism).  The oracle
+    # parenthesizes the same association — idf * ((tf*(k1+1)) / denom) —
+    # so both engines run IDENTICAL IEEE ops per term; an association
+    # skew could differ by 1 ulp and flip sc_u at a floor boundary
+    # (ADVICE r7 item 1).
     partial = (
         dt.join(F.broadcast(q), "w")
         .join(F.broadcast(df_), "w")

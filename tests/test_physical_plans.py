@@ -139,6 +139,53 @@ def test_o1_rank_is_distributed(spark, sf_dir):
     assert plan.count("SinglePartition") <= 1, "unpartitioned window over the fact table"
 
 
+@pytest.mark.parametrize(
+    "name",
+    [
+        "o1_multi_key_sort",
+        "dp8_exact_quantiles",
+        "tp4_curriculum_order",
+        "o9_compaction_plan",
+        "sp6_domain_token_cap",
+    ],
+)
+def test_rank_machinery_checkpoint_provenance(spark, sf_dir, name):
+    """Close the ADVICE r7 pin gap: `Scan ExistingRDD` alone is satisfied
+    by ANY localCheckpointed frame, so a query that checkpoints something
+    else while losing its range exchange would still pass the pin above.
+    Two additions per rank-machinery query:
+
+    1. The final plan must contain NO visible ``rangepartitioning`` — if
+       a combinator's localCheckpoint is ever removed, its range exchange
+       reappears in the downstream plan (these queries have no other
+       range exchange: no final orderBy survives to the physical plan).
+    2. The combinator records the pre-checkpoint frame it ACTUALLY
+       consumed (operators.windows.LAST_PRE_CHECKPOINT); that frame's
+       own plan must carry the ``rangepartitioning`` exchange stamping
+       ``__pid`` — the range ordering the rank math depends on, pinned
+       per query rather than only on the bare helper."""
+    from ifcb_data_pipeline_spark.operators.windows import LAST_PRE_CHECKPOINT
+
+    LAST_PRE_CHECKPOINT.clear()
+    plan = plan_of(spark, name, sf_dir)
+    assert "rangepartitioning(" not in plan, (
+        f"{name}: visible range exchange — the combinator's localCheckpoint "
+        "was lost (dual-boundary-sampling hazard is back)"
+    )
+    assert "Scan ExistingRDD" in plan and "hashpartitioning(__pid" in plan
+    assert LAST_PRE_CHECKPOINT, f"{name} did not go through a rank combinator"
+    for combinator, pre in LAST_PRE_CHECKPOINT.items():
+        pre_plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            pre._jdf.queryExecution(), "formatted"
+        )
+        assert "rangepartitioning(" in pre_plan, (
+            f"{name}: {combinator} pre-checkpoint frame lost its range exchange"
+        )
+        assert "__pid" in pre_plan, (
+            f"{name}: {combinator} pre-checkpoint frame lost the __pid stamp"
+        )
+
+
 def test_tx5_topk_before_rank(spark, sf_dir):
     """tx5 must select the 50 survivors with a distributed TopK
     (TakeOrderedAndProject) BEFORE its rank window — the global window
