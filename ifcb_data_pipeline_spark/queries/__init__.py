@@ -174,6 +174,29 @@ PREFIX_ORDER = [
 # pre-fix sp6/a25 oracles and greens the cast ones) + registry-wide
 # DuckDB type lint with an EMPTY whitelist (tests/test_oracle_types.py).
 #
+# SWEEP ledger (round 8): full-registry oracle mirror under the NEW
+# type-aware driver-strict compare — 189/189 green at sf0.001 (123.4 s,
+# incl. the 191 oracle-type lint tests), 189/189 at sf0.01 (inside the
+# 665-green full suite, 317.5 s), 189/189 at sf0.1 (416.6 s) — one
+# sequential uncontended run each, after the sp6/a25 ::BIGINT casts,
+# dp7/u13b DECIMAL->DOUBLE casts, tx13 association parenthesization,
+# a25 log-sum quantization, and dp10 ::HUGEINT oracle headroom.  Zero
+# failures -> nothing to name.  NEW this round: tools/driver_sim.py
+# replicates the gate's pandas data path (toPandas vs DuckDB .df(),
+# dtype+value bit-exact) — 50/50 prefix green and 189/189 full-registry
+# green at sf0.01; the only conversion-layer skew found is Spark date
+# (object-of-datetime.date) vs DuckDB DATE (datetime64), benign under
+# the driver hash (a21/c6/w10 green history) and normalized in the sim.
+# Adjudication proof for the type-aware mirror: reconstructing the
+# PRE-fix sp6/a25 oracles reds them with "type mismatch: ... HUGEINT"
+# and the cast oracles green — the mirror now dominates the driver gate
+# on the type axis (VERDICT r7 item 2 done-criterion).
+# Bench (sequential-clean, same session): 31-query suite 39.3 s at
+# sf0.1 vs r7's 37.2 s — within the documented ±25% co-tenancy noise;
+# per-query medians comparable (p1 2.20 vs 2.71, sp8 2.16 vs 2.20);
+# tx13 3.50 vs 2.57 and dd13 6.67 vs 5.07 carry spreads of [1.6,8.9] /
+# [4.6,11.8] — contention, not plan changes (plans pinned unchanged).
+#
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
 # suite), 189/189 at sf0.1 (463.5 s) — one sequential uncontended run
