@@ -64,10 +64,14 @@ def frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool,
             continue
         if sv.dtype.kind == "f":
             a, b = sv.to_numpy(), dv.to_numpy(dtype=sv.dtype)
-            same = (a == b) | (np.isnan(a) & np.isnan(b))
+            # driver-paranoid: a byte-level hash distinguishes -0.0 from
+            # 0.0 even though == does not, so compare raw bit patterns
+            # (NaN payloads normalized to a single quiet NaN)
+            ibits = f"i{a.dtype.itemsize}"
+            same = (a.view(ibits) == b.view(ibits)) | (np.isnan(a) & np.isnan(b))
             if not same.all():
                 i = int(np.argmin(same))
-                return False, f"value col {c} row {i}: {a[i]!r} != {b[i]!r}"
+                return False, f"value col {c} row {i}: {a[i]!r} != {b[i]!r} (bit-level)"
             continue
         if not sv.equals(dv):
             neq = sv != dv
@@ -104,7 +108,9 @@ def main() -> int:
     full = "--full" in sys.argv
     reg = load_all()
     names = list(reg) if full else list(PREFIX_ORDER)
-    spark = get_spark("driver-sim", cpus=8)
+    import os
+
+    spark = get_spark("driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(sf_dir)
     n_bad = 0
