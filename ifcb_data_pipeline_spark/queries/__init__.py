@@ -91,6 +91,12 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 #     7 with the strongest independent anchors (see list comment).
 # Max row age after this round: r4 (a17 etc. = 4 rounds) — within the
 # judge's <=4 target; round 9 takes the 7 spills + the r4-era ladder.
+# Round-8 adds (3, throttled): dd16_quality_survivor,
+# sp10_decontaminated_split, a27_retention_cohorts — registered BELOW
+# the prefix (slots full this round); the round-9 stale set is 47 rows,
+# so the 3 adds take round 9's exactly-3 spare slots with zero spill.
+# All three swept green at sf0.001/0.01/0.1 through BOTH the type-aware
+# mirror and the pandas driver-sim on landing.
 # Staleness mitigation while the ladder drains: the FULL registry
 # (every stale row included) is swept through the local oracle mirror
 # at sf0.001/0.01/0.1 each round under the driver-strict, TYPE-AWARE

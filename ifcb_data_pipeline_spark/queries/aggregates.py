@@ -894,3 +894,60 @@ def a26_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stage"),
         )
     )
+
+
+# --- A27: retention cohort matrix (first-touch cohorting) -------------------
+# The cohort-retention counterpart of a25's survival curve: users are
+# cohorted by the DAY of their first event; for every later active day,
+# retention = |cohort users active at that age| / |cohort|.  The classic
+# product-analytics triangle, and the aggregate behind replay/engagement
+# weighting of interaction-log training data.  (Day granularity: the
+# synthetic stream spans one month, so days are the month-analogue of a
+# production deployment's monthly cohorts.)  Scale shape: the fact
+# stream collapses FIRST to distinct (user, day) — one groupBy keyed by
+# user_id that also yields each user's cohort via min(day) — then
+# (cohort, age) cells aggregate over that bounded frame; cohort sizes
+# join back broadcast (|days| rows).  No windows, no distinct-count
+# over raw events, three balanced key shuffles total at any scale.
+# Ages are exact integer day differences, and retention is a ratio of
+# exact BIGINTs — floor-form safe in both engines.
+A27_SQL = """
+WITH um AS (
+    SELECT DISTINCT user_id, ts::DATE AS d FROM events
+),
+cohort AS (SELECT user_id, min(d) AS c FROM um GROUP BY user_id),
+sizes AS (SELECT c, count(*)::BIGINT AS n_cohort FROM cohort GROUP BY c),
+act AS (
+    SELECT ch.c, date_diff('day', ch.c, um.d)::BIGINT AS age,
+           count(*)::BIGINT AS n_active
+    FROM um JOIN cohort ch USING (user_id)
+    GROUP BY 1, 2
+)
+SELECT a.c AS cohort_day, a.age, a.n_active, s.n_cohort,
+       floor((a.n_active * 1.0 / s.n_cohort) * 1000000.0 + 0.5) / 1000000.0
+           AS retention
+FROM act a JOIN sizes s USING (c)
+"""
+
+
+@register("a27_retention_cohorts", A27_SQL, survey_ref="beyond reference: retention cohort matrix (first-touch cohorting)")
+def a27_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    um = events.select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("d")
+    ).distinct()
+    cohort = um.groupBy("user_id").agg(F.min("d").alias("c"))
+    sizes = cohort.groupBy("c").agg(F.count(F.lit(1)).alias("n_cohort"))
+    act = (
+        um.join(cohort, "user_id")
+        .select("c", F.datediff(F.col("d"), F.col("c")).cast("long").alias("age"))
+        .groupBy("c", "age")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return act.join(F.broadcast(sizes), "c").select(
+        F.col("c").alias("cohort_day"),
+        "age",
+        "n_active",
+        "n_cohort",
+        dround(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
+    )

@@ -1204,3 +1204,114 @@ def dd15_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true",
         dround(F.col("n_hit") * 1.0 / F.col("n_true"), 6).alias("recall"),
     )
+
+
+# --- DD16: quality-aware survivor selection --------------------------------
+# dd9 collapses normalization-equivalent duplicates but crowns the
+# MIN-id copy; production pipelines (CCNet, RefinedWeb §3.4) instead
+# keep the HIGHEST-QUALITY copy of each duplicate group — e.g. among
+# several mangled re-crawls of a page whose pristine original is gone,
+# keep the cleanest.  The variant corpus models exactly that: every
+# 10th document is replaced by TWO re-crawls — a junk-injected copy at
+# id+30000 ('  ' + UPPER + ' !! ??': the leading spaces and junk
+# tokens dilute its stopword ratio) and a case-only copy at id+60000
+# (same tokens, same ratio as the lost original) — so the quality
+# survivor is the HIGHER id (+60000), provably diverging from dd9's
+# min-id rule inside every multi-copy group with ≥1 stopword.  Quality
+# is quantized to integer 1e-6 units (one IEEE division + floor,
+# identical in both engines) so the argmax is exact integer
+# comparison; tie-break min doc id.  Scale shape: one hash groupBy
+# (map-side partial) + two keyed joins back on the same norm_hash key
+# — no windows, no driver state, same single-shuffle class as dd9 at
+# any corpus size.
+DD16_SQL = """
+WITH corpus AS (
+    SELECT doc_id AS doc, text FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id + 30000, '  ' || upper(text) || ' !! ??'
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 60000, upper(text)
+    FROM documents WHERE doc_id % 10 = 0
+),
+normed AS (
+    SELECT doc,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_hash,
+           floor((len(list_filter(string_split(lower(text), ' '),
+                                  x -> x IN ('the','a','and','of','to','in','is')))
+                  * 1.0 / len(string_split(lower(text), ' ')))
+                 * 1000000.0 + 0.5)::BIGINT AS q_u
+    FROM corpus
+),
+g AS (
+    SELECT norm_hash, count(*)::BIGINT AS n_copies, max(q_u)::BIGINT AS max_q
+    FROM normed GROUP BY norm_hash
+),
+s AS (
+    SELECT n.norm_hash, min(n.doc) AS survivor
+    FROM normed n JOIN g USING (norm_hash)
+    WHERE n.q_u = g.max_q GROUP BY n.norm_hash
+)
+SELECT n.doc, n.norm_hash, n.q_u, g.n_copies, (n.doc = s.survivor) AS is_kept
+FROM normed n JOIN g USING (norm_hash) JOIN s USING (norm_hash)
+"""
+
+
+@register("dd16_quality_survivor", DD16_SQL, survey_ref="beyond reference: quality-aware dedup survivor selection (CCNet/RefinedWeb style)")
+def dd16_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import STOPWORDS
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    norm_of = lambda c: F.md5(  # noqa: E731 - shared normalization, both branches
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " "
+            )
+        )
+    )
+    base = documents.where(F.col("doc_id") % 10 != 0).select(
+        F.col("doc_id").alias("doc"), "text"
+    )
+    heavy = documents.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !! ??")).alias("text"),
+    )
+    light = documents.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 60000).alias("doc"), F.upper("text").alias("text")
+    )
+    corpus = base.unionByName(heavy).unionByName(light)
+    toks = F.split(F.lower(F.col("text")), " ")
+    q_u = F.floor(
+        (
+            F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+            * 1.0
+            / F.size(toks)
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    normed = corpus.select("doc", norm_of(F.col("text")).alias("norm_hash"), q_u.alias("q_u"))
+    g = normed.groupBy("norm_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.max("q_u").alias("max_q")
+    )
+    # survivor per group = min doc among max-quality copies — exact
+    # integer argmax via the (max_q, min doc) two-phase, no window
+    s = (
+        normed.join(g, "norm_hash")
+        .where(F.col("q_u") == F.col("max_q"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc").alias("survivor"))
+    )
+    return (
+        normed.join(g.select("norm_hash", "n_copies"), "norm_hash")
+        .join(s, "norm_hash")
+        .select(
+            "doc",
+            "norm_hash",
+            "q_u",
+            "n_copies",
+            (F.col("doc") == F.col("survivor")).alias("is_kept"),
+        )
+    )

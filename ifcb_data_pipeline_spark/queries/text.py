@@ -1198,3 +1198,100 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.col("lr_sum") / (F.col("n_trigrams") * 1e9), 6).alias("logratio"),
         (F.col("lr_sum") > 0).alias("kept"),
     )
+
+
+# --- SP10: contamination-guarded train/test split ----------------------------
+# dd8 DETECTS eval-set leakage; sp10 is the ENFORCEMENT op every
+# pretraining pipeline runs after splitting: hash-split the corpus
+# (sp1's deterministic rule), then DROP from train any document
+# sharing a word 4-gram with any test document, so the held-out set
+# stays uncontaminated by near-verbatim train text (GPT-3 §2.2 /
+# PaLM decontamination applied at split time).  Output: per-language
+# retention accounting.  Scale shape: unlike dd8's broadcastable
+# benchmark, the test split is a constant FRACTION of the corpus, so
+# the contamination probe is a shuffle LEFT-SEMI join keyed by the
+# 4-gram (map-side distinct on both sides first, AQE skew-split for
+# boilerplate grams) — never a broadcast of a corpus-sized set, never
+# a pair materialization; the fraction is a ratio of exact BIGINTs.
+SP10_SQL = f"""
+WITH split AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN {HASH32_SQL.format(x="doc_id::VARCHAR")} % 100 < 80
+                THEN 'train' ELSE 'test' END AS split
+    FROM documents
+),
+toks AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM split),
+sh AS (
+    SELECT DISTINCT doc_id, split, array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 2)) AS t(i)
+),
+testg AS (SELECT DISTINCT g FROM sh WHERE split = 'test'),
+contam AS (
+    SELECT DISTINCT s.doc_id FROM sh s JOIN testg USING (g)
+    WHERE s.split = 'train'
+),
+flags AS (
+    SELECT sp.lang, sp.split, (c.doc_id IS NOT NULL) AS contaminated
+    FROM split sp LEFT JOIN contam c USING (doc_id)
+)
+SELECT lang,
+       sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test,
+       sum(CASE WHEN split = 'train' AND NOT contaminated THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_kept,
+       sum(CASE WHEN split = 'train' AND contaminated THEN 1 ELSE 0 END)::BIGINT
+           AS n_train_dropped,
+       floor((sum(CASE WHEN split = 'train' AND contaminated THEN 1 ELSE 0 END) * 1.0
+              / sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END))
+             * 1000000.0 + 0.5) / 1000000.0 AS drop_frac
+FROM flags GROUP BY lang
+"""
+
+
+@register("sp10_decontaminated_split", SP10_SQL, survey_ref="beyond reference: contamination-guarded split (GPT-3 §2.2 decontamination enforced at split time)")
+def sp10_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_sets
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    split = documents.select(
+        "doc_id",
+        "lang",
+        F.when(hash32(F.col("doc_id").cast("string")) % 100 < 80, "train")
+        .otherwise("test")
+        .alias("split"),
+    )
+    sh = shingle_sets(documents, text_col="text", id_col="doc_id", k=4).join(
+        split.select(F.col("doc_id").alias("doc"), "split"), "doc"
+    )
+    testg = sh.where(F.col("split") == "test").select("shingle").distinct()
+    # shuffle left-semi keyed by the gram: both sides pre-distinct so the
+    # join input is |distinct grams|-bounded, not corpus-row-bounded
+    contam = (
+        sh.where(F.col("split") == "train")
+        .join(testg, "shingle", "left_semi")
+        .select(F.col("doc").alias("doc_id"))
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flags = split.join(contam, "doc_id", "left").select(
+        "lang",
+        "split",
+        F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+    )
+    n_train = F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+    n_dropped = F.sum(
+        F.when((F.col("split") == "train") & F.col("contaminated"), 1).otherwise(0)
+    )
+    return flags.groupBy("lang").agg(
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(
+            F.when((F.col("split") == "train") & ~F.col("contaminated"), 1).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("n_train_kept"),
+        n_dropped.cast("long").alias("n_train_dropped"),
+        dround((n_dropped * 1.0 / n_train), 6).alias("drop_frac"),
+    )

@@ -215,6 +215,8 @@ def test_p1_window_is_partitioned(spark, sf_dir):
         "j14_bucketed_range_join",
         "j8b_grid_spatial_join",
         "j17_point_in_time_join",
+        "dd16_quality_survivor",
+        "sp10_decontaminated_split",
     ],
 )
 def test_no_nested_loop_in_bucketed_ops(spark, sf_dir, name):
