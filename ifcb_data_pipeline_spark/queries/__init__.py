@@ -165,6 +165,31 @@ PREFIX_ORDER = [
     "qf_flag_unification",
     "s6_json_scan",
 ]
+# ROUND-9 ROTATION PLAN (precomputed; apply verbatim unless round-8
+# driver results dictate otherwise — a red row takes slot 1):
+#   3 round-8 adds (never driver-checked):
+#     dd16_quality_survivor, sp10_decontaminated_split,
+#     a27_retention_cohorts
+#   7 round-8 spills: p1_shark_export, p2_hab_alert,
+#     p3_dashboard_metadata, dd2_minhash_lsh, j4_asof_join,
+#     u13_psd_fit, mm1_multimodal_features
+#   40 r4-era rows: c10_date_format, c11_encoding_fix, c12_haversine,
+#     c1_taxa_clean_cascade, c2_species_flag, c6_parse_bin_id,
+#     c8_f1_score, c9_signif_round, dd8_benchmark_contamination,
+#     dp3_categorical_profile, dp4_domain_mixture,
+#     dp5_correlation_matrix, f10_timestamp_range, f12_value_threshold,
+#     f13_membership_filter, f2_gps_staleness, f3_blacklist_prefix_anti,
+#     f4_flag_removal, f7_qc_gating, f8_sentinel_normalization,
+#     mm3_resize_normalize, mm4_video_frame_sample,
+#     pk1_sequence_packing, sim2_signlsh_ann, sim5_ivf_nprobe2,
+#     sim6_embedding_quantize, sim7_filtered_ann, sim8_kmeans_refine,
+#     sp2_stratified_sample, sp3_shuffle_shards, sp4_mixture_materialize,
+#     tp1_training_corpus, tx10_tfidf_top_terms, tx5_vocabulary,
+#     tx7_repetition_signals, tx8_pii_scrub, tx9_bpe_pair_merge,
+#     w1_adjacency_removal, w3_gap_fill, w6_moving_average
+# = exactly 50; zero slack, so round 9 must not change green queries'
+# code or oracle text without displacing a stale row.
+#
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
 # sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed
 # sum() -> DuckDB HUGEINT -> pandas float64 -> deterministic driver
