@@ -314,3 +314,115 @@ def test_sp6_budget_binding_and_maximal(spark, sf_dir):
                 break
             cum += t
         assert cum == kept_cum, f"{source}: kept {kept_cum}, maximal is {cum}"
+
+
+def test_dd16_survivor_is_quality_argmax_not_min_id(spark, sf_dir):
+    """The survivor rule must (a) pick exactly one keeper per group,
+    (b) always a max-quality copy with min-doc tie-break, and (c) PROVABLY
+    diverge from dd9's min-id rule: the variant corpus replaces every 10th
+    doc with two mangled re-crawls where the cleaner copy has the HIGHER
+    id, so most multi-copy groups must crown a non-min doc."""
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    rows = load_all()["dd16_quality_survivor"].fn(spark, sf_dir).collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(r["norm_hash"], []).append(r)
+    diverged = multi = 0
+    for members in by_group.values():
+        keepers = [r for r in members if r["is_kept"]]
+        assert len(keepers) == 1, "exactly one survivor per group"
+        k = keepers[0]
+        max_q = max(r["q_u"] for r in members)
+        assert k["q_u"] == max_q, "survivor must hold max quality"
+        assert k["doc"] == min(
+            r["doc"] for r in members if r["q_u"] == max_q
+        ), "tie-break must be min doc among max-quality copies"
+        if len(members) > 1:
+            multi += 1
+            if k["doc"] != min(r["doc"] for r in members):
+                diverged += 1
+    assert multi >= 10, "variant corpus must create duplicate groups"
+    assert diverged >= multi * 0.8, (
+        f"quality rule should beat min-id in most groups ({diverged}/{multi})"
+    )
+
+
+def test_sp10_accounting_and_contamination_semantics(spark, sf_dir):
+    """Per-language accounting must tie out against the raw sp1 split, and
+    a directly-recomputed contaminated set (train∩test 4-gram overlap)
+    must equal what the query dropped."""
+    import duckdb
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    out = {
+        r["lang"]: r
+        for r in load_all()["sp10_decontaminated_split"].fn(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    truth = con.execute(
+        """
+        WITH split AS (
+            SELECT doc_id, lang, text,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                             % 100 < 80 THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        ),
+        toks AS (SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM split),
+        sh AS (
+            SELECT DISTINCT doc_id, split, array_to_string(w[i:i+3], ' ') AS g
+            FROM toks, unnest(range(1, greatest(len(w) - 4, 0) + 2)) AS t(i)
+        ),
+        contam AS (
+            SELECT DISTINCT s.doc_id FROM sh s
+            JOIN (SELECT DISTINCT g FROM sh WHERE split = 'test') tg USING (g)
+            WHERE s.split = 'train'
+        )
+        SELECT sp.lang,
+               sum(CASE WHEN sp.split = 'test' THEN 1 ELSE 0 END) AS n_test,
+               sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) AS n_train,
+               sum(CASE WHEN sp.split = 'train' AND c.doc_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS n_dropped
+        FROM split sp LEFT JOIN contam c USING (doc_id) GROUP BY sp.lang
+        """
+    ).fetchall()
+    assert truth and len(truth) == len(out)
+    for lang, n_test, n_train, n_dropped in truth:
+        r = out[lang]
+        assert r["n_test"] == n_test
+        assert r["n_train_kept"] + r["n_train_dropped"] == n_train
+        assert r["n_train_dropped"] == n_dropped
+    assert any(r["n_train_dropped"] > 0 for r in out.values()), (
+        "corpus must exhibit some contamination for the guard to be exercised"
+    )
+
+
+def test_a27_cohort_triangle_shape(spark, sf_dir):
+    """Structural retention-triangle laws: age-0 retention is exactly 1
+    for every cohort (the cohort IS its own day-0 active set), ages are
+    non-negative, no (cohort, age) cell exceeds its cohort size, and
+    cohort sizes sum to the stream's distinct-user count."""
+    import duckdb
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    rows = load_all()["a27_retention_cohorts"].fn(spark, sf_dir).collect()
+    assert rows
+    seen_cohorts = {}
+    for r in rows:
+        assert r["age"] >= 0
+        assert 0 < r["n_active"] <= r["n_cohort"]
+        if r["age"] == 0:
+            assert r["n_active"] == r["n_cohort"] and r["retention"] == 1.0
+        seen_cohorts[r["cohort_day"]] = r["n_cohort"]
+    assert all(
+        any(r["cohort_day"] == c and r["age"] == 0 for r in rows)
+        for c in seen_cohorts
+    ), "every cohort must have its age-0 row"
+    con = duckdb.connect()
+    n_users = con.execute(
+        f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    assert sum(seen_cohorts.values()) == n_users
