@@ -238,6 +238,14 @@ PREFIX_ORDER = [
 # per-query medians comparable (p1 2.20 vs 2.71, sp8 2.16 vs 2.20);
 # tx13 3.50 vs 2.57 and dd13 6.67 vs 5.07 carry spreads of [1.6,8.9] /
 # [4.6,11.8] — contention, not plan changes (plans pinned unchanged).
+# End-of-round certification: full suite 677 green (665 + the
+# rotation-plan drift test + late adds) after landing
+# tools/rotation_audit.py — which mechanically re-derived the
+# staleness ladder from CORRECTNESS_r0{1..7}.json and confirmed the
+# ROUND-9 plan below is exactly the 50 stalest rows (3 never-checked +
+# 7 r3-era spills + 40 r4-era; no staler row left out) — and
+# tools/gen_queries_md.py (QUERIES.md regenerated for the 192-entry
+# round-8 order).
 #
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
