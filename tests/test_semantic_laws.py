@@ -1,0 +1,188 @@
+"""Third-layer semantic law checks: pure-Python/numpy recomputations.
+
+The registry queries are already verified two ways — the DuckDB oracle
+mirror (tests/test_correctness.py, driver-identical compare) and
+physical-plan pins.  Both layers share the QUERY AUTHOR's reading of
+the semantics, so a misconception encoded identically in the Spark code
+and the oracle SQL would pass green.  These tests recompute a handful
+of the algorithmically-richest queries from the raw parquet with
+independent pure-Python/numpy algorithms (union-find instead of
+star-contraction, dense power iteration instead of the join-based
+PageRank, a sequential Kaplan-Meier instead of the windowed
+product-limit, a per-probe linear scan instead of the union-merge
+as-of window) and check the engine output against them, plus the
+family laws the estimators must satisfy regardless of data.
+
+Runs at sf0.001 (500 docs / 1000 events / 1500 orders) so the
+brute-force sides stay trivially cheap.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from ifcb_data_pipeline_spark.queries import REGISTRY, load_all
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+load_all()
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return REGISTRY[name].fn(spark, SF_SMOKE).toPandas()
+
+
+# --- a25: Kaplan-Meier ------------------------------------------------------
+
+
+def test_a25_kaplan_meier_laws_and_sequential_recompute(spark):
+    got = _run(spark, "a25_survival_curve").sort_values("lifetime_days")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    mx = ev["ts"].max()
+    per_user = ev.groupby("user_id")["ts"].agg(["min", "max"])
+    t = (per_user["max"].dt.normalize() - per_user["min"].dt.normalize()).dt.days
+    died = per_user["max"] < mx - pd.Timedelta(days=2)
+
+    # sequential product-limit, one step per distinct lifetime
+    rows = []
+    remaining = len(per_user)
+    s = 1.0
+    for tv in sorted(t.unique()):
+        at_t = t == tv
+        d = int((at_t & died).sum())
+        c = int((at_t & ~died).sum())
+        if d > 0:
+            s *= 1.0 - d / remaining
+        rows.append((int(tv), remaining, d, c, s))
+        remaining -= d + c
+    exp = pd.DataFrame(
+        rows, columns=["lifetime_days", "n_risk", "n_deaths", "n_censored", "survival"]
+    )
+
+    assert got["lifetime_days"].tolist() == exp["lifetime_days"].tolist()
+    assert got["n_risk"].tolist() == exp["n_risk"].tolist()
+    assert got["n_deaths"].tolist() == exp["n_deaths"].tolist()
+    assert got["n_censored"].tolist() == exp["n_censored"].tolist()
+    # engine survival is quantized (nano-unit log terms, 1e-6 output
+    # floor); the sequential product must agree within that grid
+    assert (got["survival"].to_numpy() - exp["survival"].to_numpy()).max() <= 2e-6
+    assert (exp["survival"].to_numpy() - got["survival"].to_numpy()).max() <= 2e-6
+    # laws: S in (0,1] and non-increasing; risk set strictly decreasing
+    sv = got["survival"].to_numpy()
+    assert (sv > 0).all() and (sv <= 1.0).all()
+    assert (pd.Series(sv).diff().dropna() <= 1e-12).all()
+    assert got["n_risk"].is_monotonic_decreasing
+    # accounting: risk set at step k+1 = risk set at k minus everyone leaving
+    leaving = got["n_deaths"] + got["n_censored"]
+    assert (
+        got["n_risk"].iloc[1:].to_numpy()
+        == (got["n_risk"] - leaving).iloc[:-1].to_numpy()
+    ).all()
+
+
+# --- dd13: connected components --------------------------------------------
+
+
+def _union_find_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dd13_components_match_union_find(spark):
+    got = _run(spark, "dd13_star_components")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    nodes = set(docs["doc_id"].astype(int))
+    edges = [(n, n + 1) for n in nodes if n % 50 != 49 and n + 1 in nodes]
+    edges += [(n, n + 150) for n in nodes if n % 97 == 0 and n + 150 in nodes]
+    root = _union_find_components(edges, nodes)
+
+    assert set(got["node"].astype(int)) == nodes  # every node labeled once
+    assert len(got) == len(nodes)
+    got_map = dict(zip(got["node"].astype(int), got["cluster"].astype(int)))
+    # contract: cluster id == min node id of the component
+    comp_min: dict[int, int] = {}
+    for n, r in root.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    assert got_map == {n: comp_min[root[n]] for n in nodes}
+    sizes = got.groupby("cluster")["node"].count()
+    assert (
+        got.set_index("node")["cluster_size"]
+        == got.set_index("node")["cluster"].map(sizes)
+    ).all()
+
+
+# --- g1: PageRank -----------------------------------------------------------
+
+
+def test_g1_pagerank_matches_dense_power_iteration(spark):
+    got = _run(spark, "g1_pagerank")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")[["doc_id", "source"]]
+    hub = docs.groupby("source")["doc_id"].min()
+    edges = set()
+    for _, r in docs.iterrows():
+        h = int(hub[r["source"]])
+        if int(r["doc_id"]) != h:
+            edges.add((int(r["doc_id"]), h))
+    for _, grp in docs.groupby("source"):
+        ids = sorted(grp["doc_id"].astype(int))
+        edges.update(zip(ids, ids[1:]))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    odeg: dict[int, int] = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    rank = [1.0 / n] * n
+    for _ in range(6):
+        contrib = [0.0] * n
+        for s, d in edges:
+            contrib[idx[d]] += rank[idx[s]] / odeg[s]
+        rank = [0.15 / n + 0.85 * c for c in contrib]
+
+    got_map = dict(zip(got["node"].astype(int), got["rank"]))
+    assert set(got_map) == set(nodes)
+    for node in nodes:
+        want = math.floor(rank[idx[node]] * 1e6 + 0.5) / 1e6
+        assert got_map[node] == pytest.approx(want, abs=2e-6), node
+    assert all(v > 0 for v in got_map.values())
+
+
+# --- j17: point-in-time as-of join ------------------------------------------
+
+
+def test_j17_matches_per_probe_linear_scan(spark):
+    got = _run(spark, "j17_point_in_time_join")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    events = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    by_user = {u: g for u, g in events.groupby("user_id")}
+
+    assert len(got) == len(orders)  # left join: every order exactly once
+    got_map = dict(zip(got["o_orderkey"].astype(int), got["state_at_order"]))
+    for _, o in orders.iterrows():
+        cutoff = pd.Timestamp(o["o_orderdate"])  # midnight, inclusive
+        g = by_user.get(o["o_custkey"])
+        want = None
+        if g is not None:
+            elig = g[g["ts"] <= cutoff]
+            if len(elig):
+                # latest ts, ties by highest event_id
+                want = (
+                    elig.sort_values(["ts", "event_id"]).iloc[-1]["event_type"]
+                )
+        assert got_map[int(o["o_orderkey"])] == want or (
+            want is None and pd.isna(got_map[int(o["o_orderkey"])])
+        ), int(o["o_orderkey"])
