@@ -186,3 +186,119 @@ def test_j17_matches_per_probe_linear_scan(spark):
         assert got_map[int(o["o_orderkey"])] == want or (
             want is None and pd.isna(got_map[int(o["o_orderkey"])])
         ), int(o["o_orderkey"])
+
+
+# --- i10: SCD1 merge-upsert -------------------------------------------------
+
+
+def test_i10_matches_pandas_merge(spark):
+    got = _run(spark, "i10_merge_upsert")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cutoff = pd.Timestamp("2024-01-16")
+
+    def latest(df):
+        df = df.sort_values(["ts", "event_id"]).groupby("user_id").last()
+        return df[["event_type", "value", "ts"]]
+
+    base = latest(ev[ev["ts"] < cutoff])
+    chg = latest(ev[ev["ts"] >= cutoff])
+    exp = {}
+    for uid, r in base.iterrows():
+        exp[uid] = (r["event_type"], r["value"], r["ts"], "kept")
+    for uid, r in chg.iterrows():
+        if r["event_type"] == "error":  # tombstone deletes the key
+            exp.pop(uid, None)
+        else:
+            op = "updated" if uid in base.index else "inserted"
+            exp[uid] = (r["event_type"], r["value"], r["ts"], op)
+
+    assert got["user_id"].is_unique and len(got) == len(exp)
+    for _, r in got.iterrows():
+        lt, val, ts, op = exp[r["user_id"]]
+        assert r["last_type"] == lt and r["last_ts"] == ts and r["op"] == op
+        assert r["value"] == math.floor(val * 1e4 + 0.5) / 1e4
+    # law: no surviving row carries a tombstone state from the batch
+    assert not (got["last_type"] == "error").loc[
+        got["op"].isin(["updated", "inserted"])
+    ].any()
+
+
+# --- dp9: mutual information ------------------------------------------------
+
+
+def test_dp9_matches_plain_information_theory(spark):
+    got = _run(spark, "dp9_mutual_information")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    joint = docs.groupby(["lang", "source"]).size()
+    n = float(len(docs))
+    px = docs.groupby("lang").size()
+    py = docs.groupby("source").size()
+    mi = sum(
+        (c / n) * math.log((c * n) / (px[l] * py[s]))
+        for (l, s), c in joint.items()
+    )
+    hx = -sum((c / n) * math.log(c / n) for c in px)
+    hy = -sum((c / n) * math.log(c / n) for c in py)
+
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["mi_nats"] == pytest.approx(mi, abs=2e-6)
+    assert r["h_lang"] == pytest.approx(hx, abs=2e-6)
+    assert r["h_source"] == pytest.approx(hy, abs=2e-6)
+    assert r["nmi"] == pytest.approx(mi / math.sqrt(hx * hy), abs=2e-6)
+    # laws: 0 <= MI <= min(H_X, H_Y); NMI in [0, 1]
+    assert -1e-9 <= r["mi_nats"] <= min(r["h_lang"], r["h_source"]) + 1e-9
+    assert -1e-9 <= r["nmi"] <= 1 + 1e-9
+
+
+# --- tx13: BM25 top-k -------------------------------------------------------
+
+
+def test_tx13_matches_pure_python_bm25(spark):
+    from ifcb_data_pipeline_spark.queries.text import (
+        _TX13_B,
+        _TX13_K1,
+        _TX13_QUERIES,
+    )
+
+    got = _run(spark, "tx13_bm25_topk")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    dt: dict[tuple[int, str], int] = {}
+    for _, r in docs.iterrows():
+        for w in str(r["text"]).lower().split(" "):
+            dt[(int(r["doc_id"]), w)] = dt.get((int(r["doc_id"]), w), 0) + 1
+    dl: dict[int, int] = {}
+    df_: dict[str, int] = {}
+    for (d, w), tf in dt.items():
+        dl[d] = dl.get(d, 0) + tf
+        df_[w] = df_.get(w, 0) + 1
+    n_docs = float(len(dl))
+    avgdl = sum(dl.values()) / n_docs
+
+    exp_rows = []
+    for qid, terms in _TX13_QUERIES:
+        scores: dict[int, int] = {}
+        for d in dl:
+            s = 0
+            for w in terms:
+                tf = dt.get((d, w))
+                if not tf:
+                    continue
+                idf = math.log(1 + (n_docs - df_[w] + 0.5) / (df_[w] + 0.5))
+                tfn = (tf * (_TX13_K1 + 1)) / (
+                    tf + _TX13_K1 * (1 - _TX13_B + _TX13_B * dl[d] / avgdl)
+                )
+                s += int(math.floor(idf * tfn * 1e9 + 0.5))
+            if s:
+                scores[d] = s
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rank, (d, s) in enumerate(top, 1):
+            exp_rows.append(
+                (qid, d, math.floor(s / 1e9 * 1e6 + 0.5) / 1e6, rank)
+            )
+
+    got_rows = [
+        (r["query_id"], int(r["doc_id"]), r["score"], int(r["rank"]))
+        for _, r in got.sort_values(["query_id", "rank"]).iterrows()
+    ]
+    assert got_rows == exp_rows
