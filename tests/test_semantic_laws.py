@@ -302,3 +302,140 @@ def test_tx13_matches_pure_python_bm25(spark):
         for _, r in got.sort_values(["query_id", "rank"]).iterrows()
     ]
     assert got_rows == exp_rows
+
+
+# --- dp10: one-way ANOVA ----------------------------------------------------
+
+
+def test_dp10_matches_plain_anova(spark):
+    got = _run(spark, "dp10_anova_eta")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cents = (ev["value"] * 100.0 + 0.5).apply(math.floor)
+    g = pd.DataFrame({"t": ev["event_type"], "c": cents}).groupby("t")["c"]
+    n_g, s_g, ss_g = g.count(), g.sum(), g.apply(lambda x: (x * x).sum())
+    big_n, big_s, big_ss, k = n_g.sum(), s_g.sum(), ss_g.sum(), len(n_g)
+    sum_gsq = sum(float(s) * s / n for s, n in zip(s_g, n_g))
+    ssb = (sum_gsq - float(big_s) * big_s / big_n) / 1e4  # cents² → units²
+    ssw = (float(big_ss) - sum_gsq) / 1e4
+    eta = ssb / (ssb + ssw)
+    f_stat = (ssb / (k - 1)) / (ssw / (big_n - k))
+
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["ss_between"] == pytest.approx(ssb, rel=1e-9, abs=2e-6)
+    assert r["ss_within"] == pytest.approx(ssw, rel=1e-9, abs=2e-6)
+    assert r["eta_squared"] == pytest.approx(eta, abs=2e-6)
+    assert r["f_stat"] == pytest.approx(f_stat, rel=1e-9, abs=2e-6)
+    # laws: nonneg decomposition, eta in [0,1], SSB+SSW = total SS
+    assert r["ss_between"] >= 0 and r["ss_within"] >= 0
+    assert 0 <= r["eta_squared"] <= 1
+    total_ss = (float(big_ss) - float(big_s) * big_s / big_n) / 1e4
+    assert r["ss_between"] + r["ss_within"] == pytest.approx(total_ss, rel=1e-9)
+
+
+# --- i11: late-data audit ---------------------------------------------------
+
+
+def test_i11_matches_sequential_replay(spark):
+    got = _run(spark, "i11_late_data_audit").set_index("delay_s")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    delays = [0, 600, 1800, 3600]
+    n_late = dict.fromkeys(delays, 0)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("event_id")
+        us = (g["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        prev_max = None
+        for u in us:
+            if prev_max is not None:
+                for d in delays:
+                    if u < prev_max - d * 1_000_000:
+                        n_late[d] += 1
+            prev_max = u if prev_max is None else max(prev_max, u)
+
+    assert sorted(got.index) == delays
+    for d in delays:
+        assert int(got.loc[d, "n_late"]) == n_late[d], d
+        assert int(got.loc[d, "n_events"]) == len(ev)
+    # law: a longer watermark delay never flags more events late
+    assert got.sort_index()["n_late"].is_monotonic_decreasing
+
+
+# --- a26: ordered sequence funnel -------------------------------------------
+
+
+def test_a26_matches_per_user_replay(spark):
+    got = _run(spark, "a26_sequence_funnel")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    day = pd.Timedelta(days=1)
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        sign = g[g["event_type"] == "signup"]["ts"]
+        if not len(sign):
+            continue
+        s_ts = sign.min()
+        clicks = g[
+            (g["event_type"] == "click") & (g["ts"] > s_ts) & (g["ts"] <= s_ts + day)
+        ]["ts"]
+        c_ts = clicks.min() if len(clicks) else None
+        p_ts = None
+        if c_ts is not None:
+            buys = g[
+                (g["event_type"] == "purchase")
+                & (g["ts"] > c_ts)
+                & (g["ts"] <= c_ts + day)
+            ]["ts"]
+            p_ts = buys.min() if len(buys) else None
+        exp[uid] = (s_ts, c_ts, p_ts, 1 + (c_ts is not None) + (p_ts is not None))
+
+    assert set(got["user_id"]) == set(exp) and got["user_id"].is_unique
+    for _, r in got.iterrows():
+        s_ts, c_ts, p_ts, stage = exp[r["user_id"]]
+        assert r["signup_ts"] == s_ts
+        assert (pd.isna(r["click_ts"]) and c_ts is None) or r["click_ts"] == c_ts
+        assert (pd.isna(r["purchase_ts"]) and p_ts is None) or r["purchase_ts"] == p_ts
+        assert int(r["stage"]) == stage
+    # laws: stage k implies all earlier timestamps present and ordered
+    for _, r in got.iterrows():
+        if int(r["stage"]) >= 2:
+            assert r["click_ts"] > r["signup_ts"]
+        if int(r["stage"]) == 3:
+            assert r["purchase_ts"] > r["click_ts"]
+    # funnel counts are non-increasing by construction
+    counts = got["stage"].value_counts()
+    assert counts.get(3, 0) <= counts.get(2, 0) + counts.get(3, 0)
+
+
+# --- o9: compaction planner -------------------------------------------------
+
+
+def test_o9_matches_streaming_fill_replay(spark):
+    got = _run(spark, "o9_compaction_plan")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    target = 2000
+    exp: dict[tuple[str, int], list[int]] = {}
+    for src, g in docs.groupby("source"):
+        g = g.sort_values("doc_id")
+        before = 0
+        for _, r in g.iterrows():
+            b = before // target
+            exp.setdefault((src, b), []).append((int(r["doc_id"]), int(r["n_chars"])))
+            before += int(r["n_chars"])
+
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        files = exp[(r["source"], int(r["bin_id"]))]
+        assert int(r["n_files"]) == len(files)
+        assert int(r["total_bytes"]) == sum(b for _, b in files)
+        assert int(r["first_doc"]) == min(d for d, _ in files)
+        assert int(r["last_doc"]) == max(d for d, _ in files)
+    # laws: per source, bins tile the doc range in order without overlap,
+    # and every bin except the last is filled to at least the target
+    for src, g in got.groupby("source"):
+        g = g.sort_values("bin_id")
+        assert (
+            g["first_doc"].iloc[1:].to_numpy() > g["last_doc"].iloc[:-1].to_numpy()
+        ).all()
+        # streaming-fill law: cumulative bytes before each later bin's
+        # first file reaches that bin's index × target
+        cum = g["total_bytes"].cumsum().shift(1).dropna()
+        assert (cum.to_numpy() >= (g["bin_id"].iloc[1:].to_numpy()) * target).all()
