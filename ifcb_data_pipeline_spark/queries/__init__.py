@@ -246,6 +246,15 @@ PREFIX_ORDER = [
 # 7 r3-era spills + 40 r4-era; no staler row left out) — and
 # tools/gen_queries_md.py (QUERIES.md regenerated for the 192-entry
 # round-8 order).
+# Third-layer anchors (tests/test_semantic_laws.py, late round 8):
+# eleven of the algorithmically-richest queries now ALSO verify against
+# independent pure-Python recomputations + estimator-family laws —
+# a25 (sequential Kaplan-Meier), dd13 (union-find), g1 (dense power
+# iteration), j17 (per-probe scan), i10 (pandas merge replay), dp9
+# (plain information theory), tx13 (pure-Python BM25), dp10 (plain
+# ANOVA + SS conservation), i11 (sequential lateness replay), a26
+# (per-user funnel replay), o9 (streaming-fill replay).  These are
+# spill-grade anchors for future rotations (like j4's property suite).
 #
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
