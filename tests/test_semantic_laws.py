@@ -343,7 +343,8 @@ def test_i11_matches_sequential_replay(spark):
     n_late = dict.fromkeys(delays, 0)
     for _, g in ev.groupby("user_id"):
         g = g.sort_values("event_id")
-        us = (g["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        # unit-robust epoch µs (parquet loads as datetime64[us] here)
+        us = ((g["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).tolist()
         prev_max = None
         for u in us:
             if prev_max is not None:
@@ -439,3 +440,106 @@ def test_o9_matches_streaming_fill_replay(spark):
         # first file reaches that bin's index × target
         cum = g["total_bytes"].cumsum().shift(1).dropna()
         assert (cum.to_numpy() >= (g["bin_id"].iloc[1:].to_numpy()) * target).all()
+
+
+# --- w5: gap-based sessionization -------------------------------------------
+
+
+def test_w5_matches_sequential_sessionizer(spark):
+    got = _run(spark, "w5_sessionization")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp: dict[tuple[int, int], int] = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        # epoch_us // 1e6, unit-robust (parquet loads as datetime64[us])
+        secs = (
+            (g["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1) // 1_000_000
+        ).tolist()
+        sess, prev = 0, None
+        for s in secs:
+            if prev is None or s - prev >= 1800:
+                sess += 1
+            exp[(uid, sess)] = exp.get((uid, sess), 0) + 1
+            prev = s
+
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(r["user_id"], int(r["session_no"]))] == int(r["n_events"])
+    # laws: sessions per user are densely numbered 1..k, and event
+    # counts are conserved (every event in exactly one session)
+    for uid, g in got.groupby("user_id"):
+        ks = sorted(g["session_no"].astype(int))
+        assert ks == list(range(1, len(ks) + 1))
+    per_user = got.groupby("user_id")["n_events"].sum()
+    truth = ev.groupby("user_id")["event_id"].count()
+    assert per_user.sort_index().tolist() == truth.sort_index().tolist()
+
+
+# --- tx9: BPE merge-candidate counting --------------------------------------
+
+
+def test_tx9_matches_pure_python_pair_counts(spark):
+    got = _run(spark, "tx9_bpe_pair_merge")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    vocab: dict[str, int] = {}
+    for text in docs["text"]:
+        for w in str(text).lower().split(" "):
+            vocab[w] = vocab.get(w, 0) + 1
+    freq: dict[str, int] = {}
+    for w, n in vocab.items():
+        for i in range(len(w) - 1):
+            p = w[i : i + 2]
+            freq[p] = freq.get(p, 0) + n
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    assert [
+        (r["pair"], int(r["freq"]), int(r["merge_rank"]))
+        for _, r in got.sort_values("merge_rank").iterrows()
+    ] == [(p, f, i + 1) for i, (p, f) in enumerate(top)]
+
+
+def test_i11_counts_planted_out_of_order_arrivals(spark, tmp_path):
+    """The shipped event streams are fully in-order at every SF (n_late
+    is legitimately 0 for all delays, in both engines — the oracle row
+    is green but vacuous on the counting predicate).  Plant genuine
+    out-of-order arrivals in a synthetic sf_dir and verify the counts
+    against a sequential replay, so the lateness predicate itself is
+    exercised."""
+    base = pd.Timestamp("2024-01-10 12:00:00")
+    rows = []
+    # user 1: arrival 3 jumps back 2h (late for 0/600/1800/3600),
+    # arrival 4 back 20 min (late for 0/600 only)
+    offsets = {1: [0, 3600, -3600, 2400], 2: [0, 100, 200, 150]}
+    eid = 0
+    for uid, offs in offsets.items():
+        for o in offs:
+            rows.append((eid, base + pd.Timedelta(seconds=o), uid, "click", 1.0, "{}"))
+            eid += 1
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    # µs precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+    ev["ts"] = ev["ts"].astype("datetime64[us]")
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    got = (
+        REGISTRY["i11_late_data_audit"].fn(spark, str(tmp_path)).toPandas()
+    ).set_index("delay_s")
+
+    delays = [0, 600, 1800, 3600]
+    n_late = dict.fromkeys(delays, 0)
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values("event_id")
+        us = ((g["ts"] - pd.Timestamp(0)) // pd.Timedelta(microseconds=1)).tolist()
+        pm = None
+        for u in us:
+            if pm is not None:
+                for d in delays:
+                    if u < pm - d * 1_000_000:
+                        n_late[d] += 1
+            pm = u if pm is None else max(pm, u)
+    # the plant is non-vacuous by construction
+    assert n_late[0] > 0 and n_late[0] > n_late[3600]
+    for d in delays:
+        assert int(got.loc[d, "n_late"]) == n_late[d], d
+        assert int(got.loc[d, "n_events"]) == len(ev)
