@@ -274,3 +274,109 @@ def test_st8_invariant_to_microbatch_slicing(spark, sf_dir, tmp_path):
         f"micro-batch slicing changed the session set: "
         f"only-sliced={len(sliced - single)} only-single={len(single - sliced)}"
     )
+
+
+def test_watermark_drops_planted_too_late_event(spark, tmp_path):
+    """The shipped event streams are fully in-order (i11 measures zero
+    lateness at every SF), so no natural-data test ever exercises the
+    watermark's DISCARD path — the 'watermark-bounded state' claim
+    needs a plant.  Three micro-batches: batch 0 fills the 10:00
+    window, batch 1 advances past it (watermark 10:50 emits + evicts
+    its state), batch 2 replays an event into the evicted window — the
+    replay must be dropped (Spark only filters late rows once the
+    window's state is gone; a replay in the SAME batch as the eviction
+    would still merge, which is why the plant needs the middle batch).
+    The batch twin (no watermark) counts the replay — proving the
+    plant is non-vacuous."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    src = tmp_path / "late_stream"
+    src.mkdir()
+
+    def write(name, rows):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        )
+        # µs precision: Spark's parquet reader rejects TIMESTAMP(NANOS)
+        df["ts"] = pd.to_datetime(df["ts"]).astype("datetime64[us]")
+        df.to_parquet(src / name)
+
+    import time
+
+    # batch 0: two rows in the 10:00 window + an advancer that sets the
+    # next batch's watermark to 10:50 (= 11:00 − 10 min)
+    write(
+        "0001.parquet",
+        [
+            (1, "2024-01-10 10:00:30", 1, "click", 1.0, "{}"),
+            (2, "2024-01-10 10:01:30", 1, "click", 1.0, "{}"),
+            (3, "2024-01-10 11:00:00", 2, "click", 1.0, "{}"),
+        ],
+    )
+    time.sleep(1.1)  # distinct mtimes: the file source triggers oldest-first
+    # batch 1: runs at watermark 10:50 → emits the 10:00 window (n=2)
+    # and evicts its state; this row itself lands in the live 10:55 window
+    write("0002.parquet", [(5, "2024-01-10 10:56:00", 1, "click", 1.0, "{}")])
+    time.sleep(1.1)
+    # batch 2: the replay targets the evicted window → dropped; the
+    # advancer finalizes everything up to 11:20
+    write(
+        "0003.parquet",
+        [
+            (4, "2024-01-10 10:02:30", 1, "click", 1.0, "{}"),
+            (6, "2024-01-10 11:30:00", 2, "click", 1.0, "{}"),
+        ],
+    )
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string"
+    )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .outputMode("append")
+        .queryName("late_drop_probe")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+        dropped = sum(
+            (p["stateOperators"][0].get("numRowsDroppedByWatermark") or 0)
+            for p in q.recentProgress
+            if p["stateOperators"]
+        )
+    finally:
+        q.stop()
+    got = {
+        r["ws"].strftime("%H:%M"): r["n"]
+        for r in spark.sql("SELECT * FROM late_drop_probe").collect()
+    }
+    # finalized output: the 10:00 window EXCLUDES the too-late replay,
+    # the in-time 10:55/11:00 rows count, the 11:30 window never
+    # finalizes (final watermark 11:20 < its end)
+    assert got == {"10:00": 2, "10:55": 1, "11:00": 1}, got
+    assert dropped == 1  # exactly the replay, via the state metric
+
+    # batch twin without a watermark counts the replay — the plant bites
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("w.start") == "2024-01-10 10:00:00")
+        .collect()
+    )
+    assert batch[0]["n"] == 3
