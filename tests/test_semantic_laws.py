@@ -543,3 +543,50 @@ def test_i11_counts_planted_out_of_order_arrivals(spark, tmp_path):
     for d in delays:
         assert int(got.loc[d, "n_late"]) == n_late[d], d
         assert int(got.loc[d, "n_events"]) == len(ev)
+
+
+def test_a25_zero_survival_branch_both_engines(spark, tmp_path):
+    """The d == n step (whole risk set dies at once → S(t) = exactly 0,
+    the cross-engine ln(0)/−inf hazard the n_zero counter exists for)
+    never fires on the shipped data at any SF — a planted cohort
+    exercises it in BOTH engines through the driver-identical compare.
+    Plant: the max-ts user is short-lived and censored (t=1); two
+    long-lived users die together at t=10, emptying the risk set."""
+    import duckdb
+
+    from ifcb_data_pipeline_spark.queries.aggregates import A25_SQL
+    from oracle_harness import compare
+
+    rows = [
+        # user 1 and 2: Jan-01 → Jan-11 (t=10), last activity well
+        # before stream end − 2 days → died
+        (1, "2024-01-01 08:00:00", 1, "click", 1.0, "{}"),
+        (2, "2024-01-11 08:00:00", 1, "click", 1.0, "{}"),
+        (3, "2024-01-01 09:00:00", 2, "click", 1.0, "{}"),
+        (4, "2024-01-11 09:00:00", 2, "click", 1.0, "{}"),
+        # user 99 holds max ts → censored by construction, t=1
+        (5, "2024-01-30 10:00:00", 99, "click", 1.0, "{}"),
+        (6, "2024-01-31 10:00:00", 99, "click", 1.0, "{}"),
+    ]
+    ev = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]")
+    ev.to_parquet(tmp_path / "events.parquet")
+
+    got = REGISTRY["a25_survival_curve"].fn(spark, str(tmp_path))
+    pdf = got.toPandas().sort_values("lifetime_days").reset_index(drop=True)
+    # t=1: censor only, survival stays 1; t=10: d == n == 2 → S = 0
+    assert pdf["lifetime_days"].tolist() == [1, 10]
+    assert pdf["n_risk"].tolist() == [3, 2]
+    assert pdf["n_deaths"].tolist() == [0, 2]
+    assert pdf["n_censored"].tolist() == [1, 0]
+    assert pdf["survival"].tolist() == [1.0, 0.0]
+
+    # the oracle agrees bit-for-bit under the driver-identical compare
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+    )
+    ok, msg = compare(got, con, A25_SQL)
+    assert ok, msg
