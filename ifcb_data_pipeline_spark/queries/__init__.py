@@ -255,6 +255,19 @@ PREFIX_ORDER = [
 # ANOVA + SS conservation), i11 (sequential lateness replay), a26
 # (per-user funnel replay), o9 (streaming-fill replay).  These are
 # spill-grade anchors for future rotations (like j4's property suite).
+# Vacuous-branch audit (late round 8): the shipped event stream is
+# fully IN-ORDER at every SF, so i11's lateness counts and the
+# streaming watermark discard path never fire on natural data, and
+# a25's d==n zero-survival step (the ln(0) hazard its n_zero counter
+# guards) never occurs either — all three now exercised by PLANTED
+# data (test_semantic_laws: planted-disorder i11 + both-engine a25
+# zero-branch; test_streaming: 3-batch watermark-drop plant pinning
+# that Spark drops late rows only after state eviction).  f8/w3/j6
+# style branches inject their own variants via modulo rules and were
+# already non-vacuous.  i10's tombstone path fires naturally (3
+# latest=error keys at sf0.001, 30 at sf0.01).
+# Final full-suite certification after the law tests + plants landed:
+# 693 green (suite wall 421 s).
 #
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
