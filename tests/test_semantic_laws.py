@@ -590,3 +590,152 @@ def test_a25_zero_survival_branch_both_engines(spark, tmp_path):
     )
     ok, msg = compare(got, con, A25_SQL)
     assert ok, msg
+
+
+# --- w8: recursive EWMA -----------------------------------------------------
+
+
+def test_w8_matches_sequential_ewma(spark):
+    got = _run(spark, "w8_ewma_smoothing")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp: dict[int, float] = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        e = None
+        for _, r in g.iterrows():
+            v = float(r["value"])
+            e = v if e is None else 0.25 * v + 0.75 * e
+            exp[int(r["event_id"])] = math.floor(e * 1e6 + 0.5) / 1e6
+    assert len(got) == len(exp)
+    # identical IEEE recursion in both engines and the replay: exact
+    for _, r in got.iterrows():
+        assert r["ewma"] == exp[int(r["event_id"])], int(r["event_id"])
+
+
+# --- a21: conversion funnel -------------------------------------------------
+
+
+def test_a21_matches_per_user_replay(spark):
+    got = _run(spark, "a21_conversion_funnel")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    per_day: dict[object, list[int]] = {}
+    for _, g in ev.groupby("user_id"):
+        sign = g[g["event_type"] == "signup"]["ts"]
+        if not len(sign):
+            continue
+        s_ts = sign.min()
+        conv = int(
+            ((g["event_type"] == "purchase") & (g["ts"] > s_ts)).any()
+        )
+        per_day.setdefault(s_ts.date(), []).append(conv)
+
+    assert len(got) == len(per_day)
+    for _, r in got.iterrows():
+        convs = per_day[r["signup_date"]]
+        assert int(r["n_signups"]) == len(convs)
+        assert int(r["n_converted"]) == sum(convs)
+    assert (got["n_converted"] <= got["n_signups"]).all()
+
+
+# --- w6: trailing calendar-range moving average -----------------------------
+
+
+def test_w6_matches_calendar_window_replay(spark):
+    got = _run(spark, "w6_moving_average")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet")
+    orders = orders.assign(
+        cents=(orders["o_totalprice"] * 100.0 + 0.5).apply(math.floor),
+        day=pd.to_datetime(orders["o_orderdate"]).map(
+            lambda d: (d - pd.Timestamp("1970-01-01")).days
+        ),
+    )
+    exp: dict[int, float] = {}
+    for _, g in orders.groupby("o_custkey"):
+        days = g["day"].to_numpy()
+        cents = g["cents"].to_numpy()
+        for i, (_, r) in enumerate(g.iterrows()):
+            # calendar RANGE: every order (ties included) within 6 days back
+            m = (days >= days[i] - 6) & (days <= days[i])
+            exp[int(r["o_orderkey"])] = (
+                math.floor(float(cents[m].sum()) * 100.0 / m.sum() + 0.5) / 1e4
+            )
+    assert len(got) == len(orders)
+    for _, r in got.iterrows():
+        assert r["ma7"] == exp[int(r["o_orderkey"])], int(r["o_orderkey"])
+
+
+# --- a19: CUBE rollup -------------------------------------------------------
+
+
+def test_a19_cube_margin_laws(spark):
+    got = _run(spark, "a19_cube_rollup")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet")
+    base = got[(got["returnflag"] != "ALL") & (got["linestatus"] != "ALL")]
+    # the finest grouping set matches a plain pandas group count
+    truth = li.groupby(["l_returnflag", "l_linestatus"]).size()
+    assert len(base) == len(truth)
+    for _, r in base.iterrows():
+        assert int(r["n"]) == int(truth[(r["returnflag"], r["linestatus"])])
+    # margin laws: each ALL row is the sum of its fixed-coordinate slice
+    tot = got[(got["returnflag"] == "ALL") & (got["linestatus"] == "ALL")]
+    assert len(tot) == 1 and int(tot["n"].iloc[0]) == len(li)
+    for flag, g in base.groupby("returnflag"):
+        row = got[(got["returnflag"] == flag) & (got["linestatus"] == "ALL")]
+        assert int(row["n"].iloc[0]) == int(g["n"].sum())
+        assert row["sum_qty"].iloc[0] == pytest.approx(g["sum_qty"].sum(), abs=0.011 * len(g))
+    for stat, g in base.groupby("linestatus"):
+        row = got[(got["returnflag"] == "ALL") & (got["linestatus"] == stat)]
+        assert int(row["n"].iloc[0]) == int(g["n"].sum())
+
+
+# --- pk1: greedy sequence packing -------------------------------------------
+
+
+def test_pk1_matches_greedy_replay(spark):
+    import re
+
+    got = _run(spark, "pk1_sequence_packing")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    budget, shard_sz = 256, 64
+    exp: dict[int, tuple[int, int, int]] = {}
+    for sh, g in docs.assign(shard=docs["doc_id"] // shard_sz).groupby("shard"):
+        g = g.sort_values("doc_id")
+        chunk, fill = 0, 0
+        first = True
+        for _, r in g.iterrows():
+            tok = min(len(re.split(r"\s+", str(r["text"]).strip())), budget)
+            if first:
+                chunk, fill, first = 0, tok, False
+            elif fill + tok > budget:
+                chunk, fill = chunk + 1, tok
+            else:
+                fill += tok
+            exp[int(r["doc_id"])] = (int(sh), tok, chunk)
+
+    assert len(got) == len(docs)  # every document packed exactly once
+    for _, r in got.iterrows():
+        assert (int(r["shard"]), int(r["tok"]), int(r["chunk"])) == exp[
+            int(r["doc_id"])
+        ], int(r["doc_id"])
+    # law: no chunk exceeds the budget
+    per_chunk = got.groupby(["shard", "chunk"])["tok"].sum()
+    assert (per_chunk <= budget).all()
+
+
+# --- sp3: deterministic shard shuffle ---------------------------------------
+
+
+def test_sp3_is_a_sharded_permutation(spark):
+    got = _run(spark, "sp3_shuffle_shards")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    # partition law: every doc exactly once, shards in [0, 8)
+    assert sorted(got["doc_id"]) == sorted(docs["doc_id"])
+    assert got["shard"].between(0, 7).all()
+    # position law: dense 1..k within each shard (a true permutation)
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(1, len(g) + 1))
+    # determinism: a second run is identical
+    again = _run(spark, "sp3_shuffle_shards")
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
