@@ -247,14 +247,18 @@ PREFIX_ORDER = [
 # tools/gen_queries_md.py (QUERIES.md regenerated for the 192-entry
 # round-8 order).
 # Third-layer anchors (tests/test_semantic_laws.py, late round 8):
-# eleven of the algorithmically-richest queries now ALSO verify against
-# independent pure-Python recomputations + estimator-family laws —
-# a25 (sequential Kaplan-Meier), dd13 (union-find), g1 (dense power
-# iteration), j17 (per-probe scan), i10 (pandas merge replay), dp9
-# (plain information theory), tx13 (pure-Python BM25), dp10 (plain
+# nineteen of the algorithmically-richest queries now ALSO verify
+# against independent pure-Python recomputations + estimator-family
+# laws — a25 (sequential Kaplan-Meier), dd13 (union-find), g1 (dense
+# power iteration), j17 (per-probe scan), i10 (pandas merge replay),
+# dp9 (plain information theory), tx13 (pure-Python BM25), dp10 (plain
 # ANOVA + SS conservation), i11 (sequential lateness replay), a26
-# (per-user funnel replay), o9 (streaming-fill replay).  These are
-# spill-grade anchors for future rotations (like j4's property suite).
+# (per-user funnel replay), o9 (streaming-fill replay), w5 (sequential
+# sessionizer), tx9 (pure-Python pair counts), w8 (sequential EWMA,
+# bit-exact), a21 (per-user conversion replay), w6 (calendar-range
+# replay), a19 (CUBE margin laws), pk1 (greedy packing replay), sp3
+# (sharded-permutation + determinism laws).  These are spill-grade
+# anchors for future rotations (like j4's property suite).
 # Vacuous-branch audit (late round 8): the shipped event stream is
 # fully IN-ORDER at every SF, so i11's lateness counts and the
 # streaming watermark discard path never fire on natural data, and
@@ -267,7 +271,7 @@ PREFIX_ORDER = [
 # already non-vacuous.  i10's tombstone path fires naturally (3
 # latest=error keys at sf0.001, 30 at sf0.01).
 # Final full-suite certification after the law tests + plants landed:
-# 693 green (suite wall 421 s).
+# 699 green (suite wall 358 s).
 #
 # SWEEP ledger (round 7): full-registry oracle mirror — 189/189 green
 # at sf0.001 (189.6 s), 189/189 at sf0.01 (inside the 461-green full
