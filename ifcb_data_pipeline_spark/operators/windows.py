@@ -128,8 +128,18 @@ def gap_fill(
 # pre-checkpoint frame they ACTUALLY consumed here (keyed by combinator
 # name, overwritten per call) for tests/test_physical_plans.py to pin the
 # rangepartitioning exchange on directly — per query, not just on the bare
-# helper.  Read-only outside tests.
+# helper.  Recording is gated OFF in production (ADVICE r8): a module
+# global retaining DataFrame/plan references after every call would pin
+# lineage indefinitely and is racy under concurrent query construction —
+# the plan tests flip RECORD_PRE_CHECKPOINT on around the construction
+# they inspect, so production constructions pay and hold nothing.
+RECORD_PRE_CHECKPOINT: bool = False
 LAST_PRE_CHECKPOINT: dict[str, DataFrame] = {}
+
+
+def _record_pre(name: str, pre: DataFrame) -> None:
+    if RECORD_PRE_CHECKPOINT:
+        LAST_PRE_CHECKPOINT[name] = pre
 
 
 def pid_stamped_range(df: DataFrame, cols: list) -> DataFrame:
@@ -167,7 +177,7 @@ def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
     # at scale); repeated constructions accumulate persisted RDDs until
     # JVM GC reclaims them.
     pre = pid_stamped_range(df, list(keys))
-    LAST_PRE_CHECKPOINT["global_rank"] = pre
+    _record_pre("global_rank", pre)
     ranged = pre.localCheckpoint()
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = counts.select(
@@ -216,7 +226,7 @@ def grouped_prefix_sum(
     # HUGEINT typing, not this hazard — the checkpoint stays as
     # hardening against a real but never-observed-firing latent bug.
     pre = pid_stamped_range(df, [F.col(c) for c in group_cols + order_cols])
-    LAST_PRE_CHECKPOINT["grouped_prefix_sum"] = pre
+    _record_pre("grouped_prefix_sum", pre)
     ranged = pre.localCheckpoint()
     part_sums = ranged.groupBy(*group_cols, "__pid").agg(
         F.sum(value_col).alias("__sum")

@@ -103,92 +103,97 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # r7 red rows — HUGEINT oracle typing, fixed (::BIGINT casts)
-    "sp6_domain_token_cap",
-    "a25_survival_curve",
-    # oracle text changed this round (type-lint DECIMAL->DOUBLE casts)
-    "dp7_binned_quantiles",
-    "u13b_psd_fit_pandas",
-    # oracle text changed this round (ADVICE r7: tx13 association
-    # parenthesized to match Spark's IEEE order; dp10 per-term quantized
-    # cast ::BIGINT -> ::HUGEINT so the mirror can't overflow at scale)
-    "tx13_bm25_topk",
-    "dp10_anova_eta",
-    # r2-era tail — drains the r2 era
-    "sim4_ivf_search",
-    "sp1_train_test_split",
-    "tx1_token_count",
-    "tx2_quality_score",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx6_trigram_logprob",
-    # r3-era ladder (37 of 44; p1/p2/p3/dd2/j4/u13/mm1 spill to round 9
-    # — the 7 with the strongest independent anchors: p1/p2/p3 benched
-    # every round + e2e file-contract tests, dd2 benched, j4 hypothesis
-    # property suite, u13 test_psd.py + u13b (same estimator) in slot 4,
-    # mm1 byte-exact ADC/ROI pytest)
-    "a1_biovolume_rollup",
-    "a2_taxon_rollup",
-    "a3_flag_frequency",
-    "a4_monthly_stats",
-    "a5_grouped_top1",
-    "a6_bloom_categorize",
-    "a7_global_top1",
-    "a8_last_per_group",
-    "a10_duplicate_detection",
-    "a11_distinct",
-    "a12_minmax_summary",
-    "a13_grid_cell_frequency",
-    "a14_monthly_histogram",
-    "a15_mean_collapse",
-    "a17_qc_sums",
-    "a18_provenance_summary",
-    "a19_cube_rollup",
-    "c3_name_type_split",
-    "dd1_exact_dedup",
-    "dd3_simhash",
-    "dd6_dup_clusters",
-    "dd7_dedup_materialize",
-    "f1_select_rename",
-    "f6_regional_filter",
-    "f11_missing_position_filter",
-    "j1_enrichment_chain",
-    "j4b_asof_backward",
-    "j5_interval_join",
-    "j6_coalescing_fill_join",
-    "j7_full_outer_join",
-    "j8_haversine_theta_join",
-    "j10_semi_join",
-    "j11_incremental_anti_join",
-    "j12_provenance_merge",
-    "j13_classlist_full_join",
-    "qf_flag_unification",
-    "s6_json_scan",
+    # ROUND 9 — the precomputed plan below, applied verbatim
+    # (CORRECTNESS_r08 was 50/50 green, so no red row displaces slot 1;
+    # tools/rotation_audit.py confirmed this set is the 50 stalest).
+    # slots 1-3: round-8 adds, never driver-checked
+    "dd16_quality_survivor",
+    "sp10_decontaminated_split",
+    "a27_retention_cohorts",
+    # slots 4-10: the 7 r3-era spills from round 8
+    "p1_shark_export",
+    "p2_hab_alert",
+    "p3_dashboard_metadata",
+    "dd2_minhash_lsh",
+    "j4_asof_join",
+    "u13_psd_fit",
+    "mm1_multimodal_features",
+    # slots 11-50: the full r4-era ladder (40 rows) — drains r4
+    "c10_date_format",
+    "c11_encoding_fix",
+    "c12_haversine",
+    "c1_taxa_clean_cascade",
+    "c2_species_flag",
+    "c6_parse_bin_id",
+    "c8_f1_score",
+    "c9_signif_round",
+    "dd8_benchmark_contamination",
+    "dp3_categorical_profile",
+    "dp4_domain_mixture",
+    "dp5_correlation_matrix",
+    "f10_timestamp_range",
+    "f12_value_threshold",
+    "f13_membership_filter",
+    "f2_gps_staleness",
+    "f3_blacklist_prefix_anti",
+    "f4_flag_removal",
+    "f7_qc_gating",
+    "f8_sentinel_normalization",
+    "mm3_resize_normalize",
+    "mm4_video_frame_sample",
+    "pk1_sequence_packing",
+    "sim2_signlsh_ann",
+    "sim5_ivf_nprobe2",
+    "sim6_embedding_quantize",
+    "sim7_filtered_ann",
+    "sim8_kmeans_refine",
+    "sp2_stratified_sample",
+    "sp3_shuffle_shards",
+    "sp4_mixture_materialize",
+    "tp1_training_corpus",
+    "tx10_tfidf_top_terms",
+    "tx5_vocabulary",
+    "tx7_repetition_signals",
+    "tx8_pii_scrub",
+    "tx9_bpe_pair_merge",
+    "w1_adjacency_removal",
+    "w3_gap_fill",
+    "w6_moving_average",
 ]
-# ROUND-9 ROTATION PLAN (precomputed; apply verbatim unless round-8
+# The round-9 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r08 landed 50/50 green, so no red row
+# displaced slot 1; tools/rotation_audit.py confirmed optimality).
+# After round 9 the r3 and r4 eras are drained and max row age is 3
+# rounds (the 46 r6-era rows).
+#
+# ROUND-10 ROTATION PLAN (precomputed; apply verbatim unless round-9
 # driver results dictate otherwise — a red row takes slot 1):
-#   3 round-8 adds (never driver-checked):
-#     dd16_quality_survivor, sp10_decontaminated_split,
-#     a27_retention_cohorts
-#   7 round-8 spills: p1_shark_export, p2_hab_alert,
-#     p3_dashboard_metadata, dd2_minhash_lsh, j4_asof_join,
-#     u13_psd_fit, mm1_multimodal_features
-#   40 r4-era rows: c10_date_format, c11_encoding_fix, c12_haversine,
-#     c1_taxa_clean_cascade, c2_species_flag, c6_parse_bin_id,
-#     c8_f1_score, c9_signif_round, dd8_benchmark_contamination,
-#     dp3_categorical_profile, dp4_domain_mixture,
-#     dp5_correlation_matrix, f10_timestamp_range, f12_value_threshold,
-#     f13_membership_filter, f2_gps_staleness, f3_blacklist_prefix_anti,
-#     f4_flag_removal, f7_qc_gating, f8_sentinel_normalization,
-#     mm3_resize_normalize, mm4_video_frame_sample,
-#     pk1_sequence_packing, sim2_signlsh_ann, sim5_ivf_nprobe2,
-#     sim6_embedding_quantize, sim7_filtered_ann, sim8_kmeans_refine,
-#     sp2_stratified_sample, sp3_shuffle_shards, sp4_mixture_materialize,
-#     tp1_training_corpus, tx10_tfidf_top_terms, tx5_vocabulary,
-#     tx7_repetition_signals, tx8_pii_scrub, tx9_bpe_pair_merge,
-#     w1_adjacency_removal, w3_gap_fill, w6_moving_average
-# = exactly 50; zero slack, so round 9 must not change green queries'
-# code or oracle text without displacing a stale row.
+#   4 round-9 adds (never driver-checked; throttle respected):
+#     tx14_quality_model_score, dp11_psi_drift,
+#     dd17_shingle_containment, sp11_class_balanced_resample
+#   46 r6-era rows (drains r6; ties broken alphabetically):
+#     a22_decayed_engagement, a23_cohort_retention,
+#     dd10_fuzzy_decontamination, dd11_span_dedup,
+#     dd12_containment_pairs, dd4_ngram_jaccard,
+#     dd4b_ngram_jaccard_dfcut, dd5_embedding_cosine_dup,
+#     dp6_drift_profile, i8_snapshot_diff, i9_scd2_compaction,
+#     j14_bucketed_range_join, j16_interval_overlap,
+#     j8b_grid_spatial_join, k7_ecotaxa_export, mm10_voice_activity,
+#     mm2_real_kernel_features, mm2b_kernel_topologies,
+#     mm5_audio_frame_features, mm7_modality_coverage, mm8_patchify,
+#     mm9_perceptual_dedup, o8_zorder_layout, pk2_document_chunking,
+#     pk3_length_bucketed_batching, s6b_json_props_extract,
+#     sim10_pq_adc, sim9_quantized_rerank, sp2b_stratified_topk,
+#     sp5_temperature_resampling, sp7_epoch_shuffle,
+#     st1_stream_windowed_counts, st2_stateful_user_counts,
+#     st3_watermarked_append, st4_stream_stream_join,
+#     st5_streaming_dedup, st7_stream_static_join,
+#     tp2_multimodal_corpus, tp3_incremental_refresh, tp5_funnel_report,
+#     tx11_langid_confusion, tx12_ngram_novelty, w10_cumulative_distinct,
+#     w11_cusum_drift, w7_native_session_window, w8_ewma_smoothing
+# = exactly 50; zero slack again in round 10 — the 46 r7-era rows go
+# stale then and must take round 11 (46 + up to 4 round-10 adds).
+# END PLAN
 #
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
 # sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed

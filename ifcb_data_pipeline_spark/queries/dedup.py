@@ -21,6 +21,7 @@ from ..operators.dedup import (
     shingle_sets,
     simhash,
 )
+from ..operators.text import STOPWORDS as _TEXT_STOPWORDS
 from . import register
 from ._util import dround, tables
 
@@ -1213,26 +1214,35 @@ def dd15_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # several mangled re-crawls of a page whose pristine original is gone,
 # keep the cleanest.  The variant corpus models exactly that: every
 # 10th document is replaced by TWO re-crawls — a junk-injected copy at
-# id+30000 ('  ' + UPPER + ' !! ??': the leading spaces and junk
-# tokens dilute its stopword ratio) and a case-only copy at id+60000
-# (same tokens, same ratio as the lost original) — so the quality
-# survivor is the HIGHER id (+60000), provably diverging from dd9's
+# id+M ('  ' + UPPER + ' !! ??': the leading spaces and junk tokens
+# dilute its stopword ratio) and a case-only copy at id+2M (same
+# tokens, same ratio as the lost original), with M = max(doc_id)+1
+# derived from the corpus itself so variant ids can never collide at
+# ANY corpus size (ADVICE r8: the old fixed 30000/60000 offsets
+# collided once the id range exceeded ~30009) — so the quality
+# survivor is the HIGHER id (+2M), provably diverging from dd9's
 # min-id rule inside every multi-copy group with ≥1 stopword.  Quality
 # is quantized to integer 1e-6 units (one IEEE division + floor,
 # identical in both engines) so the argmax is exact integer
-# comparison; tie-break min doc id.  Scale shape: one hash groupBy
-# (map-side partial) + two keyed joins back on the same norm_hash key
-# — no windows, no driver state, same single-shuffle class as dd9 at
-# any corpus size.
-DD16_SQL = """
-WITH corpus AS (
+# comparison; tie-break min doc id.  The stopword IN-list is
+# interpolated from operators.text.STOPWORDS so both engines share one
+# definition (ADVICE r8, HASH32_SQL pattern).  Scale shape: one hash
+# groupBy (map-side partial) + two keyed joins back on the same
+# norm_hash key, plus one bounded 1-row max(doc_id) action — no
+# windows, same single-shuffle class as dd9 at any corpus size.
+_DD16_SW_SQL = ",".join(f"'{w}'" for w in _TEXT_STOPWORDS)
+DD16_SQL = f"""
+WITH m AS (
+    SELECT max(doc_id) + 1 AS m FROM documents
+),
+corpus AS (
     SELECT doc_id AS doc, text FROM documents WHERE doc_id % 10 <> 0
     UNION ALL
-    SELECT doc_id + 30000, '  ' || upper(text) || ' !! ??'
-    FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + m.m, '  ' || upper(text) || ' !! ??'
+    FROM documents, m WHERE doc_id % 10 = 0
     UNION ALL
-    SELECT doc_id + 60000, upper(text)
-    FROM documents WHERE doc_id % 10 = 0
+    SELECT doc_id + 2 * m.m, upper(text)
+    FROM documents, m WHERE doc_id % 10 = 0
 ),
 normed AS (
     SELECT doc,
@@ -1240,7 +1250,7 @@ normed AS (
                regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
                ' +', ' ', 'g'))) AS norm_hash,
            floor((len(list_filter(string_split(lower(text), ' '),
-                                  x -> x IN ('the','a','and','of','to','in','is')))
+                                  x -> x IN ({_DD16_SW_SQL})))
                   * 1.0 / len(string_split(lower(text), ' ')))
                  * 1000000.0 + 0.5)::BIGINT AS q_u
     FROM corpus
@@ -1271,15 +1281,24 @@ def dd16_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # M = max(doc_id)+1, a bounded 1-row driver action (same approved
+    # class as the C4 resolver and graph-fingerprint collects): variant
+    # id ranges [M, 2M) and [2M, 3M) can never collide with the
+    # originals or each other at any corpus size (ADVICE r8).  A
+    # broadcast crossJoin would also work but materializes as a
+    # BroadcastNestedLoopJoin, which the dd16 plan pin forbids.
+    m = int(documents.agg((F.max("doc_id") + F.lit(1)).alias("m")).collect()[0]["m"])
+    tenth = documents.where(F.col("doc_id") % 10 == 0)
     base = documents.where(F.col("doc_id") % 10 != 0).select(
         F.col("doc_id").alias("doc"), "text"
     )
-    heavy = documents.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 30000).alias("doc"),
+    heavy = tenth.select(
+        (F.col("doc_id") + F.lit(m)).alias("doc"),
         F.concat(F.lit("  "), F.upper("text"), F.lit(" !! ??")).alias("text"),
     )
-    light = documents.where(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 60000).alias("doc"), F.upper("text").alias("text")
+    light = tenth.select(
+        (F.col("doc_id") + F.lit(2 * m)).alias("doc"),
+        F.upper("text").alias("text"),
     )
     corpus = base.unionByName(heavy).unionByName(light)
     toks = F.split(F.lower(F.col("text")), " ")

@@ -163,21 +163,34 @@ def test_rank_machinery_checkpoint_provenance(spark, sf_dir, name):
        consumed (operators.windows.LAST_PRE_CHECKPOINT); that frame's
        own plan must carry the ``rangepartitioning`` exchange stamping
        ``__pid`` — the range ordering the rank math depends on, pinned
-       per query rather than only on the bare helper."""
+       per query rather than only on the bare helper.
+
+    Recording is production-off (ADVICE r8: no retained plan refs / race
+    in normal construction), so this test flips RECORD_PRE_CHECKPOINT on
+    around the construction it inspects and clears both afterwards."""
+    from ifcb_data_pipeline_spark.operators import windows
     from ifcb_data_pipeline_spark.operators.windows import LAST_PRE_CHECKPOINT
 
     LAST_PRE_CHECKPOINT.clear()
-    plan = plan_of(spark, name, sf_dir)
-    assert "rangepartitioning(" not in plan, (
-        f"{name}: visible range exchange — the combinator's localCheckpoint "
-        "was lost (dual-boundary-sampling hazard is back)"
-    )
-    assert "Scan ExistingRDD" in plan and "hashpartitioning(__pid" in plan
-    assert LAST_PRE_CHECKPOINT, f"{name} did not go through a rank combinator"
-    for combinator, pre in LAST_PRE_CHECKPOINT.items():
-        pre_plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
-            pre._jdf.queryExecution(), "formatted"
+    windows.RECORD_PRE_CHECKPOINT = True
+    try:
+        plan = plan_of(spark, name, sf_dir)
+        assert "rangepartitioning(" not in plan, (
+            f"{name}: visible range exchange — the combinator's localCheckpoint "
+            "was lost (dual-boundary-sampling hazard is back)"
         )
+        assert "Scan ExistingRDD" in plan and "hashpartitioning(__pid" in plan
+        assert LAST_PRE_CHECKPOINT, f"{name} did not go through a rank combinator"
+        pre_plans = {
+            combinator: spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                pre._jdf.queryExecution(), "formatted"
+            )
+            for combinator, pre in LAST_PRE_CHECKPOINT.items()
+        }
+    finally:
+        windows.RECORD_PRE_CHECKPOINT = False
+        LAST_PRE_CHECKPOINT.clear()
+    for combinator, pre_plan in pre_plans.items():
         assert "rangepartitioning(" in pre_plan, (
             f"{name}: {combinator} pre-checkpoint frame lost its range exchange"
         )

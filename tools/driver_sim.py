@@ -38,7 +38,7 @@ def frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool,
     for c in s.columns:
         sk, dk = s[c].dtype.kind, d[c].dtype.kind
         if sk != dk and not (
-            ({sk, dk} <= {"i", "O"} and _int_like(s[c], d[c]))
+            ({sk, dk} == {"i", "O"} and _int_castable(s[c]) and _int_castable(d[c]))
             # Spark `date` reaches pandas as object-of-datetime.date while
             # DuckDB DATE arrives as datetime64 — observed BENIGN under the
             # driver's hash (a21 green r7, c6 green r4, w10 green r6);
@@ -46,9 +46,17 @@ def frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool,
             or ({sk, dk} == {"M", "O"} and _date_like(s[c], d[c]))
         ):
             return False, f"dtype {c}: spark={s[c].dtype} duck={d[c].dtype}"
-    # normalize date-objects to datetime64 so the row sort is well-typed
+    # Normalize benign-equivalent dtype pairs BEFORE the row sort so both
+    # the sort and the value compare are well-typed (ADVICE r8: the old
+    # element-wise _int_like ran pre-sort, making it row-order dependent,
+    # and Series.equals between int64 and object never greens even on
+    # equal values — so the {i,O} path could never pass end-to-end).
     for c in s.columns:
-        if {s[c].dtype.kind, d[c].dtype.kind} == {"M", "O"}:
+        kinds = {s[c].dtype.kind, d[c].dtype.kind}
+        if kinds == {"i", "O"}:
+            s[c] = s[c].astype("int64")
+            d[c] = d[c].astype("int64")
+        elif kinds == {"M", "O"}:
             s[c] = pd.to_datetime(s[c]).astype("datetime64[ns]")
             d[c] = pd.to_datetime(d[c]).astype("datetime64[ns]")
     key = list(s.columns)
@@ -80,9 +88,10 @@ def frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool,
     return True, f"ok ({len(s)} rows)"
 
 
-def _int_like(a: pd.Series, b: pd.Series) -> bool:
+def _int_castable(a: pd.Series) -> bool:
     try:
-        return (a.astype("int64") == b.astype("int64")).all()
+        a.astype("int64")
+        return True
     except (TypeError, ValueError, OverflowError):
         return False
 

@@ -70,13 +70,27 @@ def registry_names() -> tuple[list[str], list[str]]:
 
 def parsed_plan() -> tuple[int, list[str]] | None:
     """Parse the `ROUND-<N> ROTATION PLAN` comment block, return
-    (round, names in order) or None if absent."""
+    (round, names in order) or None if absent.
+
+    The block is terminated by an explicit ``# END PLAN`` sentinel so
+    that narrative comment paragraphs following the plan (root-cause
+    notes, sweep ledgers) can't leak query names into the parsed plan
+    (ADVICE r8: the earlier greedy ``(#.*\\n)+`` swallowed every
+    contiguous comment line).  A plan header without the sentinel is a
+    hard error — better loud than a silently-padded plan.
+    """
     text = PKG_INIT.read_text()
-    m = re.search(r"# ROUND-(\d+) ROTATION PLAN.*?\n(#.*\n)+", text)
+    m = re.search(r"# ROUND-(\d+) ROTATION PLAN", text)
     if not m:
         return None
     rnd = int(m.group(1))
-    block = m.group(0)
+    end = text.find("# END PLAN", m.end())
+    if end < 0:
+        raise SystemExit(
+            "ROTATION PLAN comment found but no '# END PLAN' sentinel — "
+            "add one so the parser can't swallow trailing narrative"
+        )
+    block = text[m.start():end]
     # Names are snake_case identifiers with a family prefix + digit(s).
     names = re.findall(r"\b([a-z]+\d*[a-z]?\d*_[a-z0-9_]+)\b", block)
     seen, ordered = set(), []
@@ -108,19 +122,30 @@ def main() -> int:
     # against the projected state: current-prefix rows get a
     # latest+1 row (assumed green; a red there takes slot 1 of the
     # next plan by rule, which we can only check once the artifact
-    # lands — re-run this audit then).
-    pending_round = latest_round + 1
-    for n in prefix[:50]:
-        last_green[n] = pending_round
-    never = [n for n in names if last_green[n] is None]
-    reds_pending = [n for n in reds_latest if n in prefix[:50]]
-    if reds_pending:
+    # lands — re-audit then).  EXCEPTION (VERDICT r8 item 5, the label
+    # off-by-one): if the latest artifact already covers exactly the
+    # live prefix, that prefix's round HAS landed — project nothing,
+    # the raw ladder is the truth.
+    latest_checked = {n for n, h in hist.items() if latest_round in h}
+    prefix_landed = set(prefix[:50]) <= latest_checked
+    if prefix_landed:
         print(
-            f"note: r{latest_round:02d} reds {sorted(reds_pending)} are in the "
-            f"current prefix — projected green for r{pending_round:02d}; "
-            f"re-audit once CORRECTNESS_r{pending_round:02d}.json lands"
+            f"live prefix already covered by CORRECTNESS_r{latest_round:02d} "
+            f"— no projection applied"
         )
-        reds_latest = [n for n in reds_latest if n not in reds_pending]
+    else:
+        pending_round = latest_round + 1
+        for n in prefix[:50]:
+            last_green[n] = pending_round
+        reds_pending = [n for n in reds_latest if n in prefix[:50]]
+        if reds_pending:
+            print(
+                f"note: r{latest_round:02d} reds {sorted(reds_pending)} are in "
+                f"the current prefix — projected green for r{pending_round:02d}; "
+                f"re-audit once CORRECTNESS_r{pending_round:02d}.json lands"
+            )
+            reds_latest = [n for n in reds_latest if n not in reds_pending]
+    never = [n for n in names if last_green[n] is None]
 
     ladder: dict[int, list[str]] = {}
     for n, lg in last_green.items():
