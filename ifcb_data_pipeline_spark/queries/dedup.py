@@ -1334,3 +1334,97 @@ def dd16_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc") == F.col("survivor")).alias("is_kept"),
         )
     )
+
+
+# --- DD17: shingle-containment substring-dedup resolution -------------------
+# dd12 DETECTS containment pairs; dd17 closes the loop into the dedup
+# DECISION a pipeline actually executes (the dd6→dd7 relationship, for
+# the substring case dd9's normalization-equality misses entirely): for
+# every document whose 6-gram shingle set is substantially covered by
+# an EARLIER document (container id < doc id — re-crawls and quotes
+# come later), resolve THE container (max shared shingles, tie-break
+# min container id — dd16's exact integer argmax shape, no window) and
+# emit a drop verdict at coverage ≥ 0.8.  Runs on the shared augmented
+# corpus (every 25th doc gets a 70%-prefix truncated re-crawl at
+# id+10000), so the drop branch provably fires.  k=6 shingles: long
+# enough that natural cross-doc collisions are noise, short enough that
+# the 7-token truncation of the shortest (10-token) document still
+# yields shingles.  Scale shape: inverted 6-gram index with a df≤20
+# document-frequency cut BEFORE the self-join (a ubiquitous shingle is
+# O(df²) candidate fan-out — the dd4b discipline), candidates only for
+# co-occurring shingle pairs, then two groupBys on the candidate frame.
+# Never all-pairs, never a window, no driver state.
+DD17_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+toks AS (SELECT doc, string_split(text, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT doc, shingle FROM (
+        SELECT doc, array_to_string(w[i:i+5], ' ') AS shingle
+        FROM toks, unnest(range(1, greatest(len(w) - 5, 1) + 1)) AS t(i)
+    )
+),
+dfc AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+kept AS (
+    SELECT s.doc, s.shingle FROM sh s JOIN dfc USING (shingle) WHERE dfc.df <= 20
+),
+sizes AS (SELECT doc, count(*)::BIGINT AS n FROM kept GROUP BY doc),
+inter AS MATERIALIZED (
+    SELECT a.doc AS doc, b.doc AS container, count(*)::BIGINT AS shared
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND b.doc < a.doc
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT i.doc, i.container, i.shared, s.n AS n_shingles,
+           (i.shared * 1.0 / s.n) AS cov
+    FROM inter i JOIN sizes s ON s.doc = i.doc
+    WHERE (i.shared * 1.0 / s.n) >= 0.5
+),
+best AS (SELECT doc, max(shared) AS mx FROM cand GROUP BY doc),
+res AS (
+    SELECT c.doc, min(c.container) AS container
+    FROM cand c JOIN best b ON b.doc = c.doc AND c.shared = b.mx
+    GROUP BY c.doc
+)
+SELECT c.doc, c.container, c.n_shingles, c.shared AS n_shared,
+       floor(c.cov * 1000000.0 + 0.5) / 1000000.0 AS coverage,
+       (c.cov >= 0.8) AS drop_doc
+FROM cand c JOIN res r ON r.doc = c.doc AND r.container = c.container
+"""
+
+
+@register("dd17_shingle_containment", DD17_SQL, survey_ref="beyond reference: substring-dedup resolution (containment pairs -> earliest-container drop decision)")
+def dd17_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=6)
+    dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    kept = sh.join(dfc.where(F.col("df") <= 20), "shingle").drop("df")
+    sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = kept
+    b = kept.select(F.col("doc").alias("container"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("container") < F.col("doc"))
+        .groupBy("doc", "container")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    cand = (
+        inter.join(sizes, "doc")
+        .withColumn("cov", F.col("n_shared") * F.lit(1.0) / F.col("n_shingles"))
+        .where(F.col("cov") >= 0.5)
+    )
+    # dd16-style exact argmax: max shared per doc, then min container
+    # among the max rows — two groupBys on the candidate frame, no window
+    best = cand.groupBy("doc").agg(F.max("n_shared").alias("mx"))
+    res = (
+        cand.join(best, "doc")
+        .where(F.col("n_shared") == F.col("mx"))
+        .groupBy("doc")
+        .agg(F.min("container").alias("container"))
+    )
+    return cand.join(res, ["doc", "container"]).select(
+        "doc",
+        "container",
+        "n_shingles",
+        "n_shared",
+        (F.floor(F.col("cov") * 1e6 + F.lit(0.5)) / 1e6).alias("coverage"),
+        (F.col("cov") >= 0.8).alias("drop_doc"),
+    )

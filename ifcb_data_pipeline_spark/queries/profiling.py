@@ -876,3 +876,124 @@ def dp10_anova_eta(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_stat"),
     )
+
+
+# --- DP11: PSI drift between ingest periods ----------------------------------
+# dp6 compares the two January halves on scalar summaries (counts,
+# means); dp11 is the DISTRIBUTIONAL drift gate a refresh pipeline runs
+# before accepting a new snapshot: the Population Stability Index
+# Σ (p_i − q_i)·ln(p_i / q_i) over a fixed 10-bin histogram of value,
+# per event_type, early (Jan 1–15) vs late (Jan 16–31) window.  Natural
+# data is stationary, so the drifted>=0.1 branch would be vacuous; a
+# deterministic modulo-style plant (the f8/w3/j6 pattern) shifts the
+# late-window 'click' values by +40 — one bin width of mass moves and
+# exactly that event_type must flag.  Cross-engine exactness: bin
+# counts are exact integers; Laplace-smoothed p, q and p/q are fixed
+# short chains of IEEE ops on those integers (identical both engines);
+# the one transcendental (ln) is handled by quantizing EACH term to
+# integer pico-units before the 10-term sum (the dp9/a25/tx13 recipe),
+# so neither a 1-ulp ln() divergence below 1e-12 nor partial-merge
+# order can move the result.  Scale shape: ONE corpus scan → the
+# (event_type, bin) conditional-count groupBy (map-side partials);
+# everything after operates on the ≤ |types|·10-row frame (grid
+# completion via a broadcast 10-row bin list so empty bins exist for
+# smoothing).  The plan never rescans and never windows.
+_DP11_NBINS = 10
+_DP11_BINW = 50.0
+_DP11_SHIFT = 40.0
+
+DP11_SQL = f"""
+WITH binned AS (
+    SELECT event_type,
+           (ts < TIMESTAMP '2024-01-16 00:00:00') AS p1,
+           least(floor((value + CASE WHEN event_type = 'click'
+                                      AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                     THEN {_DP11_SHIFT!r} ELSE 0.0 END)
+                       / {_DP11_BINW!r})::INT, {_DP11_NBINS - 1}) AS bin
+    FROM events
+),
+counts AS (
+    SELECT event_type, bin,
+           count(*) FILTER (p1)::BIGINT AS ce,
+           count(*) FILTER (NOT p1)::BIGINT AS cl
+    FROM binned GROUP BY event_type, bin
+),
+tot AS (
+    SELECT event_type, sum(ce)::BIGINT AS te, sum(cl)::BIGINT AS tl
+    FROM counts GROUP BY event_type
+),
+grid AS (
+    SELECT t.event_type, b.bin, t.te, t.tl,
+           coalesce(c.ce, 0) AS ce, coalesce(c.cl, 0) AS cl
+    FROM tot t
+    CROSS JOIN (SELECT unnest(range({_DP11_NBINS})) AS bin) b
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.bin = b.bin
+),
+terms AS (
+    SELECT event_type, te, tl,
+           floor((((ce + 1.0) / (te + {_DP11_NBINS}.0))
+                  - ((cl + 1.0) / (tl + {_DP11_NBINS}.0)))
+                 * ln(((ce + 1.0) / (te + {_DP11_NBINS}.0))
+                      / ((cl + 1.0) / (tl + {_DP11_NBINS}.0)))
+                 * 1000000000000.0 + 0.5)::BIGINT AS t_u
+    FROM grid
+)
+SELECT event_type,
+       max(te)::BIGINT AS n_early,
+       max(tl)::BIGINT AS n_late,
+       floor(sum(t_u)::BIGINT / 1000000000000.0 * 1000000.0 + 0.5) / 1000000.0
+           AS psi,
+       (sum(t_u)::BIGINT >= 100000000000) AS drifted
+FROM terms GROUP BY event_type
+"""
+
+
+@register("dp11_psi_drift", DP11_SQL, survey_ref="beyond reference: PSI distribution-drift gate (dp6's distributional twin; refresh-acceptance check)")
+def dp11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    p1 = F.col("ts") < cut
+    v_adj = F.col("value") + F.when(
+        (F.col("event_type") == "click") & (F.col("ts") >= cut),
+        F.lit(_DP11_SHIFT),
+    ).otherwise(F.lit(0.0))
+    binned = events.select(
+        "event_type",
+        p1.alias("p1"),
+        F.least(
+            F.floor(v_adj / F.lit(_DP11_BINW)).cast("int"),
+            F.lit(_DP11_NBINS - 1),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("p1"), 1).otherwise(0)).cast("long").alias("ce"),
+        F.sum(F.when(~F.col("p1"), 1).otherwise(0)).cast("long").alias("cl"),
+    )
+    # single scan ends here; the rest is algebra on the ≤ |types|·10 frame
+    counts = counts.localCheckpoint()
+    tot = counts.groupBy("event_type").agg(
+        F.sum("ce").cast("long").alias("te"), F.sum("cl").cast("long").alias("tl")
+    )
+    bins = spark.range(_DP11_NBINS).select(F.col("id").cast("int").alias("bin"))
+    grid = (
+        tot.crossJoin(F.broadcast(bins))
+        .join(counts, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "te",
+            "tl",
+            F.coalesce(F.col("ce"), F.lit(0)).alias("ce"),
+            F.coalesce(F.col("cl"), F.lit(0)).alias("cl"),
+        )
+    )
+    nb = float(_DP11_NBINS)
+    p = (F.col("ce") + 1.0) / (F.col("te") + nb)
+    q = (F.col("cl") + 1.0) / (F.col("tl") + nb)
+    t_u = F.floor((p - q) * F.log(p / q) * 1e12 + F.lit(0.5)).cast("long")
+    terms = grid.select("event_type", "te", "tl", t_u.alias("t_u"))
+    return terms.groupBy("event_type").agg(
+        F.max("te").cast("long").alias("n_early"),
+        F.max("tl").cast("long").alias("n_late"),
+        dround(F.sum("t_u").cast("long") / 1e12, 6).alias("psi"),
+        (F.sum("t_u").cast("long") >= F.lit(100000000000)).alias("drifted"),
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import (
     LANG_MARKERS,
+    STOPWORDS,
     lang_id,
     mean_token_len,
     punct_ratio,
@@ -1294,4 +1295,159 @@ def sp10_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_train_kept"),
         n_dropped.cast("long").alias("n_train_dropped"),
         dround((n_dropped * 1.0 / n_train), 6).alias("drop_frac"),
+    )
+
+
+# --- TX14: model-based quality scorer ---------------------------------------
+# tx2's quality gate is a hand-rule threshold on one feature; production
+# pipelines (GPT-3 §A, CCNet, Gopher) instead score documents with a
+# FROZEN pre-trained classifier over several features and keep by score.
+# tx14 is that shape: a logistic model over four tx2-style features
+# (stopword ratio, type-token ratio, token count, mean token length)
+# with fixed pre-trained weights shipped as broadcast literals — the
+# corpus never shuffles, the whole scorer is one map-side projection
+# over a single scan.  Cross-engine exactness: each ratio feature is
+# quantized to integer micro-units (floor(r·1e6+0.5), one IEEE division
+# each — the dd16/tx13 recipe) and the logit is then computed ENTIRELY
+# in exact BIGINT arithmetic (integer weights in doubled-micro units),
+# so keep = logit ≥ 0 is an exact integer comparison.  The sigmoid is
+# deliberately NOT materialized: it is monotone in the logit, so the
+# keep decision and any ranking are identical without it, and skipping
+# it removes the one transcendental (exp) whose 1-ulp cross-engine
+# divergence the integer pipeline cannot absorb.  Weights calibrated so
+# the sf corpus splits into a genuine keep/drop mix (~50/50): z2_u =
+# 40·stop_u + 4·ttr_u + 20000·n_tok − mtl_u − 1e6, logit = z2_u/2e6.
+_TX14_W = {"stop": 40, "ttr": 4, "ntok": 20000, "mtl": -1, "bias": -1000000}
+
+TX14_SQL = f"""
+WITH f AS (
+    SELECT doc_id,
+           floor(len({_in_list_sql("string_split(lower(text), ' ')", STOPWORDS)})
+                 * 1.0 / len(string_split(lower(text), ' '))
+                 * 1000000.0 + 0.5)::BIGINT AS stop_u,
+           floor(len(list_distinct(string_split(lower(text), ' ')))
+                 * 1.0 / len(string_split(lower(text), ' '))
+                 * 1000000.0 + 0.5)::BIGINT AS ttr_u,
+           len(string_split(lower(text), ' '))::BIGINT AS n_tok,
+           floor(list_sum(list_transform(string_split(lower(text), ' '),
+                                         x -> len(x)))
+                 * 1.0 / len(string_split(lower(text), ' '))
+                 * 1000000.0 + 0.5)::BIGINT AS mtl_u
+    FROM documents
+),
+z AS (
+    SELECT doc_id, stop_u, ttr_u, n_tok, mtl_u,
+           ({_TX14_W["stop"]} * stop_u + {_TX14_W["ttr"]} * ttr_u
+            + {_TX14_W["ntok"]} * n_tok + {_TX14_W["mtl"]} * mtl_u
+            + {_TX14_W["bias"]})::BIGINT AS z2_u
+    FROM f
+)
+SELECT doc_id,
+       (stop_u / 1000000.0) AS stop_ratio,
+       (ttr_u / 1000000.0) AS type_token_ratio,
+       n_tok AS n_tokens,
+       (mtl_u / 1000000.0) AS mean_tok_len,
+       (z2_u / 2000000.0) AS logit,
+       (z2_u >= 0) AS keep
+FROM z
+"""
+
+
+@register("tx14_quality_model_score", TX14_SQL, survey_ref="beyond reference: frozen-classifier quality scoring (GPT-3 §A / CCNet model-based filter)")
+def tx14_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+
+    def _q6(col):
+        return F.floor(col * 1e6 + F.lit(0.5)).cast("long")
+
+    f = documents.select(
+        "doc_id",
+        _q6(stopword_ratio(toks)).alias("stop_u"),
+        _q6(F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias("ttr_u"),
+        n_tok.alias("n_tok"),
+        _q6(mean_token_len(toks)).alias("mtl_u"),
+    )
+    w = _TX14_W
+    z2_u = (
+        F.lit(w["stop"]) * F.col("stop_u")
+        + F.lit(w["ttr"]) * F.col("ttr_u")
+        + F.lit(w["ntok"]) * F.col("n_tok")
+        + F.lit(w["mtl"]) * F.col("mtl_u")
+        + F.lit(w["bias"])
+    ).cast("long")
+    return f.select(
+        "doc_id",
+        (F.col("stop_u") / F.lit(1e6)).alias("stop_ratio"),
+        (F.col("ttr_u") / F.lit(1e6)).alias("type_token_ratio"),
+        F.col("n_tok").alias("n_tokens"),
+        (F.col("mtl_u") / F.lit(1e6)).alias("mean_tok_len"),
+        (z2_u / F.lit(2e6)).alias("logit"),
+        (z2_u >= F.lit(0)).alias("keep"),
+    )
+
+
+# --- SP11: class-balanced resample -------------------------------------------
+# sp2 stratifies proportionally; sp11 is the BALANCING resample a
+# classifier-training pipeline runs on a skewed label column (lang: en
+# holds ~44% of the corpus): deterministically undersample every class
+# down to the minority class size, so the output is exactly
+# |langs| × min_class_size rows with equal representation.  Selection
+# is hash-ranked (rank within class by (hash32(doc_id), doc_id)) — a
+# stable pseudo-random draw both engines replay exactly, immune to data
+# layout.  Scale shape: the per-class rank does NOT use a per-class
+# window (a fat class — en at 44% — would serialize through one task);
+# it is grouped_prefix_sum of ones (the sp6/o1 distributed-rank
+# machinery: range exchange + broadcast per-(class,partition) offsets),
+# balanced regardless of class skew.  The class-size frame is |langs|
+# rows, broadcast; min size is a broadcast 1-row crossJoin.  One corpus
+# scan, one range exchange, zero windows over unbounded partitions.
+SP11_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang, {HASH32_SQL.format(x="doc_id::VARCHAR")} AS h
+    FROM documents
+),
+counts AS (SELECT lang, count(*)::BIGINT AS class_n FROM h GROUP BY lang),
+m AS (SELECT min(class_n)::BIGINT AS min_n FROM counts),
+ranked AS (
+    SELECT doc_id, lang, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)::BIGINT
+               AS rank_in_class
+    FROM h
+)
+SELECT r.doc_id, r.lang, r.rank_in_class, c.class_n, m.min_n AS sampled_n
+FROM ranked r JOIN counts c USING (lang) CROSS JOIN m
+WHERE r.rank_in_class <= m.min_n
+"""
+
+
+@register("sp11_class_balanced_resample", SP11_SQL, survey_ref="beyond reference: deterministic class-balancing undersample (minority-size equalization)")
+def sp11_class_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_prefix_sum
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    h = documents.select(
+        "doc_id",
+        "lang",
+        hash32(F.col("doc_id").cast("string")).alias("h"),
+        F.lit(1).alias("one"),
+    )
+    counts = h.groupBy("lang").agg(F.count(F.lit(1)).alias("class_n"))
+    m = counts.agg(F.min("class_n").alias("min_n"))
+    # rank within class WITHOUT a per-class window: prefix-sum of ones
+    # over the distributed-rank machinery (range exchange + broadcast
+    # offsets) — en's 44% share never funnels through one task.
+    ranked = grouped_prefix_sum(h, ["lang"], ["h", "doc_id"], "one", "rank_in_class")
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .where(F.col("rank_in_class") <= F.col("min_n"))
+        .join(F.broadcast(counts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.col("rank_in_class").cast("long").alias("rank_in_class"),
+            "class_n",
+            F.col("min_n").alias("sampled_n"),
+        )
     )

@@ -426,3 +426,193 @@ def test_a27_cohort_triangle_shape(spark, sf_dir):
         f"SELECT count(DISTINCT user_id) FROM '{sf_dir}/events.parquet'"
     ).fetchone()[0]
     assert sum(seen_cohorts.values()) == n_users
+
+
+def test_tx14_pure_python_logit_recompute(spark, sf_dir):
+    """Third-layer law anchor: the frozen-classifier logit re-derived in
+    pure Python (same quantize-then-integer-arithmetic pipeline) must
+    match every output row exactly, keep must equal logit >= 0, and the
+    corpus must split into a genuine keep/drop mix."""
+    import math
+
+    import duckdb
+
+    from ifcb_data_pipeline_spark.operators.text import STOPWORDS
+
+    rows = {
+        r["doc_id"]: r
+        for r in REGISTRY["tx14_quality_model_score"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    assert len(rows) == len(docs)
+    sw = set(STOPWORDS)
+    n_keep = 0
+    for doc_id, text in docs:
+        toks = text.lower().split(" ")
+        n = len(toks)
+        stop_u = math.floor(sum(t in sw for t in toks) * 1.0 / n * 1e6 + 0.5)
+        ttr_u = math.floor(len(set(toks)) * 1.0 / n * 1e6 + 0.5)
+        mtl_u = math.floor(sum(len(t) for t in toks) * 1.0 / n * 1e6 + 0.5)
+        z2_u = 40 * stop_u + 4 * ttr_u + 20000 * n - mtl_u - 1000000
+        r = rows[doc_id]
+        assert r["logit"] == z2_u / 2e6, f"doc {doc_id}"
+        assert r["keep"] == (z2_u >= 0), f"doc {doc_id}"
+        assert r["n_tokens"] == n
+        n_keep += r["keep"]
+    assert 0 < n_keep < len(docs), "weights must produce a keep/drop MIX"
+
+
+def test_dp11_psi_recompute_and_plant(spark, sf_dir):
+    """PSI re-derived by a pure-Python histogram loop (Laplace-smoothed,
+    per-term pico-quantized exactly like both engines) must match; only
+    the planted 'click' late-window shift may flag drifted; PSI >= 0
+    always ((p-q) and ln(p/q) share sign term-wise)."""
+    import math
+
+    import duckdb
+
+    out = {
+        r["event_type"]: r
+        for r in REGISTRY["dp11_psi_drift"].fn(spark, sf_dir).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT event_type, ts, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    from collections import defaultdict
+
+    ce = defaultdict(int)
+    cl = defaultdict(int)
+    cut = "2024-01-16"
+    for et, ts, v in ev:
+        early = ts.strftime("%Y-%m-%d %H:%M:%S") < cut + " 00:00:00"
+        vv = v if (early or et != "click") else v + 40.0
+        b = min(int(math.floor(vv / 50.0)), 9)
+        (ce if early else cl)[(et, b)] += 1
+    types = sorted(out)
+    for et in types:
+        te = sum(ce[(et, b)] for b in range(10))
+        tl = sum(cl[(et, b)] for b in range(10))
+        psi_u = 0
+        for b in range(10):
+            p = (ce[(et, b)] + 1.0) / (te + 10.0)
+            q = (cl[(et, b)] + 1.0) / (tl + 10.0)
+            psi_u += math.floor((p - q) * math.log(p / q) * 1e12 + 0.5)
+        r = out[et]
+        assert r["n_early"] == te and r["n_late"] == tl
+        assert r["psi"] == math.floor(psi_u / 1e12 * 1e6 + 0.5) / 1e6, et
+        assert r["psi"] >= 0.0
+        assert r["drifted"] == (psi_u >= 100000000000), et
+    assert out["click"]["drifted"], "planted click shift must flag"
+    assert all(not out[et]["drifted"] for et in types if et != "click"), (
+        "stationary types must not flag"
+    )
+
+
+def test_dd17_pure_python_containment_recompute(spark):
+    """Full pure-Python replay of the substring-dedup pipeline at
+    sf0.001 (6-gram shingles, df<=20 cut, containment>=0.5 candidates,
+    max-shared/min-container resolution) — the Spark output must equal
+    the replay row-for-row, and every planted truncation that appears
+    must be a full-coverage drop."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.sql(f"SELECT doc_id, text FROM '{sf}/documents.parquet'").fetchall()
+    corpus = {d: t.lower() for d, t in docs}
+    for d, t in docs:
+        if d % 25 == 0:
+            w = t.lower().split(" ")
+            keep = max((len(w) * 7) // 10, 1)
+            corpus[d + 10000] = " ".join(w[:keep])
+    sh = {}
+    for d, t in corpus.items():
+        w = t.split(" ")
+        n = len(w)
+        sh[d] = {" ".join(w[i : i + 6]) for i in range(max(n - 5, 1))}
+    df_cnt = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            df_cnt[g] += 1
+    kept = {d: {g for g in s if df_cnt[g] <= 20} for d, s in sh.items()}
+    inv = defaultdict(list)
+    for d, s in kept.items():
+        for g in s:
+            inv[g].append(d)
+    shared = defaultdict(int)
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i, b in enumerate(ds):
+            for a in ds[i + 1 :]:
+                shared[(a, b)] += 1
+    cand = {
+        (a, b): (i, len(kept[a]), i * 1.0 / len(kept[a]))
+        for (a, b), i in shared.items()
+        if len(kept[a]) and i * 1.0 / len(kept[a]) >= 0.5
+    }
+    best = defaultdict(lambda: (0, None))
+    for (a, b), (i, n, cov) in sorted(cand.items()):
+        mx, cont = best[a]
+        if i > mx or (i == mx and (cont is None or b < cont)):
+            best[a] = (i, b)
+    expected = {}
+    for a, (mx, b) in best.items():
+        i, n, cov = cand[(a, b)]
+        expected[a] = (b, n, i, math.floor(cov * 1e6 + 0.5) / 1e6, cov >= 0.8)
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    got = {
+        r["doc"]: (
+            r["container"],
+            r["n_shingles"],
+            r["n_shared"],
+            r["coverage"],
+            r["drop_doc"],
+        )
+        for r in load_all()["dd17_shingle_containment"].fn(spark, sf).collect()
+    }
+    assert got == expected
+    planted = [d for d in got if d >= 10000]
+    assert len(planted) >= 15, "most planted truncations must be caught"
+    for d in planted:
+        assert got[d][3] == 1.0 and got[d][4], (
+            "a truncation's shingles are a subset of its source's — "
+            "coverage must be exactly 1.0 and the verdict a drop"
+        )
+
+
+def test_sp11_balance_and_membership(spark, sf_dir):
+    """Balance law: every class lands exactly min-class-size rows; the
+    selected members and ranks equal a pure-Python md5-hash-ranked draw."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    rows = REGISTRY["sp11_class_balanced_resample"].fn(spark, sf_dir).collect()
+    docs = duckdb.sql(
+        f"SELECT doc_id, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_lang = defaultdict(list)
+    for doc_id, lang in docs:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        by_lang[lang].append((h, doc_id))
+    min_n = min(len(v) for v in by_lang.values())
+    expected = {}
+    for lang, hs in by_lang.items():
+        for rank, (h, doc_id) in enumerate(sorted(hs)[:min_n], start=1):
+            expected[doc_id] = (lang, rank, len(hs), min_n)
+    got = {
+        r["doc_id"]: (r["lang"], r["rank_in_class"], r["class_n"], r["sampled_n"])
+        for r in rows
+    }
+    assert got == expected
+    per_class = defaultdict(int)
+    for lang, *_ in got.values():
+        per_class[lang] += 1
+    assert set(per_class.values()) == {min_n}, "classes must be exactly balanced"
