@@ -732,3 +732,57 @@ def test_a26_funnel_no_nested_loop(spark, sf_dir):
     plan = plan_of(spark, "a26_sequence_funnel", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tx14_is_shuffle_free_single_scan(spark, sf_dir):
+    """tx14's frozen-classifier scorer is ONE map-side projection over
+    one documents scan — any Exchange or second scan means the
+    pure-scan quality-pass contract regressed."""
+    plan = plan_of(spark, "tx14_quality_model_score", sf_dir)
+    # each physical scan prints twice in formatted plans (tree + detail)
+    assert plan.count("Scan parquet") == 2, "tx14 must scan documents once"
+    assert "Exchange" not in plan, "tx14 must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dp11_psi_post_checkpoint_never_rescans(spark, sf_dir):
+    """dp11's PSI algebra must run over the checkpointed (type, bin)
+    count frame with ZERO further parquet scans (the dp9/dp10 contract);
+    the grid-completion cross join must stay a broadcast of the tiny
+    bin list."""
+    plan = plan_of(spark, "dp11_psi_drift", sf_dir)
+    assert plan.count("Scan parquet") == 0, (
+        "dp11 re-scans events instead of reusing the checkpointed counts"
+    )
+
+
+def test_dd17_resolution_stays_hash_joined(spark, sf_dir):
+    """dd17's candidate generation and argmax resolution must stay
+    hash/sort-merge equi-joins — a BroadcastNestedLoopJoin or cartesian
+    means the inverted-index decomposition regressed to all-pairs."""
+    plan = plan_of(spark, "dd17_shingle_containment", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sp11_rank_has_no_per_class_window(spark, sf_dir):
+    """sp11's per-class rank must come from the distributed-rank
+    machinery (range exchange hidden behind the combinator's
+    localCheckpoint), NOT a hashpartitioning(lang) window — a fat class
+    would serialize through one task.  The only visible lang exchange
+    may be the tiny class-count aggregate, never a window input."""
+    plan = plan_of(spark, "sp11_class_balanced_resample", sf_dir)
+    assert "Scan ExistingRDD" in plan, "rank must go through the combinator"
+    assert "rangepartitioning(" not in plan, "combinator checkpoint lost"
+    # the FACT-side running-sum window must be keyed by (__pid, lang) —
+    # windowspecdefinition(lang, h ...) with no __pid would be the fat
+    # per-class rank.  (The offsets window partitioned by lang alone is
+    # fine: it runs over the bounded |langs|×|partitions| subtotal frame
+    # and its spec orders by __pid, not h.)
+    assert "hashpartitioning(__pid" in plan, (
+        "fact-side window not partitioned by __pid — per-class rank is back"
+    )
+    for spec in re.findall(r"windowspecdefinition\([^)]*h#[^)]*\)", plan):
+        assert "__pid" in spec, (
+            f"per-class window over the fact hash order detected: {spec}"
+        )
