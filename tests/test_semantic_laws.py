@@ -1085,3 +1085,332 @@ def test_mm4_matches_closed_form_frames(spark):
         for r in REGISTRY["mm4_video_frame_sample"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# --- anchors for r6-era rows that rotate in round 10 ------------------------
+
+
+def test_w10_matches_direct_expanding_distinct(spark):
+    """w10 computes the growth curve via the first-touch identity; the
+    anchor recomputes it the DIRECT (quadratic) way — per day, the size
+    of the set of all qualifying users seen so far — verifying the
+    identity itself, not just the arithmetic."""
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT user_id, ts, value, event_type FROM '{SF_SMOKE}/events.parquet' "
+        "ORDER BY ts"
+    ).fetchall()
+    qual = [(uid, ts.date()) for uid, ts, v, et in ev if et == "purchase" and v > 100.0]
+    first = {}
+    for uid, d in qual:
+        if uid not in first or d < first[uid]:
+            first[uid] = d
+    new_per_day = {}
+    for uid, d in first.items():
+        new_per_day[d] = new_per_day.get(d, 0) + 1
+    got = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in REGISTRY["w10_cumulative_distinct"].fn(spark, SF_SMOKE).collect()
+    }
+    # rows exist exactly for first-touch days (a day with only repeat
+    # activity produces no row)
+    assert set(got) == set(new_per_day)
+    run = 0
+    for day in sorted(new_per_day):
+        run += new_per_day[day]
+        assert got[day] == (new_per_day[day], run)
+        # the DIRECT expanding-distinct identity: cum on day d equals
+        # |distinct qualifying users with any activity <= d|
+        direct = len({uid for uid, d in qual if d <= day})
+        assert got[day][1] == direct, (
+            "first-touch cumsum must equal the direct expanding distinct"
+        )
+
+
+def test_a23_matches_per_user_replay(spark):
+    """Weekly cohort retention re-derived per user from raw micros
+    (week = µs // 604800e6, first-touch cohort, offset cells)."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    q = ev[(ev["event_type"] == "purchase") & (ev["value"] > 100.0)]
+    weeks = q["ts"].astype("int64") // 604_800_000_000  # datetime64[us] -> µs
+    act = set(zip(q["user_id"], weeks))
+    cohort = {}
+    for uid, w in act:
+        if uid not in cohort or w < cohort[uid]:
+            cohort[uid] = w
+    cells = defaultdict(int)
+    for uid, w in act:
+        cells[(cohort[uid], w - cohort[uid])] += 1
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in REGISTRY["a23_cohort_retention"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == dict(cells)
+    assert all(off >= 0 for _, off in got)
+
+
+def test_tx12_matches_counter_novelty(spark):
+    """Doc-unique 3-gram fraction re-derived with two Counters."""
+    from collections import Counter
+
+    per_doc = {}
+    for d, t, *_ in _docs():
+        w = t.strip().lower().split(" ")
+        n = len(w)
+        per_doc[d] = {" ".join(w[i : i + 3]) for i in range(max(n - 2, 1))}
+    df = Counter(g for s in per_doc.values() for g in s)
+    expected = {}
+    for d, s in per_doc.items():
+        uniq = sum(1 for g in s if df[g] == 1)
+        expected[d] = (len(s), uniq, _q6(uniq / len(s)))
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_unique"], r["novelty"])
+        for r in REGISTRY["tx12_ngram_novelty"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_pk2_matches_python_slicing_replay(spark):
+    """Sliding-window chunking re-derived with Python list slicing
+    (W=32, S=24, ceil tail rule) — spans, lengths, and content hashes."""
+    import hashlib
+
+    expected = {}
+    for d, t, *_ in _docs():
+        w = t.split(" ")
+        n_extra = (max(len(w) - 32, 0) + 23) // 24
+        for i in range(n_extra + 1):
+            start = 1 + i * 24
+            chunk = w[start - 1 : start - 1 + 32]
+            expected[(d, i)] = (
+                start,
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tok"], r["chunk_md5"])
+        for r in REGISTRY["pk2_document_chunking"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # coverage law: every token of every doc lands in >= 1 chunk
+    for d, t, *_ in _docs():
+        n = len(t.split(" "))
+        covered = max(k[1] for k in expected if k[0] == d)
+        assert 1 + covered * 24 + 32 - 1 >= n or n <= 32
+
+
+def test_pk3_matches_python_bucketing_replay(spark):
+    """Length-bucketed batching re-derived with a per-(bucket, shard)
+    Python loop (log2 buckets, doc-id order, batches of 8, pad
+    efficiency)."""
+    import re
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for d, t, *_ in sorted(_docs()):
+        tok = max(len(re.split(r"\s+", t.strip())), 1)
+        bucket = math.floor(math.log2(float(tok)))
+        groups[(bucket, d // 64)].append(tok)
+    expected = {}
+    for (bucket, shard), toks in groups.items():
+        for b in range(0, len(toks), 8):
+            batch = toks[b : b + 8]
+            mx, sm = max(batch), sum(batch)
+            expected[(bucket, shard, b // 8)] = (
+                len(batch),
+                mx,
+                sm,
+                _q6(sm / (len(batch) * mx)),
+            )
+    got = {
+        (r["bucket"], r["shard"], r["batch"]): (
+            r["n_docs"],
+            r["max_tok"],
+            r["sum_tok"],
+            r["pad_eff"],
+        )
+        for r in REGISTRY["pk3_length_bucketed_batching"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert all(v[0] <= 8 and 0 < v[3] <= 1.0 for v in expected.values())
+
+
+def test_o8_matches_python_bit_interleave(spark):
+    """Z-order manifest re-derived with an independent Python Morton
+    encoding (string bit interleave instead of shift/mask arithmetic)."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    day0 = pd.Timestamp("2024-01-01").date()
+
+    def morton(u: int, d: int) -> int:
+        ub = f"{u:08b}"[::-1]
+        db = f"{d:08b}"[::-1]
+        bits = "".join(ub[b] + db[b] for b in range(8))  # LSB-first interleave
+        return int(bits[::-1], 2)
+
+    cells = defaultdict(lambda: [0, 256, -1, 256, -1])
+    for uid, ts in zip(ev["user_id"], ev["ts"]):
+        u = int(uid) % 256
+        d = (ts.date() - day0).days % 256
+        fid = morton(u, d) >> 4
+        c = cells[fid]
+        c[0] += 1
+        c[1], c[2] = min(c[1], u), max(c[2], u)
+        c[3], c[4] = min(c[3], d), max(c[4], d)
+    expected = {fid: tuple(c) for fid, c in cells.items()}
+    got = {
+        r["file_id"]: (r["n_rows"], r["u_min"], r["u_max"], r["d_min"], r["d_max"])
+        for r in REGISTRY["o8_zorder_layout"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # locality law: a z-order cell of 16 codes spans <= 4 in each dim
+    for _, (_, umin, umax, dmin, dmax) in got.items():
+        assert umax - umin <= 4 and dmax - dmin <= 4
+
+
+def test_dd5_matches_bruteforce_lsh_replay(spark):
+    """Sign-LSH near-dup pairs re-derived in pure Python: the ±1 plane
+    rule re-implemented inline from its spec (md5(\"p#i\")[0] >= '8'),
+    bucket-grouped candidates, fold-order cosine verify.  Every planted
+    1.5x-scaled copy must pair with its original at cos ~ 1.0."""
+    import hashlib
+    from collections import defaultdict
+
+    V, _ = _vecs()
+    corpus = dict(V)
+    for vid in list(V):
+        if vid % 50 == 0:
+            corpus[vid + 10000] = [x * 1.5 for x in V[vid]]
+    planes = [
+        [
+            1.0 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(64)
+        ]
+        for p in range(16)
+    ]
+    buckets = defaultdict(list)
+    for vid, v in corpus.items():
+        for b in range(4):
+            sig = "".join(
+                "1" if _fold_dot(v, planes[b * 4 + r]) > 0 else "0" for r in range(4)
+            )
+            buckets[(b, sig)].append(vid)
+    cand = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                cand.add((a, b))
+    expected = {}
+    for a, b in cand:
+        cs = _q6(_fold_cos(corpus[a], corpus[b]))
+        if cs >= 0.95:
+            expected[(a, b)] = cs
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in REGISTRY["dd5_embedding_cosine_dup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    for vid in corpus:
+        if vid >= 10000:
+            assert got.get((vid - 10000, vid), 0.0) >= 0.999999, (
+                "scaled copy must be caught at cos ~ 1.0 (sign bits invariant)"
+            )
+
+
+def test_j16_matches_bruteforce_pair_scan(spark):
+    """Interval-overlap measure re-derived by a brute-force per-user
+    double loop over (error, purchase) windows — verifies the bucket
+    explosion + dedup candidate generation loses and double-counts
+    nothing."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    W = 1_800_000_000
+    us = ev["ts"].astype("int64")  # datetime64[us] -> µs
+    err = defaultdict(list)
+    pur = defaultdict(list)
+    for uid, et, s in zip(ev["user_id"], ev["event_type"], us):
+        if et == "error":
+            err[int(uid)].append(int(s))
+        elif et == "purchase":
+            pur[int(uid)].append(int(s))
+    expected = {}
+    for uid in set(err) & set(pur):
+        n = tot = 0
+        for a in err[uid]:
+            for b in pur[uid]:
+                ov = min(a + W, b + W) - max(a, b)
+                if a < b + W and b < a + W and ov > 0:
+                    n += 1
+                    tot += ov
+        if n:
+            expected[uid] = (n, tot)
+    got = {
+        r["user_id"]: (r["n_overlapping_pairs"], r["overlap_us"])
+        for r in REGISTRY["j16_interval_overlap"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_sp7_matches_python_epoch_shuffle(spark):
+    """Per-epoch reshuffle re-derived with hashlib: positions are a
+    permutation within every (epoch, shard), orders differ across
+    epochs, and every (doc, epoch, position) matches the md5 draw."""
+    import hashlib
+    from collections import defaultdict
+
+    from ifcb_data_pipeline_spark.queries.text import _SP7_EPOCHS
+
+    docs = [d for d, *_ in _docs()]
+    expected = {}
+    order_by_epoch = defaultdict(dict)
+    groups = defaultdict(list)
+    for d in docs:
+        for ep in range(_SP7_EPOCHS):
+            h = int(hashlib.md5(f"{ep}:{d}".encode()).hexdigest()[:8], 16)
+            groups[(ep, d // 64)].append((h, d))
+    for (ep, shard), hs in groups.items():
+        for pos, (_, d) in enumerate(sorted(hs), start=1):
+            expected[(d, ep)] = (shard, pos)
+            order_by_epoch[ep][d] = pos
+    got = {
+        (r["doc_id"], r["epoch"]): (r["shard"], r["position"])
+        for r in REGISTRY["sp7_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(
+        order_by_epoch[0][d] != order_by_epoch[1][d] for d in docs
+    ), "epochs must actually reshuffle"
+
+
+def test_i8_matches_dict_diff_replay(spark):
+    """Snapshot diff re-derived with two Python dicts and set algebra."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    old, new = {}, {}
+    for d, t, *_ in _docs():
+        old[d] = md5(t)
+        if d % 30 == 0:
+            new[d + 30000] = md5(f"minted for {d}")
+        else:
+            new[d] = md5(f"rewritten: {t}" if d % 25 == 0 else t)
+    expected = {}
+    for d in old.keys() - new.keys():
+        expected[d] = "removed"
+    for d in new.keys() - old.keys():
+        expected[d] = "added"
+    for d in old.keys() & new.keys():
+        if old[d] != new[d]:
+            expected[d] = "changed"
+    got = {
+        r["doc_id"]: r["status"]
+        for r in REGISTRY["i8_snapshot_diff"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert {"added", "removed", "changed"} <= set(expected.values())
