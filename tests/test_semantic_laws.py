@@ -1414,3 +1414,151 @@ def test_i8_matches_dict_diff_replay(spark):
     }
     assert got == expected
     assert {"added", "removed", "changed"} <= set(expected.values())
+
+
+def test_sp5_matches_weight_replay(spark):
+    """Temperature-scaled resampling re-derived from per-source counts
+    (w = min(0.5/sqrt(share), 4), floor copies + hash-gated fraction)."""
+    from collections import defaultdict
+
+    n_docs = defaultdict(int)
+    rows = _docs()
+    for _, _, _, src in rows:
+        n_docs[src] += 1
+    total = float(sum(n_docs.values()))
+    expected = {}
+    for d, _, _, src in rows:
+        w = min(0.5 / math.sqrt(n_docs[src] / total), 4.0)
+        fl, ce = math.floor(w), math.ceil(w)
+        for c in range(1, ce + 1):
+            if c <= fl or (
+                c == ce
+                and _h32(str(d)) % 1000000 < math.floor((w - fl) * 1e6 + 0.5)
+            ):
+                expected[(d, c)] = (src, _q6(w))
+    got = {
+        (r["doc_id"], r["copy_idx"]): (r["source"], r["w"])
+        for r in REGISTRY["sp5_temperature_resampling"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    # temperature law: rarer sources never get a smaller factor
+    ordered = sorted(n_docs, key=n_docs.get)
+    ws = [min(0.5 / math.sqrt(n_docs[s] / total), 4.0) for s in ordered]
+    assert all(a >= b - 1e-12 for a, b in zip(ws, ws[1:]))
+
+
+def test_sim9_matches_two_stage_replay(spark):
+    """int8-coarse + float-rerank re-derived in Python: exact integer
+    coarse dots -> top-25 -> fold-order float cosine -> top-5."""
+    V, _ = _vecs()
+    q8 = {}
+    for vid, v in V.items():
+        amax = max(abs(x) for x in v)
+        if amax <= 0:
+            continue
+        scale = amax / 127.0
+        q8[vid] = [int(max(min(math.floor(x / scale + 0.5), 127.0), -127.0)) for x in v]
+    expected = {}
+    for qid in (v for v in q8 if v < 10):
+        coarse = sorted(
+            ((sum(a * b for a, b in zip(q8[qid], q8[c])), c) for c in q8 if c != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:25]
+        rer = sorted(
+            ((_fold_cos(V[qid], V[c]), cd, c) for cd, c in coarse),
+            key=lambda t: (-t[0], t[2]),
+        )[:5]
+        for rk, (cr, cd, c) in enumerate(rer, start=1):
+            expected[(qid, c)] = (rk, cd, _q6(cr))
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["coarse_dot"], r["cos_sim"])
+        for r in REGISTRY["sim9_quantized_rerank"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_mm8_matches_closed_form_patch_sums(spark):
+    """ViT patchification re-derived from the closed-form payload: exact
+    integer 4x4 patch sums through decode -> resize -> reshape."""
+    import duckdb
+
+    orders = duckdb.sql(
+        f"SELECT o_orderkey FROM '{SF_SMOKE}/orders.parquet' "
+        "WHERE o_orderkey % 400 = 0"
+    ).fetchall()
+    expected = {}
+    for (k,) in orders:
+        for roi in range(1, (k % 50) + 2):
+            w, h = 8 + roi % 16, 8 + (roi * 3) % 16
+            for pr in range(4):
+                for pc in range(4):
+                    s = sum(
+                        (roi * 31 + ((y * h) // 16) * w + ((x * w) // 16)) % 251
+                        for y in range(pr * 4, pr * 4 + 4)
+                        for x in range(pc * 4, pc * 4 + 4)
+                    )
+                    expected[(str(k), roi, pr, pc)] = (pr * 4 + pc, s)
+    got = {
+        (r["sample"], r["roi_number"], r["patch_row"], r["patch_col"]): (
+            r["patch_idx"],
+            r["sum_px"],
+        )
+        for r in REGISTRY["mm8_patchify"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_tp5_matches_python_funnel_replay(spark):
+    """The four-gate yield funnel re-derived with a sequential Python
+    pass over the augmented corpus (lang gate, quality gate, fp-head
+    dedup survivor), plus the monotone-funnel law."""
+    import hashlib
+
+    from ifcb_data_pipeline_spark.operators.text import STOPWORDS
+
+    sw = set(STOPWORDS)
+    corpus = []
+    for d, t, lang, _ in _docs():
+        corpus.append((d, lang, t.lower()))
+        if d % 25 == 0:
+            w = t.lower().split(" ")
+            keep = max((len(w) * 7) // 10, 1)
+            corpus.append((d + 10000, lang, " ".join(w[:keep])))
+    flagged = []
+    for d, lang, text in corpus:
+        w = text.split(" ")
+        n = len(w)
+        stop_ratio = sum(t in sw for t in w) * 1.0 / n
+        fp = hashlib.md5(" ".join(w[:8]).encode()).hexdigest()
+        g1 = lang == "en"
+        g2 = g1 and n >= 20 and stop_ratio >= 0.02
+        flagged.append((d, n, fp, g1, g2))
+    canon = {}
+    for d, _, fp, _, g2 in flagged:
+        if g2 and (fp not in canon or d < canon[fp]):
+            canon[fp] = d
+    stages = {0: [0, 0], 1: [0, 0], 2: [0, 0], 3: [0, 0]}
+    for d, n, fp, g1, g2 in flagged:
+        stages[0][0] += 1
+        stages[0][1] += n
+        if g1:
+            stages[1][0] += 1
+            stages[1][1] += n
+        if g2:
+            stages[2][0] += 1
+            stages[2][1] += n
+            if canon[fp] == d:
+                stages[3][0] += 1
+                stages[3][1] += n
+    got = {
+        r["stage_idx"]: (r["stage"], r["n_docs"], r["n_tokens"])
+        for r in REGISTRY["tp5_funnel_report"].fn(spark, SF_SMOKE).collect()
+    }
+    names = {0: "raw", 1: "lang", 2: "quality", 3: "dedup"}
+    assert got == {
+        i: (names[i], stages[i][0], stages[i][1]) for i in range(4)
+    }
+    # funnel law: monotone non-increasing in docs and tokens
+    for i in range(3):
+        assert got[i][1] >= got[i + 1][1] and got[i][2] >= got[i + 1][2]
+    assert got[3][1] > 0, "the funnel must not empty out"
