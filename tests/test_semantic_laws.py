@@ -1562,3 +1562,168 @@ def test_tp5_matches_python_funnel_replay(spark):
     for i in range(3):
         assert got[i][1] >= got[i + 1][1] and got[i][2] >= got[i + 1][2]
     assert got[3][1] > 0, "the funnel must not empty out"
+
+
+def test_dd4b_matches_counter_jaccard_replay(spark):
+    """df-cut n-gram Jaccard re-derived with Python sets (3-gram
+    shingles, df<=50 cut, exact i/(na+nb-i) division)."""
+    from collections import Counter, defaultdict
+
+    corpus = {}
+    for d, t, *_ in _docs():
+        corpus[d] = t.lower()
+        if d % 25 == 0:
+            w = t.lower().split(" ")
+            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+    sh = {}
+    for d, t in corpus.items():
+        w = t.split(" ")
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+    df = Counter(g for s in sh.values() for g in s)
+    kept = {d: {g for g in s if df[g] <= 50} for d, s in sh.items()}
+    inv = defaultdict(list)
+    for d, s in kept.items():
+        for g in s:
+            inv[g].append(d)
+    inter = defaultdict(int)
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                inter[(a, b)] += 1
+    expected = {}
+    for (a, b), i in inter.items():
+        j = i / (len(kept[a]) + len(kept[b]) - i)
+        if j >= 0.3:
+            expected[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dd4b_ngram_jaccard_dfcut"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "planted truncations must produce pairs"
+
+
+def test_j14_matches_bruteforce_window_scan(spark):
+    """Range join re-derived by a brute-force per-error scan over the
+    user's events in (t, t+1h) — verifies the two-bucket replication
+    neither drops nor double-counts follow events."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    us = ev["ts"].astype("int64")
+    by_user = defaultdict(list)
+    for uid, et, v, s in zip(ev["user_id"], ev["event_type"], ev["value"], us):
+        by_user[int(uid)].append((int(s), et, float(v)))
+    expected = {}
+    for uid, et, s, eid in zip(
+        ev["user_id"], ev["event_type"], us, ev["event_id"]
+    ):
+        if et != "error":
+            continue
+        n = np_ = cents = 0
+        for fs, fet, fv in by_user[int(uid)]:
+            if int(s) < fs < int(s) + 3_600_000_000:
+                n += 1
+                np_ += fet == "purchase"
+                cents += math.floor(fv * 100.0 + 0.5)
+        expected[int(eid)] = (int(uid), n, np_, cents)
+    got = {
+        r["err_id"]: (r["user_id"], r["n_follow"], r["n_purchase"], r["value_cents"])
+        for r in REGISTRY["j14_bucketed_range_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values())
+
+
+def test_j8b_matches_bruteforce_haversine(spark):
+    """Grid spatial join re-derived by the all-pairs double loop —
+    verifies the 3x3 cell neighborhood provably covers the 50 km radius
+    (no pair lost at cell edges)."""
+    import duckdb
+
+    cust = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT c_custkey FROM '{SF_SMOKE}/customer.parquet'"
+        ).fetchall()
+    ]
+    supp = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT s_suppkey FROM '{SF_SMOKE}/supplier.parquet'"
+        ).fetchall()
+    ]
+    latlon = lambda k: (54.0 + (k % 600) / 100.0, 10.0 + (k % 1200) / 100.0)  # noqa: E731
+
+    def hav(c, s):
+        clat, clon = latlon(c)
+        slat, slon = latlon(s)
+        return (
+            2
+            * 6371.0088
+            * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(slat - clat) / 2) ** 2
+                    + math.cos(math.radians(clat))
+                    * math.cos(math.radians(slat))
+                    * math.sin(math.radians(slon - clon) / 2) ** 2
+                )
+            )
+        )
+
+    expected = {}
+    for c in cust:
+        for s in supp:
+            d = hav(c, s)
+            if d <= 50.0:
+                expected[(c, s)] = math.floor(d * 1e4 + 0.5) / 1e4
+    got = {
+        (r["c_custkey"], r["s_suppkey"]): r["dist_km"]
+        for r in REGISTRY["j8b_grid_spatial_join"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "the radius must actually match some pairs"
+
+
+def test_i9_matches_sequential_run_length_replay(spark):
+    """SCD2 compaction re-derived with a sequential per-user run-length
+    pass, plus the interval laws (contiguity, one current row per user,
+    event counts partition the stream)."""
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    by_user = defaultdict(list)
+    for uid, et, ts, eid in zip(
+        ev["user_id"], ev["event_type"], ev["ts"], ev["event_id"]
+    ):
+        by_user[int(uid)].append((ts, int(eid), et))
+    expected = {}
+    for uid, rows in by_user.items():
+        rows.sort()
+        runs = []
+        for ts, eid, et in rows:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, ts, 1])
+        for i, (state, vfrom, n) in enumerate(runs):
+            vto = runs[i + 1][1] if i + 1 < len(runs) else None
+            expected[(uid, vfrom)] = (state, vto, n, vto is None)
+    got = {
+        (r["user_id"], pd.Timestamp(r["valid_from"])): (
+            r["state"],
+            pd.Timestamp(r["valid_to"]) if r["valid_to"] is not None else None,
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in REGISTRY["i9_scd2_compaction"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    per_user_current = defaultdict(int)
+    per_user_events = defaultdict(int)
+    for (uid, _), (_, _, n, cur) in got.items():
+        per_user_current[uid] += cur
+        per_user_events[uid] += n
+    assert all(c == 1 for c in per_user_current.values())
+    assert per_user_events == {u: len(r) for u, r in by_user.items()}
