@@ -1727,3 +1727,110 @@ def test_i9_matches_sequential_run_length_replay(spark):
         per_user_events[uid] += n
     assert all(c == 1 for c in per_user_current.values())
     assert per_user_events == {u: len(r) for u, r in by_user.items()}
+
+
+def test_dd11_matches_sequential_span_replay(spark):
+    """Span dedup re-derived with a dict-of-first-occurrence sequential
+    pass in (doc_id, pos) order — survivor rule, drop counts, and the
+    cleaned-text hash."""
+    import hashlib
+
+    chunks = []
+    for d, t, *_ in sorted(_docs()):
+        w = t.split(" ")
+        for i in range((len(w) + 7) // 8):
+            chunks.append((d, i, " ".join(w[i * 8 : (i + 1) * 8])))
+    first = {}
+    for d, pos, c in sorted(chunks):
+        first.setdefault(c, (d, pos))
+    expected = {}
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for d, pos, c in chunks:
+        per_doc[d].append((pos, c, first[c] == (d, pos)))
+    for d, rows in per_doc.items():
+        rows.sort()
+        kept = " ".join(c for _, c, keep in rows if keep)
+        expected[d] = (
+            len(rows),
+            sum(not keep for _, _, keep in rows),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dropped"], r["cleaned_md5"])
+        for r in REGISTRY["dd11_span_dedup"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(v[1] > 0 for v in expected.values()), "some spans must dedup"
+
+
+def test_s6b_matches_python_json_replay(spark):
+    """JSON extraction re-derived with Python's json module (third JSON
+    parser after Jackson and DuckDB's)."""
+    import json
+    from collections import defaultdict
+
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cells = defaultdict(lambda: [0, None, None, 0])
+    for et, props, v in zip(ev["event_type"], ev["props"], ev["value"]):
+        k = int(json.loads(props)["k"])
+        cell = cells[(et, k // 10)]
+        cell[0] += 1
+        cell[1] = k if cell[1] is None else min(cell[1], k)
+        cell[2] = k if cell[2] is None else max(cell[2], k)
+        cell[3] += math.floor(float(v) * 100.0 + 0.5)
+    expected = {key: tuple(c) for key, c in cells.items()}
+    got = {
+        (r["event_type"], r["k_decile"]): (
+            r["n"],
+            r["k_min"],
+            r["k_max"],
+            r["value_cents"],
+        )
+        for r in REGISTRY["s6b_json_props_extract"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_sim10_matches_python_pq_replay(spark):
+    """PQ/ADC re-derived in Python: codebook = first 4 vectors' 16-dim
+    subspaces, codes by expanded-form L2 argmin (tie min j), ADC =
+    lookup-sum in the engines' ((d0+d1)+(d2+d3)) association, top-5."""
+    V, _ = _vecs()
+    M, K, SUB = 4, 4, 16
+
+    def l2(a, b):
+        return (_fold_dot(a, a) - 2 * _fold_dot(a, b)) + _fold_dot(b, b)
+
+    cb = {
+        (m, j): V[j][m * SUB : (m + 1) * SUB] for m in range(M) for j in range(K)
+    }
+    codes = {}
+    for vid, v in V.items():
+        codes[vid] = tuple(
+            min(range(K), key=lambda j: (l2(v[m * SUB : (m + 1) * SUB], cb[(m, j)]), j))
+            for m in range(M)
+        )
+    expected = {}
+    for qid in (v for v in V if v < 10):
+        lut = {
+            (m, j): l2(V[qid][m * SUB : (m + 1) * SUB], cb[(m, j)])
+            for m in range(M)
+            for j in range(K)
+        }
+        scored = []
+        for c, code in codes.items():
+            if c == qid:
+                continue
+            d = (lut[(0, code[0])] + lut[(1, code[1])]) + (
+                lut[(2, code[2])] + lut[(3, code[3])]
+            )
+            scored.append((d, c))
+        for rk, (d, c) in enumerate(sorted(scored)[:5], start=1):
+            expected[(qid, c)] = (rk, _q6(d))
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["rank"], r["adc_dist"])
+        for r in REGISTRY["sim10_pq_adc"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
