@@ -65,133 +65,122 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6-7),
 # so the first 50 names below are the round's driver-verified set.
 #
-# Round-9 rotation (per VERDICT r8 items 1 & 2 — the precomputed plan,
-# executed verbatim; CORRECTNESS_r08 landed 50/50 green so no red row
+# Round-10 rotation (per VERDICT r9 item 1 — the precomputed plan,
+# executed verbatim; CORRECTNESS_r09 landed 50/50 green so no red row
 # displaced slot 1, and tools/rotation_audit.py mechanically confirmed
 # the set is the 50 stalest).  Slot assignment:
-#   * slots 1-3: the round-8 adds (dd16, sp10, a27) — the registry's
-#     only never-driver-checked rows.  dd16's code AND oracle changed
-#     this round (ADVICE r8 items 3-4: corpus-derived variant offsets
-#     M=max(doc_id)+1 / 2M replacing the collidable fixed 30000/60000,
-#     and the stopword IN-list interpolated from operators.text.
-#     STOPWORDS) — it was re-entering the prefix anyway, so the lapse
-#     rule is satisfied by its slot-1 position.
-#   * slots 4-10: the 7 r3-era spills (p1 p2 p3 dd2 j4 u13 mm1) —
-#     drains the r3 era.
-#   * slots 11-50: the full 40-row r4 era — drains the r4 era.
-# Max row age after this round: r6 (46 rows = 3 rounds) — round 10
-# takes them (see ROUND-10 plan below the list).
+#   * slots 1-4: the round-9 adds (tx14, dp11, dd17, sp11) — the
+#     registry's only never-driver-checked rows.  dp11's code AND
+#     oracle changed this round (ADVICE r9 item 3: greatest(0, ...)
+#     lower clamp on the PSI bin, mirrored in Spark / oracle / law
+#     anchor) — it was re-entering the prefix anyway, so the lapse
+#     rule is satisfied by its slot-2 position.
+#   * slots 5-50: the full 46-row r6 era (alphabetical) — drains r6.
+# Max row age after this round: r7 (46 rows = 3 rounds) — round 11
+# takes them (see ROUND-11 plan below the list).
+# Round-9 rotation rationale: see this block at commit 2382228.
 # Round-8 rotation rationale and the sp6/a25 HUGEINT root-cause record:
 # see this comment block at tag round-8 / commit 0bcab14; the ROOT-CAUSE
 # CORRECTION paragraph below preserves the adjudicated summary.
-# Round-9 adds (4, throttle per VERDICT r8 item 4): tx14_quality_model_
-# score (frozen-logistic quality filter, exact-integer logit, no
-# transcendental), dp11_psi_drift (binned PSI gate, per-term pico-
-# quantized ln, planted click drift), dd17_shingle_containment
-# (substring-dedup resolution: df-cut 6-gram inverted index -> max-
-# shared/min-container argmax -> drop verdict), sp11_class_balanced_
-# resample (minority-size equalization via grouped_prefix_sum ranks —
-# no per-class window).  All four registered BELOW the prefix (zero
-# slack this round); each swept green at sf0.001/0.01/0.1 through the
-# type-aware mirror on landing, each with a pure-Python recompute law
-# anchor in tests/test_invariants.py; they take round 10's four spare
-# slots (46 r6-era rows + 4 = exactly 50).
 # Staleness mitigation while the ladder drains: the FULL registry
 # (every stale row included) is swept through the local oracle mirror
 # at sf0.001/0.01/0.1 each round under the driver-strict, TYPE-AWARE
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 9 — the precomputed plan below, applied verbatim
-    # (CORRECTNESS_r08 was 50/50 green, so no red row displaces slot 1;
+    # ROUND 10 — the precomputed plan below, applied verbatim
+    # (CORRECTNESS_r09 was 50/50 green, so no red row displaces slot 1;
     # tools/rotation_audit.py confirmed this set is the 50 stalest).
-    # slots 1-3: round-8 adds, never driver-checked
-    "dd16_quality_survivor",
-    "sp10_decontaminated_split",
-    "a27_retention_cohorts",
-    # slots 4-10: the 7 r3-era spills from round 8
-    "p1_shark_export",
-    "p2_hab_alert",
-    "p3_dashboard_metadata",
-    "dd2_minhash_lsh",
-    "j4_asof_join",
-    "u13_psd_fit",
-    "mm1_multimodal_features",
-    # slots 11-50: the full r4-era ladder (40 rows) — drains r4
-    "c10_date_format",
-    "c11_encoding_fix",
-    "c12_haversine",
-    "c1_taxa_clean_cascade",
-    "c2_species_flag",
-    "c6_parse_bin_id",
-    "c8_f1_score",
-    "c9_signif_round",
-    "dd8_benchmark_contamination",
-    "dp3_categorical_profile",
-    "dp4_domain_mixture",
-    "dp5_correlation_matrix",
-    "f10_timestamp_range",
-    "f12_value_threshold",
-    "f13_membership_filter",
-    "f2_gps_staleness",
-    "f3_blacklist_prefix_anti",
-    "f4_flag_removal",
-    "f7_qc_gating",
-    "f8_sentinel_normalization",
-    "mm3_resize_normalize",
-    "mm4_video_frame_sample",
-    "pk1_sequence_packing",
-    "sim2_signlsh_ann",
-    "sim5_ivf_nprobe2",
-    "sim6_embedding_quantize",
-    "sim7_filtered_ann",
-    "sim8_kmeans_refine",
-    "sp2_stratified_sample",
-    "sp3_shuffle_shards",
-    "sp4_mixture_materialize",
-    "tp1_training_corpus",
-    "tx10_tfidf_top_terms",
-    "tx5_vocabulary",
-    "tx7_repetition_signals",
-    "tx8_pii_scrub",
-    "tx9_bpe_pair_merge",
-    "w1_adjacency_removal",
-    "w3_gap_fill",
-    "w6_moving_average",
+    # slots 1-4: round-9 adds, never driver-checked
+    "tx14_quality_model_score",
+    "dp11_psi_drift",
+    "dd17_shingle_containment",
+    "sp11_class_balanced_resample",
+    # slots 5-50: the full r6-era ladder (46 rows) — drains r6
+    "a22_decayed_engagement",
+    "a23_cohort_retention",
+    "dd10_fuzzy_decontamination",
+    "dd11_span_dedup",
+    "dd12_containment_pairs",
+    "dd4_ngram_jaccard",
+    "dd4b_ngram_jaccard_dfcut",
+    "dd5_embedding_cosine_dup",
+    "dp6_drift_profile",
+    "i8_snapshot_diff",
+    "i9_scd2_compaction",
+    "j14_bucketed_range_join",
+    "j16_interval_overlap",
+    "j8b_grid_spatial_join",
+    "k7_ecotaxa_export",
+    "mm10_voice_activity",
+    "mm2_real_kernel_features",
+    "mm2b_kernel_topologies",
+    "mm5_audio_frame_features",
+    "mm7_modality_coverage",
+    "mm8_patchify",
+    "mm9_perceptual_dedup",
+    "o8_zorder_layout",
+    "pk2_document_chunking",
+    "pk3_length_bucketed_batching",
+    "s6b_json_props_extract",
+    "sim10_pq_adc",
+    "sim9_quantized_rerank",
+    "sp2b_stratified_topk",
+    "sp5_temperature_resampling",
+    "sp7_epoch_shuffle",
+    "st1_stream_windowed_counts",
+    "st2_stateful_user_counts",
+    "st3_watermarked_append",
+    "st4_stream_stream_join",
+    "st5_streaming_dedup",
+    "st7_stream_static_join",
+    "tp2_multimodal_corpus",
+    "tp3_incremental_refresh",
+    "tp5_funnel_report",
+    "tx11_langid_confusion",
+    "tx12_ngram_novelty",
+    "w10_cumulative_distinct",
+    "w11_cusum_drift",
+    "w7_native_session_window",
+    "w8_ewma_smoothing",
 ]
-# The round-9 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r08 landed 50/50 green, so no red row
+# The round-10 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r09 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed optimality).
-# After round 9 the r3 and r4 eras are drained and max row age is 3
-# rounds (the 46 r6-era rows).
+# After round 10 the r6 era is drained and max row age is 3 rounds
+# (the 46 r7-era rows).
 #
-# ROUND-10 ROTATION PLAN (precomputed; apply verbatim unless round-9
-# driver results dictate otherwise — a red row takes slot 1):
-#   4 round-9 adds (never driver-checked; throttle respected):
-#     tx14_quality_model_score, dp11_psi_drift,
-#     dd17_shingle_containment, sp11_class_balanced_resample
-#   46 r6-era rows (drains r6; ties broken alphabetically):
-#     a22_decayed_engagement, a23_cohort_retention,
-#     dd10_fuzzy_decontamination, dd11_span_dedup,
-#     dd12_containment_pairs, dd4_ngram_jaccard,
-#     dd4b_ngram_jaccard_dfcut, dd5_embedding_cosine_dup,
-#     dp6_drift_profile, i8_snapshot_diff, i9_scd2_compaction,
-#     j14_bucketed_range_join, j16_interval_overlap,
-#     j8b_grid_spatial_join, k7_ecotaxa_export, mm10_voice_activity,
-#     mm2_real_kernel_features, mm2b_kernel_topologies,
-#     mm5_audio_frame_features, mm7_modality_coverage, mm8_patchify,
-#     mm9_perceptual_dedup, o8_zorder_layout, pk2_document_chunking,
-#     pk3_length_bucketed_batching, s6b_json_props_extract,
-#     sim10_pq_adc, sim9_quantized_rerank, sp2b_stratified_topk,
-#     sp5_temperature_resampling, sp7_epoch_shuffle,
-#     st1_stream_windowed_counts, st2_stateful_user_counts,
-#     st3_watermarked_append, st4_stream_stream_join,
-#     st5_streaming_dedup, st7_stream_static_join,
-#     tp2_multimodal_corpus, tp3_incremental_refresh, tp5_funnel_report,
-#     tx11_langid_confusion, tx12_ngram_novelty, w10_cumulative_distinct,
-#     w11_cusum_drift, w7_native_session_window, w8_ewma_smoothing
-# = exactly 50; zero slack again in round 10 — the 46 r7-era rows go
-# stale then and must take round 11 (46 + up to 4 round-10 adds).
+# ROUND-11 DRAFT ROTATION PLAN (header becomes `ROUND-11 ROTATION
+# PLAN` — the form tools/rotation_audit.py parses — in the same commit
+# that registers the 4 named round-10 adds; precomputed; apply verbatim
+# unless round-10 driver results dictate otherwise — a red row takes
+# slot 1):
+#   4 round-10 adds (never driver-checked; throttle respected) take
+#   slots 1-4:
+#     dd18_url_host_dedup, tx15_tokenizer_fertility,
+#     dd19_repeated_ngram_spans, dp12_quantile_drift_gate
+#   then the 46 r7-era rows (drains r7; derived from the
+#   CORRECTNESS_r*.json last-green ladder, alphabetical):
+#     a20_grouped_percentiles, a21_conversion_funnel,
+#     a24_salted_skew_rollup, a26_sequence_funnel, a9_class_counts,
+#     c4_taxa_resolver, c5_trophic_lookup, dd13_star_components,
+#     dd14_lsh_recall, dd15_lsh_parameter_sweep, dd9_normalized_dedup,
+#     dp1_column_profile, dp2_winsorize, dp8_exact_quantiles,
+#     dp9_mutual_information, g1_pagerank, i10_merge_upsert,
+#     i11_late_data_audit, i12_incremental_rollup,
+#     j17_point_in_time_join, j9_basin_tagging, j9b_polygon_tagging,
+#     mm11_scene_cuts, mm12_spectral_frames, mm6_augmentation_panel,
+#     o1_multi_key_sort, o3_union_by_name, o5_split_apply_union,
+#     o6_pivot_longer, o6_pivot_wider, o7_set_except, o7_set_intersect,
+#     o9_compaction_plan, sim11_mips_topk, sim12_knn_graph,
+#     sim1_cosine_topk, sim3_label_centroids, sp8_importance_resampling,
+#     st6_sliding_window_rates, st8_streaming_sessions,
+#     tp4_curriculum_order, tp6_dataset_card, w12_mad_outliers,
+#     w4_newest_topk, w5_sessionization, w9_rolling_zscore
+# = exactly 50; zero slack persists while the 196+-entry registry
+# cycles through a 50-row gate on a 4-round period — re-run
+# tools/rotation_audit.py at round-11 start once CORRECTNESS_r10.json
+# lands (a red row there displaces slot 1 by rule).
 # END PLAN
 #
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7

@@ -906,10 +906,10 @@ DP11_SQL = f"""
 WITH binned AS (
     SELECT event_type,
            (ts < TIMESTAMP '2024-01-16 00:00:00') AS p1,
-           least(floor((value + CASE WHEN event_type = 'click'
+           least(greatest(floor((value + CASE WHEN event_type = 'click'
                                       AND ts >= TIMESTAMP '2024-01-16 00:00:00'
                                      THEN {_DP11_SHIFT!r} ELSE 0.0 END)
-                       / {_DP11_BINW!r})::INT, {_DP11_NBINS - 1}) AS bin
+                       / {_DP11_BINW!r})::INT, 0), {_DP11_NBINS - 1}) AS bin
     FROM events
 ),
 counts AS (
@@ -960,8 +960,13 @@ def dp11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = events.select(
         "event_type",
         p1.alias("p1"),
+        # ADVICE r9: greatest(0, ...) lower clamp so a (currently
+        # unreachable) negative value can't produce a bin outside the
+        # 0..NBINS-1 PSI grid while still counting toward te/tl —
+        # the invariant holds by construction, not by data.  Mirrored
+        # in DP11_SQL and the pure-Python law anchor.
         F.least(
-            F.floor(v_adj / F.lit(_DP11_BINW)).cast("int"),
+            F.greatest(F.floor(v_adj / F.lit(_DP11_BINW)).cast("int"), F.lit(0)),
             F.lit(_DP11_NBINS - 1),
         ).alias("bin"),
     )

@@ -488,7 +488,7 @@ def test_dp11_psi_recompute_and_plant(spark, sf_dir):
     for et, ts, v in ev:
         early = ts.strftime("%Y-%m-%d %H:%M:%S") < cut + " 00:00:00"
         vv = v if (early or et != "click") else v + 40.0
-        b = min(int(math.floor(vv / 50.0)), 9)
+        b = min(max(int(math.floor(vv / 50.0)), 0), 9)
         (ce if early else cl)[(et, b)] += 1
     types = sorted(out)
     for et in types:
@@ -577,7 +577,12 @@ def test_dd17_pure_python_containment_recompute(spark):
         for r in load_all()["dd17_shingle_containment"].fn(spark, sf).collect()
     }
     assert got == expected
-    planted = [d for d in got if d >= 10000]
+    # ADVICE r9: derive the planted-id set from the replay's own corpus
+    # construction rather than a `>= 10000` threshold — the threshold
+    # inherits CORPUS_SQL's fixed offset and would silently misclassify
+    # natural docs once a corpus's id range reaches 10000.
+    planted_ids = {d + 10000 for d, _ in docs if d % 25 == 0}
+    planted = [d for d in got if d in planted_ids]
     assert len(planted) >= 15, "most planted truncations must be caught"
     for d in planted:
         assert got[d][3] == 1.0 and got[d][4], (

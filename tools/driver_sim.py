@@ -89,9 +89,14 @@ def frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> tuple[bool,
 
 
 def _int_castable(a: pd.Series) -> bool:
+    # ADVICE r9: astype('int64') silently truncates fractional object
+    # values (Decimal('1.5') -> 1), which could false-green an int64
+    # Spark column against a non-integral Duck object column.  Require
+    # the cast to round-trip value-for-value (compares in the original
+    # object domain, so Decimal('1.5') != 1 and the path stays closed).
     try:
-        a.astype("int64")
-        return True
+        cast = a.astype("int64")
+        return bool((a == cast).all())
     except (TypeError, ValueError, OverflowError):
         return False
 
