@@ -150,11 +150,8 @@ PREFIX_ORDER = [
 # After round 10 the r6 era is drained and max row age is 3 rounds
 # (the 46 r7-era rows).
 #
-# ROUND-11 DRAFT ROTATION PLAN (header becomes `ROUND-11 ROTATION
-# PLAN` — the form tools/rotation_audit.py parses — in the same commit
-# that registers the 4 named round-10 adds; precomputed; apply verbatim
-# unless round-10 driver results dictate otherwise — a red row takes
-# slot 1):
+# ROUND-11 ROTATION PLAN (precomputed; apply verbatim unless round-10
+# driver results dictate otherwise — a red row takes slot 1):
 #   4 round-10 adds (never driver-checked; throttle respected) take
 #   slots 1-4:
 #     dd18_url_host_dedup, tx15_tokenizer_fertility,

@@ -9,7 +9,7 @@ engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -1427,4 +1427,185 @@ def dd17_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_shared",
         (F.floor(F.col("cov") * 1e6 + F.lit(0.5)) / 1e6).alias("coverage"),
         (F.col("cov") >= 0.8).alias("drop_doc"),
+    )
+
+
+# --- DD18: URL/host-level dedup (CCNet bucket above text dedup) -------------
+# Web-scale pipelines dedup at the URL level BEFORE any text pass: the
+# same page is crawled under scheme/case/www/query-string/fragment/
+# trailing-slash variants, and collapsing those is string algebra on the
+# URL alone — no shingling, no content reads.  The corpus has no URL
+# column, so one is synthesized deterministically from (doc_id, source,
+# lang) in BOTH engines, with the five classic variant axes injected by
+# doc_id modulus: scheme case, www. prefix, host case, trailing slash,
+# tracking query, fragment.  Canonicalization = lowercase -> strip
+# scheme -> strip fragment -> strip query -> strip leading www. ->
+# strip trailing slash (the CCNet/CommonCrawl normalization order);
+# docs agreeing on the canonical URL are duplicates, and the report
+# rolls up per host.  Scale shape: ONE documents scan, pure JVM string
+# expressions, then two hash aggregations (canonical URL — high
+# cardinality, map-side combined; host — low cardinality).  No joins,
+# no windows, no explode: this is the cheapest dedup pass in the whole
+# family, which is exactly why real pipelines run it first.
+DD18_SQL = r"""
+WITH u AS (
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END)
+           || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+           || (CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END)
+           || '.example.org/' || lang || '/page' || (doc_id % 7)::VARCHAR
+           || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+           || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=rss&ref=feed' ELSE '' END)
+           || (CASE WHEN doc_id % 11 = 0 THEN '#section2' ELSE '' END) AS url
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   split_part(split_part(
+                       regexp_replace(lower(url), '^https?://', ''),
+                       '#', 1), '?', 1),
+                   '^www\.', ''),
+               '/$', '') AS canon
+    FROM u
+),
+g AS (
+    SELECT canon, split_part(canon, '/', 1) AS host,
+           count(*)::BIGINT AS n, min(doc_id)::BIGINT AS keep
+    FROM c GROUP BY canon
+)
+SELECT host,
+       sum(n)::BIGINT AS n_docs,
+       count(*)::BIGINT AS n_canon_urls,
+       (sum(n) - count(*))::BIGINT AS n_dup_docs,
+       min(keep)::BIGINT AS first_doc
+FROM g GROUP BY host
+"""
+
+
+@register("dd18_url_host_dedup", DD18_SQL, survey_ref="beyond reference: URL canonicalization + host-level dedup (CCNet pre-text bucket)")
+def dd18_url_host_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTPS://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/page"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=rss&ref=feed")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.split(
+                F.split(F.regexp_replace(F.lower(url), "^https?://", ""), "#").getItem(
+                    0
+                ),
+                "\\?",
+            ).getItem(0),
+            "^www\\.",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    groups = (
+        documents.select(F.col("doc_id"), canon.alias("canon"))
+        .groupBy("canon")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("doc_id").cast("long").alias("keep"),
+        )
+        .withColumn("host", F.split(F.col("canon"), "/").getItem(0))
+    )
+    return groups.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_canon_urls"),
+        (F.sum("n") - F.count(F.lit(1))).cast("long").alias("n_dup_docs"),
+        F.min("keep").cast("long").alias("first_doc"),
+    )
+
+
+# --- DD19: repeated-ngram span localizer ------------------------------------
+# dd11 removes cross-document boilerplate chunks; dd19 completes the
+# Dolma "repetition surgery" loop WITHIN a document: locate every
+# trigram that repeats inside the same doc and emit its exact word- and
+# character-offset spans, so a downstream pass can cut the repetition
+# in place (tx7 only SCORES repetitiveness; this localizes it).
+# Offsets are 0-based; char offsets assume the corpus' single-space
+# join (verified: no leading/trailing/double spaces at any SF), so
+# char_start(pos) = Σ_{i<pos} (len(word_i) + 1) — an exact-integer
+# per-document running sum.  Overlapping occurrences ("x x x x" holds
+# "x x x" at pos 0 and 1) count separately, matching Dolma's
+# greedy-span accounting.  Scale shape: posexplode (flatMap, no
+# shuffle), ONE doc-keyed window (bounded by document length — never a
+# fat partition), lead() rides the same window spec, then a
+# (doc, gram)-keyed hash aggregation with map-side partials.  The
+# output is the repeated-span manifest only — delta-sized.
+DD19_SQL = """
+WITH w AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+),
+tri AS (
+    SELECT doc_id, i::BIGINT AS pos,
+           array_to_string(ws[i+1:i+3], ' ') AS gram,
+           (CASE WHEN i = 0 THEN 0
+                 ELSE length(array_to_string(ws[1:i], ' ')) + 1
+            END)::BIGINT AS cs
+    FROM w, unnest(range(len(ws) - 2)) t(i)
+)
+SELECT doc_id, gram,
+       count(*)::BIGINT AS n_occ,
+       min(pos)::BIGINT AS first_pos,
+       max(pos)::BIGINT AS last_pos,
+       min(cs)::BIGINT AS first_char_start,
+       (max(cs) + length(gram))::BIGINT AS last_char_end
+FROM tri GROUP BY doc_id, gram HAVING count(*) >= 2
+"""
+
+
+@register("dd19_repeated_ngram_spans", DD19_SQL, survey_ref="beyond reference: within-doc repeated-trigram span localizer (Dolma repetition surgery; dd11's intra-doc twin)")
+def dd19_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = documents.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cs = F.coalesce(
+        F.sum(F.length("word") + 1).over(
+            wdoc.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    ).cast("long")
+    tri = words.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.concat_ws(
+            " ", "word", F.lead("word", 1).over(wdoc), F.lead("word", 2).over(wdoc)
+        ).alias("gram"),
+        cs.alias("cs"),
+        F.lead("word", 2).over(wdoc).isNotNull().alias("full"),
+    ).where(F.col("full"))
+    return (
+        tri.groupBy("doc_id", "gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("pos").alias("first_pos"),
+            F.max("pos").alias("last_pos"),
+            F.min("cs").alias("first_char_start"),
+            (F.max("cs") + F.length(F.first("gram"))).cast("long").alias(
+                "last_char_end"
+            ),
+        )
+        .where(F.col("n_occ") >= 2)
     )

@@ -1002,3 +1002,131 @@ def dp11_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("t_u").cast("long") / 1e12, 6).alias("psi"),
         (F.sum("t_u").cast("long") >= F.lit(100000000000)).alias("drifted"),
     )
+
+
+# --- DP12: decile drift gate (dp11's quantile-space twin) --------------------
+# PSI (dp11) measures drift as histogram-mass movement and is blind to
+# WHERE in the distribution the movement happened; the decile gate a
+# refresh pipeline pairs with it asks "how far did each order statistic
+# move".  Per event_type, the 9 inner deciles of value are computed
+# EXACTLY (discrete lower order statistic at rank floor((n-1)k/10)+1)
+# for the early (Jan 1-15) and late (Jan 16-31) windows, and the gate
+# flags when any decile moved >= 25 units (half a dp11 bin).  The same
+# deterministic plant as dp11 (+40 on late-window 'click' values)
+# exercises the drifted branch: order statistics are translation-
+# equivariant, so click's deciles move by exactly 40, stationary types
+# by sampling noise ≪ 25.  Cross-engine exactness: decile values are
+# DATA doubles selected by integer rank (no interpolation, no
+# arithmetic), shifts are single IEEE subtractions of identical doubles
+# — bit-identical with no quantization needed.  Scale shape: the
+# per-(type, period) rank comes from grouped_prefix_sum of ones (the
+# sp11/o1 distributed-rank machinery: one range exchange + broadcast
+# per-(group, partition) offsets) — NEVER a per-type window a fat
+# event_type would serialize through; the 90-row probe frame (|types| ×
+# 2 periods × 9 deciles) derives from the count aggregate and joins
+# broadcast.  One corpus scan, one range exchange, two tiny broadcasts.
+DP12_SQL = f"""
+WITH e AS (
+    SELECT event_type,
+           (ts < TIMESTAMP '2024-01-16 00:00:00') AS p1,
+           value + CASE WHEN event_type = 'click'
+                         AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+                        THEN {_DP11_SHIFT!r} ELSE 0.0 END AS v
+    FROM events
+),
+s AS (
+    SELECT event_type, p1, v,
+           row_number() OVER (PARTITION BY event_type, p1 ORDER BY v)::BIGINT
+               AS rn
+    FROM e
+),
+n AS (
+    SELECT event_type, p1, count(*)::BIGINT AS n
+    FROM e GROUP BY event_type, p1
+),
+probes AS (
+    SELECT event_type, p1, n, k::BIGINT AS k,
+           ((n - 1) * k) // 10 + 1 AS idx
+    FROM n CROSS JOIN (SELECT unnest(range(1, 10)) AS k) kk
+),
+hit AS (
+    SELECT p.event_type, p.k, p.p1, s.v
+    FROM probes p
+    JOIN s ON s.event_type = p.event_type AND s.p1 = p.p1 AND s.rn = p.idx
+),
+per_k AS (
+    SELECT event_type, k,
+           max(CASE WHEN p1 THEN v END) AS ve,
+           max(CASE WHEN NOT p1 THEN v END) AS vl
+    FROM hit GROUP BY event_type, k
+),
+nn AS (
+    SELECT event_type,
+           max(CASE WHEN p1 THEN n END)::BIGINT AS n_early,
+           max(CASE WHEN NOT p1 THEN n END)::BIGINT AS n_late
+    FROM n GROUP BY event_type
+)
+SELECT p.event_type, nn.n_early, nn.n_late,
+       max(abs(p.vl - p.ve)) AS max_decile_shift,
+       (max(abs(p.vl - p.ve)) >= 25.0) AS drifted
+FROM per_k p JOIN nn ON nn.event_type = p.event_type
+GROUP BY p.event_type, nn.n_early, nn.n_late
+"""
+
+
+@register("dp12_quantile_drift_gate", DP12_SQL, survey_ref="beyond reference: exact decile drift gate (dp11's quantile-space twin; dp8 machinery per group)")
+def dp12_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import grouped_prefix_sum
+
+    (events,) = tables(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    v = F.col("value") + F.when(
+        (F.col("event_type") == "click") & (F.col("ts") >= cut),
+        F.lit(_DP11_SHIFT),
+    ).otherwise(F.lit(0.0))
+    e = events.select(
+        "event_type", (F.col("ts") < cut).alias("p1"), v.alias("v"), F.lit(1).alias("one")
+    )
+    ranked = grouped_prefix_sum(e, ["event_type", "p1"], ["v"], "one", "rn")
+    counts = e.groupBy("event_type", "p1").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # deciles unrolled by explode over the bounded counts frame (no
+    # crossJoin — even a broadcast nested-loop over 10 rows is a plan
+    # node the pin forbids); probe columns renamed so the self-derived
+    # join resolves on plain attribute equality (no reliance on
+    # dataset-id disambiguation — ranked and counts both descend from e)
+    probes = counts.withColumn(
+        "k", F.explode(F.array(*[F.lit(k).cast("long") for k in range(1, 10)]))
+    ).select(
+        F.col("event_type").alias("p_et"),
+        F.col("p1").alias("p_p1"),
+        "k",
+        (F.floor((F.col("n") - 1) * F.col("k") / 10).cast("long") + 1).alias("idx"),
+    )
+    hit = ranked.join(
+        F.broadcast(probes),
+        (F.col("rn") == F.col("idx"))
+        & (F.col("event_type") == F.col("p_et"))
+        & (F.col("p1") == F.col("p_p1")),
+    ).select("event_type", "k", "p1", "v")
+    per_k = hit.groupBy("event_type", "k").agg(
+        F.max(F.when(F.col("p1"), F.col("v"))).alias("ve"),
+        F.max(F.when(~F.col("p1"), F.col("v"))).alias("vl"),
+    )
+    nn = counts.groupBy("event_type").agg(
+        F.max(F.when(F.col("p1"), F.col("n"))).cast("long").alias("n_early"),
+        F.max(F.when(~F.col("p1"), F.col("n"))).cast("long").alias("n_late"),
+    )
+    return (
+        per_k.groupBy("event_type")
+        .agg(F.max(F.abs(F.col("vl") - F.col("ve"))).alias("max_decile_shift"))
+        .join(F.broadcast(nn), "event_type")
+        .select(
+            "event_type",
+            "n_early",
+            "n_late",
+            "max_decile_shift",
+            (F.col("max_decile_shift") >= F.lit(25.0)).alias("drifted"),
+        )
+    )

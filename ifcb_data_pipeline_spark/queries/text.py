@@ -1451,3 +1451,75 @@ def sp11_class_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_n").alias("sampled_n"),
         )
     )
+
+
+# --- TX15: tokenizer fertility profile ---------------------------------------
+# sp6 packs documents into a per-domain TOKEN budget, but tokens/byte
+# (fertility) is the budget's missing denominator: a byte-budgeted
+# crawl slice converts to wildly different token counts per language,
+# and mixture design needs that conversion table.  tx15 profiles, per
+# language: whitespace-token counts, a deterministic BPE-proxy subword
+# count (ceil(len/4) units per word — the fixed-fanout stand-in for a
+# real tokenizer's merge table), and the two derived rates (subwords
+# per char = fertility; chars per ws-token).  Cross-engine exactness:
+# every aggregate is an exact-integer sum; the two rates are single
+# IEEE divisions of identical BIGINTs — bit-identical in both engines —
+# quantized floor-form at 6dp.  Scale shape: ONE documents scan with
+# the per-word sum folded JVM-side via a higher-order array aggregate
+# (no explode — the corpus never fans out ×word-count), then a groupBy
+# on lang whose map-side partials absorb the 44%-fat 'en' class.
+TX15_SQL = """
+WITH t AS (
+    SELECT lang,
+           length(text)::BIGINT AS n_chars,
+           len(string_split(text, ' '))::BIGINT AS n_tok,
+           list_sum(list_transform(string_split(text, ' '),
+                                   w -> (length(w) + 3) // 4))::BIGINT AS n_sub
+    FROM documents
+)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars,
+       sum(n_tok)::BIGINT AS total_ws_tokens,
+       sum(n_sub)::BIGINT AS total_subwords,
+       floor(sum(n_sub)::DOUBLE / sum(n_chars) * 1000000.0 + 0.5) / 1000000.0
+           AS fertility,
+       floor(sum(n_chars)::DOUBLE / sum(n_tok) * 1000000.0 + 0.5) / 1000000.0
+           AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+@register("tx15_tokenizer_fertility", TX15_SQL, survey_ref="beyond reference: tokenizer fertility (tokens/byte) profile per language (sp6 budget denominator)")
+def tx15_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    n_sub = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + 3) / 4).cast("long"),
+    )
+    per_doc = documents.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(ws).cast("long").alias("n_tok"),
+        n_sub.alias("n_sub"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_tok").cast("long").alias("total_ws_tokens"),
+        F.sum("n_sub").cast("long").alias("total_subwords"),
+        (
+            F.floor(
+                F.sum("n_sub").cast("double") / F.sum("n_chars") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("fertility"),
+        (
+            F.floor(
+                F.sum("n_chars").cast("double") / F.sum("n_tok") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("chars_per_token"),
+    )

@@ -621,3 +621,200 @@ def test_sp11_balance_and_membership(spark, sf_dir):
     for lang, *_ in got.values():
         per_class[lang] += 1
     assert set(per_class.values()) == {min_n}, "classes must be exactly balanced"
+
+
+def test_dd18_pure_python_url_canonicalization_recompute(spark, sf_dir):
+    """Full pure-Python replay of the URL synthesis + CCNet
+    canonicalization chain: rebuild every variant URL from (doc_id,
+    source, lang), canonicalize with str ops (no regex), group by
+    canonical URL then host — the Spark host-level report must match
+    row-for-row, and the dup ledger must balance
+    (n_dup_docs == n_docs - n_canon_urls, summed across hosts ==
+    total docs - total canonical URLs)."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = {
+        r["host"]: r
+        for r in REGISTRY["dd18_url_host_dedup"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, source, lang FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    groups = defaultdict(list)
+    for d, src, lang in docs:
+        url = (
+            ("HTTPS://" if d % 2 == 0 else "http://")
+            + ("www." if d % 3 == 0 else "")
+            + (src.upper() if d % 2 == 0 else src)
+            + ".example.org/"
+            + lang
+            + "/page"
+            + str(d % 7)
+            + ("/" if d % 5 == 0 else "")
+            + ("?utm_source=rss&ref=feed" if d % 4 == 0 else "")
+            + ("#section2" if d % 11 == 0 else "")
+        )
+        u = url.lower()
+        for pre in ("https://", "http://"):
+            if u.startswith(pre):
+                u = u[len(pre):]
+        u = u.split("#", 1)[0].split("?", 1)[0]
+        if u.startswith("www."):
+            u = u[4:]
+        u = u[:-1] if u.endswith("/") else u
+        groups[u].append(d)
+    hosts = defaultdict(lambda: [0, 0, 1 << 62])
+    for canon, ds in groups.items():
+        h = canon.split("/", 1)[0]
+        hosts[h][0] += len(ds)
+        hosts[h][1] += 1
+        hosts[h][2] = min(hosts[h][2], min(ds))
+    assert set(rows) == set(hosts)
+    for h, (n_docs, n_urls, first) in hosts.items():
+        r = rows[h]
+        assert (r["n_docs"], r["n_canon_urls"], r["first_doc"]) == (
+            n_docs,
+            n_urls,
+            first,
+        ), h
+        assert r["n_dup_docs"] == n_docs - n_urls, h
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+    assert sum(r["n_dup_docs"] for r in rows.values()) == len(docs) - len(groups)
+    assert sum(r["n_dup_docs"] for r in rows.values()) > 0, (
+        "variant axes must produce at least one URL-level duplicate"
+    )
+
+
+def test_dd19_pure_python_span_recompute(spark, sf_dir):
+    """Repeated-trigram spans re-derived by a per-doc Python loop with
+    explicit char-offset bookkeeping must equal the Spark manifest
+    exactly; every span's char window must reproduce its gram when cut
+    from the original text (the whole point of emitting offsets)."""
+    import duckdb
+    from collections import defaultdict
+
+    got = {
+        (r["doc_id"], r["gram"]): (
+            r["n_occ"],
+            r["first_pos"],
+            r["last_pos"],
+            r["first_char_start"],
+            r["last_char_end"],
+        )
+        for r in REGISTRY["dd19_repeated_ngram_spans"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    expected = {}
+    texts = dict(docs)
+    for d, t in docs:
+        ws = t.split(" ")
+        occ = defaultdict(list)
+        cs = 0
+        offsets = []
+        for w in ws:
+            offsets.append(cs)
+            cs += len(w) + 1
+        for i in range(len(ws) - 2):
+            occ[" ".join(ws[i : i + 3])].append(i)
+        for g, ps in occ.items():
+            if len(ps) >= 2:
+                expected[(d, g)] = (
+                    len(ps),
+                    ps[0],
+                    ps[-1],
+                    offsets[ps[0]],
+                    offsets[ps[-1]] + len(g),
+                )
+    assert got == expected
+    assert expected, "natural data must contain repeated trigrams"
+    for (d, g), (_, _, _, c0, c1) in expected.items():
+        assert texts[d][c0 : c0 + len(g)] == g
+        assert texts[d][c1 - len(g) : c1] == g
+
+
+def test_tx15_fertility_recompute(spark, sf_dir):
+    """Per-lang token/subword/char sums re-derived by a Python loop must
+    match exactly; fertility and chars_per_token must equal the 6dp
+    floor-quantized ratios of those exact integers; ceil(len/4) law:
+    subwords-per-word ∈ [1, ceil(maxlen/4)] and total_subwords <=
+    total_chars (every unit covers >= 1 char)."""
+    import duckdb
+    import math
+    from collections import defaultdict
+
+    rows = {
+        r["lang"]: r
+        for r in REGISTRY["tx15_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    }
+    docs = duckdb.sql(
+        f"SELECT lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    acc = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, t in docs:
+        ws = t.split(" ")
+        a = acc[lang]
+        a[0] += 1
+        a[1] += len(t)
+        a[2] += len(ws)
+        a[3] += sum((len(w) + 3) // 4 for w in ws)
+    assert set(rows) == set(acc)
+    for lang, (nd, nc, nt, nsub) in acc.items():
+        r = rows[lang]
+        assert (
+            r["n_docs"],
+            r["total_chars"],
+            r["total_ws_tokens"],
+            r["total_subwords"],
+        ) == (nd, nc, nt, nsub), lang
+        assert r["fertility"] == math.floor(nsub / nc * 1e6 + 0.5) / 1e6
+        assert r["chars_per_token"] == math.floor(nc / nt * 1e6 + 0.5) / 1e6
+        assert nsub <= nc and nsub >= nt, "unit-coverage law"
+
+
+def test_dp12_decile_recompute_translation_and_plant(spark, sf_dir):
+    """Deciles re-derived by Python sorts (rank floor((n-1)k/10)+1 on
+    the planted values) must match max_decile_shift exactly; the
+    translation-equivariance law: click's late deciles equal its
+    UNshifted late deciles + 40 exactly, so click must flag and
+    stationary types must not."""
+    import duckdb
+    from collections import defaultdict
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["dp12_quantile_drift_gate"].fn(spark, sf_dir).collect()
+    }
+    ev = duckdb.sql(
+        f"SELECT event_type, ts, value FROM '{sf_dir}/events.parquet'"
+    ).fetchall()
+    pools = defaultdict(list)
+    raw_late = defaultdict(list)
+    cut = "2024-01-16 00:00:00"
+    for et, ts, v in ev:
+        early = ts.strftime("%Y-%m-%d %H:%M:%S") < cut
+        vv = v if (early or et != "click") else v + 40.0
+        pools[(et, early)].append(vv)
+        if not early:
+            raw_late[et].append(v)
+
+    def deciles(vals):
+        s = sorted(vals)
+        n = len(s)
+        return [s[(n - 1) * k // 10] for k in range(1, 10)]
+
+    for et, r in rows.items():
+        de = deciles(pools[(et, True)])
+        dl = deciles(pools[(et, False)])
+        shift = max(abs(a - b) for a, b in zip(dl, de))
+        assert r["n_early"] == len(pools[(et, True)])
+        assert r["n_late"] == len(pools[(et, False)])
+        assert r["max_decile_shift"] == shift, et
+        assert r["drifted"] == (shift >= 25.0), et
+    assert rows["click"]["drifted"], "planted click shift must flag"
+    assert all(not r["drifted"] for et, r in rows.items() if et != "click")
+    # translation equivariance: shifted late deciles == raw late + 40.0
+    dl_shift = deciles([v + 40.0 for v in raw_late["click"]])
+    assert dl_shift == [v + 40.0 for v in deciles(raw_late["click"])]

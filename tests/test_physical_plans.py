@@ -786,3 +786,58 @@ def test_sp11_rank_has_no_per_class_window(spark, sf_dir):
         assert "__pid" in spec, (
             f"per-class window over the fact hash order detected: {spec}"
         )
+
+
+def test_dd18_is_pure_aggregation_single_scan(spark, sf_dir):
+    """dd18's URL dedup is ONE documents scan feeding two hash
+    aggregations of JVM string expressions — any join, window, explode
+    or Python eval means the cheapest-pass contract regressed."""
+    plan = plan_of(spark, "dd18_url_host_dedup", sf_dir)
+    assert plan.count("Scan parquet") == 2, "dd18 must scan documents once"
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "Generate" not in plan, "dd18 must not explode"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dd19_window_is_doc_keyed(spark, sf_dir):
+    """dd19's offsets/lead window must be keyed by doc_id (bounded by
+    document length) — an unpartitioned window or a nested-loop join
+    would collapse the manifest onto one task / all-pairs."""
+    plan = plan_of(spark, "dd19_repeated_ngram_spans", sf_dir)
+    assert plan.count("Scan parquet") == 2, "dd19 must scan documents once"
+    assert "hashpartitioning(doc_id" in plan, "window must shuffle by doc_id"
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "doc_id" in spec, f"unpartitioned window: {spec}"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tx15_single_scan_no_explode(spark, sf_dir):
+    """tx15's per-word subword sum must fold JVM-side via the
+    higher-order aggregate — a Generate (explode) node would fan the
+    corpus out ×word-count before the lang rollup; Python eval or a
+    second scan breaks the one-pass profile contract."""
+    plan = plan_of(spark, "tx15_tokenizer_fertility", sf_dir)
+    assert plan.count("Scan parquet") == 2, "tx15 must scan documents once"
+    assert "Generate" not in plan, "tx15 must not explode words"
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dp12_rank_through_combinator_probes_broadcast(spark, sf_dir):
+    """dp12's per-(type, period) rank must come from the distributed-
+    rank machinery (combinator checkpoint -> Scan ExistingRDD, fact
+    window keyed by __pid), never a per-type window; the 90-row probe
+    frame must reach the rank side as a BroadcastHashJoin."""
+    plan = plan_of(spark, "dp12_quantile_drift_gate", sf_dir)
+    assert "Scan ExistingRDD" in plan, "rank must go through the combinator"
+    assert "rangepartitioning(" not in plan, "combinator checkpoint lost"
+    assert "hashpartitioning(__pid" in plan, (
+        "fact-side window not partitioned by __pid — per-type rank is back"
+    )
+    for spec in re.findall(r"windowspecdefinition\([^)]*v#[^)]*\)", plan):
+        assert "__pid" in spec, f"per-type window over the value order: {spec}"
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast"
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
