@@ -1834,3 +1834,400 @@ def test_sim10_matches_python_pq_replay(spark):
         for r in REGISTRY["sim10_pq_adc"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+# --- st1: streaming tumbling-window counts ----------------------------------
+
+
+def test_st1_matches_python_hour_buckets(spark):
+    """The streamed (or fallback-batch) hourly windows must equal a
+    plain Python dict count over epoch-aligned hour floors."""
+    from collections import Counter
+
+    got = _run(spark, "st1_stream_windowed_counts")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp = Counter(
+        (ts.floor("h"), et) for ts, et in zip(ev["ts"], ev["event_type"])
+    )
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[(pd.Timestamp(r["window_start"]), r["event_type"])] == int(
+            r["n"]
+        ), (r["window_start"], r["event_type"])
+
+
+# --- st2: stateful per-user counters ----------------------------------------
+
+
+def test_st2_matches_sequential_state_replay(spark):
+    """Final per-user state re-derived by a sequential replay in
+    (ts, event_id) order: monotone count, running value sum (4dp
+    floor-quantized), last event type by max (ts, event_id)."""
+    got = _run(spark, "st2_stateful_user_counts")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    assert len(got) == ev["user_id"].nunique()
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        vsum = 0.0
+        for v in g["value"]:
+            vsum += float(v)
+        exp[int(uid)] = (
+            len(g),
+            math.floor(vsum * 1e4 + 0.5) / 1e4,
+            str(g.iloc[-1]["event_type"]),
+        )
+    for _, r in got.iterrows():
+        n, vs, last = exp[int(r["user_id"])]
+        assert int(r["n_events"]) == n
+        assert abs(r["value_sum"] - vs) <= 1e-4, int(r["user_id"])
+        assert r["last_event_type"] == last, int(r["user_id"])
+
+
+# --- st3: watermarked append-mode finalized windows --------------------------
+
+
+def test_st3_matches_python_finalization_rule(spark):
+    """Emitted set == 10-minute buckets whose end <= max(ts) - 30 min;
+    counts from a plain dict; no non-finalized window may appear."""
+    from collections import Counter
+
+    got = _run(spark, "st3_watermarked_append")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    mx = ev["ts"].max()
+    full = Counter(
+        (ts.floor("10min"), et) for ts, et in zip(ev["ts"], ev["event_type"])
+    )
+    horizon = mx - pd.Timedelta(minutes=30)
+    exp = {
+        (w, et): n
+        for (w, et), n in full.items()
+        if w + pd.Timedelta(minutes=10) <= horizon
+    }
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        key = (pd.Timestamp(r["window_start"]), r["event_type"])
+        assert key in exp and exp[key] == int(r["n"]), key
+
+
+# --- st5: bounded-state streaming dedup --------------------------------------
+
+
+def test_st5_doubled_stream_dedups_to_distinct_source(spark):
+    """The at-least-once (doubled) stream must dedup to EXACTLY the
+    distinct source events — every event_id once, with its own
+    (event_type, 4dp value)."""
+    got = _run(spark, "st5_streaming_dedup")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    assert len(got) == len(ev) == got["event_id"].nunique()
+    exp = {
+        int(e): (t, math.floor(float(v) * 1e4 + 0.5) / 1e4)
+        for e, t, v in zip(ev["event_id"], ev["event_type"], ev["value"])
+    }
+    for _, r in got.iterrows():
+        t, v = exp[int(r["event_id"])]
+        assert r["event_type"] == t and r["value"] == v, int(r["event_id"])
+
+
+# --- st7: stream-static dimension enrichment ---------------------------------
+
+
+def test_st7_matches_python_segment_rollup(spark):
+    """Segment × type rollup re-derived from a Python dict join of the
+    customer dim — exact-integer cents sums make it exact."""
+    from collections import defaultdict
+
+    got = _run(spark, "st7_stream_static_join")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet")
+    seg = dict(zip(cust["c_custkey"].astype(int), cust["c_mktsegment"]))
+    exp = defaultdict(lambda: [0, 0])
+    dropped = 0
+    for u, t, v in zip(ev["user_id"], ev["event_type"], ev["value"]):
+        s = seg.get(int(u))
+        if s is None:
+            dropped += 1
+            continue
+        cell = exp[(s, t)]
+        cell[0] += 1
+        cell[1] += math.floor(float(v) * 100.0 + 0.5)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        n, cents = exp[(r["segment"], r["event_type"])]
+        assert (int(r["n"]), int(r["value_cents"])) == (n, cents)
+    # inner-join law: totals balance against the dim coverage
+    assert int(got["n"].sum()) == len(ev) - dropped
+
+
+# --- w7: native session windows ----------------------------------------------
+
+
+def test_w7_matches_sequential_sessionizer(spark):
+    """session_window output re-derived by a per-user sequential gap
+    scan at full microsecond precision: split at gap >= 1800 s, bounds
+    [min ts, max ts + 30 min)."""
+    got = _run(spark, "w7_native_session_window")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp = set()
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        sessions = []
+        for t in g["ts"]:
+            ns = pd.Timestamp(t).value
+            if sessions and ns - sessions[-1][-1] < 1_800_000_000_000:
+                sessions[-1].append(ns)
+            else:
+                sessions.append([ns])
+        for s in sessions:
+            exp.add(
+                (
+                    int(uid),
+                    pd.Timestamp(min(s)),
+                    pd.Timestamp(max(s)) + pd.Timedelta(minutes=30),
+                    len(s),
+                )
+            )
+    have = {
+        (
+            int(r["user_id"]),
+            pd.Timestamp(r["session_start"]),
+            pd.Timestamp(r["session_end"]),
+            int(r["n_events"]),
+        )
+        for _, r in got.iterrows()
+    }
+    assert have == exp
+    # session law: per-user event counts are partitioned by sessions
+    per_user = got.groupby("user_id")["n_events"].sum()
+    for uid, n in ev.groupby("user_id").size().items():
+        assert per_user[uid] == n
+
+
+# --- w11: CUSUM drift --------------------------------------------------------
+
+
+def test_w11_matches_sequential_cusum(spark):
+    """Per-event CUSUM trajectories re-derived by the textbook
+    recurrence (identical IEEE op order → exact equality), plus the
+    control-chart laws: both sums nonnegative, flags fire iff the
+    UNquantized sum exceeds h."""
+    got = _run(spark, "w11_cusum_drift")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    exp = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        s_hi = s_lo = 0.0
+        for _, r in g.iterrows():
+            v = float(r["value"])
+            s_hi = max(0.0, s_hi + (v - 60.0))
+            s_lo = max(0.0, s_lo + (40.0 - v))
+            exp[int(r["event_id"])] = (
+                math.floor(s_hi * 1e6 + 0.5) / 1e6,
+                math.floor(s_lo * 1e6 + 0.5) / 1e6,
+                s_hi > 300.0,
+                s_lo > 300.0,
+            )
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        hi, lo, up, dn = exp[int(r["event_id"])]
+        assert (r["cusum_hi"], r["cusum_lo"]) == (hi, lo), int(r["event_id"])
+        assert (r["drift_up"], r["drift_down"]) == (up, dn), int(r["event_id"])
+        assert r["cusum_hi"] >= 0.0 and r["cusum_lo"] >= 0.0
+
+
+# --- tx11: language-ID confusion matrix --------------------------------------
+
+
+def test_tx11_matches_python_confusion_matrix(spark):
+    """Confusion cells re-derived by a Python argmax replay of the
+    marker heuristic (strict-greater precedence fold), label shares
+    from exact integer cell counts; per-label shares must sum to ~1."""
+    from collections import Counter
+
+    MARKERS = [
+        ("en", ["the", "a", "and", "of"]),
+        ("de", ["der", "die", "und", "nicht"]),
+        ("fr", ["le", "la", "et", "les"]),
+        ("es", ["el", "los", "y", "que"]),
+        ("zh", ["的", "了", "是"]),
+    ]
+    got = _run(spark, "tx11_langid_confusion")
+    cells = Counter()
+    for d, t, lang, _src in _docs():
+        toks = t.lower().split(" ")
+        best_lang, best_score = MARKERS[0][0], sum(
+            1 for x in toks if x in MARKERS[0][1]
+        )
+        for lg, mk in MARKERS[1:]:
+            s = sum(1 for x in toks if x in mk)
+            if s > best_score:
+                best_lang, best_score = lg, s
+        cells[(lang, best_lang)] += 1
+    totals = Counter()
+    for (lab, _pred), n in cells.items():
+        totals[lab] += n
+    assert len(got) == len(cells)
+    for _, r in got.iterrows():
+        key = (r["labeled_lang"], r["predicted_lang"])
+        assert cells[key] == int(r["n"]), key
+        share = math.floor(cells[key] * 1.0 / totals[key[0]] * 1e6 + 0.5) / 1e6
+        assert r["label_share"] == share, key
+    sums = got.groupby("labeled_lang")["label_share"].sum()
+    assert ((sums - 1.0).abs() < 1e-5).all()
+
+
+# --- dd4: full n-gram Jaccard (no df cut) ------------------------------------
+
+
+def test_dd4_matches_counter_jaccard_replay(spark):
+    """dd4b's replay without the df cut — the unfiltered Jaccard must
+    match Python sets exactly, and dd4 ⊇ dd4b on pair keys is NOT
+    guaranteed (the cut changes set sizes), so dd4 is anchored
+    independently."""
+    from collections import defaultdict
+
+    corpus = {}
+    for d, t, *_ in _docs():
+        corpus[d] = t.lower()
+        if d % 25 == 0:
+            w = t.lower().split(" ")
+            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+    sh = {}
+    for d, t in corpus.items():
+        w = t.split(" ")
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+    inv = defaultdict(list)
+    for d, s in sh.items():
+        for g in s:
+            inv[g].append(d)
+    inter = defaultdict(int)
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                inter[(a, b)] += 1
+    expected = {}
+    for (a, b), i in inter.items():
+        j = i / (len(sh[a]) + len(sh[b]) - i)
+        if j >= 0.3:
+            expected[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dd4_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert expected, "planted truncations must produce pairs"
+
+
+# --- dp6: two-period drift profile -------------------------------------------
+
+
+def test_dp6_matches_python_period_split(spark):
+    """Both periods' counts/distinct-users/cent-exact means re-derived
+    by one Python pass; conservation law: n_a + n_b == total rows per
+    type and n_drift == n_b - n_a."""
+    from collections import defaultdict
+
+    got = _run(spark, "dp6_drift_profile")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    cut = pd.Timestamp("2024-01-16 00:00:00")
+    acc = defaultdict(lambda: [0, 0, set(), set(), 0, 0])
+    for ts, u, t, v in zip(ev["ts"], ev["user_id"], ev["event_type"], ev["value"]):
+        a = acc[t]
+        cents = math.floor(float(v) * 100.0 + 0.5)
+        if ts < cut:
+            a[0] += 1
+            a[2].add(int(u))
+            a[4] += cents
+        else:
+            a[1] += 1
+            a[3].add(int(u))
+            a[5] += cents
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        na, nb, ua, ub, ca, cb = acc[r["event_type"]]
+        assert (int(r["n_a"]), int(r["n_b"])) == (na, nb)
+        assert (int(r["users_a"]), int(r["users_b"])) == (len(ua), len(ub))
+        assert r["mean_a"] == math.floor(ca / na * 100.0 + 0.5) / 10000.0
+        assert r["mean_b"] == math.floor(cb / nb * 100.0 + 0.5) / 10000.0
+        assert int(r["n_drift"]) == nb - na
+
+
+# --- k7: EcoTaxa export file contract ----------------------------------------
+
+
+def test_k7_matches_python_export_replay(spark):
+    """Every data row's formatted fields re-derived by a pure-Python
+    replay of the export math (fixed-point strings, lat/lon synthesis,
+    the (7·sample + 13·roi) mod 86400 clock), and the file contract:
+    exactly one line_no=0 code row per distinct category carrying the
+    '[t]'/'[f]' header codes."""
+    import duckdb
+
+    got = _run(spark, "k7_ecotaxa_export")
+    li = duckdb.sql(
+        "SELECT l_orderkey, l_linenumber, l_partkey, l_extendedprice, l_discount"
+        f" FROM '{SF_SMOKE}/lineitem.parquet' WHERE l_orderkey % 25 = 0"
+    ).fetchall()
+    od = {
+        int(k): (int(c), d)
+        for k, c, d in duckdb.sql(
+            f"SELECT o_orderkey, o_custkey, o_orderdate FROM '{SF_SMOKE}/orders.parquet'"
+        ).fetchall()
+    }
+    brand = {
+        int(p): b
+        for p, b in duckdb.sql(
+            f"SELECT p_partkey, p_brand FROM '{SF_SMOKE}/part.parquet'"
+        ).fetchall()
+    }
+
+    def fixed(x, d):
+        u = math.floor(x * 10**d + 0.5)
+        return f"{u // 10**d}.{str(u % 10**d).zfill(d)}"
+
+    exp_rows = set()
+    cats = set()
+    for okey, roi, pkey, price, disc in li:
+        ck, date = od[int(okey)]
+        cat = brand[int(pkey)]
+        cats.add(cat)
+        secs = (int(okey) * 7 + int(roi) * 13) % 86400
+        exp_rows.add(
+            (
+                cat,
+                1,
+                f"{okey}_{str(roi).zfill(5)}",
+                f"{okey}_{roi}",
+                fixed(54.0 + (ck % 600) / 100.0, 2),
+                fixed(10.0 + (ck % 1200) / 100.0, 2),
+                date.strftime("%Y-%m-%d"),
+                f"{str(secs // 3600).zfill(2)}:{str(secs % 3600 // 60).zfill(2)}:{str(secs % 60).zfill(2)}",
+                fixed(float(price), 2),
+                fixed(float(price) * (1 - float(disc)), 4),
+            )
+        )
+    for cat in cats:
+        exp_rows.add(
+            (cat, 0, "[t]", "[t]", "[f]", "[f]", "[t]", "[t]", "[f]", "[f]")
+        )
+    have = {
+        (
+            r["object_annotation_category"],
+            int(r["line_no"]),
+            r["img_file_name"],
+            r["object_id"],
+            r["object_lat"],
+            r["object_lon"],
+            r["object_date"],
+            r["object_time"],
+            r["object_area"],
+            r["object_biovolume"],
+        )
+        for _, r in got.iterrows()
+    }
+    assert have == exp_rows
+    # file contract: one code row per category, no orphan code rows
+    codes = got[got["line_no"] == 0]
+    assert len(codes) == len(cats)
+    assert set(codes["object_annotation_category"]) == cats
