@@ -2231,3 +2231,260 @@ def test_k7_matches_python_export_replay(spark):
     codes = got[got["line_no"] == 0]
     assert len(codes) == len(cats)
     assert set(codes["object_annotation_category"]) == cats
+
+
+# --- a22: half-life-decayed engagement ---------------------------------------
+
+
+def test_a22_matches_integer_weight_replay(spark):
+    """Decayed engagement re-derived with pure integer arithmetic
+    (cents << (8 - capped-week-age)) — exact, plus the decay law:
+    engagement <= 256 * plain cents sum / 25600."""
+    from collections import defaultdict
+
+    got = _run(spark, "a22_decayed_engagement")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    mx = int(us.max())
+    acc = defaultdict(lambda: [0, 0])
+    for u, t_us, v in zip(ev["user_id"], us, ev["value"]):
+        w = min((mx - int(t_us)) // 604_800_000_000, 8)
+        cents = math.floor(float(v) * 100.0 + 0.5)
+        a = acc[int(u)]
+        a[0] += 1
+        a[1] += cents << (8 - w)
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        n, units = acc[int(r["user_id"])]
+        assert int(r["n_events"]) == n
+        assert r["engagement"] == math.floor(units / 25600.0 * 1e4 + 0.5) / 1e4
+        assert r["engagement"] >= 0.0
+
+
+# --- sp2b: two-phase stratified top-k ----------------------------------------
+
+
+def test_sp2b_matches_hash_ranked_draw(spark):
+    """Per-(lang, source) top-3 re-derived by a Python md5-hash sort;
+    exactly min(3, |stratum|) rows per stratum with ranks 1..k."""
+    import hashlib
+    from collections import defaultdict
+
+    got = _run(spark, "sp2b_stratified_topk")
+    strata = defaultdict(list)
+    for d, _t, lang, src in _docs():
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        strata[(lang, src)].append((h, d))
+    exp = {}
+    for key, rows in strata.items():
+        for rk, (_h, d) in enumerate(sorted(rows)[:3], start=1):
+            exp[d] = (*key, rk)
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        assert exp[int(r["doc_id"])] == (
+            r["lang"],
+            r["source"],
+            int(r["rk"]),
+        ), int(r["doc_id"])
+    per_stratum = got.groupby(["lang", "source"]).size()
+    for key, rows in strata.items():
+        assert per_stratum[key] == min(3, len(rows))
+
+
+# --- dd10: MinHash cross-set decontamination ---------------------------------
+
+
+def test_dd10_matches_minhash_replay(spark):
+    """Full pure-Python replay of the Kirsch-Mitzenmacher MinHash +
+    8×2 banding + cross-set bucket join + agreement estimate; recall
+    law: every 70%-truncation plant surviving the band join must carry
+    est >= 0.5 in BOTH computations."""
+    import hashlib
+    from collections import defaultdict
+
+    def sig_of(shingles):
+        mins = [1 << 40] * 16
+        for g in shingles:
+            hx = hashlib.md5(g.encode()).hexdigest()
+            h1 = int(hx[:8], 16)
+            h2 = int(hx[8:16], 16) | 1
+            for s in range(16):
+                v = (h1 + s * h2) % 4294967296
+                if v < mins[s]:
+                    mins[s] = v
+        return mins
+
+    def shingles_of(text):
+        w = text.split(" ")
+        return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+
+    train, eval_side = {}, {}
+    for d, t, _lang, src in _docs():
+        t = t.lower()
+        if src == "src0":
+            eval_side[d + 50000] = t
+        else:
+            train[d] = t
+            if d % 10 == 0:
+                w = t.split(" ")
+                keep = max(math.floor(len(w) * 7 / 10), 1)
+                eval_side[d + 60000] = " ".join(w[:keep])
+    t_sig = {d: sig_of(shingles_of(t)) for d, t in train.items()}
+    e_sig = {d: sig_of(shingles_of(t)) for d, t in eval_side.items()}
+    buckets = defaultdict(set)
+    for d, s in t_sig.items():
+        for b in range(8):
+            buckets[(b, s[2 * b], s[2 * b + 1])].add(d)
+    expected = {}
+    for e, s in e_sig.items():
+        cands = set()
+        for b in range(8):
+            cands |= buckets[(b, s[2 * b], s[2 * b + 1])]
+        for tr in cands:
+            agree = sum(1 for x, y in zip(t_sig[tr], s) if x == y)
+            if agree / 16 >= 0.5:
+                expected[(tr, e)] = agree / 16
+    got = {
+        (r["train_doc"], r["eval_doc"]): r["est_jaccard"]
+        for r in REGISTRY["dd10_fuzzy_decontamination"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    assert any(e >= 60000 for _tr, e in expected), (
+        "truncation plants must survive the band join"
+    )
+    for (tr, e), est in expected.items():
+        if e >= 60000 and tr == e - 60000:
+            assert est >= 0.5
+
+
+# --- dd12: asymmetric containment pairs --------------------------------------
+
+
+def test_dd12_matches_counter_containment_replay(spark):
+    """Both containment directions re-derived with Python sets after the
+    df<=50 cut; subset law: a planted truncation whose kept set is a
+    subset of its source must show cont_a_in_b == 1.0 in the direction
+    of the smaller set."""
+    from collections import Counter, defaultdict
+
+    corpus = {}
+    for d, t, *_ in _docs():
+        corpus[d] = t.lower()
+        if d % 25 == 0:
+            w = t.lower().split(" ")
+            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+    sh = {}
+    for d, t in corpus.items():
+        w = t.split(" ")
+        sh[d] = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+    df = Counter(g for s in sh.values() for g in s)
+    kept = {d: {g for g in s if df[g] <= 50} for d, s in sh.items()}
+    inv = defaultdict(list)
+    for d, s in kept.items():
+        for g in s:
+            inv[g].append(d)
+    inter = defaultdict(int)
+    for g, ds in inv.items():
+        ds = sorted(ds)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                inter[(a, b)] += 1
+    expected = {}
+    for (a, b), i in inter.items():
+        na, nb = len(kept[a]), len(kept[b])
+        if na and nb:
+            cab, cba = i / na, i / nb
+            if cab >= 0.9 or cba >= 0.9:
+                expected[(a, b)] = (
+                    math.floor(cab * 1e6 + 0.5) / 1e6,
+                    math.floor(cba * 1e6 + 0.5) / 1e6,
+                )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in REGISTRY["dd12_containment_pairs"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    full_cover = [
+        (a, b) for (a, b), (cab, cba) in expected.items()
+        if b == a + 10000 and kept[b] <= kept[a]
+    ]
+    assert full_cover, "subset plants must appear"
+    for a, b in full_cover:
+        assert expected[(a, b)][1] == 1.0
+
+
+# --- mm7: modality coverage QC -----------------------------------------------
+
+
+def test_mm7_matches_dict_join_coverage(spark):
+    """Per-source embedding coverage re-derived by a Python dict join
+    with the md5 drop rule; coverage law: 0 <= coverage <= 1 and
+    n_with_embedding <= n_docs."""
+    import duckdb
+    import hashlib
+    from collections import defaultdict
+
+    got = _run(spark, "mm7_modality_coverage")
+    vec_ids = {
+        int(v)
+        for (v,) in duckdb.sql(
+            f"SELECT vec_id FROM '{SF_SMOKE}/embeddings.parquet'"
+        ).fetchall()
+        if int(hashlib.md5(str(int(v)).encode()).hexdigest()[:8], 16) % 4 != 0
+    }
+    acc = defaultdict(lambda: [0, 0])
+    for d, _t, _lang, src in _docs():
+        a = acc[src]
+        a[0] += 1
+        a[1] += int(d in vec_ids)
+    assert len(got) == len(acc)
+    for _, r in got.iterrows():
+        n, ne = acc[r["source"]]
+        assert (int(r["n_docs"]), int(r["n_with_embedding"])) == (n, ne)
+        assert r["coverage"] == math.floor(ne / n * 1e6 + 0.5) / 1e6
+        assert 0.0 <= r["coverage"] <= 1.0 and ne <= n
+
+
+# --- tp3: incremental corpus refresh -----------------------------------------
+
+
+def test_tp3_matches_python_delta_replay(spark):
+    """The carried/cleaned funnel re-derived in Python: carried = all
+    non-delta v2 docs untouched; cleaned = delta docs surviving the
+    lang/len/stop-ratio gates; splits by md5 hash.  Refresh law: no doc
+    appears twice, and every carried doc's n_tok matches its v2 text."""
+    import hashlib
+
+    STOP = {"the", "a", "and", "of", "to", "in", "is"}
+    got = _run(spark, "tp3_incremental_refresh")
+    v2 = {}
+    for d, t, lang, _src in _docs():
+        t = t.lower()
+        if d % 30 != 0:
+            if d % 25 == 0:
+                v2[d] = (lang, "rewritten: " + t, True)
+            else:
+                v2[d] = (lang, t, False)
+        else:
+            v2[d + 30000] = (lang, "fresh copy " + t, True)
+    exp = {}
+    for doc, (lang, text, is_delta) in v2.items():
+        ws = text.split(" ")
+        n_tok = len(ws)
+        split = (
+            "train"
+            if int(hashlib.md5(str(doc).encode()).hexdigest()[:8], 16) % 100 < 90
+            else "eval"
+        )
+        if not is_delta:
+            exp[doc] = ("carried", n_tok, split)
+        else:
+            stop_ratio = sum(1 for x in ws if x in STOP) / n_tok
+            if lang == "en" and n_tok >= 20 and stop_ratio >= 0.02:
+                exp[doc] = ("cleaned", n_tok, split)
+    assert len(got) == len(exp) == got["doc"].nunique()
+    for _, r in got.iterrows():
+        assert exp[int(r["doc"])] == (r["status"], int(r["n_tok"]), r["split"]), (
+            int(r["doc"])
+        )
+    assert (got["status"] == "cleaned").any() and (got["status"] == "carried").any()
