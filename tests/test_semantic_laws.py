@@ -2488,3 +2488,136 @@ def test_tp3_matches_python_delta_replay(spark):
             int(r["doc"])
         )
     assert (got["status"] == "cleaned").any() and (got["status"] == "carried").any()
+
+
+# --- mm5 / mm10: audio PCM frame features and VAD ----------------------------
+
+
+def _pcm_frames():
+    """Closed-form replay of the shared mm5/mm10 audio fixture: per
+    (audio, frame) -> (rms_raw, zcr, peak), straight from the PCM
+    synthesis rule x_g = (a*13 + g*7) % 251 - 125."""
+    import duckdb
+
+    feats = {}
+    for (a,) in duckdb.sql(
+        f"SELECT o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+        " WHERE o_orderkey % 300 = 0"
+    ).fetchall():
+        a = int(a)
+        n = (a % 1000) + 500
+        for f in range(n // 64):
+            xs = [((a * 13 + (f * 64 + i) * 7) % 251) - 125 for i in range(64)]
+            rms = math.sqrt(sum(x * x for x in xs) / 64)
+            zcr = sum(
+                1 for i in range(63) if (xs[i] >= 0) != (xs[i + 1] >= 0)
+            ) / 63.0
+            feats[(str(a), f)] = (rms, zcr, max(abs(x) for x in xs))
+    return feats
+
+
+def test_mm5_matches_closed_form_pcm(spark):
+    """Every frame's RMS/ZCR/peak from the real mapInPandas kernel must
+    equal the closed-form PCM replay (integer-exact mean under sqrt →
+    exact equality after 6dp floor quantization)."""
+    got = _run(spark, "mm5_audio_frame_features")
+    exp = _pcm_frames()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        rms, zcr, peak = exp[(r["audio_id"], int(r["frame_idx"]))]
+        assert r["rms"] == math.floor(rms * 1e6 + 0.5) / 1e6
+        assert r["zcr"] == math.floor(zcr * 1e6 + 0.5) / 1e6
+        assert int(r["peak"]) == peak
+
+
+def test_mm10_matches_python_run_segments(spark):
+    """VAD segments re-derived by a sequential run scanner over the
+    closed-form frames: energy gate rms >= 73, runs of consecutive
+    active frames, segments kept at length >= 3; segment laws:
+    n_frames == seg_end - seg_start + 1 and segments never overlap."""
+    from collections import defaultdict
+
+    got = _run(spark, "mm10_voice_activity")
+    frames = defaultdict(list)
+    for (aid, f), (rms, _zcr, peak) in _pcm_frames().items():
+        frames[aid].append((f, rms >= 73.0, peak))
+    exp = set()
+    for aid, fs in frames.items():
+        run = []
+        for f, active, peak in sorted(fs):
+            if active:
+                run.append((f, peak))
+            else:
+                if len(run) >= 3:
+                    exp.add(
+                        (aid, run[0][0], run[-1][0], len(run), max(p for _f, p in run))
+                    )
+                run = []
+        if len(run) >= 3:
+            exp.add((aid, run[0][0], run[-1][0], len(run), max(p for _f, p in run)))
+    have = {
+        (
+            r["audio_id"],
+            int(r["seg_start"]),
+            int(r["seg_end"]),
+            int(r["n_frames"]),
+            int(r["max_peak"]),
+        )
+        for _, r in got.iterrows()
+    }
+    assert have == exp
+    for aid, s, e, n, _p in exp:
+        assert n == e - s + 1
+    by_audio = defaultdict(list)
+    for aid, s, e, *_ in sorted(exp):
+        by_audio[aid].append((s, e))
+    for segs in by_audio.values():
+        for (s1, e1), (s2, _e2) in zip(segs, segs[1:]):
+            assert e1 < s2 - 1, "adjacent active runs must be gap-separated"
+
+
+# --- mm9: dHash perceptual dedup ---------------------------------------------
+
+
+def test_mm9_matches_closed_form_dhash(spark):
+    """The real decode→resize→dHash chain must reproduce the closed-form
+    gradient-sign hash (nearest-resize index algebra done independently
+    in Python); manifest laws: Σ n_rois == total ROI count and
+    canonical_sample == min over the group."""
+    import duckdb
+    from collections import defaultdict
+
+    got = _run(spark, "mm9_perceptual_dedup")
+    groups = defaultdict(lambda: [0, set()])
+    total = 0
+    for (okey,) in duckdb.sql(
+        f"SELECT o_orderkey FROM '{SF_SMOKE}/orders.parquet'"
+        " WHERE o_orderkey % 200 = 0"
+    ).fetchall():
+        okey = int(okey)
+        for roi in range(1, (okey % 50) + 2):
+            w, h = 8 + roi % 16, 8 + (roi * 3) % 16
+            hi = lo = 0
+            for y in range(8):
+                vs = [
+                    (roi * 31 + ((y * h) // 8) * w + ((x * w) // 9)) % 251
+                    for x in range(9)
+                ]
+                for x in range(8):
+                    if vs[x + 1] > vs[x]:
+                        pos = y * 8 + x
+                        if pos >= 32:
+                            hi |= 1 << (pos - 32)
+                        else:
+                            lo |= 1 << pos
+            g = groups[(hi, lo)]
+            g[0] += 1
+            g[1].add(okey)
+            total += 1
+    assert len(got) == len(groups)
+    for _, r in got.iterrows():
+        n, samples = groups[(int(r["dhash_hi"]), int(r["dhash_lo"]))]
+        assert int(r["n_rois"]) == n
+        assert int(r["n_samples"]) == len(samples)
+        assert int(r["canonical_sample"]) == min(samples)
+    assert int(got["n_rois"].sum()) == total
