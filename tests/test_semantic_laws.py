@@ -2621,3 +2621,230 @@ def test_mm9_matches_closed_form_dhash(spark):
         assert int(r["n_samples"]) == len(samples)
         assert int(r["canonical_sample"]) == min(samples)
     assert int(got["n_rois"].sum()) == total
+
+
+# --- dd14/dd15: MinHash-LSH recall audit + S-curve parameter sweep ----------
+#
+# Both queries share one stack: corpus (500 docs + planted 70%-prefix
+# truncations at doc_id+10000 for doc_id%25==0) -> distinct 3-word
+# shingles -> 16 Kirsch-Mitzenmacher MinHashes (md5-derived h1/h2, h2
+# forced odd, mod 2^32) -> banded equi-join candidates.  The replay
+# below re-derives every stage from the raw parquet with hashlib +
+# dict-of-lists buckets — no Spark, no DuckDB, no shared helpers.
+
+
+def _lsh_minhash_replay():
+    import hashlib
+    from collections import defaultdict
+
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        t = text.lower()
+        corpus[did] = t
+        if did % 25 == 0:
+            w = t.split(" ")
+            corpus[did + 10000] = " ".join(w[: max(1, (len(w) * 7) // 10)])
+    sigs = {}
+    for doc, t in corpus.items():
+        w = t.split(" ")
+        shingles = {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
+        mins = [1 << 40] * 16
+        for s in shingles:
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16) | 1
+            for seed in range(16):
+                v = (h1 + seed * h2) % 4294967296
+                if v < mins[seed]:
+                    mins[seed] = v
+        sigs[doc] = mins
+
+    def candidates(bands, rows):
+        buckets = defaultdict(list)
+        for doc, mh in sigs.items():
+            for b in range(bands):
+                key = (b, tuple(mh[b * rows : (b + 1) * rows]))
+                buckets[key].append(doc)
+        cand = set()
+        for members in buckets.values():
+            members.sort()
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    cand.add((members[i], members[j]))
+        return cand
+
+    truth = {(d, d + 10000) for d in corpus if d < 10000 and d % 25 == 0}
+    return candidates, truth
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def test_dd14_lsh_recall_bruteforce_replay(spark):
+    got = _run(spark, "dd14_lsh_recall")
+    assert len(got) == 1
+    candidates, truth = _lsh_minhash_replay()
+    cand = candidates(8, 2)
+    hit = {p for p in truth if p in cand}
+    assert int(got["n_true"].iloc[0]) == len(truth)
+    assert int(got["n_candidates"].iloc[0]) == len(cand)
+    assert int(got["n_hit"].iloc[0]) == len(hit)
+    assert float(got["recall"].iloc[0]) == _q6(len(hit) / len(truth))
+    # laws: hits bounded by both sets; every planted pair is a real
+    # 70%-containment near-dup so recall must be strictly positive
+    assert len(hit) <= min(len(truth), len(cand))
+    assert len(hit) > 0
+
+
+def test_dd15_sweep_replay_and_scurve_nesting(spark):
+    got = _run(spark, "dd15_lsh_parameter_sweep").sort_values("bands")
+    candidates, truth = _lsh_minhash_replay()
+    sets = {b: candidates(b, r) for b, r in [(2, 8), (4, 4), (8, 2)]}
+    for _, row in got.iterrows():
+        cand = sets[int(row["bands"])]
+        hit = {p for p in truth if p in cand}
+        assert int(row["rows_per_band"]) * int(row["bands"]) == 16
+        assert int(row["n_candidates"]) == len(cand)
+        assert int(row["n_hit"]) == len(hit)
+        assert int(row["n_true"]) == len(truth)
+        assert float(row["recall"]) == _q6(len(hit) / len(truth))
+    # nesting law: the three configs band the SAME 16 seeds in nested
+    # slices ([0:8] = [0:4]+[4:8] ...), so agreement on a wide band
+    # implies agreement on both its halves — candidate sets must nest,
+    # hence candidate volume and recall are monotone in band count
+    assert sets[2] <= sets[4] <= sets[8]
+    g = got.set_index("bands")
+    assert (
+        g.loc[2, "n_candidates"] <= g.loc[4, "n_candidates"] <= g.loc[8, "n_candidates"]
+    )
+    assert g.loc[2, "recall"] <= g.loc[4, "recall"] <= g.loc[8, "recall"]
+    # dd14 audits the (8, 2) configuration — its row must agree exactly
+    dd14 = _run(spark, "dd14_lsh_recall")
+    assert int(dd14["n_candidates"].iloc[0]) == int(g.loc[8, "n_candidates"])
+    assert int(dd14["n_hit"].iloc[0]) == int(g.loc[8, "n_hit"])
+
+
+# --- sim11: MIPS via norm-augmentation reduction ----------------------------
+
+
+def _seq_dot(a, b) -> float:
+    # left-to-right IEEE accumulation — the exact association of the
+    # engine's F.aggregate(zip_with(...)) fold
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_sim11_mips_bruteforce_and_reduction_law(spark):
+    got = _run(spark, "sim11_mips_topk").sort_values(["query_id", "rank"])
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    exp_rows = []
+    for q in sorted(v for v in vecs if v < 5):
+        scored = sorted(
+            ((_seq_dot(vecs[q], vecs[c]), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (d, c) in enumerate(scored[:5], start=1):
+            exp_rows.append((q, c, rank, _q6(d)))
+    exp = pd.DataFrame(
+        exp_rows, columns=["query_id", "neighbor_id", "rank", "dot_product"]
+    )
+    assert got[["query_id", "neighbor_id", "rank"]].values.tolist() == exp[
+        ["query_id", "neighbor_id", "rank"]
+    ].values.tolist()
+    assert got["dot_product"].tolist() == exp["dot_product"].tolist()
+
+    # reduction law (Neyshabur-Srebro): with M = max corpus norm,
+    # x' = [x/M, sqrt(1-|x|^2/M^2)], q' = [q, 0] gives |x'| = 1 and
+    # cos(q', x') = <q, x>/(M|q|) — cosine order IS inner-product order
+    msq = max(_seq_dot(v, v) for v in vecs.values())
+    for q in range(5):
+        qv = vecs[q]
+        qn = math.sqrt(_seq_dot(qv, qv))
+        by_dot, by_cos = [], []
+        for c, cv in vecs.items():
+            if c == q:
+                continue
+            aug = [x / math.sqrt(msq) for x in cv]
+            aug.append(math.sqrt(max(0.0, 1.0 - _seq_dot(cv, cv) / msq)))
+            assert abs(_seq_dot(aug, aug) - 1.0) < 1e-9
+            cos = _seq_dot(qv + [0.0], aug) / qn  # |aug| = 1
+            by_dot.append((-_seq_dot(qv, cv), c))
+            by_cos.append((-cos * math.sqrt(msq), c))
+        order_dot = [c for _, c in sorted(by_dot)]
+        order_cos = [c for _, c in sorted(by_cos)]
+        assert order_dot[:5] == order_cos[:5]
+
+
+# --- sim12: kNN graph from banded sign-LSH candidates -----------------------
+
+
+def test_sim12_knn_graph_bucket_replay(spark):
+    import hashlib
+    from collections import defaultdict
+
+    got = _run(spark, "sim12_knn_graph").sort_values(["src", "rank"])
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet")
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    # planes re-derived from the md5 spec inline (component i of plane p
+    # is +1 iff md5("p#i") first hex digit >= '8'), NOT imported
+    planes = [
+        [
+            1.0 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(64)
+        ]
+        for p in range(64)
+    ]
+    buckets = defaultdict(list)
+    for vid, v in vecs.items():
+        for b in range(8):
+            sig = "".join(
+                "1" if _seq_dot(v, planes[b * 8 + r]) > 0 else "0" for r in range(8)
+            )
+            buckets[(b, sig)].append(vid)
+    cand = set()
+    for members in buckets.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    cand.add((a, b))
+
+    exp_rows = []
+    for src in sorted({s for s, _ in cand}):
+        dsts = sorted(d for s, d in cand if s == src)
+        scored = sorted(
+            (
+                (
+                    _q6(
+                        _seq_dot(vecs[src], vecs[d])
+                        / math.sqrt(
+                            _seq_dot(vecs[src], vecs[src]) * _seq_dot(vecs[d], vecs[d])
+                        )
+                    ),
+                    d,
+                )
+                for d in dsts
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (cs, d) in enumerate(scored[:3], start=1):
+            exp_rows.append((src, d, rank, cs))
+    exp = pd.DataFrame(exp_rows, columns=["src", "dst", "rank", "cos_sim"])
+    assert got[["src", "dst", "rank"]].values.tolist() == exp[
+        ["src", "dst", "rank"]
+    ].values.tolist()
+    assert got["cos_sim"].tolist() == exp["cos_sim"].tolist()
+    # laws: candidate symmetry ((a,b) in cand iff (b,a) in cand — the
+    # bucket relation is symmetric), <= 3 contiguous ranks per node, and
+    # every emitted edge came from a shared bucket
+    assert all((b, a) in cand for a, b in cand)
+    for src, grp in got.groupby("src"):
+        assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
+        assert len(grp) <= 3
+    assert all((int(r.src), int(r.dst)) in cand for r in got.itertuples())
