@@ -2848,3 +2848,102 @@ def test_sim12_knn_graph_bucket_replay(spark):
         assert grp["rank"].tolist() == list(range(1, len(grp) + 1))
         assert len(grp) <= 3
     assert all((int(r.src), int(r.dst)) in cand for r in got.itertuples())
+
+
+# --- dp8/a20/dp2/a24: exact-quantile + skew-rollup family -------------------
+#
+# All four re-derive order statistics or integer-exact rollups from the
+# raw parquet with numpy/pandas — independent of both the distributed
+# rank machinery (operators/windows.global_rank, operators/skew) and
+# the DuckDB quantile_cont implementation.
+
+
+def test_dp8_exact_quantiles_sequential_recompute(spark):
+    got = _run(spark, "dp8_exact_quantiles").sort_values("quantile")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_extendedprice"])
+    cents = sorted(
+        int(math.floor(v * 100.0 + 0.5)) for v in li["l_extendedprice"].tolist()
+    )
+    n = len(cents)
+    exp = {}
+    for p in (0.25, 0.5, 0.75):
+        rf = (n - 1) * p
+        lo = cents[int(math.floor(rf))]
+        hi = cents[min(int(math.floor(rf)) + 1, n - 1)]
+        exp[p] = (lo + (rf - math.floor(rf)) * (hi - lo)) / 100.0
+    assert got["quantile"].tolist() == [0.25, 0.5, 0.75]
+    assert got["q_value"].tolist() == [exp[0.25], exp[0.5], exp[0.75]]
+    # laws: monotone in p, inside the data range
+    assert exp[0.25] <= exp[0.5] <= exp[0.75]
+    assert cents[0] / 100.0 <= exp[0.25] and exp[0.75] <= cents[-1] / 100.0
+
+
+def test_a20_grouped_percentiles_numpy_recompute(spark):
+    import numpy as np
+
+    got = _run(spark, "a20_grouped_percentiles").sort_values("l_returnflag")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    for _, row in got.iterrows():
+        vals = li.loc[
+            li["l_returnflag"] == row["l_returnflag"], "l_extendedprice"
+        ].to_numpy()
+        p50 = math.floor(float(np.quantile(vals, 0.5)) * 100.0 + 0.5) / 100.0
+        p95 = math.floor(float(np.quantile(vals, 0.95)) * 100.0 + 0.5) / 100.0
+        assert float(row["p50"]) == p50
+        assert float(row["p95"]) == p95
+        assert p50 <= p95
+    assert set(got["l_returnflag"]) == set(li["l_returnflag"].unique())
+
+
+def test_dp2_winsorize_numpy_recompute(spark):
+    import numpy as np
+
+    got = _run(spark, "dp2_winsorize").sort_values("l_returnflag")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_returnflag", "l_extendedprice"]
+    )
+    for _, row in got.iterrows():
+        vals = li.loc[
+            li["l_returnflag"] == row["l_returnflag"], "l_extendedprice"
+        ].to_numpy()
+        lo, hi = float(np.quantile(vals, 0.01)), float(np.quantile(vals, 0.99))
+        v_e4 = [
+            int(math.floor(max(lo, min(hi, float(v))) * 10000.0 + 0.5)) for v in vals
+        ]
+        mean = math.floor(sum(v_e4) / (100.0 * len(vals)) + 0.5) / 100.0
+        clipped = int(((vals < lo) | (vals > hi)).sum())
+        assert int(row["n"]) == len(vals)
+        assert float(row["winsorized_mean"]) == mean
+        assert int(row["n_clipped"]) == clipped
+        # laws: bounds ordered, clipping touches at most ~2% of rows,
+        # and the winsorized mean sits inside the clip interval
+        assert lo <= hi
+        assert clipped <= 0.03 * len(vals) + 2
+        assert lo - 0.01 <= mean <= hi + 0.01
+
+
+def test_a24_salted_rollup_matches_plain_groupby(spark):
+    got = _run(spark, "a24_salted_skew_rollup").sort_values("l_returnflag")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    li = li.assign(
+        cents=[
+            int(math.floor(v * 100.0 + 0.5)) for v in li["l_extendedprice"].tolist()
+        ]
+    )
+    exp = (
+        li.groupby("l_returnflag")
+        .agg(n=("cents", "size"), price_cents=("cents", "sum"), max_qty=("l_quantity", "max"))
+        .reset_index()
+        .sort_values("l_returnflag")
+    )
+    assert got["l_returnflag"].tolist() == exp["l_returnflag"].tolist()
+    assert got["n"].tolist() == exp["n"].tolist()
+    assert got["price_cents"].tolist() == exp["price_cents"].tolist()
+    assert got["max_qty"].tolist() == exp["max_qty"].tolist()
+    # accounting law: the salted partial/final must lose no rows
+    assert int(got["n"].sum()) == len(li)
