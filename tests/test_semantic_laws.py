@@ -2947,3 +2947,159 @@ def test_a24_salted_rollup_matches_plain_groupby(spark):
     assert got["max_qty"].tolist() == exp["max_qty"].tolist()
     # accounting law: the salted partial/final must lose no rows
     assert int(got["n"].sum()) == len(li)
+
+
+# --- st6/st8/w9/w12: streaming windows + rolling anomaly family -------------
+
+
+def test_st6_sliding_windows_pandas_replay(spark):
+    got = _run(spark, "st6_sliding_window_rates")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["ts", "event_type"])
+    bucket = ev["ts"].dt.floor("30min")
+    both = pd.concat(
+        [
+            pd.DataFrame({"window_start": bucket, "event_type": ev["event_type"]}),
+            pd.DataFrame(
+                {
+                    "window_start": bucket - pd.Timedelta(minutes=30),
+                    "event_type": ev["event_type"],
+                }
+            ),
+        ]
+    )
+    exp = (
+        both.groupby(["window_start", "event_type"])
+        .size()
+        .rename("n")
+        .reset_index()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    g = got.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert g["window_start"].tolist() == exp["window_start"].tolist()
+    assert g["event_type"].tolist() == exp["event_type"].tolist()
+    assert g["n"].tolist() == exp["n"].tolist()
+    # law: every event lands in exactly two overlapping windows
+    assert int(got["n"].sum()) == 2 * len(ev)
+
+
+def test_st8_streaming_sessions_sequential_replay(spark):
+    got = _run(spark, "st8_streaming_sessions").sort_values(
+        ["user_id", "session_start"]
+    )
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id", "ts"])
+    mx = ev["ts"].max()
+    horizon = mx - pd.Timedelta(minutes=40)
+    gap = pd.Timedelta(minutes=30)
+    exp_rows = []
+    for uid, grp in ev.groupby("user_id"):
+        tss = sorted(grp["ts"])
+        start = prev = tss[0]
+        n = 1
+        for t in tss[1:]:
+            if (t - prev) >= gap:
+                if prev + gap <= horizon:
+                    exp_rows.append((int(uid), start, prev + gap, n))
+                start, n = t, 0
+            n += 1
+            prev = t
+        if prev + gap <= horizon:
+            exp_rows.append((int(uid), start, prev + gap, n))
+    exp = pd.DataFrame(
+        exp_rows, columns=["user_id", "session_start", "session_end", "n_events"]
+    ).sort_values(["user_id", "session_start"])
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["session_start"].tolist() == exp["session_start"].tolist()
+    assert got["session_end"].tolist() == exp["session_end"].tolist()
+    assert got["n_events"].tolist() == exp["n_events"].tolist()
+    # laws: sessions of one user never overlap (next start >= prev end),
+    # every emitted session closed before the final watermark, and
+    # every session spans exactly (last event + 30 min)
+    for _, grp in got.groupby("user_id"):
+        se = grp.sort_values("session_start")
+        assert (
+            se["session_start"].iloc[1:].reset_index(drop=True)
+            >= se["session_end"].iloc[:-1].reset_index(drop=True)
+        ).all()
+    assert (got["session_end"] <= horizon).all()
+    assert (got["n_events"] >= 1).all()
+
+
+def test_w9_rolling_zscore_sequential_replay(spark):
+    got = _run(spark, "w9_rolling_zscore")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    exp_z, exp_a = {}, {}
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        vals = grp["value"].astype(float).tolist()
+        for i, eid in enumerate(grp["event_id"]):
+            window = vals[max(0, i - 20) : i]
+            n = len(window)
+            z = None
+            anom = False
+            if n >= 10:
+                s1 = 0.0
+                s2 = 0.0
+                for v in window:
+                    s1 += v
+                    s2 += v * v
+                var = (s2 - s1 * s1 / n) / (n - 1)
+                if var > 0:
+                    zr = (vals[i] - s1 / n) / math.sqrt(var)
+                    z = math.floor(zr * 10000.0 + 0.5) / 10000.0
+                    anom = abs(vals[i] - s1 / n) > 2.5 * math.sqrt(var)
+            exp_z[int(eid)] = z
+            exp_a[int(eid)] = anom
+    assert len(got) == len(ev)
+    for r in got.itertuples():
+        ez = exp_z[int(r.event_id)]
+        if ez is None:
+            assert pd.isna(r.z)
+        else:
+            # engine windowed sums accumulate in a different order than
+            # the sequential replay (~1e-12 relative) — allow one 1e-4
+            # grid unit on the rounded z
+            assert abs(float(r.z) - ez) <= 1e-4 + 1e-12
+        assert bool(r.is_anomaly) == exp_a[int(r.event_id)]
+    # law: warm-up rows (fewer than 10 prior readings) are never flagged
+    nulls = got["z"].isna()
+    assert not got.loc[nulls, "is_anomaly"].any()
+
+
+def test_w12_mad_outliers_numpy_recompute(spark):
+    import numpy as np
+
+    got = _run(spark, "w12_mad_outliers").sort_values("event_id")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    cents = ev["value"].map(lambda v: int(math.floor(v * 100.0 + 0.5)))
+    exp_rows = []
+    for et, grp in ev.assign(cents=cents).groupby("event_type"):
+        med = float(np.quantile(grp["cents"].to_numpy(), 0.5))
+        dev = (grp["cents"] - med).abs()
+        mad = float(np.quantile(dev.to_numpy(), 0.5))
+        for eid, c in zip(grp["event_id"], grp["cents"]):
+            z = 0.6745 * (c - med) / mad
+            if abs(z) > 3.5:
+                exp_rows.append(
+                    (
+                        int(eid),
+                        et,
+                        c / 100.0,
+                        math.floor(z * 10000.0 + 0.5) / 10000.0,
+                    )
+                )
+    exp = pd.DataFrame(
+        exp_rows, columns=["event_id", "event_type", "value", "robust_z"]
+    ).sort_values("event_id")
+    assert got["event_id"].tolist() == exp["event_id"].tolist()
+    assert got["event_type"].tolist() == exp["event_type"].tolist()
+    assert got["value"].tolist() == exp["value"].tolist()
+    assert got["robust_z"].tolist() == exp["robust_z"].tolist()
+    # laws: every emitted row exceeds the 3.5 threshold; outliers are a
+    # small minority of the stream
+    assert (got["robust_z"].abs() > 3.5).all()
+    assert len(got) < 0.1 * len(ev)
