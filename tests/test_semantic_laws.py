@@ -3103,3 +3103,176 @@ def test_w12_mad_outliers_numpy_recompute(spark):
     # small minority of the stream
     assert (got["robust_z"].abs() > 3.5).all()
     assert len(got) < 0.1 * len(ev)
+
+
+# --- j9/j9b/i12/sp8: geo tagging, algebraic maintenance, DSIR ---------------
+
+
+def test_j9_basin_rectangles_replay(spark):
+    got = _run(spark, "j9_basin_tagging").sort_values("c_custkey")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"])
+    rects = [
+        ("Skagerrak", 57.5, 59.5, 8.0, 11.0),
+        ("Kattegat", 55.5, 57.5, 10.0, 13.0),
+        ("Baltic Proper", 54.0, 60.0, 13.0, 22.0),
+    ]
+    assert len(got) == len(cust)
+    for r in got.itertuples():
+        k = int(r.c_custkey)
+        lat, lon = 54.0 + (k % 600) / 100.0, 10.0 + (k % 1200) / 100.0
+        assert float(r.lat) == lat and float(r.lon) == lon
+        basin = None
+        near = False
+        for name, la0, la1, lo0, lo1 in rects:
+            if la0 <= lat <= la1 and lo0 <= lon <= lo1:
+                basin = name
+                near = (
+                    lat - la0 < 0.1
+                    or la1 - lat < 0.1
+                    or lon - lo0 < 0.1
+                    or lo1 - lon < 0.1
+                )
+                break
+        assert (r.basin if pd.notna(r.basin) else None) == basin
+        assert bool(r.near_land) == near
+        if basin is None:
+            assert pd.isna(r.in_baltic)
+        else:
+            assert bool(r.in_baltic) == (basin == "Baltic Proper")
+
+
+def test_j9b_polygon_raycast_replay(spark):
+    got = _run(spark, "j9b_polygon_tagging").sort_values("c_custkey")
+    ring = [
+        (10.0, 54.0), (18.0, 54.0), (18.0, 57.0),
+        (14.0, 57.0), (14.0, 60.0), (10.0, 60.0),
+    ]
+
+    def inside(x, y):
+        cnt = 0
+        for i, (ax, ay) in enumerate(ring):
+            bx, by = ring[(i + 1) % len(ring)]
+            if ay == by:
+                continue
+            if ((ay > y) != (by > y)) and x < (bx - ax) * (y - ay) / (by - ay) + ax:
+                cnt += 1
+        return cnt % 2 == 1
+
+    def dist(x, y):
+        best = float("inf")
+        for i, (ax, ay) in enumerate(ring):
+            bx, by = ring[(i + 1) % len(ring)]
+            dx, dy = bx - ax, by - ay
+            t = min(max(((x - ax) * dx + (y - ay) * dy) / (dx * dx + dy * dy), 0.0), 1.0)
+            u, v = x - (ax + t * dx), y - (ay + t * dy)
+            best = min(best, math.sqrt(u * u + v * v))
+        return best
+
+    n_in = 0
+    for r in got.itertuples():
+        lat, lon = float(r.lat), float(r.lon)
+        if inside(lon, lat):
+            n_in += 1
+            assert r.basin == "L"
+            assert bool(r.near_land) == (dist(lon, lat) < 0.05)
+        else:
+            assert pd.isna(r.basin)
+            assert not bool(r.near_land)
+    # at sf0.001 the 150-key lattice (lat <= 55.49, lon <= 11.49) sits
+    # entirely inside the L-shape, so the discriminating signal here is
+    # near_land: the boundary-distance branch must fire both ways
+    assert n_in > 0
+    assert got["near_land"].nunique() == 2
+
+
+def test_i12_incremental_merge_equals_full_recompute(spark):
+    got = _run(spark, "i12_incremental_rollup").sort_values("event_type")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    ev = ev.assign(cents=ev["value"].map(lambda v: int(math.floor(v * 100.0 + 0.5))))
+    cutoff = pd.Timestamp("2024-01-20")
+
+    def partial(df):
+        return {
+            et: (
+                len(g),
+                int(g["cents"].sum()),
+                int(g["cents"].min()),
+                int(g["cents"].max()),
+            )
+            for et, g in df.groupby("event_type")
+        }
+
+    base, delta = partial(ev[ev["ts"] < cutoff]), partial(ev[ev["ts"] >= cutoff])
+    merged = {}
+    for side in (base, delta):
+        for et, (n, s, mn, mx) in side.items():
+            if et in merged:
+                n0, s0, mn0, mx0 = merged[et]
+                merged[et] = (n0 + n, s0 + s, min(mn0, mn), max(mx0, mx))
+            else:
+                merged[et] = (n, s, mn, mx)
+    full = partial(ev)
+    # the algebraic-maintenance law itself, engine-free
+    assert merged == full
+    # and the engine's incremental result equals both
+    for r in got.itertuples():
+        assert merged[r.event_type] == (
+            int(r.n),
+            int(r.cents),
+            int(r.min_cents),
+            int(r.max_cents),
+        )
+    assert set(got["event_type"]) == set(merged)
+
+
+def test_sp8_dsir_hashed_trigram_replay(spark):
+    import hashlib
+    from collections import Counter, defaultdict
+
+    got = _run(spark, "sp8_importance_resampling").sort_values("doc_id")
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    B = 1 << 20
+    doc_tris = {}
+    cs, ct = Counter(), Counter()
+    for r in docs.itertuples():
+        t = r.text.lower()
+        buckets = [
+            int(hashlib.md5(t[i : i + 3].encode()).hexdigest()[:8], 16) % B
+            for i in range(max(len(t) - 2, 1))
+        ]
+        doc_tris[int(r.doc_id)] = buckets
+        for b in buckets:
+            cs[b] += 1
+            if r.lang == "en":
+                ct[b] += 1
+    ns, nt, v = float(sum(cs.values())), float(sum(ct.values())), float(len(cs))
+    lr_u = {
+        b: int(
+            math.floor(
+                math.log(((ct[b] + 1) / (nt + v)) / ((cs[b] + 1) / (ns + v)))
+                * 1000000000.0
+                + 0.5
+            )
+        )
+        for b in cs
+    }
+    assert len(got) == len(docs)
+    en_scores, other_scores = [], []
+    lang_of = dict(zip(docs["doc_id"].astype(int), docs["lang"]))
+    for r in got.itertuples():
+        buckets = doc_tris[int(r.doc_id)]
+        s = sum(lr_u[b] for b in buckets)
+        assert int(r.n_trigrams) == len(buckets)
+        assert float(r.logratio) == _q6(s / (len(buckets) * 1000000000.0))
+        assert bool(r.kept) == (s > 0)
+        (en_scores if lang_of[int(r.doc_id)] == "en" else other_scores).append(
+            float(r.logratio)
+        )
+    # DSIR law: the target-model likelihood ratio must favor the target
+    # slice in aggregate — mean log-ratio of 'en' docs above the rest
+    assert en_scores and other_scores
+    assert sum(en_scores) / len(en_scores) > sum(other_scores) / len(other_scores)
