@@ -3276,3 +3276,134 @@ def test_sp8_dsir_hashed_trigram_replay(spark):
     # slice in aggregate — mean log-ratio of 'en' docs above the rest
     assert en_scores and other_scores
     assert sum(en_scores) / len(en_scores) > sum(other_scores) / len(other_scores)
+
+
+# --- mm11/mm12/tp4/sim3: video cuts, DFT frames, curriculum, centroids ------
+
+
+def test_mm11_scene_cuts_sequential_replay(spark):
+    got = _run(spark, "mm11_scene_cuts").sort_values(["video_id", "frame_idx"])
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"])
+    vids = sorted(int(k) for k in orders["o_orderkey"] if k % 500 == 0)
+    assert vids, "fixture must contain at least one video key"
+    exp_rows = []
+    for v in vids:
+        n = (v % 24) + 4
+        frames = [
+            [(v * 7 + f * 13 + i) % 251 for i in range(144)] for f in range(n)
+        ]
+        for f in range(1, n):
+            l1 = sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1]))
+            exp_rows.append((str(v), f, l1, l1 > 3600))
+    exp = pd.DataFrame(
+        exp_rows, columns=["video_id", "frame_idx", "l1_delta", "is_cut"]
+    ).sort_values(["video_id", "frame_idx"])
+    assert got["video_id"].tolist() == exp["video_id"].tolist()
+    assert got["frame_idx"].tolist() == exp["frame_idx"].tolist()
+    assert got["l1_delta"].tolist() == exp["l1_delta"].tolist()
+    assert got["is_cut"].tolist() == exp["is_cut"].tolist()
+    # laws: one delta row per consecutive frame pair, all deltas
+    # non-negative and bounded by the max possible L1 (144 * 250)
+    for v in vids:
+        rows = got[got["video_id"] == str(v)]
+        assert rows["frame_idx"].tolist() == list(range(1, (v % 24) + 4))
+    assert ((got["l1_delta"] >= 0) & (got["l1_delta"] <= 144 * 250)).all()
+
+
+def test_mm12_spectral_frames_sequential_replay(spark):
+    got = _run(spark, "mm12_spectral_frames").sort_values(["audio_id", "frame_idx"])
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"])
+    auds = sorted(int(k) for k in orders["o_orderkey"] if k % 300 == 0)
+    assert auds, "fixture must contain at least one audio key"
+    cos = [[math.cos(2 * math.pi * k * n / 8) for n in range(8)] for k in range(5)]
+    sin = [[math.sin(2 * math.pi * k * n / 8) for n in range(8)] for k in range(5)]
+    exp_rows = []
+    for a in auds:
+        n = (a % 1000) + 500
+        for f in range(n // 64):
+            x = [(a * 13 + (f * 64 + i) * 7) % 251 - 125 for i in range(8)]
+            powers = []
+            for k in range(5):
+                re = 0.0
+                im = 0.0
+                for i in range(8):
+                    re += x[i] * cos[k][i]
+                    im += x[i] * sin[k][i]
+                powers.append(math.floor((re * re + im * im) * 1e6 + 0.5) / 1e6)
+            exp_rows.append((str(a), f, *powers))
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["audio_id", "frame_idx"] + [f"power_{k}" for k in range(5)],
+    ).sort_values(["audio_id", "frame_idx"])
+    assert got["audio_id"].tolist() == exp["audio_id"].tolist()
+    assert got["frame_idx"].tolist() == exp["frame_idx"].tolist()
+    for k in range(5):
+        assert got[f"power_{k}"].tolist() == exp[f"power_{k}"].tolist()
+    # laws: power is non-negative, and the DC bin equals the squared
+    # frame sum (k=0 -> cos=1, sin=0)
+    for k in range(5):
+        assert (got[f"power_{k}"] >= 0).all()
+    for a in auds:
+        n = (a % 1000) + 500
+        for f in range(min(3, n // 64)):
+            s = float(sum((a * 13 + (f * 64 + i) * 7) % 251 - 125 for i in range(8)))
+            dc = float(
+                got.loc[
+                    (got["audio_id"] == str(a)) & (got["frame_idx"] == f), "power_0"
+                ].iloc[0]
+            )
+            assert dc == math.floor(s * s * 1e6 + 0.5) / 1e6
+
+
+def test_tp4_curriculum_exact_integer_rank_replay(spark):
+    import hashlib
+    import re as _re
+
+    got = _run(spark, "tp4_curriculum_order").sort_values("curriculum_rank")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    keyed = []
+    for r in docs.itertuples():
+        n_tok = len(_re.split(r"\s+", r.text.strip()))
+        h = int(hashlib.md5(f"cur-{int(r.doc_id)}".encode()).hexdigest()[:8], 16)
+        keyed.append((n_tok, h, int(r.doc_id)))
+    keyed.sort()
+    exp_rows = [
+        (
+            d,
+            n,
+            0 if n < 20 else (1 if n < 40 else 2),
+            rank,
+            (rank - 1) // 64,
+        )
+        for rank, (n, h, d) in enumerate(keyed, start=1)
+    ]
+    exp = pd.DataFrame(
+        exp_rows, columns=["doc_id", "n_tok", "phase", "curriculum_rank", "shard"]
+    )
+    for c in exp.columns:
+        assert got[c].tolist() == exp[c].tolist()
+    # laws: rank is a permutation of 1..n, phase is nondecreasing along
+    # the curriculum (it is monotone in the primary sort key), shards
+    # hold at most 64 docs
+    assert got["curriculum_rank"].tolist() == list(range(1, len(docs) + 1))
+    assert (got["phase"].diff().dropna() >= 0).all()
+    assert int(got.groupby("shard").size().max()) <= 64
+
+
+def test_sim3_label_centroids_numpy_recompute(spark):
+    got = _run(spark, "sim3_label_centroids").sort_values(["label", "dim"])
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["label", "embedding"])
+    labels = sorted(emb["label"].unique())
+    assert got["label"].nunique() == len(labels)
+    for lbl in labels:
+        vecs = [list(map(float, v)) for v in emb.loc[emb["label"] == lbl, "embedding"]]
+        sub = got[got["label"] == lbl]
+        assert sub["dim"].tolist() == list(range(64))
+        for d, c in zip(sub["dim"], sub["centroid"]):
+            col = [v[int(d)] for v in vecs]
+            mean = sum(col) / len(col)
+            # engine partial-aggregation order differs from the
+            # sequential sum (~1e-12 relative); allow one 1e-6 grid unit
+            assert abs(float(c) - math.floor(mean * 1e6 + 0.5) / 1e6) <= 1e-6 + 1e-12
+            # law: a mean lies within the per-dimension value range
+            assert min(col) - 1e-6 <= float(c) <= max(col) + 1e-6
