@@ -3407,3 +3407,172 @@ def test_sim3_label_centroids_numpy_recompute(spark):
             assert abs(float(c) - math.floor(mean * 1e6 + 0.5) / 1e6) <= 1e-6 + 1e-12
             # law: a mean lies within the per-dimension value range
             assert min(col) - 1e-6 <= float(c) <= max(col) + 1e-6
+
+
+# --- w4 + o-family: ordering, union, pivot, set algebra ---------------------
+
+
+def test_w4_newest_topk_replay(spark):
+    got = _run(spark, "w4_newest_topk")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts"])
+    exp = ev.sort_values(["ts", "event_id"], ascending=False).head(50)
+    assert len(got) == min(50, len(ev))
+    assert sorted(got["event_id"]) == sorted(exp["event_id"])
+    # law: the oldest kept row is at least as new as every dropped row
+    cut = got.sort_values(["ts", "event_id"]).iloc[0]
+    dropped = ev[~ev["event_id"].isin(set(got["event_id"]))]
+    assert (
+        (dropped["ts"] < cut["ts"])
+        | ((dropped["ts"] == cut["ts"]) & (dropped["event_id"] < cut["event_id"]))
+    ).all()
+
+
+def test_o1_multi_key_rank_replay(spark):
+    got = _run(spark, "o1_multi_key_sort").sort_values("rank")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"],
+    )
+    f = orders[orders["o_totalprice"] > 400000]
+    exp = sorted(
+        f.itertuples(),
+        key=lambda r: (r.o_orderpriority, r.o_totalprice, -r.o_orderkey),
+        reverse=True,
+    )
+    assert got["o_orderkey"].tolist() == [r.o_orderkey for r in exp]
+    assert got["rank"].tolist() == list(range(1, len(exp) + 1))
+    # law: the materialized rank respects the key ordering pairwise
+    prev = None
+    for r in got.itertuples():
+        cur = (r.o_orderpriority, r.o_totalprice, -r.o_orderkey)
+        if prev is not None:
+            assert cur <= prev
+        prev = cur
+
+
+def test_o3_union_by_name_replay(spark):
+    got = _run(spark, "o3_union_by_name")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"],
+    )
+    o = orders[orders["o_orderstatus"] == "O"]
+    fr = orders[orders["o_orderstatus"] == "F"]
+    assert len(got) == len(o) + len(fr)
+    auto = got[got["provenance"] == "auto"].sort_values("o_orderkey")
+    man = got[got["provenance"] == "manual"].sort_values("o_orderkey")
+    assert auto["o_orderkey"].tolist() == sorted(o["o_orderkey"])
+    assert man["o_orderkey"].tolist() == sorted(fr["o_orderkey"])
+    # law: the schema-reconciled column is null exactly on the manual side
+    assert man["o_orderpriority"].isna().all()
+    assert auto["o_orderpriority"].notna().all()
+
+
+def test_o5_split_apply_union_replay(spark):
+    got = _run(spark, "o5_split_apply_union")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    assert len(got) == len(li)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    # so compare full-row multisets instead of key-aligned positions
+    exp_rows = sorted(
+        (
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            r.l_returnflag,
+            float(r.l_quantity) * 0.5 if r.l_returnflag == "N" else float(r.l_quantity),
+            "unclassified" if r.l_returnflag == "N" else "classified",
+        )
+        for r in li.itertuples()
+    )
+    got_rows = sorted(
+        (
+            int(r.l_orderkey),
+            int(r.l_linenumber),
+            r.l_returnflag,
+            float(r.measure),
+            r.kind,
+        )
+        for r in got.itertuples()
+    )
+    assert got_rows == exp_rows
+    # law: the transform fires exactly on the split branch
+    assert (got.loc[got["l_returnflag"] == "N", "kind"] == "unclassified").all()
+    assert (got.loc[got["l_returnflag"] != "N", "kind"] == "classified").all()
+
+
+def test_o6_pivot_wider_replay_and_mass_conservation(spark):
+    got = _run(spark, "o6_pivot_wider").sort_values("nation")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_custkey", "o_orderstatus", "o_totalprice"],
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    for r in got.itertuples():
+        sub = j[j["n_name"] == r.nation]
+        for status, col in (("O", r.status_O), ("F", r.status_F), ("P", r.status_P)):
+            s = float(sub.loc[sub["o_orderstatus"] == status, "o_totalprice"].sum())
+            # sum order differs between engine partials and pandas;
+            # one 1e-2 grid unit of slack
+            assert abs(float(col) - math.floor(s * 100.0 + 0.5) / 100.0) <= 0.01 + 1e-9
+    # law: pivot conserves mass — the three columns total the joined sum
+    total = float(got[["status_O", "status_F", "status_P"]].to_numpy().sum())
+    assert abs(total - float(j["o_totalprice"].sum())) <= 0.05 * len(got)
+
+
+def test_o6_pivot_longer_replay(spark):
+    got = _run(spark, "o6_pivot_longer")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"],
+    )
+    sub = li[li["l_orderkey"] % 100 == 0]
+    assert len(got) == 2 * len(sub)
+    # full-row multiset compare ((l_orderkey, l_linenumber) is not unique)
+    exp_rows = sorted(
+        [
+            (int(r.l_orderkey), int(r.l_linenumber), "quantity", float(r.l_quantity))
+            for r in sub.itertuples()
+        ]
+        + [
+            (int(r.l_orderkey), int(r.l_linenumber), "discount", float(r.l_discount))
+            for r in sub.itertuples()
+        ]
+    )
+    got_rows = sorted(
+        (int(r.l_orderkey), int(r.l_linenumber), r.parameter, float(r.value))
+        for r in got.itertuples()
+    )
+    assert got_rows == exp_rows
+    # law: longer is lossless — each source row contributes exactly one
+    # row per parameter, so the per-parameter halves are equal-sized
+    assert (got["parameter"] == "quantity").sum() == len(sub)
+    assert (got["parameter"] == "discount").sum() == len(sub)
+
+
+def test_o7_set_ops_replay_and_partition_law(spark):
+    inter = _run(spark, "o7_set_intersect")
+    exc = _run(spark, "o7_set_except")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    y = pd.to_datetime(orders["o_orderdate"]).dt.year
+    a = set(orders.loc[y == 1995, "o_custkey"].astype(int))
+    b = set(orders.loc[y == 1996, "o_custkey"].astype(int))
+    assert set(inter["o_custkey"].astype(int)) == a & b
+    assert set(exc["o_custkey"].astype(int)) == a - b
+    # laws: set semantics (no duplicates) and the partition identity
+    # (A∩B) ⊎ (A−B) = A
+    assert not inter["o_custkey"].duplicated().any()
+    assert not exc["o_custkey"].duplicated().any()
+    assert (a & b) | (a - b) == a and not ((a & b) & (a - b))
