@@ -3576,3 +3576,110 @@ def test_o7_set_ops_replay_and_partition_law(spark):
     assert not inter["o_custkey"].duplicated().any()
     assert not exc["o_custkey"].duplicated().any()
     assert (a & b) | (a - b) == a and not ((a & b) & (a - b))
+
+
+# --- a9/c4/c5/dp1/tp6: lookups, profile, dataset card -----------------------
+
+
+def test_a9_class_counts_replay(spark):
+    got = _run(spark, "a9_class_counts").sort_values("class")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_partkey"])
+    part = pd.read_parquet(
+        f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    exp = j.groupby("p_brand").size()
+    assert got["class"].tolist() == sorted(exp.index)
+    assert got["n_images"].tolist() == [int(exp[c]) for c in got["class"]]
+    # law: an inner join on a complete dimension loses no fact rows
+    assert int(got["n_images"].sum()) == len(j) == len(li)
+
+
+def test_c4_taxa_resolver_hash_replay(spark):
+    import hashlib
+
+    got = _run(spark, "c4_taxa_resolver")
+    part = pd.read_parquet(
+        f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    assert len(got) == len(part)
+    brand_of = dict(zip(part["p_partkey"].astype(int), part["p_brand"]))
+    for r in got.itertuples():
+        name = brand_of[int(r.p_partkey)]
+        h = int(hashlib.md5(name.encode()).hexdigest()[:8], 16)
+        assert r.class_name == name
+        assert int(r.aphia_id) == h % 900000
+        assert r.rank == ("Species" if h % 3 == 0 else "Genus")
+    # laws: the resolver is a FUNCTION of the name (one id per name) and
+    # ids stay in the aphia range
+    per_name = got.groupby("class_name")["aphia_id"].nunique()
+    assert (per_name == 1).all()
+    assert got["aphia_id"].between(0, 899999).all()
+
+
+def test_c5_trophic_lookup_replay(spark):
+    got = _run(spark, "c5_trophic_lookup")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_type"])
+    assert len(got) == len(part)
+    mapping = {"ECONOMY": ("AU", True), "SMALL": ("HT", False)}
+    for r in got.itertuples():
+        tt, isd = mapping.get(r.p_type, ("NS", False))
+        assert r.trophic_type == tt
+        assert bool(r.is_diatom) == isd
+    # law: the left join + coalesce defaults exactly the unmapped types
+    assert (
+        got.loc[~got["p_type"].isin(mapping), "trophic_type"] == "NS"
+    ).all()
+
+
+def test_dp1_column_profile_replay(spark):
+    got = _run(spark, "dp1_column_profile").sort_values("column_name")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+    for r in got.itertuples():
+        col = li[r.column_name]
+        assert int(r.n) == len(col)
+        assert int(r.n_null) == int(col.isna().sum())
+        assert float(r.min_val) == math.floor(float(col.min()) * 100.0 + 0.5) / 100.0
+        assert float(r.max_val) == math.floor(float(col.max()) * 100.0 + 0.5) / 100.0
+        assert int(r.n_distinct) == col.nunique()
+        # laws: profile consistency
+        assert float(r.min_val) <= float(r.max_val)
+        assert int(r.n_distinct) <= int(r.n) - int(r.n_null)
+    assert set(got["column_name"]) == {"l_quantity", "l_discount", "l_extendedprice"}
+
+
+def test_tp6_dataset_card_recomputed_from_tp1(spark):
+    got = _run(spark, "tp6_dataset_card").sort_values(["split", "bucket"])
+    corpus = _run(spark, "tp1_training_corpus")
+    bucket = corpus["n_tok"].map(
+        lambda n: 20 if n < 32 else (32 if n < 64 else (64 if n < 128 else (128 if n < 256 else 256)))
+    )
+    agg = (
+        corpus.assign(bucket=bucket)
+        .groupby(["split", "bucket"])
+        .agg(n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum"))
+        .reset_index()
+        .sort_values(["split", "bucket"])
+    )
+    assert got["split"].tolist() == agg["split"].tolist()
+    assert got["bucket"].tolist() == agg["bucket"].tolist()
+    assert got["n_docs"].tolist() == agg["n_docs"].tolist()
+    assert got["n_tokens"].tolist() == [int(x) for x in agg["n_tokens"]]
+    for split, grp in got.groupby("split"):
+        tot = int(agg.loc[agg["split"] == split, "n_tokens"].sum())
+        grp = grp.sort_values("bucket")
+        shares = [_q6(int(n) / tot) for n in grp["n_tokens"]]
+        assert grp["token_share"].tolist() == shares
+        cums = [
+            _q6(int(grp["n_tokens"].iloc[: i + 1].sum()) / tot)
+            for i in range(len(grp))
+        ]
+        assert grp["cum_token_share"].tolist() == cums
+        # laws: shares sum to ~1 (quantization slack), cumulative share
+        # is nondecreasing and ends at ~1
+        assert abs(sum(shares) - 1.0) <= len(grp) * 1e-6
+        assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
+        assert abs(cums[-1] - 1.0) <= 1e-6
