@@ -3683,3 +3683,39 @@ def test_tp6_dataset_card_recomputed_from_tp1(spark):
         assert abs(sum(shares) - 1.0) <= len(grp) * 1e-6
         assert all(a <= b + 1e-12 for a, b in zip(cums, cums[1:]))
         assert abs(cums[-1] - 1.0) <= 1e-6
+
+
+# --- mm6: augmentation panel consistency laws -------------------------------
+# The mm6 oracle is already a hand-specified golden VALUES table; this
+# anchor adds engine-free CONSISTENCY laws the U1-U12 chain must satisfy
+# on any input, so a regression that shifted the whole panel coherently
+# (and was hand-copied into a new golden table) would still be caught.
+
+
+def test_mm6_augmentation_panel_laws(spark):
+    got = _run(spark, "mm6_augmentation_panel")
+    # every sample appears under exactly the two rigid transforms
+    per = got.groupby("sample")["transform"].apply(lambda s: sorted(s))
+    assert all(v == ["flip_h", "rot90"] for v in per)
+    # geometric ranges: pixel-count area is a positive integer, the
+    # perimeter of a lattice blob exceeds that of no blob, solidity is a
+    # ratio to the convex hull, eccentricity of a real axis fit is [0,1)
+    assert (got["Area"] > 0).all()
+    assert (got["Area"] == got["Area"].round()).all()
+    assert (got["Perimeter"] > 0).all()
+    assert got["Solidity"].between(0.0, 1.0, inclusive="right").all()
+    assert got["Eccentricity"].between(0.0, 1.0, inclusive="left").all()
+    assert (got["Biovolume"] > 0).all()
+    # single-blob panel: the summed-roi epilogue must equal the blob area
+    assert (got["summedArea"] == got["Area"]).all()
+    # isoperimetric bound on the lattice: 4*pi*A <= P^2 (+ rounding slack)
+    assert (
+        4 * math.pi * got["Area"] <= got["Perimeter"] ** 2 * 1.0001 + 1e-6
+    ).all()
+    # branch-selection implication (U5 rule: sor iff convex_area/area <
+    # 1.2 OR (ecc < 0.8 and p > 0.8); Solidity = area/convex_area, so
+    # Solidity > 1/1.2 forces the first disjunct)
+    forced = got["Solidity"] > 1.0 / 1.2 + 1e-9
+    assert (got.loc[forced, "BiovolumeBranch"] == "sor").all()
+    # and every emitted branch is one of the two real kernels
+    assert set(got["BiovolumeBranch"]) <= {"sor", "distmap"}
