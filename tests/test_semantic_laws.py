@@ -3719,3 +3719,160 @@ def test_mm6_augmentation_panel_laws(spark):
     assert (got.loc[forced, "BiovolumeBranch"] == "sor").all()
     # and every emitted branch is one of the two real kernels
     assert set(got["BiovolumeBranch"]) <= {"sor", "distmap"}
+
+
+# --- dd3/tx6/j8/dp7: simhash, corpus LM, theta join, histogram quantiles ----
+
+
+def _replay_corpus_shingles():
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    corpus = {}
+    for did, text in zip(docs["doc_id"], docs["text"]):
+        did = int(did)
+        t = text.lower()
+        corpus[did] = t
+        if did % 25 == 0:
+            w = t.split(" ")
+            corpus[did + 10000] = " ".join(w[: max(1, (len(w) * 7) // 10)])
+    shingles = {
+        doc: {
+            " ".join(t.split(" ")[i : i + 3])
+            for i in range(max(len(t.split(" ")) - 2, 1))
+        }
+        for doc, t in corpus.items()
+    }
+    return corpus, shingles
+
+
+def test_dd3_simhash_bitvote_replay(spark):
+    import hashlib
+
+    got = _run(spark, "dd3_simhash")
+    _, shingles = _replay_corpus_shingles()
+    exp = {}
+    for doc, sh in shingles.items():
+        votes = [0] * 32
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        exp[doc] = sum(1 << b for b in range(32) if votes[b] > 0)
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert int(r.simhash) == exp[int(r.doc)]
+    # SimHash locality law: planted 70%-prefix variants must be closer
+    # in Hamming distance (on average) than random doc pairs
+    planted = [
+        bin(exp[d] ^ exp[d + 10000]).count("1")
+        for d in exp
+        if d < 10000 and d % 25 == 0 and d + 10000 in exp
+    ]
+    base_docs = sorted(d for d in exp if d < 10000)
+    rand = [
+        bin(exp[base_docs[i]] ^ exp[base_docs[-1 - i]]).count("1")
+        for i in range(min(40, len(base_docs) // 2))
+    ]
+    assert planted and rand
+    assert sum(planted) / len(planted) < sum(rand) / len(rand)
+
+
+def test_tx6_trigram_logprob_replay(spark):
+    from collections import Counter
+
+    got = _run(spark, "tx6_trigram_logprob")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    tris = {
+        int(r.doc_id): [
+            r.text.lower()[i : i + 3]
+            for i in range(max(len(r.text.lower()) - 2, 1))
+        ]
+        for r in docs.itertuples()
+    }
+    model = Counter()
+    for g in tris.values():
+        model.update(g)
+    n = float(sum(model.values()))
+    assert len(got) == len(tris)
+    for r in got.itertuples():
+        g = tris[int(r.doc_id)]
+        s = 0.0
+        for t in g:
+            s += math.log(model[t] / n)
+        lp = _q6(s / len(g))
+        assert int(r.n_trigrams) == len(g)
+        # engine mean accumulates in a different order (~1e-12 rel);
+        # one 1e-6 grid unit of slack
+        assert abs(float(r.trigram_logprob) - lp) <= 1e-6 + 1e-12
+        # law: every trigram probability < 1, so the mean log-prob is
+        # strictly negative
+        assert float(r.trigram_logprob) < 0
+
+
+def test_j8_haversine_theta_join_replay(spark):
+    got = _run(spark, "j8_haversine_theta_join")
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    supp = pd.read_parquet(
+        f"{SF_SMOKE}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+
+    def hav(k1, k2):
+        la1, lo1 = 54.0 + (k1 % 600) / 100.0, 10.0 + (k1 % 1200) / 100.0
+        la2, lo2 = 54.0 + (k2 % 600) / 100.0, 10.0 + (k2 % 1200) / 100.0
+        return (
+            2
+            * 6371.0088
+            * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(la2 - la1) / 2) ** 2
+                    + math.cos(math.radians(la1))
+                    * math.cos(math.radians(la2))
+                    * math.sin(math.radians(lo2 - lo1) / 2) ** 2
+                )
+            )
+        )
+
+    exp = {}
+    for c in cust.itertuples():
+        for s in supp.itertuples():
+            if c.c_nationkey == s.s_nationkey:
+                d = hav(int(c.c_custkey), int(s.s_suppkey))
+                if d <= 200.0:
+                    exp[(int(c.c_custkey), int(s.s_suppkey))] = (
+                        math.floor(d * 10000.0 + 0.5) / 10000.0
+                    )
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        d = exp[(int(r.c_custkey), int(r.s_suppkey))]
+        assert abs(float(r.dist_km) - d) <= 1e-4 + 1e-9
+    # laws: output is a subset of the same-nation pairs (at sf0.001 the
+    # 150-key lattice keeps every such pair inside 200 km, so the theta
+    # cut is vacuous here — the replay equality above is the real check)
+    n_same_nation = int(
+        cust.groupby("c_nationkey").size().mul(
+            supp.groupby("s_nationkey").size(), fill_value=0
+        ).sum()
+    )
+    assert 0 < len(got) <= n_same_nation
+    assert (got["dist_km"] <= 200.0001).all()
+
+
+def test_dp7_binned_quantiles_order_statistic_replay(spark):
+    got = _run(spark, "dp7_binned_quantiles").sort_values(["event_type", "quantile"])
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type", "value"])
+    for r in got.itertuples():
+        vals = sorted(ev.loc[ev["event_type"] == r.event_type, "value"].astype(float))
+        k = math.ceil(r.quantile * len(vals))
+        # alternative derivation: the histogram rule returns the lower
+        # edge of the bin holding the ceil(p*n)-th order statistic
+        kth = vals[k - 1]
+        est = min(int(kth / 0.5), 999) * 0.5
+        assert float(r.est_value) == est
+        # law: the estimate under-shoots the true order statistic by at
+        # most one bin width
+        assert est <= kth < est + 0.5 or est == 499.5
+    # law: estimates are nondecreasing in p per type
+    for _, grp in got.groupby("event_type"):
+        v = grp.sort_values("quantile")["est_value"].to_numpy()
+        assert (v[1:] >= v[:-1]).all()
