@@ -3997,3 +3997,117 @@ def test_j7_full_outer_replay(spark):
             assert pd.isna(r.n96)
     # law: a full-outer row never has both sides null
     assert not (got["n95"].isna() & got["n96"].isna()).any()
+
+
+# --- a5/a6/a7/a8/a13/a14: argmax + categorize + histogram family ------------
+
+
+def test_a5_grouped_top1_replay(spark):
+    got = _run(spark, "a5_grouped_top1").sort_values("p_brand")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    exp = {}
+    for r in j.itertuples():
+        key = (-float(r.l_extendedprice), int(r.l_orderkey), int(r.l_linenumber))
+        if r.p_brand not in exp or key < exp[r.p_brand]:
+            exp[r.p_brand] = key
+    assert len(got) == len(exp)  # exactly one winner per brand
+    for r in got.itertuples():
+        kp, ko, kl = exp[r.p_brand]
+        assert float(r.l_extendedprice) == -kp
+        assert int(r.l_orderkey) == ko and int(r.l_linenumber) == kl
+    # law: each winner's price is the group maximum
+    mx = j.groupby("p_brand")["l_extendedprice"].max()
+    for r in got.itertuples():
+        assert float(r.l_extendedprice) == float(mx[r.p_brand])
+
+
+def test_a6_bloom_categorize_replay(spark):
+    got = _run(spark, "a6_bloom_categorize")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"])
+    j = li[li["l_orderkey"].isin(set(orders["o_orderkey"]))]
+    totals = j.groupby("l_orderkey")["l_quantity"].sum()
+    assert len(got) == len(totals)
+    for r in got.itertuples():
+        t = float(totals[int(r.sample)])
+        assert abs(float(r.total) - math.floor(t * 100.0 + 0.5) / 100.0) <= 0.01 + 1e-9
+        cat = (
+            "major bloom"
+            if t > 120
+            else ("bloom" if t >= 70 else ("minor bloom" if t >= 40 else "no bloom"))
+        )
+        assert r.category == cat
+    # law: the category thresholds partition the totals
+    assert (got.loc[got["category"] == "major bloom", "total"] > 120 - 0.01).all()
+    assert (got.loc[got["category"] == "no bloom", "total"] < 40 + 0.01).all()
+
+
+def test_a7_global_top1_replay(spark):
+    got = _run(spark, "a7_global_top1")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    best = min(
+        orders.itertuples(), key=lambda r: (-float(r.o_totalprice), int(r.o_orderkey))
+    )
+    assert len(got) == 1
+    assert int(got["o_orderkey"].iloc[0]) == int(best.o_orderkey)
+    assert float(got["o_totalprice"].iloc[0]) == float(orders["o_totalprice"].max())
+
+
+def test_a8_last_per_group_replay(spark):
+    got = _run(spark, "a8_last_per_group")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+    exp = {}
+    for r in ev.itertuples():
+        key = (r.ts, int(r.event_id))
+        if int(r.user_id) not in exp or key > exp[int(r.user_id)][0]:
+            exp[int(r.user_id)] = (key, int(r.event_id), r.event_type)
+    assert len(got) == len(exp)  # one row per user
+    for r in got.itertuples():
+        _, eid, et = exp[int(r.user_id)]
+        assert int(r.event_id) == eid and r.event_type == et
+    # law: the kept timestamp equals the user's max
+    mx = ev.groupby("user_id")["ts"].max()
+    for r in got.itertuples():
+        assert r.ts == mx[int(r.user_id)]
+
+
+def test_a13_grid_cell_frequency_replay(spark):
+    got = _run(spark, "a13_grid_cell_frequency")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["user_id"])
+    from collections import Counter
+
+    cnt = Counter(
+        (
+            int(math.floor((10.0 + (int(u) % 1200) / 100.0) / 0.3)),
+            int(math.floor((54.0 + (int(u) % 600) / 100.0) / 0.25)),
+        )
+        for u in ev["user_id"]
+    )
+    assert len(got) == len(cnt)
+    for r in got.itertuples():
+        assert int(r.n) == cnt[(int(r.grid_lon), int(r.grid_lat))]
+    # law: the histogram conserves mass
+    assert int(got["n"].sum()) == len(ev)
+
+
+def test_a14_monthly_histogram_replay(spark):
+    got = _run(spark, "a14_monthly_histogram")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderdate"])
+    d = pd.to_datetime(orders["o_orderdate"])
+    exp = d.groupby([d.dt.year, d.dt.month]).size()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert int(r.n) == int(exp[(int(r.year), int(r.month))])
+    assert int(got["n"].sum()) == len(orders)
+    assert got["month"].between(1, 12).all()
