@@ -4111,3 +4111,148 @@ def test_a14_monthly_histogram_replay(spark):
         assert int(r.n) == int(exp[(int(r.year), int(r.month))])
     assert int(got["n"].sum()) == len(orders)
     assert got["month"].between(1, 12).all()
+
+
+# --- dd6/dd7: LSH clusters via union-find replay ----------------------------
+
+
+def _uf_components(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_dd6_dup_clusters_unionfind_replay(spark):
+    got = _run(spark, "dd6_dup_clusters")
+    candidates, _ = _lsh_minhash_replay()
+    edges = candidates(8, 2)
+    nodes = sorted({n for e in edges for n in e})
+    comp = _uf_components(edges, nodes)
+    from collections import Counter
+
+    sizes = Counter(comp.values())
+    assert len(got) == len(nodes)
+    for r in got.itertuples():
+        assert int(r.cluster) == comp[int(r.doc)]
+        assert int(r.cluster_size) == sizes[comp[int(r.doc)]]
+    # laws: only collided docs appear, so every cluster has >= 2 members,
+    # and the label is the component minimum (a member of the cluster)
+    assert (got["cluster_size"] >= 2).all()
+    assert (got.groupby("cluster")["doc"].min() == got.groupby("cluster")["doc"].max().index).all()
+
+
+def test_dd7_dedup_materialize_replay(spark):
+    got = _run(spark, "dd7_dedup_materialize")
+    candidates, _ = _lsh_minhash_replay()
+    edges = candidates(8, 2)
+    nodes = sorted({n for e in edges for n in e})
+    comp = _uf_components(edges, nodes)
+    corpus, _ = _replay_corpus_shingles()
+    assert len(got) == len(corpus)
+    for r in got.itertuples():
+        d = int(r.doc)
+        cl = comp.get(d, d)
+        assert int(r.cluster) == cl
+        assert bool(r.is_kept) == (d == cl)
+    # laws: exactly one kept doc per cluster, and dedup keeps
+    # |corpus| - (collided - #components) docs overall
+    kept = got[got["is_kept"]]
+    assert kept["cluster"].is_unique and len(kept) == got["cluster"].nunique()
+    n_components = len(set(comp.values()))
+    assert len(kept) == len(corpus) - len(nodes) + n_components
+
+
+# --- a10/a11/a12/a15: dup detection, distinct, minmax, mean collapse --------
+
+
+def test_a10_duplicate_detection_replay(spark):
+    got = _run(spark, "a10_duplicate_detection")
+    part = pd.read_parquet(
+        f"{SF_SMOKE}/part.parquet", columns=["p_name", "p_type", "p_brand"]
+    )
+    g = part.groupby(["p_name", "p_type"]).agg(
+        n=("p_brand", "size"), n_brands=("p_brand", "nunique")
+    )
+    exp = g[g["n"] > 1]
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        e = exp.loc[(r.p_name, r.p_type)]
+        assert int(r.n) == int(e["n"]) and int(r.n_brands) == int(e["n_brands"])
+    # law: brands per dup group never exceed the copy count
+    assert (got["n_brands"] <= got["n"]).all()
+
+
+def test_a11_distinct_replay(spark):
+    got = _run(spark, "a11_distinct")
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_mktsegment", "c_nationkey"]
+    )
+    exp = set(map(tuple, cust.drop_duplicates().itertuples(index=False)))
+    assert set(map(tuple, got.itertuples(index=False))) == exp
+    assert len(got) == len(exp)  # set semantics: no duplicates
+
+
+def test_a12_minmax_summary_replay(spark):
+    got = _run(spark, "a12_minmax_summary")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    d = pd.to_datetime(orders["o_orderdate"])
+    for r in got.itertuples():
+        sub = orders[d.dt.year == int(r.year)]
+        sd = pd.to_datetime(sub["o_orderdate"])
+        assert pd.Timestamp(r.first_order) == sd.min()
+        assert pd.Timestamp(r.last_order) == sd.max()
+        assert int(r.max_key) == int(sub["o_orderkey"].max())
+        # law: year boundaries contain the extremes
+        assert sd.min().year == int(r.year) == sd.max().year
+    assert set(got["year"].astype(int)) == set(d.dt.year.unique())
+
+
+def test_a15_mean_collapse_integer_cents_replay(spark):
+    got = _run(spark, "a15_mean_collapse")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_extendedprice"],
+    )
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_type"])
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey")
+        .merge(part, left_on="l_partkey", right_on="p_partkey")
+    )
+    j = j.assign(
+        cents=j["l_extendedprice"].map(lambda v: int(math.floor(v * 100.0 + 0.5))),
+        year=pd.to_datetime(j["o_orderdate"]).dt.year,
+    )
+    agg = j.groupby(["c_mktsegment", "p_type", "year"]).agg(
+        s=("cents", "sum"), n=("cents", "size")
+    )
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg.loc[(r.c_mktsegment, r.p_type, int(r.year))]
+        mean = math.floor(int(e["s"]) * 100.0 / int(e["n"]) + 0.5) / 10000.0
+        assert float(r.mean_price) == mean
+        # law: an average sits inside the group's value range
+        sub = j[
+            (j["c_mktsegment"] == r.c_mktsegment)
+            & (j["p_type"] == r.p_type)
+            & (j["year"] == int(r.year))
+        ]["l_extendedprice"]
+        assert sub.min() - 0.01 <= mean <= sub.max() + 0.01
