@@ -4357,3 +4357,127 @@ def test_tx4_fingerprint_replay(spark):
     # normalized texts are distinct — count equality both ways
     norm = {_re.sub(r"\s+", " ", t.lower()).strip() for t in text_of.values()}
     assert got["fp_md5"].nunique() == len(norm)
+
+
+# --- a2/a3/a4/a17/a18: rollup + provenance aggregate family -----------------
+
+
+def test_a2_taxon_rollup_replay(spark):
+    got = _run(spark, "a2_taxon_rollup")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    )
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    rolled = (
+        j.groupby(["l_orderkey", "p_brand"])["l_quantity"].sum().reset_index()
+    )
+    rolled["taxon"] = rolled["p_brand"].str[:7]
+    agg = rolled.groupby(["l_orderkey", "taxon"]).agg(
+        qty=("l_quantity", "sum"),
+        n_classes=("p_brand", "size"),
+        classes=("p_brand", lambda s: ", ".join(sorted(s))),
+    )
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg.loc[(int(r.sample), r.taxon)]
+        assert abs(float(r.qty) - math.floor(float(e["qty"]) * 100.0 + 0.5) / 100.0) <= 0.01 + 1e-9
+        assert int(r.n_classes) == int(e["n_classes"])
+        assert r.class_provenance == e["classes"]
+    # law: provenance lists exactly n_classes comma-separated entries,
+    # each sharing the taxon prefix
+    for r in got.itertuples():
+        cs = r.class_provenance.split(", ")
+        assert len(cs) == int(r.n_classes)
+        assert all(c[:7] == r.taxon for c in cs)
+
+
+def test_a3_flag_frequency_replay(spark):
+    got = _run(spark, "a3_flag_frequency")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_type"])
+    exp = ev["event_type"].value_counts()
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert int(r.n) == int(exp[r.flag])
+    assert int(got["n"].sum()) == len(ev)
+
+
+def test_a4_monthly_stats_replay(spark):
+    got = _run(spark, "a4_monthly_stats")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pd.read_parquet(
+        f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j = j.assign(
+        month=pd.to_datetime(j["o_orderdate"]).dt.month,
+        cents=j["o_totalprice"].map(lambda v: int(math.floor(v * 100.0 + 0.5))),
+    )
+    agg = j.groupby(["n_name", "month"])
+    assert len(got) == agg.ngroups
+    for r in got.itertuples():
+        grp = j[(j["n_name"] == r.basin) & (j["month"] == int(r.month))]
+        s, n = int(grp["cents"].sum()), len(grp)
+        mean = math.floor(s * 100.0 / n + 0.5) / 10000.0
+        assert float(r.mean_val) == mean
+        assert int(r.n) == n
+        # sample stddev via the two-pass textbook formula
+        if n >= 2:
+            mu = grp["o_totalprice"].astype(float).mean()
+            var = ((grp["o_totalprice"].astype(float) - mu) ** 2).sum() / (n - 1)
+            sd = math.floor(math.sqrt(var) * 10000.0 + 0.5) / 10000.0
+            # engine accumulates moments in a different order; the sqrt
+            # makes boundary hits measure-zero, allow one grid unit
+            assert abs(float(r.sd_val) - sd) <= 1e-4 + 1e-9
+            assert float(r.sd_val) >= 0
+        else:
+            assert pd.isna(r.sd_val)
+
+
+def test_a17_qc_sums_integer_cents_replay(spark):
+    got = _run(spark, "a17_qc_sums")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice"]
+    )
+    li = li.assign(
+        cents=li["l_extendedprice"].map(lambda v: int(math.floor(v * 100.0 + 0.5)))
+    )
+    agg = li.groupby("l_orderkey")["cents"].agg(["sum", "size"])
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg.loc[int(r.sample)]
+        s, n = int(e["sum"]), int(e["size"])
+        assert float(r.total_price) == s / 100.0
+        assert int(r.n_items) == n
+        assert float(r.price_per_item) == math.floor(s / n + 0.5) / 100.0
+        # law: mean payment per item sits inside the per-item range
+        assert float(r.price_per_item) * n <= s / 100.0 * 1.01 + 0.01 * n
+
+
+def test_a18_provenance_summary_replay(spark):
+    got = _run(spark, "a18_provenance_summary")
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    agg = docs.groupby("source").agg(
+        n=("doc_id", "size"), n_langs=("lang", "nunique"), n_docs=("doc_id", "nunique")
+    )
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg.loc[r.source_owner]
+        assert (int(r.n), int(r.n_langs), int(r.n_docs)) == (
+            int(e["n"]),
+            int(e["n_langs"]),
+            int(e["n_docs"]),
+        )
+    # laws: doc_id is a key (n == n_docs) and language diversity is
+    # bounded by the group size
+    assert (got["n"] == got["n_docs"]).all()
+    assert (got["n_langs"] <= got["n"]).all()
