@@ -4481,3 +4481,141 @@ def test_a18_provenance_summary_replay(spark):
     # bounded by the group size
     assert (got["n"] == got["n_docs"]).all()
     assert (got["n_langs"] <= got["n"]).all()
+
+
+# --- j1/j10-j13: enrichment + semi/anti/provenance/classlist joins ----------
+
+
+def test_j1_enrichment_chain_replay(spark):
+    got = _run(spark, "j1_enrichment_chain")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=[
+            "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    nation = pd.read_parquet(
+        f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey", "n_regionkey", "n_name"]
+    )
+    region = pd.read_parquet(
+        f"{SF_SMOKE}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    supp = pd.read_parquet(
+        f"{SF_SMOKE}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey", how="left")
+        .merge(cust, left_on="o_custkey", right_on="c_custkey", how="left")
+        .merge(nation, left_on="c_nationkey", right_on="n_nationkey", how="left")
+        .merge(region, left_on="n_regionkey", right_on="r_regionkey", how="left")
+        .merge(supp, left_on="l_suppkey", right_on="s_suppkey", how="left")
+        .merge(part, left_on="l_partkey", right_on="p_partkey", how="left")
+    )
+    # all dims are keys here, so a left chain preserves fact cardinality
+    assert len(got) == len(j) == len(li)
+    g = got.sort_values(["l_orderkey", "l_linenumber", "revenue"]).reset_index(drop=True)
+    j = j.assign(
+        revenue=[
+            math.floor(float(p) * (1 - float(d)) * 100.0 + 0.5) / 100.0
+            for p, d in zip(j["l_extendedprice"], j["l_discount"])
+        ]
+    )
+    e = j.sort_values(["l_orderkey", "l_linenumber", "revenue"]).reset_index(drop=True)
+    for col_g, col_e in [
+        ("o_orderstatus", "o_orderstatus"), ("c_mktsegment", "c_mktsegment"),
+        ("cust_nation", "n_name"), ("cust_region", "r_name"),
+        ("supp_name", "s_name"), ("p_brand", "p_brand"),
+    ]:
+        assert g[col_g].fillna("∅").tolist() == e[col_e].fillna("∅").tolist()
+    assert g["revenue"].tolist() == e["revenue"].tolist()
+
+
+def test_j10_semi_join_replay(spark):
+    got = _run(spark, "j10_semi_join")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    urgent = set(
+        orders.loc[orders["o_orderpriority"] == "1-URGENT", "o_custkey"].astype(int)
+    )
+    exp = cust[cust["c_custkey"].astype(int).isin(urgent)]
+    assert sorted(got["c_custkey"].astype(int)) == sorted(exp["c_custkey"].astype(int))
+    # laws: semi-join never duplicates and never invents rows
+    assert got["c_custkey"].is_unique
+    assert len(got) <= len(cust)
+
+
+def test_j11_incremental_anti_join_replay(spark):
+    got = _run(spark, "j11_incremental_anti_join")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"])
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    processed = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"].astype(int))
+    exp = set(orders["o_orderkey"].astype(int)) - processed
+    assert set(got["o_orderkey"].astype(int)) == exp
+    # law: anti + semi partition the left side
+    assert len(got) + len(set(orders["o_orderkey"].astype(int)) & processed) == len(
+        orders
+    )
+
+
+def test_j12_provenance_merge_replay(spark):
+    got = _run(spark, "j12_provenance_merge")
+    nation = pd.read_parquet(
+        f"{SF_SMOKE}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    cust = pd.read_parquet(
+        f"{SF_SMOKE}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    per_nation = cust.groupby("c_nationkey").size()
+    # left join multiplicity: one row per customer, plus one null row for
+    # customer-less nations
+    exp_len = sum(
+        int(per_nation.get(k, 0)) or 1 for k in nation["n_nationkey"].astype(int)
+    )
+    assert len(got) == exp_len
+    for r in nation.itertuples():
+        sub = got[got["n_name"] == r.n_name]
+        n_cust = int(per_nation.get(int(r.n_nationkey), 0))
+        if n_cust == 0:
+            assert len(sub) == 1 and sub["c_custkey"].isna().all()
+        else:
+            assert len(sub) == n_cust
+            assert sorted(sub["c_custkey"].astype(int)) == sorted(
+                cust.loc[cust["c_nationkey"] == r.n_nationkey, "c_custkey"].astype(int)
+            )
+
+
+def test_j13_classlist_full_join_replay(spark):
+    got = _run(spark, "j13_classlist_full_join")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_partkey", "l_shipdate"]
+    )
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_brand"])
+    j = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    cut = pd.Timestamp("1998-01-01")
+    ship = pd.to_datetime(j["l_shipdate"])
+    early = set(j.loc[ship < cut, "p_brand"])
+    late = set(j.loc[ship >= cut, "p_brand"])
+    assert set(got["brand"]) == early | late
+    for r in got.itertuples():
+        assert bool(r.in_early) == (r.brand in early)
+        assert bool(r.in_late) == (r.brand in late)
+    # laws: one row per brand; no row with both flags false
+    assert got["brand"].is_unique
+    assert (got["in_early"] | got["in_late"]).all()
