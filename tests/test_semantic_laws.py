@@ -4619,3 +4619,165 @@ def test_j13_classlist_full_join_replay(spark):
     # laws: one row per brand; no row with both flags false
     assert got["brand"].is_unique
     assert (got["in_early"] | got["in_late"]).all()
+
+
+# --- f1/f6/f11/qf/s6/c3/u13b: filters, flag union, JSON, taxa, PSD ----------
+
+
+def test_f1_select_rename_replay(spark):
+    got = _run(spark, "f1_select_rename")
+    region = pd.read_parquet(
+        f"{SF_SMOKE}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    assert len(got) == len(region)
+    exp = dict(zip(region["r_regionkey"].astype(int), region["r_name"].str.lower()))
+    for r in got.itertuples():
+        assert r.region_name == exp[int(r.region_id)]
+
+
+def test_f6_regional_filter_replay(spark):
+    got = _run(spark, "f6_regional_filter")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"])
+    exp = []
+    for k in cust["c_custkey"].astype(int):
+        lat, lon = 54.0 + (k % 600) / 100.0, 10.0 + (k % 1200) / 100.0
+        in_baltic = 54.0 <= lat <= 60.0 and 13.0 <= lon <= 22.0
+        in_skag = 57.5 <= lat <= 59.5 and 8.0 <= lon <= 11.0
+        in_katt = 55.5 <= lat <= 57.5 and 10.0 <= lon <= 13.0
+        if in_baltic and not in_skag and not in_katt:
+            exp.append(k)
+    assert sorted(got["c_custkey"].astype(int)) == sorted(exp)
+    # law: output is a strict subset (the filter excludes someone)
+    assert 0 < len(got) < len(cust) or len(exp) in (0, len(cust))
+
+
+def test_f11_missing_position_replay(spark):
+    got = _run(spark, "f11_missing_position_filter")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "value"])
+    exp = {int(r.event_id) for r in ev.itertuples() if float(r.value) * 20 > 600}
+    assert set(got["event_id"].astype(int)) == exp
+
+
+def test_qf_flag_unification_replay(spark):
+    got = _run(spark, "qf_flag_unification")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet", columns=["l_suppkey", "l_discount"]
+    )
+    supp = pd.read_parquet(f"{SF_SMOKE}/supplier.parquet", columns=["s_suppkey"])
+    psd = set()
+    for k, grp in li.groupby("l_suppkey"):
+        vals = grp["l_discount"].astype(float).tolist()
+        s = 0.0
+        for v in vals:
+            s += v
+        if s / len(vals) > 0.05:
+            psd.add(int(k))
+    geo = {int(k) for k in supp["s_suppkey"] if k % 3 == 0}
+    exp = {}
+    for k in psd | geo:
+        parts = (["bubbles"] if k in psd else []) + (["near land"] if k in geo else [])
+        flag = ", ".join(parts)
+        exp[k] = flag[0].upper() + flag[1:]
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[int(r.sample)] == r.flag
+    # laws: the unified flag is sentence-cased and drawn from the closed
+    # vocabulary of flag combinations
+    assert set(got["flag"]) <= {"Bubbles", "Near land", "Bubbles, near land"}
+
+
+def test_s6_json_scan_replay(spark):
+    import json as _json
+
+    got = _run(spark, "s6_json_scan")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "props"])
+    assert len(got) == len(ev)
+    k_of = {
+        int(r.event_id): _json.loads(r.props).get("k") for r in ev.itertuples()
+    }
+    for r in got.itertuples():
+        k = k_of[int(r.event_id)]
+        if k is None:
+            assert pd.isna(r.k)
+        else:
+            assert int(r.k) == int(k)
+            assert bool(r.k_in_range) == (0 <= int(k) <= 49)
+
+
+def test_c3_name_type_split_regex_replay(spark):
+    import re as _re
+
+    got = _run(spark, "c3_name_type_split")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_name"])
+    assert len(got) == len(part)
+    meta = {}
+    for r in part.itertuples():
+        w = r.p_name.split(" ")
+        w1 = w[0][:1].upper() + w[0][1:].lower()
+        w2 = w[1].lower()
+        w2cap = w[1][:1].upper() + w[1][1:].lower()
+        k = int(r.p_partkey) % 5
+        cleaned = [
+            f"{w1} {w2}",
+            f"{w1} cf {w2}",
+            f"{w1}-like",
+            f"{w1} {w2cap}",
+            f"{w1} {w2} group",
+        ][k]
+        if _re.search(r"\bgroup$", cleaned):
+            nt = "group"
+        elif _re.search(r"\bcf\b", cleaned):
+            nt = "cf"
+        elif _re.search(r"-like$", cleaned):
+            nt = "like"
+        elif _re.search(r"^[A-Z][a-z]+-[A-Z][a-z]+$", cleaned) or _re.search(
+            r"^[A-Z].*\s[A-Z]", cleaned
+        ):
+            nt = "multi"
+        else:
+            nt = "direct"
+        if nt == "cf":
+            qn = [_re.sub(r"\s+cf\s+", " ", cleaned)]
+        elif nt == "like":
+            qn = [_re.sub(r"-like$", "", cleaned)]
+        elif nt == "multi":
+            if _re.search(r"^[A-Z][a-z]+-[A-Z][a-z]+$", cleaned):
+                qn = cleaned.split("-")
+            else:
+                qn = _re.sub(r"\s+([A-Z])", r"|\1", cleaned).split("|")
+        else:
+            qn = [_re.sub(r"\s+sp$", "", _re.sub(r"\s+spp$", "", cleaned))]
+        meta[int(r.p_partkey)] = (cleaned, nt, "|".join(qn))
+    for r in got.itertuples():
+        cleaned, nt, qn = meta[int(r.p_partkey)]
+        assert r.cleaned == cleaned
+        assert r.name_type == nt
+        assert r.query_names == qn
+    # law: the five k-branches force known name-type outcomes
+    k_series = got["p_partkey"].astype(int) % 5
+    assert (got.loc[(k_series == 1).values, "name_type"] == "cf").all()
+    assert (got.loc[(k_series == 2).values, "name_type"] == "like").all()
+    assert (got.loc[(k_series == 4).values, "name_type"] == "group").all()
+
+
+def test_u13b_psd_fit_independent_loglog_recovery(spark):
+    got = _run(spark, "u13b_psd_fit_pandas").sort_values("sample")
+    assert len(got) == 100
+    for r in got.itertuples():
+        s = int(r.sample)
+        a_true, k_true = 50.0 + 10.0 * s, -1.5 - 0.02 * s
+        # independent estimator: on an EXACT power law n = a*bin^k, a
+        # log-log OLS recovers the generating parameters too — agreement
+        # of two different estimators on the same histogram
+        xs = [math.log(b) for b in range(15, 35)]
+        ys = [math.log(a_true * b**k_true) for b in range(15, 35)]
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        k_ols = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+            (x - mx) ** 2 for x in xs
+        )
+        a_ols = math.exp(my - k_ols * mx)
+        assert abs(float(r.k) - k_ols) < 1e-6
+        assert abs(float(r.a) - a_ols) < 1e-3 * a_ols
+        assert float(r.r_sqr) == 1.0
+        assert int(r.n_bins) == 20
