@@ -4781,3 +4781,113 @@ def test_u13b_psd_fit_independent_loglog_recovery(spark):
         assert abs(float(r.a) - a_ols) < 1e-3 * a_ols
         assert float(r.r_sqr) == 1.0
         assert int(r.n_bins) == 20
+
+
+# --- st4/tp2: stream-stream join, multimodal corpus flagship ----------------
+
+
+def test_st4_stream_stream_join_replay(spark):
+    got = _run(spark, "st4_stream_stream_join")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    clicks = ev[ev["event_type"] == "click"]
+    purch = ev[ev["event_type"] == "purchase"]
+    exp = {}
+    for c in clicks.itertuples():
+        for p in purch.itertuples():
+            if (
+                int(c.user_id) == int(p.user_id)
+                and p.ts > c.ts
+                and p.ts <= c.ts + pd.Timedelta(hours=2)
+            ):
+                # lag counts SECOND BOUNDARIES crossed (truncate both
+                # endpoints, then diff) — the date_diff semantic, not
+                # floor of the elapsed fractional seconds
+                exp[(int(c.event_id), int(p.event_id))] = (
+                    int(c.user_id),
+                    int(
+                        (p.ts.floor("s") - c.ts.floor("s")).total_seconds()
+                    ),
+                )
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        uid, lag = exp[(int(r.click_id), int(r.purchase_id))]
+        assert int(r.user_id) == uid
+        assert int(r.lag_seconds) == lag
+    # laws: attribution lag is inside the 2 h window (boundary-count lag
+    # can be 0 for sub-second gaps)
+    assert ((got["lag_seconds"] >= 0) & (got["lag_seconds"] <= 7200)).all()
+
+
+def test_tp2_multimodal_corpus_full_replay(spark):
+    import hashlib
+
+    got = _run(spark, "tp2_multimodal_corpus")
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vec_of = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+    corpus = {}
+    for r in docs.itertuples():
+        d = int(r.doc_id)
+        if d not in vec_of:
+            continue
+        n_tok = len(r.text.lower().split(" "))
+        corpus[d] = (r.lang, n_tok, vec_of[d])
+        if d % 10 == 0:
+            corpus[d + 10000] = (r.lang, n_tok, [x * 1.5 for x in vec_of[d]])
+    # sign-LSH replay: 16 md5-spec planes, 4 bands x 4 rows
+    planes = [
+        [
+            1.0 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(64)
+        ]
+        for p in range(16)
+    ]
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for d, (_, _, v) in corpus.items():
+        for b in range(4):
+            sig = "".join(
+                "1" if _seq_dot(v, planes[b * 4 + r]) > 0 else "0" for r in range(4)
+            )
+            buckets[(b, sig)].append(d)
+    dup = set()
+    seen = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                a, b = members[i], members[j]
+                if (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                va, vb = corpus[a][2], corpus[b][2]
+                cos = _q6(
+                    _seq_dot(va, vb)
+                    / math.sqrt(_seq_dot(va, va) * _seq_dot(vb, vb))
+                )
+                if cos >= 0.95:
+                    dup.add(b)
+    exp = {}
+    for d, (lang, n_tok, _) in corpus.items():
+        if d in dup or n_tok < 10:
+            continue
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16)
+        exp[d] = (lang, n_tok, "train" if h % 100 < 80 else "eval")
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        lang, n_tok, split = exp[int(r.doc)]
+        assert r.lang == lang
+        assert int(r.n_tok) == n_tok
+        assert r.split == split
+    # laws: every planted x1.5-scaled copy is cosine-identical to its
+    # base, so LSH recall on them is 1.0 — no variant id survives; the
+    # token gate holds; the hash split is roughly 80/20
+    assert not (got["doc"] >= 10000).any()
+    assert (got["n_tok"] >= 10).all()
+    frac = (got["split"] == "train").mean()
+    assert 0.6 < frac < 0.95
