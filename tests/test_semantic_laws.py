@@ -4891,3 +4891,157 @@ def test_tp2_multimodal_corpus_full_replay(spark):
     assert (got["n_tok"] >= 10).all()
     frac = (got["split"] == "train").mean()
     assert 0.6 < frac < 0.95
+
+
+# --- f2/f3/f4/f7/f8/f10/f12/f13: filter-family replays ----------------------
+
+
+def _bin_id(ts, user_id):
+    return f"D{ts.strftime('%Y%m%d')}T{ts.strftime('%H%M%S')}_IFCB{int(user_id) % 200}"
+
+
+def test_f2_gps_staleness_replay(spark):
+    got = _run(spark, "f2_gps_staleness")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    meta = {
+        int(r.event_id): (int(r.user_id), float(r.value) * 20 > 600)
+        for r in ev.itertuples()
+    }
+    assert len(got) == len(ev)
+    for r in got.itertuples():
+        u, stale = meta[int(r.event_id)]
+        assert bool(r.gps_stale) == stale
+        if stale:
+            assert pd.isna(r.lat) and pd.isna(r.lon)
+        else:
+            assert float(r.lat) == 54.0 + (u % 600) / 100.0
+            assert float(r.lon) == 10.0 + (u % 1200) / 100.0
+    # law: positions are nulled EXACTLY on stale rows
+    assert (got["lat"].isna() == got["gps_stale"]).all()
+
+
+def test_f3_blacklist_prefix_anti_replay(spark):
+    got = _run(spark, "f3_blacklist_prefix_anti")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    sample_of = {
+        int(r.event_id): _bin_id(r.ts, r.user_id) for r in ev.itertuples()
+    }
+    exact = {s for eid, s in sample_of.items() if eid % 250 == 0}
+    prefixes = {"D20240115"}
+    exp = {
+        eid: s
+        for eid, s in sample_of.items()
+        if s not in exact and s[:9] not in prefixes
+    }
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[int(r.event_id)] == r.sample
+    # laws: no survivor matches an exact entry or a blacklisted day
+    assert not any(s in exact for s in got["sample"])
+    assert not any(s.startswith("D20240115") for s in got["sample"])
+
+
+def test_f4_flag_removal_replay(spark):
+    got = _run(spark, "f4_flag_removal")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "event_type"])
+    keep = ev[
+        ~ev["event_type"].str.lower().str.contains("err")
+        & ~ev["event_type"].str.lower().str.contains("sign")
+    ]
+    assert sorted(got["event_id"].astype(int)) == sorted(keep["event_id"].astype(int))
+    # law: the removal is substring-based, so no surviving type contains
+    # a banned token
+    assert not got["event_type"].str.lower().str.contains("err|sign").any()
+
+
+def test_f7_qc_gating_replay(spark):
+    import json as _json
+
+    got = _run(spark, "f7_qc_gating")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "value", "props"]
+    )
+    meta = {
+        int(r.event_id): (_json.loads(r.props).get("k"), float(r.value))
+        for r in ev.itertuples()
+    }
+    assert len(got) == len(ev)
+    for r in got.itertuples():
+        k, v = meta[int(r.event_id)]
+        assert int(r.q) == int(k)
+        if int(k) % 4 == 1:
+            assert float(r.value_gated) == v
+        else:
+            assert pd.isna(r.value_gated)
+    # law: gating keeps exactly the quality-1 rows
+    assert (got["value_gated"].notna() == (got["q"] % 4 == 1)).all()
+
+
+def test_f8_sentinel_normalization_replay(spark):
+    got = _run(spark, "f8_sentinel_normalization")
+    ev = pd.read_parquet(f"{SF_SMOKE}/events.parquet", columns=["event_id", "value"])
+    val = dict(zip(ev["event_id"].astype(int), ev["value"].astype(float)))
+    assert len(got) == len(ev)
+    for r in got.itertuples():
+        eid = int(r.event_id)
+        v = val[eid]
+        if eid % 13 == 0:
+            assert pd.isna(r.value_clean)
+        else:
+            assert float(r.value_clean) == v
+        if eid % 17 == 0 or v == 0.0:
+            assert pd.isna(r.ph_clean)
+        else:
+            assert float(r.ph_clean) == v
+    # law: no sentinel survives in either cleaned column
+    assert not (got["value_clean"] == -999.0).any()
+    assert not (got["ph_clean"] == 0.0).any()
+
+
+def test_f10_timestamp_range_replay(spark):
+    got = _run(spark, "f10_timestamp_range")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    exp = {
+        int(r.event_id): _bin_id(r.ts, r.user_id)
+        for r in ev.itertuples()
+        if "D20240110" <= _bin_id(r.ts, r.user_id) <= "D20240120"
+    }
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert exp[int(r.event_id)] == r.sample
+    # law: the string range on a D-prefixed id equals the date range
+    ts_of = dict(zip(ev["event_id"].astype(int), ev["ts"]))
+    for eid in exp:
+        assert pd.Timestamp("2024-01-10") <= ts_of[eid] < pd.Timestamp("2024-01-20")
+
+
+def test_f12_value_threshold_replay(spark):
+    got = _run(spark, "f12_value_threshold")
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet", columns=["l_partkey"])
+    cnt = li["l_partkey"].value_counts()
+    exp = cnt[cnt > 40]
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert int(r.n) == int(exp[int(r.l_partkey)])
+    assert (got["n"] > 40).all()
+
+
+def test_f13_membership_filter_replay(spark):
+    got = _run(spark, "f13_membership_filter")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority", "o_orderstatus"],
+    )
+    exp = orders[
+        orders["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        & (orders["o_orderstatus"] == "F")
+    ]
+    assert sorted(got["o_orderkey"].astype(int)) == sorted(exp["o_orderkey"].astype(int))
+    assert set(got["o_orderpriority"]) <= {"1-URGENT", "2-HIGH"}
+    assert (got["o_orderstatus"] == "F").all()
