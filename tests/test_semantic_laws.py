@@ -5045,3 +5045,161 @@ def test_f13_membership_filter_replay(spark):
     assert sorted(got["o_orderkey"].astype(int)) == sorted(exp["o_orderkey"].astype(int))
     assert set(got["o_orderpriority"]) <= {"1-URGENT", "2-HIGH"}
     assert (got["o_orderstatus"] == "F").all()
+
+
+# --- c2/c6/c8/c9/c10/c11/c12: scalar-cascade family -------------------------
+
+_TAXA_SUFFIXES = ["", "_chain", "_single_cell", "_cf", "_spp", "_larger_than_30", "_group"]
+
+
+def _raw_label(name, key):
+    base = (name[:1].upper() + name[1:].lower()).replace(" ", "_")
+    return base + _TAXA_SUFFIXES[int(key) % 7]
+
+
+def test_c2_species_flag_replay(spark):
+    import re as _re
+
+    got = _run(spark, "c2_species_flag")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_name"])
+    assert len(got) == len(part)
+    exp = {}
+    for r in part.itertuples():
+        raw = _raw_label(r.p_name, r.p_partkey) + (
+            "-like" if int(r.p_partkey) % 11 == 0 else ""
+        )
+        norm = raw.replace("_", " ")
+        flag = ""
+        if "-like" in raw or "_cf_" in raw or "_like" in raw:
+            flag += "CF "
+        if _re.search(r"\bspp\b", norm):
+            flag += "SPP "
+        if _re.search(r"\bgroup\b", norm):
+            flag += "GRP "
+        if _re.search(r"\bsp\b", norm):
+            flag += "SP "
+        exp[int(r.p_partkey)] = flag.strip() or None
+    for r in got.itertuples():
+        want = exp[int(r.p_partkey)]
+        if want is None:
+            assert pd.isna(r.sflag)
+        else:
+            assert r.sflag == want
+    # law: flags come from the closed combination vocabulary in append
+    # order CF > SPP > GRP > SP
+    vocab = set(got["sflag"].dropna())
+    for v in vocab:
+        parts = v.split(" ")
+        order = {"CF": 0, "SPP": 1, "GRP": 2, "SP": 3}
+        assert all(p in order for p in parts)
+        assert [order[p] for p in parts] == sorted(order[p] for p in parts)
+
+
+def test_c6_parse_bin_id_roundtrip_replay(spark):
+    got = _run(spark, "c6_parse_bin_id")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    meta = {int(r.event_id): (r.ts, int(r.user_id)) for r in ev.itertuples()}
+    assert len(got) == len(ev)
+    for r in got.itertuples():
+        ts, uid = meta[int(r.event_id)]
+        sample = _bin_id(ts, uid)
+        assert r.sample == sample
+        assert pd.Timestamp(r.parsed_ts) == ts.floor("s")
+        assert pd.Timestamp(r.parsed_date) == ts.normalize()
+        assert (int(r.year), int(r.month), int(r.day)) == (ts.year, ts.month, ts.day)
+        assert r.time == ts.strftime("%H:%M:%S")
+        assert r.ifcb_number == f"IFCB{uid % 200}"
+        assert r.sample_prefix == sample.split("_")[0]
+    # law: parsing inverts formatting exactly to second precision
+    assert (pd.to_datetime(got["parsed_ts"]).dt.strftime("%H:%M:%S") == got["time"]).all()
+
+
+def test_c8_f1_score_replay(spark):
+    got = _run(spark, "c8_f1_score")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey"])
+    assert len(got) == len(part)
+    for r in got.itertuples():
+        k = int(r.p_partkey)
+        p, rc = (k % 97) / 96.0, (k % 89) / 88.0
+        if p + rc == 0:
+            assert pd.isna(r.f1)
+        else:
+            f1 = _q6(2 * p * rc / (p + rc))
+            assert float(r.f1) == f1
+            # laws: F1 is the harmonic mean — bounded by min and max
+            assert f1 <= max(p, rc) + 1e-6
+            assert f1 >= 0
+
+
+def test_c9_signif_round_replay(spark):
+    got = _run(spark, "c9_signif_round")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    price = dict(zip(orders["o_orderkey"].astype(int), orders["o_totalprice"].astype(float)))
+    assert len(got) == len(orders)
+    for r in got.itertuples():
+        v = price[int(r.o_orderkey)]
+        if v == 0:
+            assert float(r.price_signif3) == 0
+            continue
+        mag = math.floor(math.log10(abs(v)))
+        s = math.floor(v / 10.0**mag * 100.0 + 0.5) / 100.0 * 10.0**mag
+        assert float(r.price_signif3) == s
+        # law: 3-significant-digit rounding moves the value < 0.5 ulp of
+        # the third digit
+        assert abs(s - v) <= 0.5 * 10.0 ** (mag - 2) * 1.0001
+
+
+def test_c10_date_format_replay(spark):
+    got = _run(spark, "c10_date_format")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    d = dict(zip(orders["o_orderkey"].astype(int), pd.to_datetime(orders["o_orderdate"])))
+    assert len(got) == len(orders)
+    for r in got.itertuples():
+        ts = d[int(r.o_orderkey)]
+        assert r.ts_compact == ts.strftime("%Y%m%d%H%M%S")
+        assert int(r.month) == ts.month
+        assert bool(r.in_season) == (5 <= ts.month <= 10)
+
+
+def test_c11_encoding_fix_replay(spark):
+    got = _run(spark, "c11_encoding_fix")
+    part = pd.read_parquet(f"{SF_SMOKE}/part.parquet", columns=["p_partkey", "p_name"])
+    tr = str.maketrans("åäöÅÄÖµ\\", "aaoAAOu/")
+    exp = {
+        int(r.p_partkey): (r.p_name + " å ä ö µm").translate(tr)
+        for r in part.itertuples()
+    }
+    for r in got.itertuples():
+        assert r.normalized == exp[int(r.p_partkey)]
+    # law: no Nordic/micro characters survive normalization
+    assert not got["normalized"].str.contains("[åäöÅÄÖµ]", regex=True).any()
+
+
+def test_c12_haversine_replay(spark):
+    got = _run(spark, "c12_haversine")
+    cust = pd.read_parquet(f"{SF_SMOKE}/customer.parquet", columns=["c_custkey"])
+    assert len(got) == len(cust)
+    for r in got.itertuples():
+        k = int(r.c_custkey)
+        la1, lo1 = 54.0 + (k % 600) / 100.0, 10.0 + (k % 1200) / 100.0
+        d = (
+            2
+            * 6371.0088
+            * math.asin(
+                math.sqrt(
+                    math.sin(math.radians(57.7 - la1) / 2) ** 2
+                    + math.cos(math.radians(la1))
+                    * math.cos(math.radians(57.7))
+                    * math.sin(math.radians(11.97 - lo1) / 2) ** 2
+                )
+            )
+        )
+        assert abs(float(r.dist_to_gbg_km) - math.floor(d * 10000.0 + 0.5) / 10000.0) <= 1e-4 + 1e-9
+        # law: distances are bounded by the lattice's great-circle reach
+        assert 0 <= float(r.dist_to_gbg_km) < 1500
