@@ -5203,3 +5203,171 @@ def test_c12_haversine_replay(spark):
         assert abs(float(r.dist_to_gbg_km) - math.floor(d * 10000.0 + 0.5) / 10000.0) <= 1e-4 + 1e-9
         # law: distances are bounded by the lattice's great-circle reach
         assert 0 <= float(r.dist_to_gbg_km) < 1500
+
+
+# --- dd2/dd8/j4/w3: minhash estimate, decontamination, as-of, gap fill ------
+
+
+def test_dd2_minhash_estimate_replay(spark):
+    import hashlib
+
+    got = _run(spark, "dd2_minhash_lsh")
+    corpus, shingles = _replay_corpus_shingles()
+    sigs = {}
+    for doc, sh in shingles.items():
+        mins = [1 << 40] * 16
+        for s in sh:
+            h = hashlib.md5(s.encode()).hexdigest()
+            h1, h2 = int(h[:8], 16), int(h[8:16], 16) | 1
+            for seed in range(16):
+                v = (h1 + seed * h2) % 4294967296
+                if v < mins[seed]:
+                    mins[seed] = v
+        sigs[doc] = mins
+    from collections import defaultdict
+
+    buckets = defaultdict(list)
+    for doc, mh in sigs.items():
+        for b in range(8):
+            buckets[(b, tuple(mh[b * 2 : b * 2 + 2]))].append(doc)
+    cand = set()
+    for members in buckets.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                cand.add((members[i], members[j]))
+    exp = {}
+    for a, b in cand:
+        est = sum(1 for x, y in zip(sigs[a], sigs[b]) if x == y) / 16.0
+        if est >= 0.5:
+            exp[(a, b)] = est
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        assert float(r.est_jaccard) == exp[(int(r.doc_a), int(r.doc_b))]
+    # laws: the estimate is a /16 grid fraction in [0.5, 1], and every
+    # emitted pair shares at least one full band (>= 2 agreeing seeds)
+    assert all(abs(v * 16 - round(v * 16)) < 1e-9 for v in got["est_jaccard"])
+    assert got["est_jaccard"].between(0.5, 1.0).all()
+
+
+def test_dd8_contamination_replay(spark):
+    got = _run(spark, "dd8_benchmark_contamination")
+    docs = pd.read_parquet(
+        f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    sh_of = {}
+    for r in docs.itertuples():
+        w = r.text.lower().split(" ")
+        sh_of[int(r.doc_id)] = (
+            {" ".join(w[i : i + 4]) for i in range(max(len(w) - 3, 1))},
+            r.source,
+        )
+    bench = set()
+    for sh, src in sh_of.values():
+        if src == "src0":
+            bench |= sh
+    exp = {}
+    for d, (sh, src) in sh_of.items():
+        if src == "src0":
+            continue
+        hits = len(sh & bench)
+        if hits:
+            exp[d] = (hits, len(sh), _q6(hits / len(sh)))
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        hits, tot, frac = exp[int(r.doc_id)]
+        assert int(r.n_contaminated) == hits
+        assert int(r.n_shingles) == tot
+        assert float(r.contamination_frac) == frac
+    # laws: contamination is a proper fraction and benchmark docs are
+    # never scored against themselves
+    assert (got["n_contaminated"] <= got["n_shingles"]).all()
+    src0_ids = {int(r.doc_id) for r in docs.itertuples() if r.source == "src0"}
+    assert not set(got["doc_id"].astype(int)) & src0_ids
+
+
+def test_j4_asof_nearest_replay(spark):
+    got = _run(spark, "j4_asof_join")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    secs = {int(r.event_id): int(r.ts.value // 1_000_000_000) for r in ev.itertuples()}
+    purchases = ev[ev["event_type"] == "purchase"]
+    views = [
+        (secs[int(r.event_id)], int(r.event_id), float(r.value))
+        for r in ev[ev["event_type"] == "view"].itertuples()
+    ]
+    exp = {}
+    for r in purchases.itertuples():
+        lsec = secs[int(r.event_id)]
+        best = None
+        for rsec, vid, vv in views:
+            if abs(rsec - lsec) <= 300:
+                key = (abs(rsec - lsec), vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, vv)
+        exp[int(r.event_id)] = (best[1], best[2]) if best else None
+    assert len(got) == len(purchases)
+    for r in got.itertuples():
+        want = exp[int(r.purchase_id)]
+        if want is None:
+            assert pd.isna(r.view_id)
+        else:
+            assert int(r.view_id) == want[0]
+            assert float(r.view_value) == want[1]
+    # law: the nearest match is within the +-300 s tolerance
+    for r in got.itertuples():
+        if pd.notna(r.view_id):
+            assert abs(secs[int(r.purchase_id)] - secs[int(r.view_id)]) <= 300
+
+
+def test_w3_gap_fill_downup_replay(spark):
+    got = _run(spark, "w3_gap_fill")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    assert len(got) == len(ev)
+    exp = {}
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        vals = [
+            None if int(e) % 5 == 0 else float(v)
+            for e, v in zip(grp["event_id"], grp["value"])
+        ]
+        # forward fill then backward fill
+        last = None
+        ff = []
+        for v in vals:
+            if v is not None:
+                last = v
+            ff.append(last)
+        nxt = None
+        for i in range(len(ff) - 1, -1, -1):
+            if ff[i] is not None:
+                nxt = ff[i]
+            elif nxt is not None:
+                ff[i] = nxt
+        for eid, v in zip(grp["event_id"], ff):
+            exp[int(eid)] = v
+    for r in got.itertuples():
+        want = exp[int(r.event_id)]
+        if want is None:
+            assert pd.isna(r.v_filled)
+        else:
+            assert float(r.v_filled) == want
+    # law: filling never invents values — every filled value occurs among
+    # the user's observed (non-nulled) readings
+    obs = {
+        int(u): set(
+            float(v)
+            for e, v in zip(
+                ev.loc[ev["user_id"] == u, "event_id"], ev.loc[ev["user_id"] == u, "value"]
+            )
+            if int(e) % 5 != 0
+        )
+        for u in ev["user_id"].unique()
+    }
+    for r in got.itertuples():
+        if pd.notna(r.v_filled):
+            assert float(r.v_filled) in obs[int(r.user_id)]
