@@ -5371,3 +5371,113 @@ def test_w3_gap_fill_downup_replay(spark):
     for r in got.itertuples():
         if pd.notna(r.v_filled):
             assert float(r.v_filled) in obs[int(r.user_id)]
+
+
+# --- dp3/dp4/dp5/tx10: categorical profile, mixture, correlation, tf-idf ----
+
+
+def test_dp3_categorical_profile_replay(spark):
+    got = _run(spark, "dp3_categorical_profile").sort_values("column_name")
+    orders = pd.read_parquet(
+        f"{SF_SMOKE}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"]
+    )
+    for r in got.itertuples():
+        col = orders[r.column_name]
+        cnt = col.value_counts()
+        top_freq = int(cnt.max())
+        top_value = min(v for v, c in cnt.items() if c == top_freq)
+        assert int(r.n) == len(col)
+        assert int(r.n_null) == int(col.isna().sum())
+        assert float(r.null_frac) == _q6(int(col.isna().sum()) / len(col))
+        assert int(r.n_distinct) == col.nunique()
+        assert r.top_value == top_value
+        assert int(r.top_freq) == top_freq
+        # law: the mode's frequency is at least n/n_distinct
+        assert top_freq * col.nunique() >= len(col) - int(col.isna().sum())
+    assert set(got["column_name"]) == {"o_orderstatus", "o_orderpriority"}
+
+
+def test_dp4_domain_mixture_replay(spark):
+    import re as _re
+
+    got = _run(spark, "dp4_domain_mixture").sort_values("source")
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["source", "text"])
+    toks = docs["text"].map(lambda t: len(_re.split(r"\s+", t.strip())))
+    agg = docs.assign(n_tok=toks).groupby("source").agg(
+        n_docs=("n_tok", "size"), n_tokens=("n_tok", "sum")
+    )
+    total = float(agg["n_tokens"].sum())
+    n_src = float(len(agg))
+    assert len(got) == len(agg)
+    for r in got.itertuples():
+        e = agg.loc[r.source]
+        assert int(r.n_docs) == int(e["n_docs"])
+        assert int(r.n_tokens) == int(e["n_tokens"])
+        assert float(r.actual_share) == _q6(int(e["n_tokens"]) / total)
+        assert float(r.target_share) == _q6(1.0 / n_src)
+        assert float(r.sample_weight) == _q6(
+            min((total / n_src) / int(e["n_tokens"]), 4.0)
+        )
+    # laws: shares sum to ~1; upsampling is capped at 4x; a source above
+    # its uniform target gets weight < 1
+    assert abs(got["actual_share"].sum() - 1.0) <= len(got) * 1e-6
+    assert (got["sample_weight"] <= 4.0).all()
+    over = got["actual_share"] > got["target_share"]
+    assert (got.loc[over, "sample_weight"] < 1.0 + 1e-6).all()
+
+
+def test_dp5_correlation_matrix_replay(spark):
+    got = _run(spark, "dp5_correlation_matrix")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    assert len(got) == 6
+    for r in got.itertuples():
+        x = li[r.col_a].astype(float)
+        y = li[r.col_b].astype(float)
+        # two-pass textbook Pearson r — a different algorithm than the
+        # engines' one-pass co-moment accumulation
+        mx, my = x.mean(), y.mean()
+        r_exp = float(((x - mx) * (y - my)).sum()) / math.sqrt(
+            float(((x - mx) ** 2).sum()) * float(((y - my) ** 2).sum())
+        )
+        assert abs(float(r.r) - math.floor(r_exp * 1e6 + 0.5) / 1e6) <= 2e-6
+        # law: correlations live in [-1, 1]
+        assert -1.0 - 1e-9 <= float(r.r) <= 1.0 + 1e-9
+    # law: all 6 unordered pairs of the 4 columns appear exactly once
+    assert len(set(zip(got["col_a"], got["col_b"]))) == 6
+
+
+def test_tx10_tfidf_top_terms_replay(spark):
+    from collections import Counter
+
+    got = _run(spark, "tx10_tfidf_top_terms").sort_values(["doc_id", "rank"])
+    docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    tf = {}
+    df = Counter()
+    for r in docs.itertuples():
+        c = Counter(r.text.lower().split(" "))
+        tf[int(r.doc_id)] = c
+        df.update(c.keys())
+    n_docs = float(len(docs))
+    exp_rows = []
+    for d in sorted(tf):
+        scored = sorted(
+            (
+                (-t * math.log(n_docs / df[w]), w, t)
+                for w, t in tf[d].items()
+            ),
+        )
+        for rank, (neg, w, t) in enumerate(scored[:3], start=1):
+            exp_rows.append((d, w, t, _q6(-neg), rank))
+    exp = pd.DataFrame(exp_rows, columns=["doc_id", "term", "tf", "tfidf", "rank"])
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["term"].tolist() == exp["term"].tolist()
+    assert got["tf"].tolist() == exp["tf"].tolist()
+    assert got["rank"].tolist() == exp["rank"].tolist()
+    for g, e in zip(got["tfidf"], exp["tfidf"]):
+        assert abs(float(g) - e) <= 1e-6 + 1e-12
+    # law: a corpus-universal term (df = n_docs) has idf 0 and can only
+    # surface when a document has fewer than 3 discriminative terms
+    assert (got["tfidf"] >= -1e-9).all()
