@@ -5481,3 +5481,217 @@ def test_tx10_tfidf_top_terms_replay(spark):
     # law: a corpus-universal term (df = n_docs) has idf 0 and can only
     # surface when a document has fewer than 3 discriminative terms
     assert (got["tfidf"] >= -1e-9).all()
+
+
+# --- mm1/u13/p3/sim8: roi features, PSD flags, dashboard, k-means -----------
+
+
+def test_mm1_multimodal_features_replay(spark):
+    got = _run(spark, "mm1_multimodal_features")
+    orders = pd.read_parquet(f"{SF_SMOKE}/orders.parquet", columns=["o_orderkey"])
+    keys = sorted(int(k) for k in orders["o_orderkey"] if k % 100 == 0)
+    assert len(got) == len(keys)
+    for r in got.itertuples():
+        okey = int(r.sample)
+        n = (okey % 50) + 1
+        areas, bios, bys, pers = [], [], [], []
+        for roi in range(1, n + 1):
+            w, h = 8 + roi % 16, 8 + (roi * 3) % 16
+            area = w * h * 0.7
+            ed = math.sqrt(4.0 * area / math.pi)
+            areas.append(area)
+            bios.append(area * ed * 0.5)
+            bys.append(w * h)
+            pers.append(2.0 * (w + h))
+        assert int(r.n_rois) == n
+        assert abs(float(r.total_area) - math.floor(sum(areas) * 1e4 + 0.5) / 1e4) <= 1e-4
+        assert abs(float(r.total_biovolume) - math.floor(sum(bios) * 1e4 + 0.5) / 1e4) <= 1e-4
+        assert int(r.total_bytes) == sum(bys)
+        assert float(r.max_perimeter) == math.floor(max(pers) * 1e4 + 0.5) / 1e4
+    # law: biovolume grows superlinearly in area (every ROI contributes
+    # area^1.5-scaled volume), so total_biovolume > total_area whenever
+    # the equivalent diameter exceeds 2
+    assert (got["total_biovolume"] > got["total_area"]).all()
+
+
+def test_u13_psd_fit_full_replay(spark):
+    from collections import Counter, defaultdict
+
+    from ifcb_data_pipeline_spark.operators.psd import (
+        PROFILE_INGEST,
+        PROFILE_PIPELINE,
+    )
+
+    got = _run(spark, "u13_psd_fit").sort_values("sample")
+    li = pd.read_parquet(
+        f"{SF_SMOKE}/lineitem.parquet",
+        columns=["l_suppkey", "l_quantity", "l_discount", "l_returnflag", "l_tax"],
+    )
+    hist = defaultdict(Counter)
+    for r in li.itertuples():
+        b = int(math.floor(float(r.l_quantity) * 30.0 / 5.0))
+        if b >= 15:
+            hist[int(r.l_suppkey)][b] += 1
+    exp = {}
+    for s, grp in li.groupby("l_suppkey"):
+        h = hist[int(s)]
+        if len(h) < 3:
+            continue
+        xs = [math.log10(b) for b in h]
+        ys = [math.log10(h[b]) for b in h]
+        nb = len(xs)
+        mx, my = sum(xs) / nb, sum(ys) / nb
+        vx = sum((x - mx) ** 2 for x in xs) / nb
+        vy = sum((y - my) ** 2 for y in ys) / nb
+        cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / nb
+        if vx <= 0:
+            continue
+        afit = 10.0 ** (my - (cxy / vx) * mx)
+        kfit = cxy / vx
+        r2 = (cxy * cxy) / (vx * vy) if vy > 0 else None
+        max_n = max(h.values())
+        peak_bin = min(b for b, n in h.items() if n == max_n)
+        avg_n = sum(h.values()) / len(h)
+        triggers = len(grp) * 25.0
+        ml = float(grp["l_discount"].astype(float).mean()) * 100.0
+        cell_ratio = float((grp["l_returnflag"] == "N").mean())
+        biomass = float(grp["l_tax"].astype(float).mean()) * 100000.0
+        humidity = (int(s) * 37) % 100
+
+        def flags(p):
+            out = []
+            if r2 is not None and r2 < p.r_sqr:
+                out.append("Poor fit")
+            if afit > p.beads:
+                out.append("Beads")
+            if peak_bin * 5.0 * p.micron_factor >= p.bubbles:
+                out.append("Bubbles")
+            if triggers < p.incomplete[0] or ml < p.incomplete[1]:
+                out.append("Incomplete Run")
+            if cell_ratio < p.missing_cells:
+                out.append("Missing cells")
+            if biomass < p.biomass:
+                out.append("Biomass")
+            if max_n > p.bloom * avg_n:
+                out.append("Bloom")
+            if humidity > p.humidity:
+                out.append("Humidity")
+            return ", ".join(out) or None
+
+        exp[int(s)] = (
+            len(h), afit, kfit, r2, flags(PROFILE_PIPELINE), flags(PROFILE_INGEST)
+        )
+    assert len(got) == len(exp)
+    for r in got.itertuples():
+        nb, afit, kfit, r2, fp, fi = exp[int(r.sample)]
+        assert int(r.n_bins) == nb
+        assert abs(float(r.a) - afit) <= 2e-6 + 2e-6 * abs(afit)
+        assert abs(float(r.k) - kfit) <= 2e-6
+        if r2 is None:
+            assert pd.isna(r.r_sqr)
+        else:
+            assert abs(float(r.r_sqr) - r2) <= 2e-6
+            # law: r^2 of a straight-line fit is in [0, 1]
+            assert -1e-9 <= float(r.r_sqr) <= 1.0 + 1e-9
+        assert (r.flag_pipeline if pd.notna(r.flag_pipeline) else None) == fp
+        assert (r.flag_ingest if pd.notna(r.flag_ingest) else None) == fi
+    # law: the synthetic quantity histogram is near-uniform in log-log
+    # space, so fits hover around slope 0 with weak explanatory power —
+    # a runaway estimator (|k| blowing up) would break this bound
+    assert got["k"].abs().max() < 2.0
+    assert got["r_sqr"].max() <= 1.0 + 1e-9
+
+
+def test_p3_dashboard_metadata_replay(spark):
+    got = _run(spark, "p3_dashboard_metadata")
+    ev = pd.read_parquet(
+        f"{SF_SMOKE}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    cruises = {}
+    for g, grp in ev.groupby(ev["user_id"] % 20):
+        start = grp["ts"].min()
+        cruises[int(g)] = (start, start + pd.Timedelta(days=3))
+    exp_rows = []
+    for r in ev.itertuples():
+        stale = float(r.value) * 20 > 600
+        lat = None if stale else 54.0 + (int(r.user_id) % 600) / 100.0
+        lon = None if stale else 10.0 + (int(r.user_id) % 1200) / 100.0
+        hits = sorted(c for c, (s, e) in cruises.items() if s <= r.ts <= e) or [None]
+        for c in hits:
+            exp_rows.append(
+                (
+                    int(r.event_id),
+                    _bin_id(r.ts, r.user_id),
+                    lat,
+                    lon,
+                    r.event_type == "error",
+                    c,
+                    None if lat is None else f"basin_{int(math.floor(lat / 0.25))}",
+                    lat is None,
+                )
+            )
+    exp = sorted(exp_rows, key=lambda t: (t[0], -1 if t[5] is None else t[5]))
+    g = got.sort_values(
+        ["event_id", "cruise_no"], na_position="first"
+    ).reset_index(drop=True)
+    assert len(g) == len(exp)
+    for i, (eid, sample, lat, lon, qc, cruise, basin, skip) in enumerate(exp):
+        r = g.iloc[i]
+        assert int(r["event_id"]) == eid
+        assert r["sample"] == sample
+        if lat is None:
+            assert pd.isna(r["latitude"]) and pd.isna(r["longitude"])
+            assert pd.isna(r["basin"]) and bool(r["skip"])
+        else:
+            assert float(r["latitude"]) == lat and float(r["longitude"]) == lon
+            assert r["basin"] == basin and not bool(r["skip"])
+        assert bool(r["qc_bad"]) == qc
+        if cruise is None:
+            assert pd.isna(r["cruise_no"])
+        else:
+            assert int(r["cruise_no"]) == cruise
+    # law: skip is exactly the GPS-stale set
+    assert (g["skip"] == g["latitude"].isna()).all()
+
+
+def test_sim8_kmeans_numpy_replay(spark):
+    import numpy as np
+
+    got = _run(spark, "sim8_kmeans_refine").sort_values(["cell", "dim"])
+    emb = pd.read_parquet(
+        f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    cents = {k: vecs[k].copy() for k in range(8)}
+    out = None
+    for _ in range(2):
+        assign = {}
+        for vid, v in vecs.items():
+            best = None
+            for c, cv in sorted(cents.items()):
+                d2 = float(v @ v) - 2 * float(v @ cv) + float(cv @ cv)
+                if best is None or d2 < best[0] - 1e-12:
+                    best = (d2, c)
+            assign[vid] = best[1]
+        out = {}
+        for c in sorted(cents):
+            members = [vecs[v] for v, cc in assign.items() if cc == c]
+            if members:
+                mean = np.mean(members, axis=0)
+                out[c] = np.floor(mean * 1e6 + 0.5) / 1e6
+        cents = out
+    exp_rows = []
+    for c in sorted(out):
+        for d in range(64):
+            exp_rows.append((c, d, out[c][d]))
+    assert len(got) == len(exp_rows)
+    for r, (c, d, v) in zip(got.itertuples(), exp_rows):
+        assert int(r.cell) == c and int(r.dim) == d
+        # mean accumulation order differs; one quantization grid unit
+        assert abs(float(r.centroid) - v) <= 1e-6 + 1e-9
+    # law: every refined centroid stays inside the data's bounding box
+    lo = np.min([v for v in vecs.values()], axis=0)
+    hi = np.max([v for v in vecs.values()], axis=0)
+    for c in out:
+        assert (out[c] >= lo - 1e-6).all() and (out[c] <= hi + 1e-6).all()
