@@ -145,3 +145,76 @@ def test_nano_ln_quantization_parity(spark, values):
     du = _duck(pos, "floor(ln(x) * 1000000000.0 + 0.5)::BIGINT")
     py = [int(math.floor(math.log(v) * 1e9 + 0.5)) for v in pos]
     assert sp == du == py
+
+
+def test_haversine_dround4_grid_stability(spark):
+    # The j8/c12 contract: the haversine sin/cos/asin chain may diverge
+    # between engines in the last ulp, but after dround(·, 4) the grid
+    # must absorb it.  Pin zero grid-flips on a seeded 2,000-point panel
+    # spanning the pseudo-coordinate lattice's range.
+    rng = random.Random(20260815)
+    rows = [
+        (
+            54.0 + rng.random() * 6.0,
+            10.0 + rng.random() * 12.0,
+            54.0 + rng.random() * 6.0,
+            10.0 + rng.random() * 12.0,
+        )
+        for _ in range(2000)
+    ]
+    pdf = pd.DataFrame(rows, columns=["la1", "lo1", "la2", "lo2"])
+    la1, lo1, la2, lo2 = (F.col(c) for c in ["la1", "lo1", "la2", "lo2"])
+    hav = (
+        2.0
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(la2 - la1) / 2), 2)
+                + F.cos(F.radians(la1))
+                * F.cos(F.radians(la2))
+                * F.pow(F.sin(F.radians(lo2 - lo1) / 2), 2)
+            )
+        )
+    )
+    sp = [
+        r["d"]
+        for r in spark.createDataFrame(pdf).select(dround(hav, 4).alias("d")).collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    du = [
+        r[0]
+        for r in con.execute(
+            "SELECT floor((2 * 6371.0088 * asin(sqrt("
+            " pow(sin(radians(la2 - la1) / 2), 2)"
+            " + cos(radians(la1)) * cos(radians(la2))"
+            " * pow(sin(radians(lo2 - lo1) / 2), 2)"
+            "))) * 10000.0 + 0.5) / 10000.0 FROM t"
+        ).fetchall()
+    ]
+    assert sp == du
+
+
+def test_strftime_compact_parity(spark):
+    # The c6/c10 contract: DuckDB strftime('%Y%m%d%H%M%S') must equal
+    # Spark date_format('yyyyMMddHHmmss') on arbitrary timestamps.
+    rng = random.Random(20260815)
+    base = pd.Timestamp("2020-01-01")
+    stamps = [
+        base + pd.Timedelta(seconds=rng.randint(0, 10 * 365 * 86400))
+        for _ in range(1000)
+    ]
+    pdf = pd.DataFrame({"ts": stamps})
+    sp = [
+        r["s"]
+        for r in spark.createDataFrame(pdf)
+        .select(F.date_format("ts", "yyyyMMddHHmmss").alias("s"))
+        .collect()
+    ]
+    con = duckdb.connect()
+    con.register("t", pdf)
+    du = [
+        r[0]
+        for r in con.execute("SELECT strftime(ts, '%Y%m%d%H%M%S') FROM t").fetchall()
+    ]
+    assert sp == du
