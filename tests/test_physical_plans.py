@@ -841,3 +841,78 @@ def test_dp12_rank_through_combinator_probes_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "probe join must broadcast"
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# --- Round-10 pins: the remaining unpinned bench-headline queries -----------
+
+
+def test_w1_window_is_keyed_never_global(spark, sf_dir):
+    """w1's lag/lead adjacency windows must shuffle on the sample key —
+    a global (SinglePartition) window would serialize the fact table
+    through one task at scale."""
+    plan = plan_of(spark, "w1_adjacency_removal", sf_dir)
+    assert "Exchange" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sim1_bruteforce_broadcasts_queries_only(spark, sf_dir):
+    """sim1 is the exact brute-force baseline: the bounded 10-query side
+    broadcasts into a nested-loop product with the corpus (by design),
+    and the top-k window shuffles on query_id — never a global sort or a
+    corpus-side broadcast materialization."""
+    plan = plan_of(spark, "sim1_cosine_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan  # the intended bounded product
+    assert "SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_tx2_is_shuffle_free_single_scan(spark, sf_dir):
+    """tx2's quality scores are pure per-row projections — any Exchange
+    appearing here means an accidental aggregation or join crept in."""
+    plan = plan_of(spark, "tx2_quality_score", sf_dir)
+    assert "Exchange" not in plan
+    # formatted plans print each node in the tree AND the details
+    # section, so one scan appears twice
+    assert plan.count("Scan parquet") == 2
+
+
+def test_pk1_packing_shuffles_once_per_shard(spark, sf_dir):
+    """pk1's sequence packing runs applyInPandas per shard: one grouped
+    exchange feeding FlatMapGroupsInPandas, never a global collapse."""
+    plan = plan_of(spark, "pk1_sequence_packing", sf_dir)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tp3_incremental_is_unioned_pushed_scans(spark, sf_dir):
+    """tp3's incremental refresh is three filtered scans unioned —
+    zero shuffles, with the carry/delta predicates pushed to parquet.
+    An Exchange here means the refresh started re-aggregating history."""
+    plan = plan_of(spark, "tp3_incremental_refresh", sf_dir)
+    assert "Exchange" not in plan
+    assert "Union" in plan
+    # 3 scans x (tree + details section)
+    assert plan.count("Scan parquet") == 6
+    assert "PushedFilters" in plan
+
+
+def test_mm9_dhash_grouping_stays_hash_keyed(spark, sf_dir):
+    """mm9 groups the decoded corpus by the 64-bit dHash halves — a
+    balanced hash shuffle; no pair join, no global partition."""
+    plan = plan_of(spark, "mm9_perceptual_dedup", sf_dir)
+    assert "MapInPandas" in plan  # Arrow-batched decode
+    assert "SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dd13_contraction_round_has_no_product_joins(spark, sf_dir):
+    """dd13's star-contraction rounds are keyed sort-merge/hash joins
+    over checkpointed edge frames — a cartesian or nested-loop join in
+    the per-round plan would be quadratic at corpus scale."""
+    plan = plan_of(spark, "dd13_star_components", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
