@@ -916,3 +916,54 @@ def test_dd13_contraction_round_has_no_product_joins(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
+
+
+# --- Registry-wide physical-shape sweep (round 10) --------------------------
+#
+# Every query's formatted plan, one pass: no CartesianProduct anywhere,
+# and nested-loop joins / single-partition exchanges only where a
+# bounded (1-row / |dims|-row aggregate or explicit tiny-side) frame
+# makes them the correct plan.  A name showing up outside its allowlist
+# is the review trigger: either the new shape is a scale hazard, or the
+# allowlist is updated as part of a deliberate design decision.
+
+# crossJoin(broadcast(<1-row aggregate>)) and bounded-query-side
+# products plan as BroadcastNestedLoopJoin — benign by construction.
+_BNLJ_OK = {
+    "a22_decayed_engagement", "dd14_lsh_recall", "dd15_lsh_parameter_sweep",
+    "dp11_psi_drift", "dp4_domain_mixture", "dp9_mutual_information",
+    "j5_interval_join", "mm6_augmentation_panel", "p3_dashboard_metadata",
+    "sim10_pq_adc", "sim11_mips_topk", "sim1_cosine_topk", "sim4_ivf_search",
+    "sim5_ivf_nprobe2", "sim7_filtered_ann", "sim8_kmeans_refine",
+    "sim9_quantized_rerank", "sp11_class_balanced_resample",
+    "sp4_mixture_materialize", "sp5_temperature_resampling",
+    "sp8_importance_resampling", "tx10_tfidf_top_terms", "tx13_bm25_topk",
+    "tx6_trigram_logprob",
+}
+
+# SinglePartition exchanges over already-aggregated bounded frames
+# (global 1-row totals, |dims|-row offset cumsums, final top-k merges).
+_SINGLEPART_OK = {
+    "a22_decayed_engagement", "a25_survival_curve", "dd14_lsh_recall",
+    "dd15_lsh_parameter_sweep", "dp10_anova_eta", "dp1_column_profile",
+    "dp4_domain_mixture", "dp5_correlation_matrix", "dp8_exact_quantiles",
+    "dp9_mutual_information", "o1_multi_key_sort", "p1_shark_export",
+    "sim11_mips_topk", "sp11_class_balanced_resample",
+    "sp4_mixture_materialize", "sp5_temperature_resampling",
+    "sp8_importance_resampling", "tp4_curriculum_order", "tp5_funnel_report",
+    "tx10_tfidf_top_terms", "tx13_bm25_topk", "tx6_trigram_logprob",
+    "w10_cumulative_distinct",
+}
+
+
+def test_registry_wide_no_scale_killers(spark, sf_dir):
+    violations = []
+    for name, q in sorted(REGISTRY.items()):
+        plan = plan_of(spark, name, sf_dir)
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            violations.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if "SinglePartition" in plan and name not in _SINGLEPART_OK:
+            violations.append(f"{name}: unexpected SinglePartition exchange")
+    assert not violations, "\n".join(violations)
