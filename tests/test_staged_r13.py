@@ -256,6 +256,58 @@ def test_sim13_ieee_exact_replay_and_laws(spark):
     assert sat_total >= d
 
 
+# --- physical-shape sweep over BOTH staged pools -----------------------------
+# Mirror of test_physical_plans.test_registry_wide_no_scale_killers for the
+# unregistered candidates: no CartesianProduct anywhere; BNLJ and
+# SinglePartition only for the two ops whose design is a 1-row broadcast
+# total (a29's event count, sim13's collapsed 64-entry scale vector).
+
+_STAGED_BNLJ_OK = {"a29_cms_heavy_hitters", "sim13_int8_quant_error"}
+_STAGED_SINGLEPART_OK = {"a29_cms_heavy_hitters", "sim13_int8_quant_error"}
+
+
+def _plan_of(spark, fn, sf_dir: str) -> str:
+    df = fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_staged_pools_no_scale_killers(spark, sf_dir):
+    violations = []
+    for name, qd in sorted({**STAGED_R12, **STAGED}.items()):
+        plan = _plan_of(spark, qd.fn, sf_dir)
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _STAGED_BNLJ_OK:
+            violations.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+        if "SinglePartition" in plan and name not in _STAGED_SINGLEPART_OK:
+            violations.append(f"{name}: unexpected SinglePartition exchange")
+    assert not violations, "\n".join(violations)
+
+
+def test_tx16_vocab_join_is_broadcast(spark, sf_dir):
+    """The min-count-cut vocabulary must reach the occurrence stream as a
+    broadcast hash join — a shuffled sort-merge here would re-shuffle the
+    whole tokenized corpus on the bigram string."""
+    plan = _plan_of(spark, STAGED["tx16_bigram_vocab_coverage"].fn, sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pk4_has_no_window_and_two_corpus_scans(spark, sf_dir):
+    """pk4's boundary detection + interval construction live in array
+    higher-order functions on the document row: no Window operator.  The
+    chunk stream is derived twice (dup-agg side and probe side — the same
+    recompute-over-checkpoint call dd20 makes), so exactly two pushed
+    parquet scans and no more."""
+    import re
+
+    plan = _plan_of(spark, STAGED["pk4_cdc_chunking"].fn, sf_dir)
+    assert "Window" not in plan, "pk4 regressed to the window/join-back shape"
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2
+
+
 def test_sim13_scale_invariance_law():
     # quantization is scale-free: doubling a dimension doubles its scale
     # and leaves every q untouched (structural, data-free)
