@@ -16,20 +16,34 @@ Ops (all "beyond reference" training-data-pipeline family, SURVEY §2.12):
   (min-count cut), then per-language occurrence coverage and OOV type
   counts — the "how well does the tokenizer's training slice transfer"
   number a multilingual pipeline reads before fixing a vocab.
+  (Distinct from ``tx5_vocabulary``, which builds one global top-50
+  doc-frequency table — tx16 measures the TRANSFER of a slice-trained
+  vocab across languages, the failure tx5's global build can't see.)
 * ``pk4_cdc_chunking`` — content-defined chunking (rsync / LBFS style):
   boundaries where the rolling 8-gram hash ≡ 0 (mod 32), chunks
   content-addressed by full md5, cross-corpus shared-chunk accounting —
   the storage-level dedup companion to dd20's match-level dedup.
+  (Distinct from ``pk2_document_chunking``'s fixed window/stride cuts:
+  CDC boundaries are content-local, so an edit reshuffles one chunk —
+  the property fixed-stride chunking structurally lacks.)
 * ``w13_mad_anomaly`` — robust per-user outlier gate: median and MAD as
   EXACT rank-⌈n/2⌉ order statistics (never interpolated — interpolation
   is engine-specific float arithmetic; an order statistic is a data
   value, bit-identical everywhere), anomaly = |x − med| > 3·MAD.
-* ``sim13_int8_quant_error`` — symmetric per-dimension int8 scalar
-  quantization of the embedding corpus (the standard ANN index
-  compression) with reconstruction MSE / cosine fidelity / saturation
-  accounting, computed entirely with higher-order array functions
-  (zip_with + aggregate) — the fat side never explodes and never joins
-  anything bigger than a 1-row broadcast scale vector.
+  (Distinct from ``w12_mad_outliers``: w12 flags individual events
+  against per-EVENT-TYPE interpolated cents-medians via the
+  Iglewicz–Hoaglin z; w13 is the per-ENTITY gate — |users| summary rows,
+  uninterpolated order statistics, the per-user data-quality scorecard.)
+* ``sim13_int8_quant_error`` — symmetric PER-DIMENSION int8 scalar
+  quantization of the embedding corpus (the calibrated variant real ANN
+  indexes ship: one corpus-wide scale per dimension) with reconstruction
+  MSE / cosine fidelity / saturation accounting, computed entirely with
+  higher-order array functions (zip_with + aggregate) — the fat side
+  never explodes and never joins anything bigger than a 1-row broadcast
+  scale vector.  (Distinct from ``sim6_embedding_quantize``'s per-VECTOR
+  scale, which needs no corpus pass and can't saturate — sim13 is the
+  shared-codebook calibration step, with the cross-vector comparability
+  and saturation trade-off that implies.)
 
 Float policy follows ``queries/__init__`` exactly:
 
