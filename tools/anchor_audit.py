@@ -31,6 +31,15 @@ ANCHOR_FILES = [
     "tests/test_multimodal_panel.py",
     "tests/test_kernels.py",
     "tests/test_psd.py",
+    # staged-pool verification files: each staged candidate ships its
+    # pure-Python replay + family laws here BEFORE registration, so the
+    # anchor gate stays green the moment a future round registers one
+    # (the audit maps registry names only — unregistered names are
+    # simply not looked up).
+    "tests/test_staged_r12.py",
+    "tests/test_staged_r13.py",
+    "tests/test_staged_r14.py",
+    "tests/test_staged_r15.py",
 ]
 
 
