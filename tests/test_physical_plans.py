@@ -939,6 +939,11 @@ _BNLJ_OK = {
     "sp4_mixture_materialize", "sp5_temperature_resampling",
     "sp8_importance_resampling", "tx10_tfidf_top_terms", "tx13_bm25_topk",
     "tx6_trigram_logprob",
+    # staged-pool candidates (inert until a future round registers them;
+    # shapes verified in their tests/test_staged_r1N.py sweeps): 1-row
+    # broadcast totals / collapsed scale vectors plan as BNLJ
+    "a29_cms_heavy_hitters", "sim13_int8_quant_error",
+    "sp12_grouped_split_balance",
 }
 
 # SinglePartition exchanges over already-aggregated bounded frames
@@ -953,6 +958,11 @@ _SINGLEPART_OK = {
     "sp8_importance_resampling", "tp4_curriculum_order", "tp5_funnel_report",
     "tx10_tfidf_top_terms", "tx13_bm25_topk", "tx6_trigram_logprob",
     "w10_cumulative_distinct",
+    # staged-pool candidates (inert until registered): 1-row total aggs,
+    # global_rank's bounded offsets cumsum, w15's domain-bounded CDF window
+    "a29_cms_heavy_hitters", "sim13_int8_quant_error",
+    "sp12_grouped_split_balance", "o10_file_skipping_stats",
+    "w15_ks_two_sample",
 }
 
 
