@@ -65,19 +65,19 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6-7),
 # so the first 50 names below are the round's driver-verified set.
 #
-# Round-10 rotation (per VERDICT r9 item 1 — the precomputed plan,
-# executed verbatim; CORRECTNESS_r09 landed 50/50 green so no red row
-# displaced slot 1, and tools/rotation_audit.py mechanically confirmed
-# the set is the 50 stalest).  Slot assignment:
-#   * slots 1-4: the round-9 adds (tx14, dp11, dd17, sp11) — the
-#     registry's only never-driver-checked rows.  dp11's code AND
-#     oracle changed this round (ADVICE r9 item 3: greatest(0, ...)
-#     lower clamp on the PSI bin, mirrored in Spark / oracle / law
-#     anchor) — it was re-entering the prefix anyway, so the lapse
-#     rule is satisfied by its slot-2 position.
-#   * slots 5-50: the full 46-row r6 era (alphabetical) — drains r6.
-# Max row age after this round: r7 (46 rows = 3 rounds) — round 11
-# takes them (see ROUND-11 plan below the list).
+# Round-11 rotation (per VERDICT r10 item 1 — the precomputed plan,
+# executed verbatim; CORRECTNESS_r10 landed 50/50 green so no red row
+# displaced slot 1, and tools/rotation_audit.py confirmed at round-11
+# start that the plan is consistent with the artifact ladder).  Slot
+# assignment:
+#   * slots 1-4: the round-10 adds (dd18, tx15, dd19, dp12) — the
+#     registry's only never-driver-checked rows.
+#   * slots 5-50: the full 46-row r7 era (alphabetical) — drains r7.
+# Max row age after this round: r8 (50 rows = 3 rounds) — round 12
+# takes 46 of them (see ROUND-12 plan below the list; the 204-entry
+# registry no longer fits a 4-round period exactly, so 4 r8-era rows
+# spill to round 13).
+# Round-10 rotation rationale: see this block at commit 7beceff.
 # Round-9 rotation rationale: see this block at commit 2382228.
 # Round-8 rotation rationale and the sp6/a25 HUGEINT root-cause record:
 # see this comment block at tag round-8 / commit 0bcab14; the ROOT-CAUSE
@@ -88,61 +88,61 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 10 — the precomputed plan below, applied verbatim
-    # (CORRECTNESS_r09 was 50/50 green, so no red row displaces slot 1;
-    # tools/rotation_audit.py confirmed this set is the 50 stalest).
-    # slots 1-4: round-9 adds, never driver-checked
-    "tx14_quality_model_score",
-    "dp11_psi_drift",
-    "dd17_shingle_containment",
-    "sp11_class_balanced_resample",
-    # slots 5-50: the full r6-era ladder (46 rows) — drains r6
-    "a22_decayed_engagement",
-    "a23_cohort_retention",
-    "dd10_fuzzy_decontamination",
-    "dd11_span_dedup",
-    "dd12_containment_pairs",
-    "dd4_ngram_jaccard",
-    "dd4b_ngram_jaccard_dfcut",
-    "dd5_embedding_cosine_dup",
-    "dp6_drift_profile",
-    "i8_snapshot_diff",
-    "i9_scd2_compaction",
-    "j14_bucketed_range_join",
-    "j16_interval_overlap",
-    "j8b_grid_spatial_join",
-    "k7_ecotaxa_export",
-    "mm10_voice_activity",
-    "mm2_real_kernel_features",
-    "mm2b_kernel_topologies",
-    "mm5_audio_frame_features",
-    "mm7_modality_coverage",
-    "mm8_patchify",
-    "mm9_perceptual_dedup",
-    "o8_zorder_layout",
-    "pk2_document_chunking",
-    "pk3_length_bucketed_batching",
-    "s6b_json_props_extract",
-    "sim10_pq_adc",
-    "sim9_quantized_rerank",
-    "sp2b_stratified_topk",
-    "sp5_temperature_resampling",
-    "sp7_epoch_shuffle",
-    "st1_stream_windowed_counts",
-    "st2_stateful_user_counts",
-    "st3_watermarked_append",
-    "st4_stream_stream_join",
-    "st5_streaming_dedup",
-    "st7_stream_static_join",
-    "tp2_multimodal_corpus",
-    "tp3_incremental_refresh",
-    "tp5_funnel_report",
-    "tx11_langid_confusion",
-    "tx12_ngram_novelty",
-    "w10_cumulative_distinct",
-    "w11_cusum_drift",
-    "w7_native_session_window",
-    "w8_ewma_smoothing",
+    # ROUND 11 — the precomputed plan below, applied verbatim
+    # (CORRECTNESS_r10 was 50/50 green, so no red row displaces slot 1;
+    # tools/rotation_audit.py confirmed plan/artifact consistency).
+    # slots 1-4: round-10 adds, never driver-checked
+    "dd18_url_host_dedup",
+    "tx15_tokenizer_fertility",
+    "dd19_repeated_ngram_spans",
+    "dp12_quantile_drift_gate",
+    # slots 5-50: the full r7-era ladder (46 rows) — drains r7
+    "a20_grouped_percentiles",
+    "a21_conversion_funnel",
+    "a24_salted_skew_rollup",
+    "a26_sequence_funnel",
+    "a9_class_counts",
+    "c4_taxa_resolver",
+    "c5_trophic_lookup",
+    "dd13_star_components",
+    "dd14_lsh_recall",
+    "dd15_lsh_parameter_sweep",
+    "dd9_normalized_dedup",
+    "dp1_column_profile",
+    "dp2_winsorize",
+    "dp8_exact_quantiles",
+    "dp9_mutual_information",
+    "g1_pagerank",
+    "i10_merge_upsert",
+    "i11_late_data_audit",
+    "i12_incremental_rollup",
+    "j17_point_in_time_join",
+    "j9_basin_tagging",
+    "j9b_polygon_tagging",
+    "mm11_scene_cuts",
+    "mm12_spectral_frames",
+    "mm6_augmentation_panel",
+    "o1_multi_key_sort",
+    "o3_union_by_name",
+    "o5_split_apply_union",
+    "o6_pivot_longer",
+    "o6_pivot_wider",
+    "o7_set_except",
+    "o7_set_intersect",
+    "o9_compaction_plan",
+    "sim11_mips_topk",
+    "sim12_knn_graph",
+    "sim1_cosine_topk",
+    "sim3_label_centroids",
+    "sp8_importance_resampling",
+    "st6_sliding_window_rates",
+    "st8_streaming_sessions",
+    "tp4_curriculum_order",
+    "tp6_dataset_card",
+    "w12_mad_outliers",
+    "w4_newest_topk",
+    "w5_sessionization",
+    "w9_rolling_zscore",
 ]
 # The round-10 rotation plan was EXECUTED verbatim as the live
 # PREFIX_ORDER above (CORRECTNESS_r09 landed 50/50 green, so no red row
