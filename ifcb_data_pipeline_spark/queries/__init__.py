@@ -144,40 +144,46 @@ PREFIX_ORDER = [
     "w5_sessionization",
     "w9_rolling_zscore",
 ]
-# The round-10 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r09 landed 50/50 green, so no red row
-# displaced slot 1; tools/rotation_audit.py confirmed optimality).
-# After round 10 the r6 era is drained and max row age is 3 rounds
-# (the 46 r7-era rows).
+# The round-11 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r10 landed 50/50 green, so no red row
+# displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
+# consistency).  After round 11 the r7 era is drained; the ladder is
+# 50 x r8 / 50 x r9 / 50 x r10 / 50 x r11(projected), and the registry
+# grew to 204 (the staged_r12 pool registered below the prefix), so a
+# 50-row gate no longer covers an era per round: 4 r8-era rows spill
+# one extra round (alphabetical tie-break, documented below).
 #
-# ROUND-11 ROTATION PLAN (precomputed; apply verbatim unless round-10
+# ROUND-12 ROTATION PLAN (precomputed; apply verbatim unless round-11
 # driver results dictate otherwise — a red row takes slot 1):
-#   4 round-10 adds (never driver-checked; throttle respected) take
+#   4 round-11 adds (never driver-checked; throttle respected) take
 #   slots 1-4:
-#     dd18_url_host_dedup, tx15_tokenizer_fertility,
-#     dd19_repeated_ngram_spans, dp12_quantile_drift_gate
-#   then the 46 r7-era rows (drains r7; derived from the
-#   CORRECTNESS_r*.json last-green ladder, alphabetical):
-#     a20_grouped_percentiles, a21_conversion_funnel,
-#     a24_salted_skew_rollup, a26_sequence_funnel, a9_class_counts,
-#     c4_taxa_resolver, c5_trophic_lookup, dd13_star_components,
-#     dd14_lsh_recall, dd15_lsh_parameter_sweep, dd9_normalized_dedup,
-#     dp1_column_profile, dp2_winsorize, dp8_exact_quantiles,
-#     dp9_mutual_information, g1_pagerank, i10_merge_upsert,
-#     i11_late_data_audit, i12_incremental_rollup,
-#     j17_point_in_time_join, j9_basin_tagging, j9b_polygon_tagging,
-#     mm11_scene_cuts, mm12_spectral_frames, mm6_augmentation_panel,
-#     o1_multi_key_sort, o3_union_by_name, o5_split_apply_union,
-#     o6_pivot_longer, o6_pivot_wider, o7_set_except, o7_set_intersect,
-#     o9_compaction_plan, sim11_mips_topk, sim12_knn_graph,
-#     sim1_cosine_topk, sim3_label_centroids, sp8_importance_resampling,
-#     st6_sliding_window_rates, st8_streaming_sessions,
-#     tp4_curriculum_order, tp6_dataset_card, w12_mad_outliers,
-#     w4_newest_topk, w5_sessionization, w9_rolling_zscore
-# = exactly 50; zero slack persists while the 196+-entry registry
-# cycles through a 50-row gate on a 4-round period — re-run
-# tools/rotation_audit.py at round-11 start once CORRECTNESS_r10.json
-# lands (a red row there displaces slot 1 by rule).
+#     dd20_exact_substring_dedup, a28_hll_distinct_sketch,
+#     a29_cms_heavy_hitters, st9_join_state_audit
+#   then 46 of the 50 r8-era rows (alphabetical; the last 4 — the
+#   tx3 / tx4 / tx6 / u13b rows, named by key only so the plan parser
+#   doesn't count them — spill to round 13, becoming its staleness
+#   head after the staged_r13 adds):
+#     a10_duplicate_detection, a11_distinct, a12_minmax_summary,
+#     a13_grid_cell_frequency, a14_monthly_histogram,
+#     a15_mean_collapse, a17_qc_sums, a18_provenance_summary,
+#     a19_cube_rollup, a1_biovolume_rollup, a25_survival_curve,
+#     a2_taxon_rollup, a3_flag_frequency, a4_monthly_stats,
+#     a5_grouped_top1, a6_bloom_categorize, a7_global_top1,
+#     a8_last_per_group, c3_name_type_split, dd1_exact_dedup,
+#     dd3_simhash, dd6_dup_clusters, dd7_dedup_materialize,
+#     dp10_anova_eta, dp7_binned_quantiles,
+#     f11_missing_position_filter, f1_select_rename,
+#     f6_regional_filter, j10_semi_join, j11_incremental_anti_join,
+#     j12_provenance_merge, j13_classlist_full_join,
+#     j1_enrichment_chain, j4b_asof_backward, j5_interval_join,
+#     j6_coalescing_fill_join, j7_full_outer_join,
+#     j8_haversine_theta_join, qf_flag_unification, s6_json_scan,
+#     sim4_ivf_search, sp1_train_test_split, sp6_domain_token_cap,
+#     tx13_bm25_topk, tx1_token_count, tx2_quality_score
+# = exactly 50; with a 204-entry registry on a 50-row gate the cycle
+# period is now >4 rounds — re-run tools/rotation_audit.py at round-12
+# start once CORRECTNESS_r11.json lands (a red row there displaces
+# slot 1 by rule).
 # END PLAN
 #
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregates import grouped_top_k, last_per_group, taxon_rollup
 from . import register
-from ._util import dround, dround_sql, tables
+from ._util import HASH32_SQL, dround, dround_sql, hash32, tables
 
 
 # --- A1: per-(sample,class) biovolume/carbon rollup ------------------------
@@ -950,4 +950,228 @@ def a27_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         "n_cohort",
         dround(F.col("n_active") * 1.0 / F.col("n_cohort"), 6).alias("retention"),
+    )
+
+
+# --- round-11 registered adds (re-homed from queries/staged_r12.py, the
+# round-12 staged pool, per the VERDICT r10 item-3 registration checklist;
+# registered BELOW the driver prefix — throttle: 4 adds this round) -------
+# --- A28: deterministic HyperLogLog distinct sketch + exact twin ------------
+# At 100 TB an exact per-group COUNT(DISTINCT key) is a full shuffle of
+# every key; the sketch path ships m=64 one-byte registers per group
+# instead.  This op implements HLL from scratch — shared md5-based
+# hash32, bucket = h % 64, rho = leading-zero-count of the remaining 26
+# bits + 1, register = max(rho) — so BOTH engines (and the pure-Python
+# law anchor) compute the identical estimate bit-for-bit, unlike the
+# engines' built-in approx_count_distinct whose internals differ.  The
+# estimator is Flajolet's alpha_m * m^2 / sum(2^-M_j) with the standard
+# small-range linear-counting correction (E <= 2.5m and empty buckets
+# present -> m * ln(m / V)).  Exactness argument: 2^-M_j = 1.0 /
+# (1::BIGINT << M_j) is an exact binary fraction, the per-group sum of
+# ≤64 such terms is exact (≤ 32 significant bits) and order-insensitive,
+# so the raw branch is a single IEEE division of two exact values; the
+# correction branch is one ln() on an exact ratio of small ints — both
+# bit-identical cross-engine, making dround(.,4) measure-zero safe.
+# Scale shape: one orders scan -> (month, bucket) hash agg (map-side
+# partial, ≤64 rows per group survive) -> month agg; the exact twin is
+# the verification payload at SF, not part of the sketch's cost model.
+_HLL_ALPHA_M2 = "2904.064"  # 0.709 * 64^2, the m=64 Flajolet constant
+
+
+A28_SQL = r"""
+WITH h AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           {h32} AS h
+    FROM orders
+),
+b AS (
+    SELECT month, h % 64 AS bucket,
+           max(CASE WHEN h // 64 = 0 THEN 27
+                    ELSE 27 - length(bin(h // 64)) END) AS M
+    FROM h GROUP BY month, h % 64
+),
+z AS (
+    SELECT month,
+           count(*)::BIGINT AS used,
+           sum(1.0 / (1::BIGINT << M)) AS zsum
+    FROM b GROUP BY month
+),
+e AS (
+    SELECT month, used, 64 - used AS v,
+           {alpha} / (zsum + (64 - used)) AS e_raw
+    FROM z
+),
+est AS (
+    SELECT month, used, v,
+           CASE WHEN e_raw <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS e
+    FROM e
+),
+x AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(DISTINCT o_custkey)::BIGINT AS exact_distinct
+    FROM orders GROUP BY month
+)
+SELECT x.month, x.exact_distinct,
+       est.used AS n_buckets_used,
+       {est4} AS hll_estimate,
+       {err4} AS rel_err_pct
+FROM x JOIN est ON x.month = est.month
+""".format(
+    h32=HASH32_SQL.format(x="'c' || o_custkey::VARCHAR"),
+    alpha=_HLL_ALPHA_M2,
+    est4=dround_sql("est.e", 4),
+    err4=dround_sql("(est.e - x.exact_distinct) * 100.0 / x.exact_distinct", 4),
+)
+
+
+@register(
+    "a28_hll_distinct_sketch",
+    A28_SQL,
+    survey_ref="beyond reference: from-scratch deterministic HyperLogLog "
+    "(p=6) vs exact COUNT DISTINCT twin, per order month",
+)
+def a28_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    h = hash32(F.concat(F.lit("c"), F.col("o_custkey").cast("string")))
+    # h < 2^32 << 2^53, so the double division h/64 is exact before floor
+    hashed = orders.select(month, (h % 64).alias("bucket"), F.floor(h / 64).cast("long").alias("w"))
+    rho = F.when(F.col("w") == 0, F.lit(27)).otherwise(
+        F.lit(27) - F.length(F.bin("w"))
+    )
+    b = hashed.groupBy("month", "bucket").agg(F.max(rho).alias("M"))
+    z = b.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("used"),
+        F.sum(F.lit(1.0) / F.expr("shiftleft(1L, cast(M as int))")).alias("zsum"),
+    )
+    e_raw = F.lit(float(_HLL_ALPHA_M2)) / (F.col("zsum") + (F.lit(64) - F.col("used")))
+    v = (F.lit(64) - F.col("used")).alias("v")
+    est = z.select(
+        "month",
+        "used",
+        v,
+        F.when(
+            (e_raw <= 160.0) & (F.col("used") < 64),
+            F.lit(64.0) * F.log(F.lit(64.0) / (F.lit(64) - F.col("used"))),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    x = orders.groupBy(month).agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return x.join(est, "month").select(
+        "month",
+        "exact_distinct",
+        F.col("used").alias("n_buckets_used"),
+        dround(F.col("e"), 4).alias("hll_estimate"),
+        dround(
+            (F.col("e") - F.col("exact_distinct"))
+            * F.lit(100.0)
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_err_pct"),
+    )
+
+
+# --- A29: count-min sketch heavy hitters + exact twin -----------------------
+# The CM sketch replaces a full per-key frequency table with d=3 rows of
+# w=256 counters — constant state per partition, mergeable by addition,
+# the classic heavy-hitter structure for unbounded key domains.  Both
+# engines build the identical sketch (salted md5 hash32 per row), read
+# back each key's three counters, and take the min; CM's one-sided
+# guarantee (estimate >= true count, overshoot < N*e/w w.h.p.) is
+# asserted per-row by the law tests.  Scale shape: counters are a
+# 768-row aggregate (broadcast side); the probe explodes each distinct
+# key to its 3 (row,bucket) probes and broadcast-joins — no wide join
+# on raw events beyond the two hash aggs.  The exact per-key count is
+# the verification twin at SF; heavy-hitter flag = est >= 1% of N,
+# decided on exact integers (est * 100 >= N) so no float boundary.
+A29_SQL = r"""
+WITH probes AS (
+    SELECT e.user_id, r.r,
+           {h32} % 256 AS bucket
+    FROM events e, (SELECT unnest([0, 1, 2]) AS r) r
+),
+counters AS (
+    SELECT r, bucket, count(*)::BIGINT AS cnt
+    FROM probes GROUP BY r, bucket
+),
+exact AS (
+    SELECT user_id, count(*)::BIGINT AS n_exact FROM events GROUP BY user_id
+),
+keyprobe AS (
+    SELECT x.user_id, r.r,
+           {h32x} % 256 AS bucket
+    FROM exact x, (SELECT unnest([0, 1, 2]) AS r) r
+),
+est AS (
+    SELECT k.user_id, min(c.cnt)::BIGINT AS n_est
+    FROM keyprobe k JOIN counters c ON k.r = c.r AND k.bucket = c.bucket
+    GROUP BY k.user_id
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT x.user_id, x.n_exact, est.n_est,
+       (est.n_est - x.n_exact)::BIGINT AS overestimate,
+       (est.n_est * 100 >= tot.n) AS is_heavy_hitter
+FROM exact x JOIN est ON x.user_id = est.user_id CROSS JOIN tot
+""".format(
+    h32=HASH32_SQL.format(x="'r' || r.r::VARCHAR || '|' || e.user_id::VARCHAR"),
+    h32x=HASH32_SQL.format(x="'r' || r.r::VARCHAR || '|' || x.user_id::VARCHAR"),
+)
+
+
+@register(
+    "a29_cms_heavy_hitters",
+    A29_SQL,
+    survey_ref="beyond reference: deterministic count-min sketch (d=3, w=256) "
+    "frequency estimates + one-sided-error law vs exact counts",
+)
+def a29_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    rows = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("r")
+
+    def bucket(user_col):
+        return (
+            hash32(
+                F.concat(
+                    F.lit("r"),
+                    F.col("r").cast("string"),
+                    F.lit("|"),
+                    user_col.cast("string"),
+                )
+            )
+            % 256
+        ).alias("bucket")
+
+    probes = events.select("user_id", rows).select(
+        "user_id", "r", bucket(F.col("user_id"))
+    )
+    counters = probes.groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    exact = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    keyprobe = exact.select("user_id", rows).select(
+        "user_id", "r", bucket(F.col("user_id"))
+    )
+    est = (
+        keyprobe.join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").cast("long").alias("n_est"))
+    )
+    tot = events.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(F.broadcast(tot))  # 1-row broadcast side: the allowlisted
+        # bounded-frame BNLJ shape, not a data-sized cartesian
+        .select(
+            "user_id",
+            "n_exact",
+            "n_est",
+            (F.col("n_est") - F.col("n_exact")).cast("long").alias("overestimate"),
+            (F.col("n_est") * 100 >= F.col("n")).alias("is_heavy_hitter"),
+        )
     )

@@ -23,7 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.text import STOPWORDS as _TEXT_STOPWORDS
 from . import register
-from ._util import dround, tables
+from ._util import dround, dround_sql, tables
 
 # --- shared augmented corpus ----------------------------------------------
 
@@ -1608,4 +1608,105 @@ def dd19_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .where(F.col("n_occ") >= 2)
+    )
+
+
+# --- round-11 registered adds (re-homed from queries/staged_r12.py, the
+# round-12 staged pool, per the VERDICT r10 item-3 registration checklist;
+# registered BELOW the driver prefix — throttle: 4 adds this round) -------
+# --- DD20: cross-document exact substring dedup (suffix-array twin) ---------
+# Lee et al.'s ExactSubstr dedup builds a corpus-wide suffix array and
+# removes any ≥50-char span that re-occurs verbatim anywhere else.  A
+# suffix array is a single global sorted structure — the wrong shape for
+# a 1000-executor cluster — but its MATCHES are exactly the positions
+# whose fixed-k prefix gram re-occurs in another document, so the
+# distributed twin is: emit every stride-1 k-char gram (k=40), keep the
+# grams seen in ≥2 distinct docs (two-phase hash agg, map-side partial),
+# join back (AQE picks broadcast when the dup-gram set is small — the
+# common case: boilerplate is a tiny fraction of distinct grams), and
+# merge per-doc position runs into an EXACT union-of-intervals char
+# coverage via one doc-keyed lead() window (bounded by doc length —
+# never a fat partition).  Scale shape: the only wide ops are the gram
+# agg and the gram join, both on (gram) — hashable, salt-free since
+# gram frequency is capped by dup-gram pruning; the explode is a
+# narrow flatMap.  Cost O(total_chars), exactly the suffix-array
+# work-bound, with no global sort and no driver-side structure.
+DD20_SQL = r"""
+WITH g AS (
+    SELECT doc_id, i::BIGINT AS pos, substr(text, i::INTEGER + 1, 40) AS gram,
+           length(text)::BIGINT AS n_chars
+    FROM documents, unnest(range(length(text) - 39)) t(i)
+    WHERE length(text) >= 40
+),
+dup AS (
+    SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+d AS (
+    SELECT g.doc_id, g.pos, g.n_chars FROM g JOIN dup USING (gram)
+),
+iv AS (
+    SELECT doc_id, pos, n_chars,
+           lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM d
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_dup_positions,
+       min(pos)::BIGINT AS first_pos,
+       sum(CASE WHEN nxt IS NULL OR nxt - pos >= 40 THEN 40
+                ELSE nxt - pos END)::BIGINT AS n_dup_chars,
+       {dup_frac} AS dup_frac,
+       (sum(CASE WHEN nxt IS NULL OR nxt - pos >= 40 THEN 40
+                 ELSE nxt - pos END) * 5 >= max(n_chars)) AS flag_dup
+FROM iv
+GROUP BY doc_id
+""".format(
+    dup_frac=dround_sql(
+        "sum(CASE WHEN nxt IS NULL OR nxt - pos >= 40 THEN 40"
+        " ELSE nxt - pos END)::BIGINT * 1.0 / max(n_chars)",
+        6,
+    )
+)
+
+
+@register(
+    "dd20_exact_substring_dedup",
+    DD20_SQL,
+    survey_ref="beyond reference: cross-doc exact substring duplication "
+    "(Lee et al. 2022 ExactSubstr, distributed k-gram twin)",
+)
+def dd20_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    k = 40
+    g = documents.where(F.length("text") >= k).select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.explode(F.sequence(F.lit(0), F.length("text") - k)).alias("pos"),
+        "text",
+    )
+    grams = g.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("text").substr(F.col("pos") + 1, F.lit(k)).alias("gram"),
+        "n_chars",
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    d = grams.join(dup, "gram").select("doc_id", "pos", "n_chars")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    iv = d.withColumn("nxt", F.lead("pos").over(wdoc))
+    span = F.when(
+        F.col("nxt").isNull() | (F.col("nxt") - F.col("pos") >= k), F.lit(k)
+    ).otherwise(F.col("nxt") - F.col("pos"))
+    return iv.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_positions"),
+        F.min("pos").alias("first_pos"),
+        F.sum(span).cast("long").alias("n_dup_chars"),
+        dround(
+            F.sum(span).cast("long") * F.lit(1.0) / F.max("n_chars"), 6
+        ).alias("dup_frac"),
+        (F.sum(span) * 5 >= F.max("n_chars")).alias("flag_dup"),
     )

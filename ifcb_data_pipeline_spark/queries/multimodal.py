@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import explode_bins_to_rois, extract_features
 from . import register
-from ._util import dround, hash32, tables
+from ._util import HASH32_SQL, dround, dround_sql, hash32, tables
 
 
 def _drain_to_memory(writer, query_name: str, timeout: int = 60) -> bool:
@@ -1785,3 +1785,102 @@ def mm12_spectral_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"power_{k} double" for k in range(_MM12_K)
     )
     return meta.mapInPandas(spectra, schema=schema)
+
+
+# --- round-11 registered adds (re-homed from queries/staged_r12.py, the
+# round-12 staged pool, per the VERDICT r10 item-3 registration checklist;
+# registered BELOW the driver prefix — throttle: 4 adds this round) -------
+# --- ST9: stream-stream join state-retention audit --------------------------
+# st4's view->click attribution join, run as a stream-stream join,
+# keeps every view in state until the watermark passes its join window;
+# the delay D is the knob that trades completeness for state size.
+# This audit computes, for a candidate delay grid {60s, 180s, 600s},
+# exactly which attribution pairs survive: with in-order arrival the
+# state-residency a pair needs equals its event-time gap, so a pair is
+# lost iff gap > D (the planted-disorder variant of this law is
+# exercised by i11's anchors; the grid here sizes the knob).  Output
+# per candidate delay: pair counts, loss rate, and the max/mean gap the
+# state must hold — the numbers an operator reads before picking
+# withWatermark().  Scale shape: ONE equi-join on user_id (hash join,
+# no BNLJ — the range predicate is a post-join filter on the co-keyed
+# pairs), then explode×3 over the literal grid (narrow) and a 3-group
+# hash agg.  Gaps are exact BIGINT micros; ratios are int/int (dround
+# safe); the 600s window bound in micros is computed in BIGINT
+# (600::BIGINT * 1000000 — the INT32-overflow rule).
+ST9_SQL = r"""
+WITH pairs AS MATERIALIZED (
+    SELECT c.user_id,
+           epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP) AS gap_us
+    FROM events c JOIN events v ON c.user_id = v.user_id
+    WHERE c.event_type = 'click' AND v.event_type = 'view'
+      AND v.ts <= c.ts
+      AND epoch_us(c.ts::TIMESTAMP) - epoch_us(v.ts::TIMESTAMP)
+          < 600::BIGINT * 1000000
+),
+g AS (
+    SELECT p.gap_us, d.delay_s
+    FROM pairs p, (SELECT unnest([60, 180, 600]) AS delay_s) d
+)
+SELECT delay_s::BIGINT AS delay_s,
+       count(*)::BIGINT AS n_pairs,
+       sum(CASE WHEN gap_us <= delay_s::BIGINT * 1000000 THEN 1 ELSE 0
+           END)::BIGINT AS n_retained,
+       sum(CASE WHEN gap_us > delay_s::BIGINT * 1000000 THEN 1 ELSE 0
+           END)::BIGINT AS n_lost,
+       {loss6} AS loss_frac,
+       (max(gap_us) // 1000000)::BIGINT AS max_gap_s,
+       {mean4} AS mean_gap_s
+FROM g GROUP BY delay_s
+""".format(
+    loss6=dround_sql(
+        "sum(CASE WHEN gap_us > delay_s::BIGINT * 1000000 THEN 1 ELSE 0 END)"
+        " * 1.0 / count(*)",
+        6,
+    ),
+    mean4=dround_sql("sum(gap_us)::BIGINT * 1.0 / count(*) / 1000000.0", 4),
+)
+
+
+@register(
+    "st9_join_state_audit",
+    ST9_SQL,
+    survey_ref="beyond reference (SURVEY §2.10 family): watermark-delay grid "
+    "audit for the st4 stream-stream attribution join's state retention",
+)
+def st9_join_state_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("us").alias("v_us")
+    )
+    window_us = F.lit(600).cast("long") * F.lit(1000000)
+    pairs = (
+        clicks.join(views, "user_id")
+        .where(
+            (F.col("v_us") <= F.col("c_us"))
+            & (F.col("c_us") - F.col("v_us") < window_us)
+        )
+        .select((F.col("c_us") - F.col("v_us")).alias("gap_us"))
+    )
+    g = pairs.select(
+        "gap_us",
+        F.explode(F.array(F.lit(60), F.lit(180), F.lit(600))).alias("delay_s"),
+    )
+    d_us = F.col("delay_s").cast("long") * F.lit(1000000)
+    lost = F.when(F.col("gap_us") > d_us, 1).otherwise(0)
+    return g.groupBy(F.col("delay_s").cast("long").alias("delay_s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(1 - lost).cast("long").alias("n_retained"),
+        F.sum(lost).cast("long").alias("n_lost"),
+        dround(F.sum(lost) * F.lit(1.0) / F.count(F.lit(1)), 6).alias("loss_frac"),
+        F.expr("max(gap_us) div 1000000").cast("long").alias("max_gap_s"),
+        dround(
+            F.sum("gap_us").cast("long") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000.0),
+            4,
+        ).alias("mean_gap_s"),
+    )

@@ -47,17 +47,21 @@ def _dround(x: float, d: int) -> float:
 # --- staging hygiene --------------------------------------------------------
 
 
-def test_staged_module_does_not_touch_registry():
-    # the module is imported at the top of this file; REGISTRY must hold
-    # exactly the driver-visible entries and none of the staged names
+def test_pool_registered_and_pointers_live():
+    # round 11 registered this pool: every staged name must now be a
+    # driver-visible REGISTRY entry, and the STAGED pointer must be the
+    # very same fn/oracle the driver sees (not a stale copy)
     assert set(STAGED) == {
         "dd20_exact_substring_dedup",
         "a28_hll_distinct_sketch",
         "a29_cms_heavy_hitters",
         "st9_join_state_audit",
     }
-    assert not (set(STAGED) & set(REGISTRY))
-    assert len(REGISTRY) == 200
+    assert set(STAGED) <= set(REGISTRY)
+    for name, sdef in STAGED.items():
+        assert sdef.fn is REGISTRY[name].fn
+        assert sdef.oracle == REGISTRY[name].oracle
+    assert len(REGISTRY) == 204
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------

@@ -61,7 +61,7 @@ def test_staged_module_does_not_touch_registry():
     }
     assert not (set(STAGED) & set(REGISTRY))
     assert not (set(STAGED) & set(STAGED_R12))  # staging pools stay disjoint
-    assert len(REGISTRY) == 200
+    assert len(REGISTRY) == 204
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------
