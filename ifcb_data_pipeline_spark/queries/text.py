@@ -1454,10 +1454,15 @@ def sp11_class_balanced_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- TX15: tokenizer fertility profile ---------------------------------------
-# sp6 packs documents into a per-domain TOKEN budget, but tokens/byte
-# (fertility) is the budget's missing denominator: a byte-budgeted
-# crawl slice converts to wildly different token counts per language,
-# and mixture design needs that conversion table.  tx15 profiles, per
+# sp6 packs documents into a per-domain TOKEN budget, but a text-size →
+# token-count conversion rate (fertility) is the budget's missing
+# denominator: a size-budgeted crawl slice converts to wildly different
+# token counts per language, and mixture design needs that conversion
+# table.  The rate computed here is SUBWORDS PER CHARACTER (length()
+# counts chars; ADVICE r10 item 3 — an octet-based tokens/byte variant
+# would need octet_length and would differ on multi-byte text; the
+# synthetic corpus is ASCII so the distinction is latent, but the label
+# should not overclaim).  tx15 profiles, per
 # language: whitespace-token counts, a deterministic BPE-proxy subword
 # count (ceil(len/4) units per word — the fixed-fanout stand-in for a
 # real tokenizer's merge table), and the two derived rates (subwords
@@ -1490,7 +1495,7 @@ FROM t GROUP BY lang
 """
 
 
-@register("tx15_tokenizer_fertility", TX15_SQL, survey_ref="beyond reference: tokenizer fertility (tokens/byte) profile per language (sp6 budget denominator)")
+@register("tx15_tokenizer_fertility", TX15_SQL, survey_ref="beyond reference: tokenizer fertility (subwords per char) profile per language (sp6 budget denominator)")
 def tx15_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     ws = F.split("text", " ")

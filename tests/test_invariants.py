@@ -18,6 +18,7 @@ REGISTRY = load_all()
 
 
 def test_rollup_counts_partition_roi_count(spark, sf_dir):
+    # anchors: a1 (biovolume rollup counts partition the ROI universe)
     """Σ per-(sample,class) counts == total qualifying per-ROI rows."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     expected = lineitem.where(F.col("l_quantity") > 1).count()
@@ -32,6 +33,7 @@ def test_split_union_preserves_rows(spark, sf_dir):
 
 
 def test_per_liter_math_consistency(spark, sf_dir):
+    # anchors: a1 (per-liter normalization recomputed row-by-row)
     """counts_per_liter == counts * 1000 / ml for every row (A1 law)."""
     rolled = REGISTRY["a1_biovolume_rollup"].fn(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders").select(
@@ -59,6 +61,7 @@ def test_join_key_integrity(spark, sf_dir):
 
 
 def test_dedup_exact_groups_consistent(spark, sf_dir):
+    # anchors: dd1 (exact-dup groups recomputed from raw hashes)
     """Each hash group has exactly one canonical row and n_copies
     equals the group size."""
     out = REGISTRY["dd1_exact_dedup"].fn(spark, sf_dir)
@@ -126,6 +129,7 @@ def test_signif_matches_duckdb_on_boundary_values(spark):
 
 
 def test_ivf_nprobe_recall_monotone(spark, sf_dir):
+    # anchors: sim1 sim4 (exact top-k is the recall truth; IVF nprobe law)
     """Probing more cells can only help: recall@3 of nprobe=2 (sim5)
     vs the exact top-3 (sim1) is >= that of nprobe=1 (sim4)."""
     from ifcb_data_pipeline_spark.queries import load_all
@@ -349,6 +353,7 @@ def test_dd16_survivor_is_quality_argmax_not_min_id(spark, sf_dir):
 
 
 def test_sp10_accounting_and_contamination_semantics(spark, sf_dir):
+    # anchors: sp1 (per-language accounting tied out against the raw split)
     """Per-language accounting must tie out against the raw sp1 split, and
     a directly-recomputed contaminated set (train∩test 4-gram overlap)
     must equal what the query dropped."""

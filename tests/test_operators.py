@@ -38,6 +38,7 @@ def test_make_bin_id_inverse(spark):
 
 
 def test_clean_taxa_name_reference_cases(spark):
+    # anchors: c1 (the taxa-clean cascade truth table, reference cases)
     # Semantics from ifcb-data-pipeline.Rmd:936-971.
     cases = {
         "Nodularia_spumigena_coil,Nodularia_spumigena_filament": "Nodularia spumigena",
@@ -121,6 +122,7 @@ def test_interval_join_multi_match(spark):
 
 
 def test_adjacency_filter_kills_neighbors(spark):
+    # anchors: w1 (bubble adjacency kill semantics, hand-built cases)
     rows = [(i, "bubbles" if i == 3 else "ok") for i in range(6)]
     df = spark.createDataFrame(rows, ["i", "flag"])
     out = adjacency_flag_filter(df, "flag", "bubbles", order_by=["i"])

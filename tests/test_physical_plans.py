@@ -939,11 +939,15 @@ _BNLJ_OK = {
     "sp4_mixture_materialize", "sp5_temperature_resampling",
     "sp8_importance_resampling", "tx10_tfidf_top_terms", "tx13_bm25_topk",
     "tx6_trigram_logprob",
-    # staged-pool candidates (inert until a future round registers them;
-    # shapes verified in their tests/test_staged_r1N.py sweeps): 1-row
-    # broadcast totals / collapsed scale vectors plan as BNLJ
+    # staged-pool candidates (a29 registered in round 11; the rest inert
+    # until their rounds register them; shapes verified in their
+    # tests/test_staged_r1N.py sweeps): 1-row broadcast totals /
+    # collapsed scale vectors plan as BNLJ.  w15 crossJoins a 1-row
+    # broadcast totals frame (ADVICE r10 item 2: it was allowlisted
+    # only for SinglePartition, so registering it would have gone red
+    # here — entry derived from test_staged_r15's own sweep).
     "a29_cms_heavy_hitters", "sim13_int8_quant_error",
-    "sp12_grouped_split_balance",
+    "sp12_grouped_split_balance", "w15_ks_two_sample",
 }
 
 # SinglePartition exchanges over already-aggregated bounded frames

@@ -31,6 +31,9 @@ ANCHOR_FILES = [
     "tests/test_multimodal_panel.py",
     "tests/test_kernels.py",
     "tests/test_psd.py",
+    # operator-level reference-case anchors (e.g. the clean_taxa_name
+    # truth table that anchors c1, the adjacency-kill cases for w1)
+    "tests/test_operators.py",
     # staged-pool verification files: each staged candidate ships its
     # pure-Python replay + family laws here BEFORE registration, so the
     # anchor gate stays green the moment a future round registers one
@@ -51,17 +54,33 @@ def registry_names() -> list[str]:
 
 
 def anchor_map() -> dict[str, list[str]]:
+    """Strict matching (ADVICE r10 item 1): a mere prose mention — a
+    contrast note in a staged file's comment, a coincidental local
+    variable named ``c1`` — must NOT count as an anchor.  A key is
+    anchored only by a ``def test_...`` line that names it (the test is
+    the anchor) or an explicit ``# anchors: <key> ...`` marker placed on
+    the covering test by hand (for tests whose names predate the key
+    convention, e.g. ``test_rollup_counts_partition_roi_count`` → a1)."""
     sources = {
-        f: (REPO / f).read_text() for f in ANCHOR_FILES if (REPO / f).exists()
+        f: (REPO / f).read_text().split("\n")
+        for f in ANCHOR_FILES
+        if (REPO / f).exists()
     }
     out: dict[str, list[str]] = {}
     for name in registry_names():
         key = name.split("_")[0]
         # family key bounded by non-alphanumerics (underscore allowed
-        # after: test_dd14_... and "dd14" prose both match; "dd1" must
-        # not match inside "dd14")
+        # after: test_dd14_... matches; "dd1" must not match inside
+        # "dd14")
         pat = re.compile(rf"(?<![a-z0-9]){re.escape(key)}(?![a-z0-9])")
-        out[name] = [f for f, text in sources.items() if pat.search(text)]
+        hits = []
+        for f, lines in sources.items():
+            for ln in lines:
+                s = ln.strip()
+                if (s.startswith("def test_") or "anchors:" in s) and pat.search(s):
+                    hits.append(f)
+                    break
+        out[name] = hits
     return out
 
 
