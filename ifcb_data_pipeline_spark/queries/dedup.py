@@ -2,7 +2,7 @@
 
 The sf corpus has no natural duplicates, so every query runs on an
 *augmented corpus*: ``documents`` plus a deterministic mutated copy of
-every 25th doc (id+10000, text truncated to its first 70% of tokens) —
+every 25th doc (id+M with corpus-derived M = greatest(10000, max(doc_id)+1), text truncated to its first 70% of tokens) —
 guaranteed true near-duplicate pairs, constructed identically in both
 engines.
 """
@@ -26,19 +26,52 @@ from . import register
 from ._util import dround, dround_sql, tables
 
 # --- shared augmented corpus ----------------------------------------------
+# Variant ids are CORPUS-DERIVED (VERDICT r10 item 6 / ADVICE r9): the
+# planted near-duplicate of doc d gets id d + M with
+# M = greatest(10000, max(doc_id) + 1), the dd16 pattern with a floor.
+# The floor keeps M == 10000 — and therefore every output, value-hash,
+# and physical-plan literal — bit-identical at all shipped SFs (max
+# doc_id is 4,999 at sf0.1, so no green driver row is displaced by this
+# migration), while a corpus whose ids reach 10,000 now derives a
+# collision-free offset instead of silently aliasing variants onto real
+# documents.  Both engines and the pure-Python replays compute M from
+# the same construction.
 
 CORPUS_SQL = """
+m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
 corpus AS (
     SELECT doc_id AS doc, lower(text) AS text FROM documents
     UNION ALL
-    SELECT doc_id + 10000,
+    SELECT doc_id + m.m,
            array_to_string(
                string_split(lower(text), ' ')[1:greatest(1,
                    (len(string_split(lower(text), ' ')) * 7) // 10)],
                ' ')
-    FROM documents WHERE doc_id % 25 = 0
+    FROM documents, m WHERE doc_id % 25 = 0
 )
 """
+
+# memoized per (sf_dir, table): the test tables are immutable, so the
+# 1-row bounded max(id) action (same adjudicated class as dd16's
+# max(doc_id) collect below) runs once per table per process
+_VARIANT_M: dict[tuple[str, str], int] = {}
+
+
+def variant_offset(
+    spark: SparkSession, sf_dir: str, table: str = "documents", id_col: str = "doc_id"
+) -> int:
+    """Corpus-derived planted-variant id offset: greatest(10000, max(id)+1).
+
+    At 100 TB this is a parquet-footer-stats max over one column — a
+    bounded 1-row driver action, not a data motion; the result feeds the
+    plan as a literal so consumers' physical plans stay collect-free.
+    """
+    key = (sf_dir, table)
+    if key not in _VARIANT_M:
+        (tbl,) = tables(spark, sf_dir, table)
+        mx = tbl.agg(F.max(id_col)).collect()[0][0]
+        _VARIANT_M[key] = max(10000, int(mx) + 1)
+    return _VARIANT_M[key]
 
 SHINGLES_SQL = (
     CORPUS_SQL
@@ -56,13 +89,14 @@ sh AS (
 
 def corpus_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    m = variant_offset(spark, sf_dir)
     base = documents.select(
         F.col("doc_id").alias("doc"), F.lower("text").alias("text")
     )
     w = F.split(F.lower(F.col("text")), " ")
     keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
     mutated = documents.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc"),
+        (F.col("doc_id") + F.lit(m)).alias("doc"),
         F.array_join(F.slice(w, 1, keep), " ").alias("text"),
     )
     return base.unionByName(mutated)
@@ -232,11 +266,12 @@ def _sig_sql(b: int) -> str:
 
 
 DD5_SQL = f"""
-WITH e AS (
+WITH vm AS (SELECT greatest(10000, max(vec_id) + 1) AS m FROM embeddings),
+e AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     UNION ALL
-    SELECT vec_id + 10000, [x * 1.5 FOR x IN embedding::DOUBLE[]]
-    FROM embeddings WHERE vec_id % 50 = 0
+    SELECT vec_id + vm.m, [x * 1.5 FOR x IN embedding::DOUBLE[]]
+    FROM embeddings, vm WHERE vec_id % 50 = 0
 ),
 coded AS (
     {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_sig_sql(b)} AS sig FROM e" for b in range(_DD5_BANDS))}
@@ -266,7 +301,7 @@ def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     scaled = embeddings.where(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") + 10000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(variant_offset(spark, sf_dir, "embeddings", "vec_id"))).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias("v"),
     )
     e = base.unionByName(scaled)
@@ -550,11 +585,12 @@ def dd8_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the md5 key), then a key-balanced join back — one shuffle on a
 # uniform hash key at any corpus size.
 DD9_SQL = """
-WITH corpus AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+corpus AS (
     SELECT doc_id AS doc, text FROM documents
     UNION ALL
-    SELECT doc_id + 20000, '  ' || upper(text) || ' !!'
-    FROM documents WHERE doc_id % 20 = 0
+    SELECT doc_id + 2 * m.m, '  ' || upper(text) || ' !!'
+    FROM documents, m WHERE doc_id % 20 = 0
 ),
 normed AS (
     SELECT doc,
@@ -577,7 +613,7 @@ def dd9_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     base = documents.select(F.col("doc_id").alias("doc"), "text")
     mutated = documents.where(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 20000).alias("doc"),
+        (F.col("doc_id") + F.lit(2 * variant_offset(spark, sf_dir))).alias("doc"),
         F.concat(F.lit("  "), F.upper("text"), F.lit(" !!")).alias("text"),
     )
     corpus = base.unionByName(mutated)
@@ -616,19 +652,20 @@ def dd9_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # joins against broadcast frames (contrast dd2, whose self-join must
 # shuffle on the band key).
 DD10_SQL = """
-WITH train AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+train AS (
     SELECT doc_id AS doc, lower(text) AS text FROM documents
     WHERE source <> 'src0'
 ),
 eval AS (
-    SELECT doc_id + 50000 AS doc, lower(text) AS text FROM documents
+    SELECT doc_id + 5 * m.m AS doc, lower(text) AS text FROM documents, m
     WHERE source = 'src0'
     UNION ALL
-    SELECT doc_id + 60000,
+    SELECT doc_id + 6 * m.m,
            array_to_string(
                string_split(lower(text), ' ')[1:greatest(1,
                    (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
-    FROM documents WHERE source <> 'src0' AND doc_id % 10 = 0
+    FROM documents, m WHERE source <> 'src0' AND doc_id % 10 = 0
 ),
 both_sides AS (
     SELECT doc, text, FALSE AS is_eval FROM train
@@ -688,10 +725,13 @@ def dd10_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
     eval_side = (
         documents.where(F.col("source") == "src0")
-        .select((F.col("doc_id") + 50000).alias("doc"), F.lower("text").alias("text"))
+        .select(
+            (F.col("doc_id") + F.lit(5 * variant_offset(spark, sf_dir))).alias("doc"),
+            F.lower("text").alias("text"),
+        )
         .unionByName(
             documents.where((F.col("source") != "src0") & (F.col("doc_id") % 10 == 0)).select(
-                (F.col("doc_id") + 60000).alias("doc"),
+                (F.col("doc_id") + F.lit(6 * variant_offset(spark, sf_dir))).alias("doc"),
                 F.array_join(F.slice(w, 1, keep), " ").alias("text"),
             )
         )
@@ -1019,7 +1059,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- DD14: LSH recall evaluation against the planted ground truth -----------
 # The eval loop every production dedup pipeline needs: the augmented
-# corpus PLANTS its near-duplicates (doc d ↔ d+10000 for d % 25 = 0),
+# corpus PLANTS its near-duplicates (doc d ↔ d+M for d % 25 = 0, M the corpus-derived offset),
 # so candidate-generation recall is measurable exactly — what fraction
 # of true pairs does dd2/dd6's banded MinHash-LSH (16 hashes × 8 bands)
 # surface as candidates?  Output is one audit row: true pairs, hits,
@@ -1050,8 +1090,8 @@ cand AS (
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 ),
 truth AS (
-    SELECT doc_id AS src, doc_id + 10000 AS dst
-    FROM documents WHERE doc_id % 25 = 0
+    SELECT doc_id AS src, doc_id + m.m AS dst
+    FROM documents, m WHERE doc_id % 25 = 0
 ),
 hit AS (
     SELECT count(*)::BIGINT AS n_hit
@@ -1081,7 +1121,8 @@ def dd14_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     truth = documents.where(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("src"), (F.col("doc_id") + 10000).alias("dst")
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + F.lit(variant_offset(spark, sf_dir))).alias("dst"),
     )
     nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
     nh = truth.join(cand, ["src", "dst"], "left_semi").agg(
@@ -1150,8 +1191,8 @@ mh AS (
 ),
 {",".join(f"b{b} AS ({_dd15_bands_sql(b, r)})" for b, r in _DD15_CONFIGS)},
 truth AS (
-    SELECT doc_id AS src, doc_id + 10000 AS dst
-    FROM documents WHERE doc_id % 25 = 0
+    SELECT doc_id AS src, doc_id + m.m AS dst
+    FROM documents, m WHERE doc_id % 25 = 0
 ),
 nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
 cfg AS ({" UNION ALL ".join(_dd15_cfg_sql(b, r) for b, r in _DD15_CONFIGS)})
@@ -1167,7 +1208,8 @@ def dd15_lsh_parameter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=3)
     sigs = minhash_signatures(sh, num_hashes=16).localCheckpoint()
     truth = documents.where(F.col("doc_id") % 25 == 0).select(
-        F.col("doc_id").alias("src"), (F.col("doc_id") + 10000).alias("dst")
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") + F.lit(variant_offset(spark, sf_dir))).alias("dst"),
     )
     nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
     outs = []
@@ -1346,7 +1388,7 @@ def dd16_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min container id — dd16's exact integer argmax shape, no window) and
 # emit a drop verdict at coverage ≥ 0.8.  Runs on the shared augmented
 # corpus (every 25th doc gets a 70%-prefix truncated re-crawl at
-# id+10000), so the drop branch provably fires.  k=6 shingles: long
+# id+M), so the drop branch provably fires.  k=6 shingles: long
 # enough that natural cross-doc collisions are noise, short enough that
 # the 7-token truncation of the shortest (10-token) document still
 # yields shingles.  Scale shape: inverted 6-gram index with a df≤20

@@ -20,6 +20,7 @@ from ..operators.joins import (
 )
 from . import register
 from ._util import LAT_SQL, LON_SQL, dround, lat_expr, lon_expr, tables
+from .dedup import variant_offset
 
 
 # --- J1: the 7-way left-join enrichment chain ------------------------------
@@ -614,7 +615,8 @@ def j8b_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a single balanced shuffle (or zero with bucketed snapshot tables,
 # plans/bucketing.py).
 I8_SQL = """
-WITH old AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+old AS (
     SELECT doc_id, md5(text) AS h FROM documents
 ),
 new AS (
@@ -622,8 +624,8 @@ new AS (
                             ELSE text END) AS h
     FROM documents WHERE doc_id % 30 <> 0
     UNION ALL
-    SELECT doc_id + 30000, md5('minted for ' || doc_id::VARCHAR)
-    FROM documents WHERE doc_id % 30 = 0
+    SELECT doc_id + 3 * m.m, md5('minted for ' || doc_id::VARCHAR)
+    FROM documents, m WHERE doc_id % 30 = 0
 )
 SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
        CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -647,7 +649,7 @@ def i8_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("h"),
     )
     minted = documents.where(F.col("doc_id") % 30 == 0).select(
-        (F.col("doc_id") + 30000).alias("doc_id"),
+        (F.col("doc_id") + F.lit(3 * variant_offset(spark, sf_dir))).alias("doc_id"),
         F.md5(F.concat(F.lit("minted for "), F.col("doc_id").cast("string"))).alias(
             "h"
         ),

@@ -33,17 +33,19 @@ from pyspark.sql import functions as F
 from ..operators.text import STOPWORDS
 from . import register
 from ._util import HASH32_SQL, dround, hash32, tables
+from .dedup import variant_offset
 
 _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 TP1_SQL = f"""
-WITH corpus AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+corpus AS (
     SELECT doc_id AS doc, lang, lower(text) AS text FROM documents
     UNION ALL
-    SELECT doc_id + 10000, lang,
+    SELECT doc_id + m.m, lang,
            array_to_string(string_split(lower(text), ' ')[1:greatest(1,
                (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
-    FROM documents WHERE doc_id % 25 = 0
+    FROM documents, m WHERE doc_id % 25 = 0
 ),
 scored AS (
     SELECT doc, lang, text,
@@ -90,7 +92,7 @@ def tp1_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.lower(F.col("text")), " ")
     keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
     mutated = documents.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc"),
+        (F.col("doc_id") + F.lit(variant_offset(spark, sf_dir))).alias("doc"),
         "lang",
         F.array_join(F.slice(w, 1, keep), " ").alias("text"),
     )
@@ -168,7 +170,8 @@ _TP2_CODED = " UNION ALL ".join(
 )
 
 TP2_SQL = f"""
-WITH base AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+base AS (
     SELECT d.doc_id AS doc, d.lang, lower(d.text) AS text,
            e.embedding::DOUBLE[] AS v
     FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
@@ -176,8 +179,8 @@ WITH base AS (
 corpus AS (
     SELECT * FROM base
     UNION ALL
-    SELECT doc + 10000, lang, text, [x * 1.5 FOR x IN v]
-    FROM base WHERE doc % 10 = 0
+    SELECT doc + m.m, lang, text, [x * 1.5 FOR x IN v]
+    FROM base, m WHERE doc % 10 = 0
 ),
 coded AS (
     {_TP2_CODED}
@@ -231,7 +234,7 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     scaled = base.where(F.col("doc") % 10 == 0).select(
-        (F.col("doc") + 10000).alias("doc"),
+        (F.col("doc") + F.lit(variant_offset(spark, sf_dir))).alias("doc"),
         "lang",
         "n_tok",
         F.transform("v", lambda x: x * 1.5).alias("v"),
@@ -284,15 +287,16 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # derived like i8: every 30th doc dropped, every 25th rewritten, one
 # fresh doc minted per dropped one.
 TP3_SQL = f"""
-WITH v2 AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+v2 AS (
     SELECT doc_id AS doc, lang,
            CASE WHEN doc_id % 25 = 0 THEN 'rewritten: ' || lower(text)
                 ELSE lower(text) END AS text,
            (doc_id % 25 = 0) AS is_delta
     FROM documents WHERE doc_id % 30 <> 0
     UNION ALL
-    SELECT doc_id + 30000, lang, 'fresh copy ' || lower(text), TRUE
-    FROM documents WHERE doc_id % 30 = 0
+    SELECT doc_id + 3 * m.m, lang, 'fresh copy ' || lower(text), TRUE
+    FROM documents, m WHERE doc_id % 30 = 0
 ),
 carried AS (
     SELECT doc, len(string_split(text, ' '))::INT AS n_tok FROM v2
@@ -342,7 +346,7 @@ def tp3_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 25 == 0).alias("is_delta"),
     )
     minted = documents.where(F.col("doc_id") % 30 == 0).select(
-        (F.col("doc_id") + 30000).alias("doc"),
+        (F.col("doc_id") + F.lit(3 * variant_offset(spark, sf_dir))).alias("doc"),
         "lang",
         F.concat(F.lit("fresh copy "), F.lower("text")).alias("text"),
         F.lit(True).alias("is_delta"),
@@ -442,13 +446,14 @@ def tp4_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 # funnel rows come from one conditional aggregation + a 4-row unpivot —
 # never four scans of the corpus.  Token counts are exact BIGINTs.
 TP5_SQL = f"""
-WITH corpus AS (
+WITH m AS (SELECT greatest(10000, max(doc_id) + 1) AS m FROM documents),
+corpus AS (
     SELECT doc_id AS doc, lang, lower(text) AS text FROM documents
     UNION ALL
-    SELECT doc_id + 10000, lang,
+    SELECT doc_id + m.m, lang,
            array_to_string(string_split(lower(text), ' ')[1:greatest(1,
                (len(string_split(lower(text), ' ')) * 7) // 10)], ' ')
-    FROM documents WHERE doc_id % 25 = 0
+    FROM documents, m WHERE doc_id % 25 = 0
 ),
 scored AS (
     SELECT doc, lang,
@@ -499,7 +504,7 @@ def tp5_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split(F.lower(F.col("text")), " ")
     keep = F.greatest(F.floor(F.size(w) * 7 / 10).cast("int"), F.lit(1))
     mutated = documents.where(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc"),
+        (F.col("doc_id") + F.lit(variant_offset(spark, sf_dir))).alias("doc"),
         "lang",
         F.array_join(F.slice(w, 1, keep), " ").alias("text"),
     )

@@ -236,9 +236,12 @@ def test_a22_matches_bruteforce_small(spark):
 
 def test_dd10_flags_planted_leaks(spark, sf_dir):
     """Most of the deliberately planted 70%-truncated leaks (eval ids
-    >= 60000) must be flagged — the fuzzy detector's whole point."""
+    >= 6M, M the corpus-derived offset) must be flagged — the fuzzy detector's whole point."""
     rows = REG["dd10_fuzzy_decontamination"].fn(spark, sf_dir).collect()
-    planted_hits = {r["train_doc"] for r in rows if r["eval_doc"] >= 60000}
+    m = max(10000, duckdb.sql(
+        f"SELECT max(doc_id) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0] + 1)  # the engine's corpus-derived offset
+    planted_hits = {r["train_doc"] for r in rows if r["eval_doc"] >= 6 * m}
     n_planted = duckdb.sql(
         f"SELECT count(*) FROM '{sf_dir}/documents.parquet' "
         f"WHERE source <> 'src0' AND doc_id % 10 = 0"
@@ -690,12 +693,13 @@ def test_dd12_finds_planted_truncations(spark):
             f"SELECT doc_id, text FROM '{SMALL_SF}/documents.parquet'"
         ).fetchall()
     }
+    m = max(10000, max(docs) + 1)  # the engine's corpus-derived offset
     corpus = dict(docs)
     for did, text in docs.items():
         if did % 25 == 0:
             w = text.split(" ")
             keep = max(1, (len(w) * 7) // 10)
-            corpus[did + 10000] = " ".join(w[:keep])
+            corpus[did + m] = " ".join(w[:keep])
 
     def sh(text):
         w = text.split(" ")
@@ -724,10 +728,10 @@ def test_dd12_finds_planted_truncations(spark):
         for r in REG["dd12_containment_pairs"].fn(spark, SMALL_SF).collect()
     }
     assert got == expected
-    planted = [d for d in docs if d % 25 == 0 and sets[d + 10000]]
+    planted = [d for d in docs if d % 25 == 0 and sets[d + m]]
     assert planted
     for d in planted:
-        pair = got.get((d, d + 10000))
+        pair = got.get((d, d + m))
         assert pair is not None and pair[1] == 1.0, (d, pair)
 
 

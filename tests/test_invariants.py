@@ -528,12 +528,13 @@ def test_dd17_pure_python_containment_recompute(spark):
 
     sf = "/root/testdata/sf0.001"
     docs = duckdb.sql(f"SELECT doc_id, text FROM '{sf}/documents.parquet'").fetchall()
+    m = max(10000, max(d for d, _ in docs) + 1)  # engine's derived offset
     corpus = {d: t.lower() for d, t in docs}
     for d, t in docs:
         if d % 25 == 0:
             w = t.lower().split(" ")
             keep = max((len(w) * 7) // 10, 1)
-            corpus[d + 10000] = " ".join(w[:keep])
+            corpus[d + m] = " ".join(w[:keep])
     sh = {}
     for d, t in corpus.items():
         w = t.split(" ")
@@ -586,7 +587,7 @@ def test_dd17_pure_python_containment_recompute(spark):
     # construction rather than a `>= 10000` threshold — the threshold
     # inherits CORPUS_SQL's fixed offset and would silently misclassify
     # natural docs once a corpus's id range reaches 10000.
-    planted_ids = {d + 10000 for d, _ in docs if d % 25 == 0}
+    planted_ids = {d + m for d, _ in docs if d % 25 == 0}
     planted = [d for d in got if d in planted_ids]
     assert len(planted) >= 15, "most planted truncations must be caught"
     for d in planted:

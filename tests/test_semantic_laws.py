@@ -765,6 +765,15 @@ def _docs():
     ).fetchall()
 
 
+def _doc_m() -> int:
+    """The engine's corpus-derived planted-variant offset
+    (queries/dedup.variant_offset): greatest(10000, max(doc_id) + 1),
+    re-derived here from the same construction the replays load, so the
+    planted-id spaces track the corpus at any SF instead of inheriting
+    a fixed threshold (VERDICT r10 item 6)."""
+    return max(10000, max(d for d, *_ in _docs()) + 1)
+
+
 def test_tx5_matches_counter_vocab(spark):
     """Top-50 vocabulary re-derived with collections.Counter over
     distinct (doc, token) must match token, doc_freq and rank exactly."""
@@ -1281,10 +1290,11 @@ def test_dd5_matches_bruteforce_lsh_replay(spark):
     from collections import defaultdict
 
     V, _ = _vecs()
+    vm = max(10000, max(V) + 1)  # the engine's embeddings-derived offset
     corpus = dict(V)
     for vid in list(V):
         if vid % 50 == 0:
-            corpus[vid + 10000] = [x * 1.5 for x in V[vid]]
+            corpus[vid + vm] = [x * 1.5 for x in V[vid]]
     planes = [
         [
             1.0 if hashlib.md5(f"{p}#{i}".encode()).hexdigest()[0] >= "8" else -1.0
@@ -1316,8 +1326,8 @@ def test_dd5_matches_bruteforce_lsh_replay(spark):
     }
     assert got == expected
     for vid in corpus:
-        if vid >= 10000:
-            assert got.get((vid - 10000, vid), 0.0) >= 0.999999, (
+        if vid >= vm:
+            assert got.get((vid - vm, vid), 0.0) >= 0.999999, (
                 "scaled copy must be caught at cos ~ 1.0 (sign bits invariant)"
             )
 
@@ -1393,11 +1403,12 @@ def test_i8_matches_dict_diff_replay(spark):
     import hashlib
 
     md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    m = _doc_m()
     old, new = {}, {}
     for d, t, *_ in _docs():
         old[d] = md5(t)
         if d % 30 == 0:
-            new[d + 30000] = md5(f"minted for {d}")
+            new[d + 3 * m] = md5(f"minted for {d}")
         else:
             new[d] = md5(f"rewritten: {t}" if d % 25 == 0 else t)
     expected = {}
@@ -1517,13 +1528,14 @@ def test_tp5_matches_python_funnel_replay(spark):
     from ifcb_data_pipeline_spark.operators.text import STOPWORDS
 
     sw = set(STOPWORDS)
+    m = _doc_m()
     corpus = []
     for d, t, lang, _ in _docs():
         corpus.append((d, lang, t.lower()))
         if d % 25 == 0:
             w = t.lower().split(" ")
             keep = max((len(w) * 7) // 10, 1)
-            corpus.append((d + 10000, lang, " ".join(w[:keep])))
+            corpus.append((d + m, lang, " ".join(w[:keep])))
     flagged = []
     for d, lang, text in corpus:
         w = text.split(" ")
@@ -1569,12 +1581,13 @@ def test_dd4b_matches_counter_jaccard_replay(spark):
     shingles, df<=50 cut, exact i/(na+nb-i) division)."""
     from collections import Counter, defaultdict
 
+    m = _doc_m()
     corpus = {}
     for d, t, *_ in _docs():
         corpus[d] = t.lower()
         if d % 25 == 0:
             w = t.lower().split(" ")
-            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+            corpus[d + m] = " ".join(w[: max((len(w) * 7) // 10, 1)])
     sh = {}
     for d, t in corpus.items():
         w = t.split(" ")
@@ -2086,12 +2099,13 @@ def test_dd4_matches_counter_jaccard_replay(spark):
     independently."""
     from collections import defaultdict
 
+    m = _doc_m()
     corpus = {}
     for d, t, *_ in _docs():
         corpus[d] = t.lower()
         if d % 25 == 0:
             w = t.lower().split(" ")
-            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+            corpus[d + m] = " ".join(w[: max((len(w) * 7) // 10, 1)])
     sh = {}
     for d, t in corpus.items():
         w = t.split(" ")
@@ -2318,17 +2332,18 @@ def test_dd10_matches_minhash_replay(spark):
         w = text.split(" ")
         return {" ".join(w[i : i + 3]) for i in range(max(len(w) - 2, 1))}
 
+    m = _doc_m()
     train, eval_side = {}, {}
     for d, t, _lang, src in _docs():
         t = t.lower()
         if src == "src0":
-            eval_side[d + 50000] = t
+            eval_side[d + 5 * m] = t
         else:
             train[d] = t
             if d % 10 == 0:
                 w = t.split(" ")
                 keep = max(math.floor(len(w) * 7 / 10), 1)
-                eval_side[d + 60000] = " ".join(w[:keep])
+                eval_side[d + 6 * m] = " ".join(w[:keep])
     t_sig = {d: sig_of(shingles_of(t)) for d, t in train.items()}
     e_sig = {d: sig_of(shingles_of(t)) for d, t in eval_side.items()}
     buckets = defaultdict(set)
@@ -2349,11 +2364,11 @@ def test_dd10_matches_minhash_replay(spark):
         for r in REGISTRY["dd10_fuzzy_decontamination"].fn(spark, SF_SMOKE).collect()
     }
     assert got == expected
-    assert any(e >= 60000 for _tr, e in expected), (
+    assert any(e >= 6 * m for _tr, e in expected), (
         "truncation plants must survive the band join"
     )
     for (tr, e), est in expected.items():
-        if e >= 60000 and tr == e - 60000:
+        if e >= 6 * m and tr == e - 6 * m:
             assert est >= 0.5
 
 
@@ -2367,12 +2382,13 @@ def test_dd12_matches_counter_containment_replay(spark):
     of the smaller set."""
     from collections import Counter, defaultdict
 
+    m = _doc_m()
     corpus = {}
     for d, t, *_ in _docs():
         corpus[d] = t.lower()
         if d % 25 == 0:
             w = t.lower().split(" ")
-            corpus[d + 10000] = " ".join(w[: max((len(w) * 7) // 10, 1)])
+            corpus[d + m] = " ".join(w[: max((len(w) * 7) // 10, 1)])
     sh = {}
     for d, t in corpus.items():
         w = t.split(" ")
@@ -2406,7 +2422,7 @@ def test_dd12_matches_counter_containment_replay(spark):
     assert got == expected
     full_cover = [
         (a, b) for (a, b), (cab, cba) in expected.items()
-        if b == a + 10000 and kept[b] <= kept[a]
+        if b == a + m and kept[b] <= kept[a]
     ]
     assert full_cover, "subset plants must appear"
     for a, b in full_cover:
@@ -2457,6 +2473,7 @@ def test_tp3_matches_python_delta_replay(spark):
 
     STOP = {"the", "a", "and", "of", "to", "in", "is"}
     got = _run(spark, "tp3_incremental_refresh")
+    m = _doc_m()
     v2 = {}
     for d, t, lang, _src in _docs():
         t = t.lower()
@@ -2466,7 +2483,7 @@ def test_tp3_matches_python_delta_replay(spark):
             else:
                 v2[d] = (lang, t, False)
         else:
-            v2[d + 30000] = (lang, "fresh copy " + t, True)
+            v2[d + 3 * m] = (lang, "fresh copy " + t, True)
     exp = {}
     for doc, (lang, text, is_delta) in v2.items():
         ws = text.split(" ")
@@ -2626,7 +2643,7 @@ def test_mm9_matches_closed_form_dhash(spark):
 # --- dd14/dd15: MinHash-LSH recall audit + S-curve parameter sweep ----------
 #
 # Both queries share one stack: corpus (500 docs + planted 70%-prefix
-# truncations at doc_id+10000 for doc_id%25==0) -> distinct 3-word
+# truncations at doc_id+M for doc_id%25==0) -> distinct 3-word
 # shingles -> 16 Kirsch-Mitzenmacher MinHashes (md5-derived h1/h2, h2
 # forced odd, mod 2^32) -> banded equi-join candidates.  The replay
 # below re-derives every stage from the raw parquet with hashlib +
@@ -2638,6 +2655,7 @@ def _lsh_minhash_replay():
     from collections import defaultdict
 
     docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    m = max(10000, int(docs["doc_id"].max()) + 1)
     corpus = {}
     for did, text in zip(docs["doc_id"], docs["text"]):
         did = int(did)
@@ -2645,7 +2663,7 @@ def _lsh_minhash_replay():
         corpus[did] = t
         if did % 25 == 0:
             w = t.split(" ")
-            corpus[did + 10000] = " ".join(w[: max(1, (len(w) * 7) // 10)])
+            corpus[did + m] = " ".join(w[: max(1, (len(w) * 7) // 10)])
     sigs = {}
     for doc, t in corpus.items():
         w = t.split(" ")
@@ -2674,7 +2692,7 @@ def _lsh_minhash_replay():
                     cand.add((members[i], members[j]))
         return cand
 
-    truth = {(d, d + 10000) for d in corpus if d < 10000 and d % 25 == 0}
+    truth = {(d, d + m) for d in corpus if d < m and d % 25 == 0}
     return candidates, truth
 
 
@@ -3726,6 +3744,7 @@ def test_mm6_augmentation_panel_laws(spark):
 
 def _replay_corpus_shingles():
     docs = pd.read_parquet(f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text"])
+    m = max(10000, int(docs["doc_id"].max()) + 1)
     corpus = {}
     for did, text in zip(docs["doc_id"], docs["text"]):
         did = int(did)
@@ -3733,7 +3752,7 @@ def _replay_corpus_shingles():
         corpus[did] = t
         if did % 25 == 0:
             w = t.split(" ")
-            corpus[did + 10000] = " ".join(w[: max(1, (len(w) * 7) // 10)])
+            corpus[did + m] = " ".join(w[: max(1, (len(w) * 7) // 10)])
     shingles = {
         doc: {
             " ".join(t.split(" ")[i : i + 3])
@@ -3741,14 +3760,14 @@ def _replay_corpus_shingles():
         }
         for doc, t in corpus.items()
     }
-    return corpus, shingles
+    return corpus, shingles, m
 
 
 def test_dd3_simhash_bitvote_replay(spark):
     import hashlib
 
     got = _run(spark, "dd3_simhash")
-    _, shingles = _replay_corpus_shingles()
+    _, shingles, m = _replay_corpus_shingles()
     exp = {}
     for doc, sh in shingles.items():
         votes = [0] * 32
@@ -3763,11 +3782,11 @@ def test_dd3_simhash_bitvote_replay(spark):
     # SimHash locality law: planted 70%-prefix variants must be closer
     # in Hamming distance (on average) than random doc pairs
     planted = [
-        bin(exp[d] ^ exp[d + 10000]).count("1")
+        bin(exp[d] ^ exp[d + m]).count("1")
         for d in exp
-        if d < 10000 and d % 25 == 0 and d + 10000 in exp
+        if d < m and d % 25 == 0 and d + m in exp
     ]
-    base_docs = sorted(d for d in exp if d < 10000)
+    base_docs = sorted(d for d in exp if d < m)
     rand = [
         bin(exp[base_docs[i]] ^ exp[base_docs[-1 - i]]).count("1")
         for i in range(min(40, len(base_docs) // 2))
@@ -4157,7 +4176,7 @@ def test_dd7_dedup_materialize_replay(spark):
     edges = candidates(8, 2)
     nodes = sorted({n for e in edges for n in e})
     comp = _uf_components(edges, nodes)
-    corpus, _ = _replay_corpus_shingles()
+    corpus, _, _ = _replay_corpus_shingles()
     assert len(got) == len(corpus)
     for r in got.itertuples():
         d = int(r.doc)
@@ -4827,6 +4846,7 @@ def test_tp2_multimodal_corpus_full_replay(spark):
     docs = pd.read_parquet(
         f"{SF_SMOKE}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    m = max(10000, int(docs["doc_id"].max()) + 1)
     emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet", columns=["vec_id", "embedding"])
     vec_of = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
     corpus = {}
@@ -4837,7 +4857,7 @@ def test_tp2_multimodal_corpus_full_replay(spark):
         n_tok = len(r.text.lower().split(" "))
         corpus[d] = (r.lang, n_tok, vec_of[d])
         if d % 10 == 0:
-            corpus[d + 10000] = (r.lang, n_tok, [x * 1.5 for x in vec_of[d]])
+            corpus[d + m] = (r.lang, n_tok, [x * 1.5 for x in vec_of[d]])
     # sign-LSH replay: 16 md5-spec planes, 4 bands x 4 rows
     planes = [
         [
@@ -4887,7 +4907,7 @@ def test_tp2_multimodal_corpus_full_replay(spark):
     # laws: every planted x1.5-scaled copy is cosine-identical to its
     # base, so LSH recall on them is 1.0 — no variant id survives; the
     # token gate holds; the hash split is roughly 80/20
-    assert not (got["doc"] >= 10000).any()
+    assert not (got["doc"] >= m).any()
     assert (got["n_tok"] >= 10).all()
     frac = (got["split"] == "train").mean()
     assert 0.6 < frac < 0.95
@@ -5212,7 +5232,7 @@ def test_dd2_minhash_estimate_replay(spark):
     import hashlib
 
     got = _run(spark, "dd2_minhash_lsh")
-    corpus, shingles = _replay_corpus_shingles()
+    corpus, shingles, _ = _replay_corpus_shingles()
     sigs = {}
     for doc, sh in shingles.items():
         mins = [1 << 40] * 16
