@@ -62,11 +62,44 @@ def run_query(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def machine_probe() -> dict:
+    """Code-independent run-condition probe (~1 s): a fixed single-thread
+    Python spin and a fixed 8-thread sha256 burst.  Emitted into the
+    bench tail so a reader can divide machine drift out of the headline
+    before reading a delta as a regression — round-10/11 forensics
+    showed this box's single-thread rate alone swings ~1.4x and its
+    parallel throughput up to 20x between co-tenancy windows
+    (MACHINE_BASELINE.jsonl; tools/machine_baseline.py has the long
+    form).  Spin is pinned BEFORE the suite so both numbers describe
+    the same window the measurements ran in."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(2_000_000):
+        x += i * 3 // 2
+    spin = time.perf_counter() - t0
+    blob = b"x" * 1_000_000
+
+    def work(_):
+        for _ in range(100):
+            hashlib.sha256(blob).digest()
+
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(work, range(8)))
+    sha = time.perf_counter() - t0
+    assert x > 0
+    return {"spin_s": round(spin, 3), "sha8_s": round(sha, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     registry = load_all()
     spark = get_spark("ifcb-bench")
+    probe_before = machine_probe()
 
     # Warm pass: run the whole headline set once unmeasured so the timed
     # pass measures the steady-state plan (codegen compiled, parquet
@@ -106,6 +139,16 @@ def main() -> None:
     print(
         json.dumps({"metric": "spread_detail", "spread": spread, "passes": 3}),
         file=sys.stderr,
+    )
+    # One compact (<160 B) run-conditions line ABOVE the headline: small
+    # enough that the driver's bounded stdout tail keeps both lines, and
+    # the headline stays the final line for the parser.  before/after
+    # bracket the suite — co-tenancy windows shift within minutes here.
+    probe_after = machine_probe()
+    print(
+        json.dumps(
+            {"metric": "machine_probe", "before": probe_before, "after": probe_after}
+        )
     )
     print(
         json.dumps(
