@@ -969,9 +969,16 @@ def a27_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # present -> m * ln(m / V)).  Exactness argument: 2^-M_j = 1.0 /
 # (1::BIGINT << M_j) is an exact binary fraction, the per-group sum of
 # ≤64 such terms is exact (≤ 32 significant bits) and order-insensitive,
-# so the raw branch is a single IEEE division of two exact values; the
-# correction branch is one ln() on an exact ratio of small ints — both
-# bit-identical cross-engine, making dround(.,4) measure-zero safe.
+# so the raw branch is a single IEEE division of two exact values and
+# bit-identical cross-engine.  The correction branch is NOT: JVM
+# Math.log sits 1 ulp off libm (= CPython = DuckDB) at 6 of the 63
+# possible inputs (v in {21,23,26,35,40,52} — the Math.pow(10,-5)
+# divergence class, found by this op's exhaustive parity test).  The
+# estimate is therefore quantized ONCE to integer 1e-4 units (e_u)
+# before both output columns; floor(e*1e4+0.5) is exhaustively
+# certified stable under ±2 ulp for all 63 correction inputs, so e_u —
+# hence hll_estimate (one exact int/1e4 division) and rel_err_pct (one
+# IEEE division of exact integers) — is deterministic for any data.
 # Scale shape: one orders scan -> (month, bucket) hash agg (map-side
 # partial, ≤64 rows per group survive) -> month agg; the exact twin is
 # the verification payload at SF, not part of the sketch's cost model.
@@ -1007,21 +1014,25 @@ est AS (
                 THEN 64.0 * ln(64.0 / v) ELSE e_raw END AS e
     FROM e
 ),
+q AS (
+    SELECT month, used, floor(e * 10000.0 + 0.5)::BIGINT AS e_u FROM est
+),
 x AS (
     SELECT strftime(o_orderdate, '%Y-%m') AS month,
            count(DISTINCT o_custkey)::BIGINT AS exact_distinct
     FROM orders GROUP BY month
 )
 SELECT x.month, x.exact_distinct,
-       est.used AS n_buckets_used,
-       {est4} AS hll_estimate,
+       q.used AS n_buckets_used,
+       q.e_u / 10000.0 AS hll_estimate,
        {err4} AS rel_err_pct
-FROM x JOIN est ON x.month = est.month
+FROM x JOIN q ON x.month = q.month
 """.format(
     h32=HASH32_SQL.format(x="'c' || o_custkey::VARCHAR"),
     alpha=_HLL_ALPHA_M2,
-    est4=dround_sql("est.e", 4),
-    err4=dround_sql("(est.e - x.exact_distinct) * 100.0 / x.exact_distinct", 4),
+    err4=dround_sql(
+        "(q.e_u - 10000 * x.exact_distinct)::DOUBLE / (100.0 * x.exact_distinct)", 4
+    ),
 )
 
 
@@ -1058,18 +1069,30 @@ def a28_hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(e_raw)
         .alias("e"),
     )
+    # Quantize ONCE to integer 1e-4 units before BOTH output columns:
+    # JVM Math.log is 1 ulp off libm at 6 of the 63 possible correction
+    # inputs (v in {21,23,26,35,40,52}; found by the exhaustive parity
+    # test this ships with), so downstream derivations from the raw
+    # double are not bit-portable — but floor(e*1e4+0.5) is certified
+    # stable under ±2 ulp for ALL 63 inputs, and the raw branch's e is
+    # exact arithmetic, so e_u (hence both outputs) is deterministic
+    # cross-engine for any data.
+    q = est.select(
+        "month",
+        "used",
+        F.floor(F.col("e") * 10000.0 + F.lit(0.5)).cast("long").alias("e_u"),
+    )
     x = orders.groupBy(month).agg(
         F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
     )
-    return x.join(est, "month").select(
+    return x.join(q, "month").select(
         "month",
         "exact_distinct",
         F.col("used").alias("n_buckets_used"),
-        dround(F.col("e"), 4).alias("hll_estimate"),
+        (F.col("e_u") / F.lit(10000.0)).alias("hll_estimate"),
         dround(
-            (F.col("e") - F.col("exact_distinct"))
-            * F.lit(100.0)
-            / F.col("exact_distinct"),
+            (F.col("e_u") - F.lit(10000) * F.col("exact_distinct")).cast("double")
+            / (F.lit(100.0) * F.col("exact_distinct")),
             4,
         ).alias("rel_err_pct"),
     )

@@ -150,8 +150,11 @@ def test_a28_hashlib_hll_replay(spark):
         row = got.loc[got["month"] == month].iloc[0]
         assert row["exact_distinct"] == exact
         assert row["n_buckets_used"] == used
-        assert row["hll_estimate"] == _dround(est, 4)
-        assert row["rel_err_pct"] == _dround((est - exact) * 100.0 / exact, 4)
+        est_u = math.floor(est * 10000.0 + 0.5)  # the op's 1e-4 quantization
+        assert row["hll_estimate"] == est_u / 10000.0
+        assert row["rel_err_pct"] == _dround(
+            (est_u - 10000 * exact) / (100.0 * exact), 4
+        )
         # HLL family laws: estimate positive; used <= min(m, exact) —
         # registers only fill from actual keys
         assert row["hll_estimate"] > 0
@@ -167,6 +170,56 @@ def test_a28_register_monotone_under_subset():
     _, used_half = _hll_replay(keys[:100])
     _, used_full = _hll_replay(keys)
     assert used_half <= used_full
+
+
+def test_a28_linear_counting_ln_parity_exhaustive(spark, duck):
+    """a28's small-range correction is `64 * ln(64 / v)` with v in 1..63
+    — a FINITE transcendental input domain, so the JVM-vs-libm one-ulp
+    hazard (the documented Math.pow(10,-5) divergence class, SCALE.md)
+    is checkable exhaustively rather than probabilistically.  The check
+    FOUND real divergence: JVM Math.log is 1 ulp off libm (= CPython =
+    DuckDB) at v in {21, 23, 26, 35, 40, 52} — which is why a28
+    quantizes the estimate to integer 1e-4 units (e_u) before both
+    output columns.  This test certifies the full safety argument for
+    every possible input: (a) the three engines agree within 1 ulp,
+    (b) floor(e*1e4+0.5) is stable under ±2 ulp around EACH engine's
+    value, and (c) the resulting e_u is identical across engines — so
+    a28's outputs are bit-deterministic for any data whatsoever."""
+    import math
+    import struct
+
+    def bits(x: float) -> int:
+        return struct.unpack("<q", struct.pack("<d", x))[0]
+
+    def of_bits(b: int) -> float:
+        return struct.unpack("<d", struct.pack("<q", b))[0]
+
+    rows = spark.range(1, 64).selectExpr(
+        "id AS v", "64.0 * ln(64.0 / cast(id AS double)) AS e"
+    ).collect()
+    sp = {r["v"]: r["e"] for r in rows}
+    du = dict(
+        duck.execute(
+            "SELECT v, 64.0 * ln(64.0 / v::DOUBLE) FROM"
+            " (SELECT unnest(range(1, 64)) AS v)"
+        ).fetchall()
+    )
+    known_divergent = {21, 23, 26, 35, 40, 52}
+    for v in range(1, 64):
+        py = 64.0 * math.log(64.0 / v)
+        vals = (sp[v], py, du[v])
+        spread = max(bits(x) for x in vals) - min(bits(x) for x in vals)
+        assert spread <= 1, (v, vals)
+        if spread:
+            assert v in known_divergent, f"NEW divergent input v={v}: {vals}"
+        e_us = set()
+        for x in vals:
+            base = math.floor(x * 10000.0 + 0.5)
+            e_us.add(base)
+            for ulps in (-2, -1, 1, 2):
+                nudged = math.floor(of_bits(bits(x) + ulps) * 10000.0 + 0.5)
+                assert nudged == base, (v, x, ulps)
+        assert len(e_us) == 1, (v, e_us)
 
 
 # --- layer 2+3: a29 count-min sketch ----------------------------------------
