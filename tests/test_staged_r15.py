@@ -299,3 +299,35 @@ def test_r15_checkpoint_scan_budget(spark, sf_dir):
         plan = _plan_of(spark, STAGED[name].fn, sf_dir)
         n = len(re.findall(r"\(\d+\) Scan parquet", plan))
         assert n <= max_scans, f"{name}: {n} parquet scans (budget {max_scans})"
+
+
+def test_dp13_benford_log10_parity_exhaustive(spark, duck):
+    """dp13's expected Benford mass is log10((d+1)/d) with d in 1..9 — a
+    finite transcendental domain, so certify it exhaustively (the a28
+    lesson: JVM ln diverged from libm at 6 of 63 finite inputs; the
+    random panels never caught it).  As of Spark 4.1 / DuckDB 1.x /
+    CPython 3.11 all 9 inputs agree BIT-FOR-BIT across the three
+    engines, so dp13's chi-square contributions (multiplications and
+    divisions on these shared doubles and exact counts) are
+    deterministic; this pin turns that empirical fact into a gate an
+    engine upgrade cannot silently break before dp13's registration
+    round."""
+    import math
+    import struct
+
+    def bits(x: float) -> bytes:
+        return struct.pack("<d", x)
+
+    rows = spark.range(1, 10).selectExpr(
+        "id AS d", "log10((id + 1) * 1.0 / cast(id AS double)) AS p"
+    ).collect()
+    sp = {r["d"]: r["p"] for r in rows}
+    du = dict(
+        duck.execute(
+            "SELECT d, log10((d + 1) * 1.0 / d::DOUBLE)"
+            " FROM (SELECT unnest(range(1, 10)) AS d)"
+        ).fetchall()
+    )
+    for d in range(1, 10):
+        py = math.log10((d + 1) * 1.0 / d)
+        assert bits(sp[d]) == bits(py) == bits(du[d]), (d, sp[d], py, du[d])
