@@ -65,18 +65,19 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # in; the gate is a hard 50-entry prefix cut (observed in rounds 1-4, 6-7),
 # so the first 50 names below are the round's driver-verified set.
 #
-# Round-11 rotation (per VERDICT r10 item 1 — the precomputed plan,
-# executed verbatim; CORRECTNESS_r10 landed 50/50 green so no red row
-# displaced slot 1, and tools/rotation_audit.py confirmed at round-11
+# Round-12 rotation (per VERDICT r11 item 1 — the precomputed plan,
+# executed verbatim; CORRECTNESS_r11 landed 50/50 green so no red row
+# displaced slot 1, and tools/rotation_audit.py confirmed at round-12
 # start that the plan is consistent with the artifact ladder).  Slot
 # assignment:
-#   * slots 1-4: the round-10 adds (dd18, tx15, dd19, dp12) — the
+#   * slots 1-4: the round-11 adds (dd20, a28, a29, st9) — the
 #     registry's only never-driver-checked rows.
-#   * slots 5-50: the full 46-row r7 era (alphabetical) — drains r7.
-# Max row age after this round: r8 (50 rows = 3 rounds) — round 12
-# takes 46 of them (see ROUND-12 plan below the list; the 204-entry
-# registry no longer fits a 4-round period exactly, so 4 r8-era rows
-# spill to round 13).
+#   * slots 5-50: 46 of the 50 r8-era rows (alphabetical; tx3 / tx4 /
+#     tx6 / u13b spill to round 13 — they become its staleness head).
+# Max row age after this round: the 4 spilled r8 rows (4 rounds) plus
+# the 50-row r9 era (3 rounds) — round 13 takes the spill + 42 r9 rows
+# (see ROUND-13 plan below the list).
+# Round-11 rotation rationale: see this block at commit 4d9b154.
 # Round-10 rotation rationale: see this block at commit 7beceff.
 # Round-9 rotation rationale: see this block at commit 2382228.
 # Round-8 rotation rationale and the sp6/a25 HUGEINT root-cause record:
@@ -88,103 +89,122 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 11 — the precomputed plan below, applied verbatim
-    # (CORRECTNESS_r10 was 50/50 green, so no red row displaces slot 1;
+    # ROUND 12 — the precomputed plan below, applied verbatim
+    # (CORRECTNESS_r11 was 50/50 green, so no red row displaces slot 1;
     # tools/rotation_audit.py confirmed plan/artifact consistency).
-    # slots 1-4: round-10 adds, never driver-checked
-    "dd18_url_host_dedup",
-    "tx15_tokenizer_fertility",
-    "dd19_repeated_ngram_spans",
-    "dp12_quantile_drift_gate",
-    # slots 5-50: the full r7-era ladder (46 rows) — drains r7
-    "a20_grouped_percentiles",
-    "a21_conversion_funnel",
-    "a24_salted_skew_rollup",
-    "a26_sequence_funnel",
-    "a9_class_counts",
-    "c4_taxa_resolver",
-    "c5_trophic_lookup",
-    "dd13_star_components",
-    "dd14_lsh_recall",
-    "dd15_lsh_parameter_sweep",
-    "dd9_normalized_dedup",
-    "dp1_column_profile",
-    "dp2_winsorize",
-    "dp8_exact_quantiles",
-    "dp9_mutual_information",
-    "g1_pagerank",
-    "i10_merge_upsert",
-    "i11_late_data_audit",
-    "i12_incremental_rollup",
-    "j17_point_in_time_join",
-    "j9_basin_tagging",
-    "j9b_polygon_tagging",
-    "mm11_scene_cuts",
-    "mm12_spectral_frames",
-    "mm6_augmentation_panel",
-    "o1_multi_key_sort",
-    "o3_union_by_name",
-    "o5_split_apply_union",
-    "o6_pivot_longer",
-    "o6_pivot_wider",
-    "o7_set_except",
-    "o7_set_intersect",
-    "o9_compaction_plan",
-    "sim11_mips_topk",
-    "sim12_knn_graph",
-    "sim1_cosine_topk",
-    "sim3_label_centroids",
-    "sp8_importance_resampling",
-    "st6_sliding_window_rates",
-    "st8_streaming_sessions",
-    "tp4_curriculum_order",
-    "tp6_dataset_card",
-    "w12_mad_outliers",
-    "w4_newest_topk",
-    "w5_sessionization",
-    "w9_rolling_zscore",
+    # slots 1-4: round-11 adds, never driver-checked
+    "dd20_exact_substring_dedup",
+    "a28_hll_distinct_sketch",
+    "a29_cms_heavy_hitters",
+    "st9_join_state_audit",
+    # slots 5-50: 46 of the 50 r8-era rows (alphabetical; tx3/tx4/tx6/
+    # u13b spill to round 13)
+    "a10_duplicate_detection",
+    "a11_distinct",
+    "a12_minmax_summary",
+    "a13_grid_cell_frequency",
+    "a14_monthly_histogram",
+    "a15_mean_collapse",
+    "a17_qc_sums",
+    "a18_provenance_summary",
+    "a19_cube_rollup",
+    "a1_biovolume_rollup",
+    "a25_survival_curve",
+    "a2_taxon_rollup",
+    "a3_flag_frequency",
+    "a4_monthly_stats",
+    "a5_grouped_top1",
+    "a6_bloom_categorize",
+    "a7_global_top1",
+    "a8_last_per_group",
+    "c3_name_type_split",
+    "dd1_exact_dedup",
+    "dd3_simhash",
+    "dd6_dup_clusters",
+    "dd7_dedup_materialize",
+    "dp10_anova_eta",
+    "dp7_binned_quantiles",
+    "f11_missing_position_filter",
+    "f1_select_rename",
+    "f6_regional_filter",
+    "j10_semi_join",
+    "j11_incremental_anti_join",
+    "j12_provenance_merge",
+    "j13_classlist_full_join",
+    "j1_enrichment_chain",
+    "j4b_asof_backward",
+    "j5_interval_join",
+    "j6_coalescing_fill_join",
+    "j7_full_outer_join",
+    "j8_haversine_theta_join",
+    "qf_flag_unification",
+    "s6_json_scan",
+    "sim4_ivf_search",
+    "sp1_train_test_split",
+    "sp6_domain_token_cap",
+    "tx13_bm25_topk",
+    "tx1_token_count",
+    "tx2_quality_score",
 ]
-# The round-11 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r10 landed 50/50 green, so no red row
+# The round-12 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r11 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
-# consistency).  After round 11 the r7 era is drained; the ladder is
-# 50 x r8 / 50 x r9 / 50 x r10 / 50 x r11(projected), and the registry
-# grew to 204 (the staged_r12 pool registered below the prefix), so a
-# 50-row gate no longer covers an era per round: 4 r8-era rows spill
-# one extra round (alphabetical tie-break, documented below).
+# consistency at round-12 start).  After round 12 the never-checked set
+# is exactly the 4 staged_r13 registrations (tx16/pk4/w13/sim13, below
+# the prefix this round); the staleness head is the 4 spilled r8 rows
+# (the tx3 / tx4 / tx6 / u13b keys) + the 50-row r9 era, so round 13
+# takes the spill + 42 r9 rows and 8 r9 rows spill to round 14.
 #
-# ROUND-12 ROTATION PLAN (precomputed; apply verbatim unless round-11
+# ROUND-13 ROTATION PLAN (precomputed; apply verbatim unless round-12
 # driver results dictate otherwise — a red row takes slot 1):
-#   4 round-11 adds (never driver-checked; throttle respected) take
+#   4 round-12 adds (never driver-checked; throttle respected) take
 #   slots 1-4:
-#     dd20_exact_substring_dedup, a28_hll_distinct_sketch,
-#     a29_cms_heavy_hitters, st9_join_state_audit
-#   then 46 of the 50 r8-era rows (alphabetical; the last 4 — the
-#   tx3 / tx4 / tx6 / u13b rows, named by key only so the plan parser
-#   doesn't count them — spill to round 13, becoming its staleness
-#   head after the staged_r13 adds):
-#     a10_duplicate_detection, a11_distinct, a12_minmax_summary,
-#     a13_grid_cell_frequency, a14_monthly_histogram,
-#     a15_mean_collapse, a17_qc_sums, a18_provenance_summary,
-#     a19_cube_rollup, a1_biovolume_rollup, a25_survival_curve,
-#     a2_taxon_rollup, a3_flag_frequency, a4_monthly_stats,
-#     a5_grouped_top1, a6_bloom_categorize, a7_global_top1,
-#     a8_last_per_group, c3_name_type_split, dd1_exact_dedup,
-#     dd3_simhash, dd6_dup_clusters, dd7_dedup_materialize,
-#     dp10_anova_eta, dp7_binned_quantiles,
-#     f11_missing_position_filter, f1_select_rename,
-#     f6_regional_filter, j10_semi_join, j11_incremental_anti_join,
-#     j12_provenance_merge, j13_classlist_full_join,
-#     j1_enrichment_chain, j4b_asof_backward, j5_interval_join,
-#     j6_coalescing_fill_join, j7_full_outer_join,
-#     j8_haversine_theta_join, qf_flag_unification, s6_json_scan,
-#     sim4_ivf_search, sp1_train_test_split, sp6_domain_token_cap,
-#     tx13_bm25_topk, tx1_token_count, tx2_quality_score
-# = exactly 50; with a 204-entry registry on a 50-row gate the cycle
-# period is now >4 rounds — re-run tools/rotation_audit.py at round-12
-# start once CORRECTNESS_r11.json lands (a red row there displaces
-# slot 1 by rule).
+#     tx16_bigram_vocab_coverage, pk4_cdc_chunking, w13_mad_anomaly,
+#     sim13_int8_quant_error
+#   slots 5-8: the 4 r8-era rows that spilled past round 12:
+#     tx3_lang_id, tx4_fingerprint, tx6_trigram_logprob,
+#     u13b_psd_fit_pandas
+#   then 42 of the 50 r9-era rows (alphabetical; the last 8 — the
+#   tx5 / tx7 / tx8 / tx9 / u13 / w1 / w3 / w6 keys, named here by key
+#   only so the plan parser doesn't count them — spill to round 14,
+#   becoming its staleness head after the staged_r14 adds):
+#     a27_retention_cohorts, c10_date_format, c11_encoding_fix,
+#     c12_haversine, c1_taxa_clean_cascade, c2_species_flag,
+#     c6_parse_bin_id, c8_f1_score, c9_signif_round,
+#     dd16_quality_survivor, dd2_minhash_lsh,
+#     dd8_benchmark_contamination, dp3_categorical_profile,
+#     dp4_domain_mixture, dp5_correlation_matrix, f10_timestamp_range,
+#     f12_value_threshold, f13_membership_filter, f2_gps_staleness,
+#     f3_blacklist_prefix_anti, f4_flag_removal, f7_qc_gating,
+#     f8_sentinel_normalization, j4_asof_join, mm1_multimodal_features,
+#     mm3_resize_normalize, mm4_video_frame_sample, p1_shark_export,
+#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
+#     sim2_signlsh_ann, sim5_ivf_nprobe2, sim6_embedding_quantize,
+#     sim7_filtered_ann, sim8_kmeans_refine, sp10_decontaminated_split,
+#     sp2_stratified_sample, sp3_shuffle_shards,
+#     sp4_mixture_materialize, tp1_training_corpus, tx10_tfidf_top_terms
+# = exactly 50; re-run tools/rotation_audit.py at round-13 start once
+# CORRECTNESS_r12.json lands (a red row there displaces slot 1 by
+# rule).
 # END PLAN
+#
+# POST-r15 REGISTRY ENDGAME (decided round 12, per VERDICT r11 item 6):
+# the registry FREEZES at 216 entries once the staged queue drains —
+# staged_r13 (registered this round, registry = 208), staged_r14
+# (round 13 -> 212), staged_r15 (round 14 -> 216), then NO further
+# registrations without explicit driver buy-in on a larger per-round
+# check budget (this is the SCALE.md stop-staging policy made binding).
+# Staleness math at the frozen size: 216 entries / 50-row gate = a
+# 4.32-round cycle; with 4 adds per round through r14 the per-era
+# spill is 4 rows (r8 era, round 13) then 8 rows (r9 era, round 14)
+# then 12 (r10 era, round 15); after the freeze the spill stops
+# growing and every row is re-checked within ceil(216/50) = 5 rounds,
+# stabilizing max row age at ~4.3 rounds.  Mitigation unchanged: the
+# FULL registry (every stale row) sweeps through the local bit-level
+# driver-sim mirror at 3 SFs every round, so a stale driver row is
+# never an unverified row.  If the driver ever raises the gate above
+# 50, re-derive the plans from the ladder (tools/rotation_audit.py
+# prints it) rather than patching these comments incrementally.
 
 # LAPSE-RULE ADJUDICATION (round 11, the offset migration): the
 # corpus-derived-M change (VERDICT r10 item 6) edited the ORACLE TEXT

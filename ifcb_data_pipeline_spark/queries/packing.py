@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import token_count_ws
 from . import register
-from ._util import tables
+from ._util import dround, dround_sql, tables
 
 _BUDGET = 256
 _SHARD = 64
@@ -200,4 +200,143 @@ def pk3_length_bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1000000.0
         ).alias("pad_eff"),
+    )
+
+
+# --- round-12 registered add (re-homed from queries/staged_r13.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- PK4: content-defined chunking + shared-chunk accounting -----------------
+# LBFS/rsync-style CDC: a chunk boundary sits before position p whenever
+# the 8-char gram starting at p hashes to 0 (mod 32) — expected ~32-char
+# chunks, boundaries decided by LOCAL content only, so an insertion
+# reshuffles one chunk, not the whole file (the property that makes CDC
+# the storage-dedup standard).  Chunks are content-addressed by full md5
+# (128-bit — no collision caveat); a chunk is "shared" if its content
+# occurs ≥2 times corpus-wide (across or within docs).  Scale shape:
+# boundary detection AND interval construction happen inside higher-order
+# array functions on the document row — a single narrow scan, NO window,
+# NO self-join, no re-scan of documents; the only wide ops are the
+# chunk-hash dup agg and the hash join back, both keyed on the md5
+# (uniform — salt-free).  Per-doc arrays are bounded by doc length, the
+# same bound dd20's per-doc window carries.  mean/dup_frac are int/int
+# under dround.  (Distinct from pk2_document_chunking's fixed
+# window/stride cuts: CDC boundaries are content-local.)
+PK4_SQL = r"""
+WITH starts AS (
+    SELECT doc_id, 0::BIGINT AS start FROM documents
+    UNION ALL
+    SELECT doc_id, p::BIGINT AS start
+    FROM documents, unnest(range(1, greatest(length(text) - 7, 1))) t(p)
+    WHERE (('0x' || substr(md5(substr(text, p::INTEGER + 1, 8)), 1, 8))::BIGINT)
+          % 32 = 0
+),
+iv AS (
+    SELECT s.doc_id, s.start,
+           coalesce(lead(s.start) OVER (PARTITION BY s.doc_id ORDER BY s.start),
+                    length(d.text)::BIGINT) AS fin,
+           d.text, length(d.text)::BIGINT AS n_chars
+    FROM starts s JOIN documents d USING (doc_id)
+),
+ch AS (
+    SELECT doc_id, n_chars, fin - start AS clen,
+           md5(substr(text, start::INTEGER + 1, (fin - start)::INTEGER)) AS chash
+    FROM iv
+),
+dup AS (
+    SELECT chash FROM ch GROUP BY chash HAVING count(*) >= 2
+)
+SELECT ch.doc_id,
+       count(*)::BIGINT AS n_chunks,
+       max(ch.clen)::BIGINT AS max_chunk_len,
+       {mean4} AS mean_chunk_len,
+       sum(CASE WHEN dup.chash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_shared_chunks,
+       sum(CASE WHEN dup.chash IS NOT NULL THEN ch.clen ELSE 0 END)::BIGINT
+           AS shared_chars,
+       {dupfrac6} AS dup_frac
+FROM ch LEFT JOIN dup ON ch.chash = dup.chash
+GROUP BY ch.doc_id
+""".format(
+    mean4=dround_sql("sum(ch.clen)::BIGINT * 1.0 / count(*)", 4),
+    dupfrac6=dround_sql(
+        "sum(CASE WHEN dup.chash IS NOT NULL THEN ch.clen ELSE 0 END)::BIGINT"
+        " * 1.0 / max(ch.n_chars)",
+        6,
+    ),
+)
+
+# boundary rule + interval construction as pure array expressions: one
+# narrow projection, no window, no second documents scan.  `get()` is the
+# 0-based null-safe indexer (ANSI-proof); the CASE guards Spark's
+# descending-sequence surprise for sub-9-char docs.
+_PK4_STARTS = """
+CASE WHEN length(text) >= 9 THEN
+    concat(
+        array(0L),
+        filter(
+            sequence(1L, cast(length(text) - 8 as bigint)),
+            p -> cast(conv(substring(md5(substring(text, cast(p + 1 as int), 8)),
+                                     1, 8), 16, 10) as bigint) % 32 = 0
+        )
+    )
+ELSE array(0L) END
+"""
+
+_PK4_CHUNKS = """
+transform(
+    starts,
+    (s, i) -> named_struct(
+        'clen',
+        coalesce(get(starts, i + 1), cast(length(text) as bigint)) - s,
+        'chash',
+        md5(substring(
+            text,
+            cast(s + 1 as int),
+            cast(coalesce(get(starts, i + 1), cast(length(text) as bigint)) - s
+                 as int)))
+    )
+)
+"""
+
+
+@register(
+    "pk4_cdc_chunking",
+    PK4_SQL,
+    survey_ref="beyond reference: content-defined chunking (rolling-hash "
+    "boundaries, md5-content-addressed) with corpus shared-chunk accounting",
+)
+def pk4_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    ch = (
+        documents.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars"),
+            F.expr(_PK4_STARTS).alias("starts"),
+            "text",
+        )
+        .select("doc_id", "n_chars", F.explode(F.expr(_PK4_CHUNKS)).alias("c"))
+        .select("doc_id", "n_chars", F.col("c.clen").alias("clen"), F.col("c.chash").alias("chash"))
+    )
+    dup = (
+        ch.groupBy("chash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .select("chash", F.lit(True).alias("shared"))
+    )
+    j = ch.join(dup, "chash", "left").select(
+        "doc_id", "n_chars", "clen", F.coalesce("shared", F.lit(False)).alias("shared")
+    )
+    sh1 = F.when(F.col("shared"), 1).otherwise(0)
+    shlen = F.when(F.col("shared"), F.col("clen")).otherwise(F.lit(0))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.max("clen").cast("long").alias("max_chunk_len"),
+        dround(F.sum("clen").cast("long") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+            "mean_chunk_len"
+        ),
+        F.sum(sh1).cast("long").alias("n_shared_chunks"),
+        F.sum(shlen).cast("long").alias("shared_chars"),
+        dround(F.sum(shlen).cast("long") * F.lit(1.0) / F.max("n_chars"), 6).alias(
+            "dup_frac"
+        ),
     )

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, cosine_topk, dot, label_centroids
 from . import register
-from ._util import dround, tables
+from ._util import dround, dround_sql, tables
 
 _COS_SQL = (
     "(list_inner_product({a}, {b})"
@@ -984,4 +984,167 @@ def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= 3)
         .select("src", "dst", "rank", "cos_sim")
+    )
+
+
+# --- round-12 registered add (re-homed from queries/staged_r13.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- SIM13: symmetric per-dim int8 quantization fidelity ---------------------
+# The standard ANN index compression: per-dimension symmetric int8 with
+# scale s_d = max|x_d| over the corpus, q = round_half_up(x·127/s) in
+# [-127, 127], reconstruction r = q·s/127.  Reports per-vector
+# reconstruction MSE, cosine(x, r), and saturation count — the fidelity
+# sheet an ANN deployment reads before switching the index to int8.
+# Determinism: every per-dim float term (squared error, x·r, x·x, r·r)
+# is floored onto the 1e-12 integer grid INSIDE the array fold, so the
+# per-vector sums are exact BIGINTs (quantized-sum rule); MSE and cosine
+# are then short identical chains on exact ints (two divisions; one
+# sqrt of a product of exact-int doubles), dround'd far from any
+# boundary.  Scale shape: the per-dim scale vector is a 64-row agg from
+# one narrow posexplode pass, collapsed to ONE row and broadcast (the
+# allowlisted 1-row-broadcast BNLJ frame); the corpus side then runs
+# zip_with/aggregate entirely inside the row — no explode of the fat
+# side, no shuffle besides the final nothing (output is per-vector).
+# (Distinct from sim6_embedding_quantize's per-VECTOR scale, which needs
+# no corpus pass and can't saturate — sim13 is the shared-codebook
+# calibration step.)
+SIM13_SQL = r"""
+WITH e AS (
+    SELECT vec_id, label::BIGINT AS label, i::INTEGER AS dim,
+           embedding[i::INTEGER + 1]::DOUBLE AS x,
+           len(embedding)::BIGINT AS d
+    FROM embeddings, unnest(range(len(embedding))) t(i)
+),
+s AS (
+    SELECT dim, max(abs(x)) AS s FROM e GROUP BY dim
+),
+q AS (
+    SELECT e.vec_id, e.label, e.d, e.x, s.s,
+           CASE WHEN s.s > 0
+                THEN least(127::BIGINT, greatest((-127)::BIGINT,
+                           floor(e.x * 127.0 / s.s + 0.5)::BIGINT))
+                ELSE 0::BIGINT END AS qv
+    FROM e JOIN s USING (dim)
+),
+r AS (
+    SELECT vec_id, label, d, x, qv, qv * s / 127.0 AS rx FROM q
+),
+p AS (
+    SELECT vec_id, label, d,
+           floor((x - rx) * (x - rx) * 1000000000000.0 + 0.5)::BIGINT AS e2p,
+           floor(x * rx * 1000000000000.0 + 0.5)::BIGINT AS xrp,
+           floor(x * x * 1000000000000.0 + 0.5)::BIGINT AS xxp,
+           floor(rx * rx * 1000000000000.0 + 0.5)::BIGINT AS rrp,
+           CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END AS sat
+    FROM r
+),
+g AS (
+    SELECT vec_id, label, max(d) AS n_dims,
+           sum(e2p)::BIGINT AS se2, sum(xrp)::BIGINT AS sxr,
+           sum(xxp)::BIGINT AS sxx, sum(rrp)::BIGINT AS srr,
+           sum(sat)::BIGINT AS n_saturated
+    FROM p GROUP BY vec_id, label
+)
+SELECT vec_id, label, n_dims::BIGINT AS n_dims, n_saturated,
+       {mse} AS mse_q,
+       {cos} AS cos_sim_q
+FROM g
+""".format(
+    mse=dround_sql("se2 * 1.0 / 1000000000000.0 / n_dims", 12),
+    cos=dround_sql("sxr / sqrt(sxx::DOUBLE * srr::DOUBLE)", 6),
+)
+
+_SIM13_QARR = """
+zip_with(embedding, scales, (x, s) ->
+    CASE WHEN s > 0D
+         THEN least(127L, greatest(-127L,
+              cast(floor(cast(x as double) * 127.0D / s + 0.5D) as bigint)))
+         ELSE 0L END)
+"""
+
+# each lambda floors its term onto the 1e-12 grid, then folds with an
+# exact BIGINT accumulator — the quantized-sum rule inside one array op
+_SIM13_FOLDS = {
+    "se2": (
+        "aggregate(zip_with(embedding, rxarr, (x, r) -> "
+        "cast(floor((cast(x as double) - r) * (cast(x as double) - r)"
+        " * 1000000000000.0D + 0.5D) as bigint)), 0L, (a, v) -> a + v)"
+    ),
+    "sxr": (
+        "aggregate(zip_with(embedding, rxarr, (x, r) -> "
+        "cast(floor(cast(x as double) * r * 1000000000000.0D + 0.5D) as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    ),
+    "sxx": (
+        "aggregate(transform(embedding, x -> "
+        "cast(floor(cast(x as double) * cast(x as double) * 1000000000000.0D"
+        " + 0.5D) as bigint)), 0L, (a, v) -> a + v)"
+    ),
+    "srr": (
+        "aggregate(transform(rxarr, r -> "
+        "cast(floor(r * r * 1000000000000.0D + 0.5D) as bigint)),"
+        " 0L, (a, v) -> a + v)"
+    ),
+}
+
+
+@register(
+    "sim13_int8_quant_error",
+    SIM13_SQL,
+    survey_ref="beyond reference: per-dim symmetric int8 embedding "
+    "quantization — reconstruction MSE, cosine fidelity, saturation; "
+    "zip_with/aggregate, corpus never exploded or joined fat",
+)
+def sim13_int8_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    # pass 1 (narrow + 64-row agg): per-dimension max|x| scale vector
+    dims = embeddings.select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.abs(F.col("xf").cast("double")).alias("ax"))
+    s_rows = dims.groupBy("dim").agg(F.max("ax").alias("s"))
+    scale_row = s_rows.agg(
+        F.array_sort(F.collect_list(F.struct("dim", "s"))).alias("ss")
+    ).select(F.expr("transform(ss, x -> x.s)").alias("scales"))
+    # pass 2: all per-vector math inside array higher-order functions
+    j = embeddings.crossJoin(F.broadcast(scale_row))  # 1-row broadcast side:
+    # the allowlisted bounded-frame BNLJ shape, not a data-sized cartesian
+    q = j.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.size("embedding").cast("long").alias("n_dims"),
+        "embedding",
+        F.expr(_SIM13_QARR).alias("qarr"),
+        "scales",
+    ).select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "embedding",
+        "qarr",
+        F.expr(
+            "zip_with(qarr, scales, (q, s) -> cast(q as double) * s / 127.0D)"
+        ).alias("rxarr"),
+    )
+    g = q.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        F.expr("cast(size(filter(qarr, q -> abs(q) = 127L)) as bigint)").alias(
+            "n_saturated"
+        ),
+        *[F.expr(sql).alias(k) for k, sql in _SIM13_FOLDS.items()],
+    )
+    return g.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "n_saturated",
+        dround(
+            F.col("se2") * F.lit(1.0) / F.lit(1000000000000.0) / F.col("n_dims"), 12
+        ).alias("mse_q"),
+        dround(
+            F.col("sxr")
+            / F.sqrt(F.col("sxx").cast("double") * F.col("srr").cast("double")),
+            6,
+        ).alias("cos_sim_q"),
     )

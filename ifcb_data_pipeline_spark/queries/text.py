@@ -18,7 +18,7 @@ from ..operators.text import (
     tokens,
 )
 from . import register
-from ._util import HASH32_SQL, dround, fan_out, hash32, tables
+from ._util import HASH32_SQL, dround, dround_sql, fan_out, hash32, tables
 
 
 def _in_list_sql(var: str, words: list[str]) -> str:
@@ -1527,4 +1527,95 @@ def tx15_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / 1e6
         ).alias("chars_per_token"),
+    )
+
+
+# --- round-12 registered add (re-homed from queries/staged_r13.py per the
+# registration checklist; registered BELOW the driver prefix — throttle:
+# 4 adds this round) ----------------------------------------------------------
+# --- TX16: en-trained bigram vocabulary, per-language coverage ---------------
+# The real pipeline failure this measures: a tokenizer/vocab trained on
+# the dominant language slice silently fragments the rest of the corpus.
+# Vocabulary = token bigrams of the `en` documents with count >= 3 (the
+# word2vec-style min-count df-cut); the report is per-language token-
+# occurrence coverage and distinct-OOV-type counts.  Scale shape: the
+# tokenize+bigram step is a narrow flatMap (explode over an index
+# sequence — no join, no shuffle); the vocabulary is a hash agg already
+# reduced by the min-count cut, broadcast to the occurrence stream
+# (AQE falls back to a shuffled hash join if a 100 TB corpus's vocab
+# outgrows the broadcast threshold — both plans are correct, the cut
+# keeps the build side minimal either way); the final agg is |langs|
+# rows.  Coverage is int/int under dround — exact cross-engine.
+# (Distinct from tx5_vocabulary's single global top-50 df table: tx16
+# measures the TRANSFER of a slice-trained vocab across languages.)
+TX16_SQL = r"""
+WITH d AS (
+    SELECT lang, string_split(text, ' ') AS toks FROM documents
+),
+b AS (
+    SELECT lang, toks[i::INTEGER + 1] || ' ' || toks[i::INTEGER + 2] AS bg
+    FROM d, unnest(range(len(toks) - 1)) t(i)
+),
+v AS (
+    SELECT bg FROM b WHERE lang = 'en' GROUP BY bg HAVING count(*) >= 3
+),
+f AS (
+    SELECT b.lang, b.bg, (v.bg IS NOT NULL) AS inv
+    FROM b LEFT JOIN v ON b.bg = v.bg
+)
+SELECT lang,
+       count(*)::BIGINT AS n_bigrams,
+       sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT AS n_in_vocab,
+       count(DISTINCT CASE WHEN NOT inv THEN bg END)::BIGINT AS oov_types,
+       {cov6} AS coverage
+FROM f
+GROUP BY lang
+""".format(
+    cov6=dround_sql("sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT * 1.0 / count(*)", 6)
+)
+
+
+@register(
+    "tx16_bigram_vocab_coverage",
+    TX16_SQL,
+    survey_ref="beyond reference: en-trained token-bigram vocabulary "
+    "(min-count 3) with per-language occurrence coverage and OOV types",
+)
+def tx16_bigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = documents.select("lang", F.split("text", " ").alias("toks")).where(
+        F.size("toks") >= 2  # oracle's range(len-1) emits nothing for <2 tokens
+    )
+    b = d.select(
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 2)).alias("i"),
+        "toks",
+    ).select(
+        "lang",
+        F.concat(
+            F.expr("element_at(toks, cast(i + 1 as int))"),
+            F.lit(" "),
+            F.expr("element_at(toks, cast(i + 2 as int))"),
+        ).alias("bg"),
+    )
+    v = (
+        b.where(F.col("lang") == "en")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 3)
+        .select("bg", F.lit(True).alias("inv"))
+    )
+    f = b.join(F.broadcast(v), "bg", "left").select(
+        "lang", "bg", F.coalesce("inv", F.lit(False)).alias("inv")
+    )
+    inv1 = F.when(F.col("inv"), 1).otherwise(0)
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum(inv1).cast("long").alias("n_in_vocab"),
+        F.count_distinct(F.when(~F.col("inv"), F.col("bg")))
+        .cast("long")
+        .alias("oov_types"),
+        dround(F.sum(inv1).cast("long") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+            "coverage"
+        ),
     )

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from ..operators.windows import adjacency_flag_filter, gap_fill
 from . import register
-from ._util import dround, tables
+from ._util import dround, dround_sql, tables
 
 
 # --- W1/F5: bubble-adjacency removal ---------------------------------------
@@ -927,4 +927,110 @@ def o9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").cast("long").alias("total_bytes"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+# --- round-12 registered add (re-homed from queries/staged_r13.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- W13: robust per-user anomaly gate (median/MAD order statistics) ---------
+# Data-quality outlier gating wants robust statistics; the cross-engine
+# trap is that "median" interpolates on even counts and each engine
+# interpolates in its own float order.  This op defines med and MAD as
+# the rank-⌈n/2⌉ ORDER STATISTIC under the total order (value, event_id)
+# — a value physically present in the data, bit-identical everywhere.
+# dev = |x − med| is one subtract + abs on identical doubles; the 3·MAD
+# threshold is one multiply — the comparison is deterministic (ties at
+# exactly 3·MAD would need |x−med| = 3·|y−med| in exact IEEE, measure
+# zero; MAD = 0 degenerates to dev > 0, still exact).  Scale shape: two
+# rank windows and one agg, ALL partitioned by user_id (bounded frames —
+# events-per-user, never a global sort); the med/mad side tables are
+# 1-row-per-user (broadcast-or-shuffle, AQE's call).  (Distinct from
+# w12_mad_outliers' per-EVENT-TYPE interpolated Iglewicz–Hoaglin z gate:
+# w13 is the per-ENTITY scorecard on uninterpolated order statistics.)
+W13_SQL = r"""
+WITH r AS (
+    SELECT user_id, event_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM events
+),
+med AS (
+    SELECT user_id, value AS med, n FROM r WHERE rn = (n + 1) // 2
+),
+a AS (
+    SELECT r.user_id, r.event_id, abs(r.value - med.med) AS dev, med.med, med.n
+    FROM r JOIN med USING (user_id)
+),
+r2 AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn2
+    FROM a
+),
+mad AS (
+    SELECT user_id, dev AS mad FROM r2 WHERE rn2 = (n + 1) // 2
+)
+SELECT a.user_id,
+       count(*)::BIGINT AS n_events,
+       max(a.med) AS med_value,
+       max(mad.mad) AS mad_value,
+       sum(CASE WHEN a.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+           AS n_anomalies,
+       {frac6} AS anomaly_frac
+FROM a JOIN mad USING (user_id)
+GROUP BY a.user_id
+""".format(
+    frac6=dround_sql(
+        "sum(CASE WHEN a.dev > 3.0 * mad.mad THEN 1 ELSE 0 END)::BIGINT"
+        " * 1.0 / count(*)",
+        6,
+    )
+)
+
+
+@register(
+    "w13_mad_anomaly",
+    W13_SQL,
+    survey_ref="beyond reference: robust per-user outlier gate — median/MAD "
+    "as exact rank-ceil(n/2) order statistics, anomaly = dev > 3*MAD",
+)
+def w13_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.select("user_id", "event_id", "value")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    wall = Window.partitionBy("user_id")
+    r = ev.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(wall)
+    )
+    med = r.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "user_id", F.col("value").alias("med"), "n"
+    )
+    a = (
+        r.select("user_id", "event_id", "value")
+        .join(med, "user_id")
+        .select(
+            "user_id",
+            "event_id",
+            F.abs(F.col("value") - F.col("med")).alias("dev"),
+            "med",
+            "n",
+        )
+    )
+    wd = Window.partitionBy("user_id").orderBy("dev", "event_id")
+    mad = (
+        a.withColumn("rn2", F.row_number().over(wd))
+        .where(F.col("rn2") == F.expr("(n + 1) div 2"))
+        .select("user_id", F.col("dev").alias("mad"))
+    )
+    anom = F.when(F.col("dev") > F.lit(3.0) * F.col("mad"), 1).otherwise(0)
+    return (
+        a.join(mad, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med").alias("med_value"),
+            F.max("mad").alias("mad_value"),
+            F.sum(anom).cast("long").alias("n_anomalies"),
+            dround(F.sum(anom).cast("long") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "anomaly_frac"
+            ),
+        )
     )

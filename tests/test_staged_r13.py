@@ -1,9 +1,10 @@
-"""Verification for the STAGED (unregistered) round-13 candidate ops.
+"""Verification for the round-13 pool ops (REGISTERED in round 12).
 
-``queries/staged_r13.py`` follows the same staging discipline as
-``staged_r12``: absent from ``load_all``, invisible to the driver until a
-future round registers it.  This file gives the four candidates the same
-three verification layers a registered op gets on day one:
+``queries/staged_r13.py`` is now a pointer module: round 12 re-homed the
+four ops into their family modules and ``@register``'d them below the
+driver prefix (same checklist as staged_r12's round-11 registration).
+This file keeps giving them the same three verification layers a
+registered op gets on day one:
 
 1. driver-strict DuckDB oracle compare at the session SF,
 2. pure-Python brute-force recomputation from the raw parquet at sf0.001
@@ -17,8 +18,8 @@ three verification layers a registered op gets on day one:
    plus explicit "the filter bites" assertions so a vacuous corpus can't
    green these vacuously.
 
-Plus the staging hygiene gate: importing the staged module must not
-mutate the driver-visible REGISTRY.
+Plus the pointer hygiene gate: the STAGED pointers must be the very
+objects the driver-visible REGISTRY holds (not stale copies).
 """
 
 from __future__ import annotations
@@ -52,16 +53,22 @@ def _dround(x: float, d: int) -> float:
 # --- staging hygiene --------------------------------------------------------
 
 
-def test_staged_module_does_not_touch_registry():
+def test_pool_registered_and_pointers_live():
+    # round 12 registered this pool: every staged name must now be a
+    # driver-visible REGISTRY entry, and the STAGED pointer must be the
+    # very same fn/oracle the driver sees (not a stale copy)
     assert set(STAGED) == {
         "tx16_bigram_vocab_coverage",
         "pk4_cdc_chunking",
         "w13_mad_anomaly",
         "sim13_int8_quant_error",
     }
-    assert not (set(STAGED) & set(REGISTRY))
-    assert not (set(STAGED) & set(STAGED_R12))  # staging pools stay disjoint
-    assert len(REGISTRY) == 204
+    assert set(STAGED) <= set(REGISTRY)
+    for name, sdef in STAGED.items():
+        assert sdef.fn is REGISTRY[name].fn
+        assert sdef.oracle == REGISTRY[name].oracle
+    assert not (set(STAGED) & set(STAGED_R12))  # pools stay disjoint
+    assert len(REGISTRY) == 208
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------

@@ -56,7 +56,7 @@ def test_staged_module_does_not_touch_registry():
     }
     assert not (set(STAGED) & set(REGISTRY))
     assert not (set(STAGED) & (set(STAGED_R12) | set(STAGED_R13)))
-    assert len(REGISTRY) == 204
+    assert len(REGISTRY) == 208
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------
