@@ -223,6 +223,16 @@ PREFIX_ORDER = [
 # set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
 # and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
+# SWEEP ledger (round 12): full 208-entry registry (post staged_r13
+# registration) bit-green through the pandas-path driver-sim at
+# sf0.001, sf0.01 AND sf0.1 (one run each, after the rotation +
+# registration landed).  The round's touched surface (the 4 new
+# registrations tx16/pk4/w13/sim13 — the rotation edit touches no
+# query code) additionally re-verified bit-level under the
+# r8-precedent adversarial config — AQE DISABLED, shuffle.partitions=7
+# (different partial-agg merge orders) — 4/4 green.  Zero failures ->
+# nothing to name.
+#
 # SWEEP ledger (round 11): full 204-entry registry bit-green through
 # the pandas-path driver-sim at sf0.001, sf0.01 AND sf0.1 (one run
 # each, post-migration); the 29-query round-11 touched surface (4 new
