@@ -16,6 +16,9 @@ Usage: python tools/round_start.py
 Exit 0 only if all three pass.  Typical round-start sequence:
 run this, commit any driver-written artifacts, apply the precomputed
 rotation if the newest CORRECTNESS is all-green, re-run this, build.
+After any registration or query edit, additionally run
+``tools/adversarial_check.py --names <touched keys>`` (the r8-precedent
+merge-order sweep) before committing the round's ledger entry.
 """
 
 from __future__ import annotations
