@@ -20,6 +20,7 @@ Usage:
     python tools/adversarial_check.py                     # live 50-row prefix
     python tools/adversarial_check.py --full              # whole registry
     python tools/adversarial_check.py --names a1_biovolume_rollup dd20_...
+    python tools/adversarial_check.py --staged r14 r15    # unregistered pools
     python tools/adversarial_check.py --sf /root/testdata/sf0.1 --names ...
 
 Exit 0 = all compared queries bit-green; 1 = at least one mismatch
@@ -44,8 +45,17 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--full", action="store_true", help="whole registry")
     ap.add_argument("--names", nargs="*", default=None, help="explicit query keys")
+    ap.add_argument(
+        "--staged",
+        nargs="*",
+        default=None,
+        help="unregistered pool suffixes (e.g. r14 r15): check their STAGED "
+        "dicts instead of the registry",
+    )
     ap.add_argument("--partitions", default="7")
     args = ap.parse_args()
+
+    import importlib
 
     from pyspark.sql import SparkSession
 
@@ -53,8 +63,16 @@ def main() -> int:
     from ifcb_data_pipeline_spark.queries import PREFIX_ORDER, load_all
     from oracle_harness import duckdb_connection
 
-    reg = load_all()
-    if args.names:
+    reg = dict(load_all())
+    if args.staged:
+        reg = {}
+        for suffix in args.staged:
+            mod = importlib.import_module(
+                f"ifcb_data_pipeline_spark.queries.staged_{suffix}"
+            )
+            reg.update(mod.STAGED)
+        names = list(reg)
+    elif args.names:
         unknown = [n for n in args.names if n not in reg]
         if unknown:
             print(f"unknown query keys: {unknown}")
