@@ -230,11 +230,16 @@ PREFIX_ORDER = [
 # registrations tx16/pk4/w13/sim13 — the rotation edit touches no
 # query code) additionally re-verified bit-level under the
 # r8-precedent adversarial config — AQE DISABLED, shuffle.partitions=7
-# (different partial-agg merge orders) — 4/4 green; the ENTIRE live
-# 50-row driver prefix additionally re-verified bit-level under the
-# same adversarial config at sf0.01 — 50/50 green (strictly stronger
-# than the driver's default-config gate on merge-order sensitivity).
-# Zero failures -> nothing to name.
+# (different partial-agg merge orders) — 4/4 green; then the ENTIRE
+# 208-entry registry re-verified bit-level under the same adversarial
+# config at sf0.01 — 208/208 green, zero skips (strictly stronger than
+# the driver's default-config gate on merge-order sensitivity; first
+# FULL-registry adversarial sweep, now one command:
+# tools/adversarial_check.py --full).  The live 50-row prefix was also
+# separately green at 32 threads (SPARK_GRAFT_CPUS=32 driver-sim), and
+# the unregistered staged_r14/r15 pools are adversarial-green at ALL
+# THREE SFs (8/8 each) ahead of their registration rounds.  Zero
+# failures -> nothing to name.
 #
 # SWEEP ledger (round 11): full 204-entry registry bit-green through
 # the pandas-path driver-sim at sf0.001, sf0.01 AND sf0.1 (one run
