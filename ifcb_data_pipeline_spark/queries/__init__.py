@@ -232,7 +232,8 @@ PREFIX_ORDER = [
 # r8-precedent adversarial config — AQE DISABLED, shuffle.partitions=7
 # (different partial-agg merge orders) — 4/4 green; then the ENTIRE
 # 208-entry registry re-verified bit-level under the same adversarial
-# config at sf0.01 — 208/208 green, zero skips (strictly stronger than
+# config at sf0.01 AND sf0.1 — 208/208 green at each, zero skips
+# (strictly stronger than
 # the driver's default-config gate on merge-order sensitivity; first
 # FULL-registry adversarial sweep, now one command:
 # tools/adversarial_check.py --full).  The live 50-row prefix was also
