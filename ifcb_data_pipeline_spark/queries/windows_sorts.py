@@ -950,7 +950,8 @@ def o9_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 W13_SQL = r"""
 WITH r AS (
     SELECT user_id, event_id, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rn,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value NULLS LAST, event_id) AS rn,
            count(*) OVER (PARTITION BY user_id) AS n
     FROM events
 ),
@@ -962,7 +963,8 @@ a AS (
     FROM r JOIN med USING (user_id)
 ),
 r2 AS (
-    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY dev, event_id) AS rn2
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY dev NULLS LAST, event_id) AS rn2
     FROM a
 ),
 mad AS (
@@ -995,7 +997,13 @@ GROUP BY a.user_id
 def w13_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = tables(spark, sf_dir, "events")
     ev = events.select("user_id", "event_id", "value")
-    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # NULLS LAST pinned explicitly (ADVICE r12): Spark ASC defaults to
+    # nulls-first, DuckDB to nulls-last — a latent desync if a NULL
+    # value ever appears (none do today, but the rank rule must not
+    # depend on that).
+    wv = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("value"), "event_id"
+    )
     wall = Window.partitionBy("user_id")
     r = ev.withColumn("rn", F.row_number().over(wv)).withColumn(
         "n", F.count(F.lit(1)).over(wall)
@@ -1014,7 +1022,9 @@ def w13_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    wd = Window.partitionBy("user_id").orderBy("dev", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("dev"), "event_id"
+    )
     mad = (
         a.withColumn("rn2", F.row_number().over(wd))
         .where(F.col("rn2") == F.expr("(n + 1) div 2"))

@@ -85,6 +85,12 @@ def test_staged_matches_oracle(name, spark, duck, sf_dir):
 
 
 def test_tx16_counter_replay_and_bite(spark):
+    # Contract since the r12-verdict fix: min-count cut on the EXACT
+    # bigram (Counter), membership via the fixed 2^22 md5-prefix hash
+    # buckets (the sp8 template) — replayed here with hashlib,
+    # independent of Spark's md5/conv pipeline.
+    from ifcb_data_pipeline_spark.queries.text import TX16_BUCKETS
+
     got = (
         STAGED["tx16_bigram_vocab_coverage"]
         .fn(spark, SF_SMOKE)
@@ -101,12 +107,12 @@ def test_tx16_counter_replay_and_bite(spark):
         per_lang.setdefault(lang, []).extend(bgs)
         if lang == "en":
             en_counts.update(bgs)
-    vocab = {bg for bg, c in en_counts.items() if c >= 3}
+    vocab_hb = {_h32(bg) % TX16_BUCKETS for bg, c in en_counts.items() if c >= 3}
 
     assert set(got.index) == set(per_lang)
     for lang, bgs in per_lang.items():
-        inv = sum(1 for bg in bgs if bg in vocab)
-        oov_types = len({bg for bg in bgs if bg not in vocab})
+        inv = sum(1 for bg in bgs if _h32(bg) % TX16_BUCKETS in vocab_hb)
+        oov_types = len({bg for bg in bgs if _h32(bg) % TX16_BUCKETS not in vocab_hb})
         row = got.loc[lang]
         assert row["n_bigrams"] == len(bgs)
         assert row["n_in_vocab"] == inv
@@ -294,9 +300,11 @@ def test_staged_pools_no_scale_killers(spark, sf_dir):
 
 
 def test_tx16_vocab_join_is_broadcast(spark, sf_dir):
-    """The min-count-cut vocabulary must reach the occurrence stream as a
-    broadcast hash join — a shuffled sort-merge here would re-shuffle the
-    whole tokenized corpus on the bigram string."""
+    """The membership join's build side is the vocab projected into the
+    fixed 2^22 hash-bucket space — ≤ 2^22 BIGINT rows at ANY corpus scale
+    (r12-verdict fix), so forcing a broadcast hash join is legitimate and
+    a shuffled sort-merge (which would re-shuffle the whole tokenized
+    corpus on the join key) must not appear."""
     plan = _plan_of(spark, STAGED["tx16_bigram_vocab_coverage"].fn, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan

@@ -43,9 +43,13 @@ sys.path.insert(0, str(REPO / "tools"))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
-    ap.add_argument("--full", action="store_true", help="whole registry")
-    ap.add_argument("--names", nargs="*", default=None, help="explicit query keys")
-    ap.add_argument(
+    # Mutually exclusive (ADVICE r12): silently ignoring one mode flag
+    # when another is present lets a user believe queries ran that never
+    # did.  Exactly one of --full/--names/--staged (or none = prefix).
+    mode = ap.add_mutually_exclusive_group()
+    mode.add_argument("--full", action="store_true", help="whole registry")
+    mode.add_argument("--names", nargs="*", default=None, help="explicit query keys")
+    mode.add_argument(
         "--staged",
         nargs="*",
         default=None,
