@@ -89,102 +89,112 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 12 — the precomputed plan below, applied verbatim
-    # (CORRECTNESS_r11 was 50/50 green, so no red row displaces slot 1;
-    # tools/rotation_audit.py confirmed plan/artifact consistency).
-    # slots 1-4: round-11 adds, never driver-checked
-    "dd20_exact_substring_dedup",
-    "a28_hll_distinct_sketch",
-    "a29_cms_heavy_hitters",
-    "st9_join_state_audit",
-    # slots 5-50: 46 of the 50 r8-era rows (alphabetical; tx3/tx4/tx6/
-    # u13b spill to round 13)
-    "a10_duplicate_detection",
-    "a11_distinct",
-    "a12_minmax_summary",
-    "a13_grid_cell_frequency",
-    "a14_monthly_histogram",
-    "a15_mean_collapse",
-    "a17_qc_sums",
-    "a18_provenance_summary",
-    "a19_cube_rollup",
-    "a1_biovolume_rollup",
-    "a25_survival_curve",
-    "a2_taxon_rollup",
-    "a3_flag_frequency",
-    "a4_monthly_stats",
-    "a5_grouped_top1",
-    "a6_bloom_categorize",
-    "a7_global_top1",
-    "a8_last_per_group",
-    "c3_name_type_split",
-    "dd1_exact_dedup",
-    "dd3_simhash",
-    "dd6_dup_clusters",
-    "dd7_dedup_materialize",
-    "dp10_anova_eta",
-    "dp7_binned_quantiles",
-    "f11_missing_position_filter",
-    "f1_select_rename",
-    "f6_regional_filter",
-    "j10_semi_join",
-    "j11_incremental_anti_join",
-    "j12_provenance_merge",
-    "j13_classlist_full_join",
-    "j1_enrichment_chain",
-    "j4b_asof_backward",
-    "j5_interval_join",
-    "j6_coalescing_fill_join",
-    "j7_full_outer_join",
-    "j8_haversine_theta_join",
-    "qf_flag_unification",
-    "s6_json_scan",
-    "sim4_ivf_search",
-    "sp1_train_test_split",
-    "sp6_domain_token_cap",
-    "tx13_bm25_topk",
-    "tx1_token_count",
-    "tx2_quality_score",
+    # ROUND 13 — the precomputed plan below, applied verbatim
+    # (CORRECTNESS_r12 was 50/50 green, so no red row displaces slot 1;
+    # tools/rotation_audit.py confirmed plan/artifact consistency at
+    # round-13 start).  tx16's unbounded-vocab-broadcast fix (the r12
+    # verdict's one weak flag) landed BEFORE this rotation, so its first
+    # driver row checks the bounded 2^22-hash-bucket design.
+    # slots 1-4: round-12 adds, never driver-checked
+    "tx16_bigram_vocab_coverage",
+    "pk4_cdc_chunking",
+    "w13_mad_anomaly",
+    "sim13_int8_quant_error",
+    # slots 5-8: the 4 r8-era rows that spilled past round 12
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx6_trigram_logprob",
+    "u13b_psd_fit_pandas",
+    # slots 9-50: 42 of the 50 r9-era rows (alphabetical; the tx5/tx7/
+    # tx8/tx9/u13/w1/w3/w6 keys spill to round 14)
+    "a27_retention_cohorts",
+    "c10_date_format",
+    "c11_encoding_fix",
+    "c12_haversine",
+    "c1_taxa_clean_cascade",
+    "c2_species_flag",
+    "c6_parse_bin_id",
+    "c8_f1_score",
+    "c9_signif_round",
+    "dd16_quality_survivor",
+    "dd2_minhash_lsh",
+    "dd8_benchmark_contamination",
+    "dp3_categorical_profile",
+    "dp4_domain_mixture",
+    "dp5_correlation_matrix",
+    "f10_timestamp_range",
+    "f12_value_threshold",
+    "f13_membership_filter",
+    "f2_gps_staleness",
+    "f3_blacklist_prefix_anti",
+    "f4_flag_removal",
+    "f7_qc_gating",
+    "f8_sentinel_normalization",
+    "j4_asof_join",
+    "mm1_multimodal_features",
+    "mm3_resize_normalize",
+    "mm4_video_frame_sample",
+    "p1_shark_export",
+    "p2_hab_alert",
+    "p3_dashboard_metadata",
+    "pk1_sequence_packing",
+    "sim2_signlsh_ann",
+    "sim5_ivf_nprobe2",
+    "sim6_embedding_quantize",
+    "sim7_filtered_ann",
+    "sim8_kmeans_refine",
+    "sp10_decontaminated_split",
+    "sp2_stratified_sample",
+    "sp3_shuffle_shards",
+    "sp4_mixture_materialize",
+    "tp1_training_corpus",
+    "tx10_tfidf_top_terms",
 ]
-# The round-12 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r11 landed 50/50 green, so no red row
+# The round-13 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r12 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
-# consistency at round-12 start).  After round 12 the never-checked set
-# is exactly the 4 staged_r13 registrations (tx16/pk4/w13/sim13, below
-# the prefix this round); the staleness head is the 4 spilled r8 rows
-# (the tx3 / tx4 / tx6 / u13b keys) + the 50-row r9 era, so round 13
-# takes the spill + 42 r9 rows and 8 r9 rows spill to round 14.
+# consistency at round-13 start).  After round 13 the never-checked set
+# is exactly the 4 staged_r14 registrations (i13/sp12/w14/o10, below
+# the prefix this round); the staleness head is the 8 spilled r9 rows
+# (the tx5 / tx7 / tx8 / tx9 / u13 / w1 / w3 / w6 keys) + the 50-row
+# r10 era, so round 14 takes the spill + 38 r10 rows and 12 r10 rows
+# spill to round 15 (the peak spill the SCALE.md endgame note
+# predicts).
 #
-# ROUND-13 ROTATION PLAN (precomputed; apply verbatim unless round-12
+# ROUND-14 ROTATION PLAN (precomputed; apply verbatim unless round-13
 # driver results dictate otherwise — a red row takes slot 1):
-#   4 round-12 adds (never driver-checked; throttle respected) take
+#   4 round-13 adds (never driver-checked; throttle respected) take
 #   slots 1-4:
-#     tx16_bigram_vocab_coverage, pk4_cdc_chunking, w13_mad_anomaly,
-#     sim13_int8_quant_error
-#   slots 5-8: the 4 r8-era rows that spilled past round 12:
-#     tx3_lang_id, tx4_fingerprint, tx6_trigram_logprob,
-#     u13b_psd_fit_pandas
-#   then 42 of the 50 r9-era rows (alphabetical; the last 8 — the
-#   tx5 / tx7 / tx8 / tx9 / u13 / w1 / w3 / w6 keys, named here by key
-#   only so the plan parser doesn't count them — spill to round 14,
-#   becoming its staleness head after the staged_r14 adds):
-#     a27_retention_cohorts, c10_date_format, c11_encoding_fix,
-#     c12_haversine, c1_taxa_clean_cascade, c2_species_flag,
-#     c6_parse_bin_id, c8_f1_score, c9_signif_round,
-#     dd16_quality_survivor, dd2_minhash_lsh,
-#     dd8_benchmark_contamination, dp3_categorical_profile,
-#     dp4_domain_mixture, dp5_correlation_matrix, f10_timestamp_range,
-#     f12_value_threshold, f13_membership_filter, f2_gps_staleness,
-#     f3_blacklist_prefix_anti, f4_flag_removal, f7_qc_gating,
-#     f8_sentinel_normalization, j4_asof_join, mm1_multimodal_features,
-#     mm3_resize_normalize, mm4_video_frame_sample, p1_shark_export,
-#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
-#     sim2_signlsh_ann, sim5_ivf_nprobe2, sim6_embedding_quantize,
-#     sim7_filtered_ann, sim8_kmeans_refine, sp10_decontaminated_split,
-#     sp2_stratified_sample, sp3_shuffle_shards,
-#     sp4_mixture_materialize, tp1_training_corpus, tx10_tfidf_top_terms
-# = exactly 50; re-run tools/rotation_audit.py at round-13 start once
-# CORRECTNESS_r12.json lands (a red row there displaces slot 1 by
+#     i13_incremental_minhash, sp12_grouped_split_balance,
+#     w14_spearman_trend, o10_file_skipping_stats
+#   slots 5-12: the 8 r9-era rows that spilled past round 13:
+#     tx5_vocabulary, tx7_repetition_signals, tx8_pii_scrub,
+#     tx9_bpe_pair_merge, u13_psd_fit, w1_adjacency_removal,
+#     w3_gap_fill, w6_moving_average
+#   then 38 of the 50 r10-era rows (alphabetical; the last 12 — the
+#   st5 / st7 / tp2 / tp3 / tp5 / tx11 / tx12 / tx14 / w10 / w11 / w7 /
+#   w8 keys, named here by key only so the plan parser doesn't count
+#   them — spill to round 15, becoming its staleness head after the
+#   staged_r15 adds):
+#     a22_decayed_engagement, a23_cohort_retention,
+#     dd10_fuzzy_decontamination, dd11_span_dedup,
+#     dd12_containment_pairs, dd17_shingle_containment,
+#     dd4_ngram_jaccard, dd4b_ngram_jaccard_dfcut,
+#     dd5_embedding_cosine_dup, dp11_psi_drift, dp6_drift_profile,
+#     i8_snapshot_diff, i9_scd2_compaction, j14_bucketed_range_join,
+#     j16_interval_overlap, j8b_grid_spatial_join, k7_ecotaxa_export,
+#     mm10_voice_activity, mm2_real_kernel_features,
+#     mm2b_kernel_topologies, mm5_audio_frame_features,
+#     mm7_modality_coverage, mm8_patchify, mm9_perceptual_dedup,
+#     o8_zorder_layout, pk2_document_chunking,
+#     pk3_length_bucketed_batching, s6b_json_props_extract,
+#     sim10_pq_adc, sim9_quantized_rerank, sp11_class_balanced_resample,
+#     sp2b_stratified_topk, sp5_temperature_resampling,
+#     sp7_epoch_shuffle, st1_stream_windowed_counts,
+#     st2_stateful_user_counts, st3_watermarked_append,
+#     st4_stream_stream_join
+# = exactly 50; re-run tools/rotation_audit.py at round-14 start once
+# CORRECTNESS_r13.json lands (a red row there displaces slot 1 by
 # rule).
 # END PLAN
 #

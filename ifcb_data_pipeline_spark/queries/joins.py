@@ -19,7 +19,17 @@ from ..operators.joins import (
     interval_join,
 )
 from . import register
-from ._util import LAT_SQL, LON_SQL, dround, lat_expr, lon_expr, tables
+from ._util import (
+    HASH32_SQL,
+    LAT_SQL,
+    LON_SQL,
+    dround,
+    dround_sql,
+    hash32,
+    lat_expr,
+    lon_expr,
+    tables,
+)
 from .dedup import variant_offset
 
 
@@ -1106,5 +1116,234 @@ def i12_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("cents"),
             F.min("min_cents").cast("long").alias("min_cents"),
             F.max("max_cents").cast("long").alias("max_cents"),
+        )
+    )
+
+
+# --- round-13 registered add (re-homed from queries/staged_r14.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- I13: incremental MinHash maintenance ------------------------------------
+# Scale shape: shingling is a narrow flatMap; the DISTINCT (lang,
+# shingle, slice) frame is one hash agg; the 32-perm explode runs on the
+# DISTINCT frame (deduped first — never on raw occurrences); signatures
+# are (|langs|·32)-row frames after the min agg, so every join past that
+# point is on bounded sides.  The merge law (least of slice minima =
+# min over the union) is what makes a 100 TB corpus's sketch refresh an
+# O(delta) job instead of a recompute.
+_I13_PERMS = 32
+
+I13_SQL = r"""
+WITH d AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS toks,
+           (doc_id % 10 <> 0) AS is_base
+    FROM documents
+),
+sh AS (
+    SELECT DISTINCT lang, is_base,
+           toks[i::INTEGER + 1] || ' ' || toks[i::INTEGER + 2] || ' ' ||
+           toks[i::INTEGER + 3] AS shingle
+    FROM d, unnest(range(len(toks) - 2)) t(i)
+),
+hashed AS (
+    SELECT lang, is_base, p.p, {h32} AS h
+    FROM sh, (SELECT unnest(range({perms})) AS p) p
+),
+fullsig AS (
+    SELECT lang, p, min(h) AS mn FROM hashed GROUP BY lang, p
+),
+bsig AS (
+    SELECT lang, p, min(h) AS mn FROM hashed WHERE is_base GROUP BY lang, p
+),
+dsig AS (
+    SELECT lang, p, min(h) AS mn FROM hashed WHERE NOT is_base GROUP BY lang, p
+),
+msig AS (
+    SELECT coalesce(b.lang, dl.lang) AS lang, coalesce(b.p, dl.p) AS p,
+           least(coalesce(b.mn, dl.mn), coalesce(dl.mn, b.mn)) AS mn
+    FROM bsig b FULL JOIN dsig dl ON b.lang = dl.lang AND b.p = dl.p
+),
+mok AS (
+    SELECT f.lang, bool_and(f.mn = m.mn) AS merged_ok
+    FROM fullsig f JOIN msig m ON f.lang = m.lang AND f.p = m.p
+    GROUP BY f.lang
+),
+agree AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END)::BIGINT AS n_agree
+    FROM fullsig a JOIN fullsig b ON a.p = b.p AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+),
+ls AS (SELECT DISTINCT lang, shingle FROM sh),
+sizes AS (SELECT lang, count(*)::BIGINT AS n FROM ls GROUP BY lang),
+inter AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b, count(*)::BIGINT AS n_inter
+    FROM ls a JOIN ls b ON a.shingle = b.shingle AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+)
+SELECT g.lang_a, g.lang_b, {perms}::BIGINT AS n_perms, g.n_agree,
+       {est6} AS jaccard_est,
+       i.n_inter,
+       (sa.n + sb.n - i.n_inter)::BIGINT AS n_union,
+       {exact6} AS jaccard_exact,
+       (ma.merged_ok AND mb.merged_ok) AS merged_equals_full
+FROM agree g
+JOIN inter i ON g.lang_a = i.lang_a AND g.lang_b = i.lang_b
+JOIN sizes sa ON g.lang_a = sa.lang
+JOIN sizes sb ON g.lang_b = sb.lang
+JOIN mok ma ON g.lang_a = ma.lang
+JOIN mok mb ON g.lang_b = mb.lang
+""".format(
+    h32=HASH32_SQL.format(x="p.p::VARCHAR || '|' || shingle"),
+    perms=_I13_PERMS,
+    est6=dround_sql(f"g.n_agree * 1.0 / {_I13_PERMS}", 6),
+    exact6=dround_sql("i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter)", 6),
+)
+
+
+@register(
+    "i13_incremental_minhash",
+    I13_SQL,
+    survey_ref="beyond reference (i-family x dd-family): base+delta MinHash "
+    "signature maintenance with the merged-equals-recompute proof and "
+    "exact-Jaccard twins per language pair",
+)
+def i13_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = documents.select(
+        "lang",
+        F.split("text", " ").alias("toks"),
+        (F.col("doc_id") % 10 != 0).alias("is_base"),
+    ).where(F.size("toks") >= 3)
+    sh = (
+        d.select(
+            "lang",
+            "is_base",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - 3)).alias("i"),
+            "toks",
+        )
+        .select(
+            "lang",
+            "is_base",
+            F.concat_ws(
+                " ",
+                F.expr("element_at(toks, cast(i + 1 as int))"),
+                F.expr("element_at(toks, cast(i + 2 as int))"),
+                F.expr("element_at(toks, cast(i + 3 as int))"),
+            ).alias("shingle"),
+        )
+        .distinct()
+        # I3 stage materialization (the operators/dedup.py signature
+        # pattern): the distinct shingle frame feeds FIVE consumers
+        # (hashed, ls, sizes, inter×2) — without the checkpoint each one
+        # re-scans and re-shingles the whole corpus (observed: 12 parquet
+        # scans in the un-checkpointed plan; 1 after).
+        .localCheckpoint()
+    )
+    hashed = sh.select(
+        "lang",
+        "is_base",
+        F.explode(F.sequence(F.lit(0), F.lit(_I13_PERMS - 1))).alias("p"),
+        "shingle",
+    ).select(
+        "lang",
+        "is_base",
+        "p",
+        hash32(
+            F.concat(F.col("p").cast("string"), F.lit("|"), F.col("shingle"))
+        ).alias("h"),
+    ).localCheckpoint()  # three signature aggs (full/base/delta) reuse the
+    # 32x-exploded hash frame instead of re-hashing it three times
+    fullsig = hashed.groupBy("lang", "p").agg(F.min("h").alias("mn"))
+    bsig = (
+        hashed.where("is_base").groupBy("lang", "p").agg(F.min("h").alias("mn"))
+    )
+    dsig = (
+        hashed.where(~F.col("is_base"))
+        .groupBy("lang", "p")
+        .agg(F.min("h").alias("mn"))
+    )
+    msig = (
+        bsig.withColumnsRenamed({"mn": "bmn"})
+        .join(
+            dsig.withColumnsRenamed({"mn": "dmn"}),
+            ["lang", "p"],
+            "full",
+        )
+        .select(
+            "lang",
+            "p",
+            F.least(
+                F.coalesce("bmn", "dmn"), F.coalesce("dmn", "bmn")
+            ).alias("mn"),
+        )
+    )
+    mok = (
+        fullsig.withColumnsRenamed({"mn": "fmn"})
+        .join(msig, ["lang", "p"])
+        .groupBy("lang")
+        .agg(F.bool_and(F.col("fmn") == F.col("mn")).alias("merged_ok"))
+    )
+    a = fullsig.select(
+        F.col("lang").alias("lang_a"), "p", F.col("mn").alias("mna")
+    )
+    b = fullsig.select(
+        F.col("lang").alias("lang_b"), "p", F.col("mn").alias("mnb")
+    )
+    agree = (
+        a.join(b, "p")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            F.sum(F.when(F.col("mna") == F.col("mnb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+    ls = sh.select("lang", "shingle").distinct()
+    sizes = ls.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        ls.select(F.col("lang").alias("lang_a"), "shingle")
+        .join(ls.select(F.col("lang").alias("lang_b"), "shingle"), "shingle")
+        .where(F.col("lang_a") < F.col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        agree.join(inter, ["lang_a", "lang_b"])
+        .join(
+            sizes.select(F.col("lang").alias("lang_a"), F.col("n").alias("na")),
+            "lang_a",
+        )
+        .join(
+            sizes.select(F.col("lang").alias("lang_b"), F.col("n").alias("nb")),
+            "lang_b",
+        )
+        .join(
+            mok.select(F.col("lang").alias("lang_a"), F.col("merged_ok").alias("oka")),
+            "lang_a",
+        )
+        .join(
+            mok.select(F.col("lang").alias("lang_b"), F.col("merged_ok").alias("okb")),
+            "lang_b",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.lit(_I13_PERMS).cast("long").alias("n_perms"),
+            "n_agree",
+            dround(F.col("n_agree") * F.lit(1.0) / F.lit(_I13_PERMS), 6).alias(
+                "jaccard_est"
+            ),
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+            dround(
+                F.col("n_inter")
+                * F.lit(1.0)
+                / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                6,
+            ).alias("jaccard_exact"),
+            (F.col("oka") & F.col("okb")).alias("merged_equals_full"),
         )
     )

@@ -1649,3 +1649,112 @@ def tx16_bigram_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage"
         ),
     )
+
+
+# --- round-13 registered add (re-homed from queries/staged_r14.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- SP12: group-atomic split + balance/leakage report ------------------------
+# Scale shape: the split is a pure hash expression on the fact row (zero
+# state); the audit is two hash aggs (per-user distinct-split collapse,
+# then per-split rollup).  The straddle count is computed FROM THE DATA
+# (distinct split labels observed per user), so a regression to row-level
+# hashing shows up as a nonzero column, not a silent leak.  Value mass
+# uses the finite-decimal cents rule (2-decimal values sum as exact
+# BIGINT cents).
+SP12_SQL = r"""
+WITH assigned AS (
+    SELECT user_id, event_type,
+           floor(value * 100.0 + 0.5)::BIGINT AS cents,
+           CASE WHEN {h} % 100 < 80 THEN 'train'
+                WHEN {h} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM events
+),
+u AS (
+    SELECT user_id, count(DISTINCT split) AS nsplit FROM assigned GROUP BY user_id
+),
+m AS (
+    SELECT DISTINCT a.user_id, a.split, u.nsplit
+    FROM assigned a JOIN u ON a.user_id = u.user_id
+),
+tot AS (SELECT count(*)::BIGINT AS n FROM events)
+SELECT a.split,
+       count(DISTINCT a.user_id)::BIGINT AS n_users,
+       count(*)::BIGINT AS n_events,
+       {share6} AS event_share,
+       {mean4} AS mean_value,
+       {click6} AS click_share,
+       (SELECT sum(CASE WHEN m.nsplit > 1 THEN 1 ELSE 0 END)::BIGINT
+        FROM m WHERE m.split = a.split) AS n_straddling_users
+FROM assigned a CROSS JOIN tot
+GROUP BY a.split, tot.n
+""".format(
+    h=HASH32_SQL.format(x="'u' || user_id::VARCHAR"),
+    share6=dround_sql("count(*)::BIGINT * 1.0 / tot.n", 6),
+    mean4=dround_sql("sum(cents)::BIGINT * 1.0 / count(*) / 100.0", 4),
+    click6=dround_sql(
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT"
+        " * 1.0 / count(*)",
+        6,
+    ),
+)
+
+
+@register(
+    "sp12_grouped_split_balance",
+    SP12_SQL,
+    survey_ref="beyond reference (sp-family): leakage-safe group-atomic "
+    "train/val/test split with a data-derived straddle audit and per-split "
+    "balance report",
+)
+def sp12_grouped_split_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    h = hash32(F.concat(F.lit("u"), F.col("user_id").cast("string"))) % 100
+    assigned = events.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test").alias("split"),
+    )
+    u = assigned.groupBy("user_id").agg(
+        F.count_distinct("split").alias("nsplit")
+    )
+    m = assigned.select("user_id", "split").distinct().join(u, "user_id")
+    straddle = m.groupBy("split").agg(
+        F.sum(F.when(F.col("nsplit") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_straddling_users")
+    )
+    tot = events.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    click1 = F.when(F.col("event_type") == "click", 1).otherwise(0)
+    per = (
+        assigned.crossJoin(F.broadcast(tot))  # 1-row broadcast total: the
+        # allowlisted bounded-frame BNLJ shape
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            dround(F.count(F.lit(1)).cast("long") * F.lit(1.0) / F.max("n"), 6).alias(
+                "event_share"
+            ),
+            dround(
+                F.sum("cents").cast("long")
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+                / F.lit(100.0),
+                4,
+            ).alias("mean_value"),
+            dround(F.sum(click1).cast("long") * F.lit(1.0) / F.count(F.lit(1)), 6).alias(
+                "click_share"
+            ),
+        )
+    )
+    return per.join(F.broadcast(straddle), "split").select(
+        "split",
+        "n_users",
+        "n_events",
+        "event_share",
+        "mean_value",
+        "click_share",
+        "n_straddling_users",
+    )

@@ -1044,3 +1044,223 @@ def w13_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- round-13 registered add (re-homed from queries/staged_r14.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- W14: per-user Spearman trend ---------------------------------------------
+# Scale shape: two rank windows and one agg, all partitioned by user_id
+# (bounded frames); no joins at all.  All arithmetic is exact-integer
+# until the single ρ ratio; the trend label is decided by integer
+# cross-multiplication (ρ > 0.3 ⟺ 60Σd² < 7·n(n²−1)) so the label can
+# never straddle a float boundary.
+W14_SQL = r"""
+WITH r AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rt,
+           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rv
+    FROM events
+),
+g AS (
+    SELECT user_id, count(*)::BIGINT AS n,
+           sum((rt - rv) * (rt - rv))::BIGINT AS sum_d2
+    FROM r GROUP BY user_id HAVING count(*) >= 2
+)
+SELECT user_id, n AS n_events, sum_d2,
+       {rho6} AS spearman_rho,
+       CASE WHEN 60 * sum_d2 < 7 * (n * (n * n - 1)) THEN 'up'
+            WHEN 60 * sum_d2 > 13 * (n * (n * n - 1)) THEN 'down'
+            ELSE 'flat' END AS trend
+FROM g
+""".format(
+    rho6=dround_sql("1.0 - (6 * sum_d2) * 1.0 / (n * (n * n - 1))", 6)
+)
+
+
+@register(
+    "w14_spearman_trend",
+    W14_SQL,
+    survey_ref="beyond reference (w-family): per-user Spearman rank trend — "
+    "exact integer sum-d2, integer cross-multiplied trend labels",
+)
+def w14_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    r = events.select(
+        "user_id",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wv).alias("rv"),
+    )
+    d = (F.col("rt") - F.col("rv")).cast("long")
+    g = (
+        r.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(d * d).cast("long").alias("sum_d2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    dd = F.col("sum_d2")
+    den = F.col("n") * (F.col("n") * F.col("n") - 1)
+    return g.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "sum_d2",
+        dround(F.lit(1.0) - (F.lit(6) * dd) * F.lit(1.0) / den, 6).alias(
+            "spearman_rho"
+        ),
+        F.when(F.lit(60) * dd < F.lit(7) * den, "up")
+        .when(F.lit(60) * dd > F.lit(13) * den, "down")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+# --- round-13 registered add (re-homed from queries/staged_r14.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- O10: zone-map file-skipping effectiveness --------------------------------
+# Scale shape: per-file stats are one hash agg over (layout, file_id);
+# the clustered layout's rank comes from the factored global_rank
+# combinator (range exchange + __pid window — never a single-partition
+# window over the fact); the threshold grid is a 4-element explode over
+# the |files|-row stats frame; exact matched counts are one conditional
+# agg pass.  The law the replay asserts is the point of clustering:
+# under the n_chars-sorted layout the matching rows are a contiguous
+# suffix, so files-scanned collapses to the information-theoretic
+# minimum while the natural layout scans nearly everything.
+_O10_FILE_DOCS = 50
+_O10_THRESHOLDS = (100, 200, 300, 400)
+
+O10_SQL = r"""
+WITH nat AS (
+    SELECT 'natural' AS layout, (doc_id // {L})::BIGINT AS file_id, n_chars
+    FROM documents
+),
+rk AS (
+    SELECT n_chars,
+           row_number() OVER (ORDER BY n_chars, doc_id) AS rnk
+    FROM documents
+),
+clu AS (
+    SELECT 'clustered' AS layout, ((rnk - 1) // {L})::BIGINT AS file_id, n_chars
+    FROM rk
+),
+files AS (
+    SELECT layout, file_id, max(n_chars) AS max_nc, count(*)::BIGINT AS n_rows
+    FROM (SELECT * FROM nat UNION ALL SELECT * FROM clu)
+    GROUP BY layout, file_id
+),
+ft AS (
+    SELECT f.*, t.threshold
+    FROM files f, (SELECT unnest([{ts}]) AS threshold) t
+),
+per AS (
+    SELECT layout, threshold::BIGINT AS threshold,
+           count(*)::BIGINT AS n_files,
+           sum(CASE WHEN max_nc >= threshold THEN 1 ELSE 0 END)::BIGINT
+               AS n_files_scanned,
+           sum(CASE WHEN max_nc >= threshold THEN n_rows ELSE 0 END)::BIGINT
+               AS n_rows_scanned
+    FROM ft GROUP BY layout, threshold
+),
+mt AS (
+    SELECT t.threshold::BIGINT AS threshold,
+           sum(CASE WHEN d.n_chars >= t.threshold THEN 1 ELSE 0 END)::BIGINT
+               AS n_rows_matched
+    FROM documents d, (SELECT unnest([{ts}]) AS threshold) t
+    GROUP BY t.threshold
+)
+SELECT p.layout, p.threshold, p.n_files, p.n_files_scanned, p.n_rows_scanned,
+       m.n_rows_matched,
+       {skip6} AS skip_ratio,
+       {eff6} AS scan_efficiency
+FROM per p JOIN mt m ON p.threshold = m.threshold
+""".format(
+    L=_O10_FILE_DOCS,
+    ts=", ".join(str(t) for t in _O10_THRESHOLDS),
+    skip6=dround_sql(
+        "1.0 - p.n_files_scanned * 1.0 / p.n_files",
+        6,
+    ),
+    eff6=dround_sql(
+        "CASE WHEN p.n_rows_scanned = 0 THEN 0.0"
+        " ELSE m.n_rows_matched * 1.0 / p.n_rows_scanned END",
+        6,
+    ),
+)
+
+
+@register(
+    "o10_file_skipping_stats",
+    O10_SQL,
+    survey_ref="beyond reference (o-family): min/max zone-map pruning "
+    "effectiveness under natural vs clustered layouts — the parquet "
+    "row-group skip arithmetic, quantified per predicate",
+)
+def o10_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import global_rank
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.select("doc_id", "n_chars")
+    nat = docs.select(
+        F.lit("natural").alias("layout"),
+        F.expr(f"doc_id div {_O10_FILE_DOCS}").cast("long").alias("file_id"),
+        "n_chars",
+    )
+    ranked = global_rank(docs, "n_chars", "doc_id", rank_col="rnk")
+    clu = ranked.select(
+        F.lit("clustered").alias("layout"),
+        F.expr(f"(rnk - 1) div {_O10_FILE_DOCS}").cast("long").alias("file_id"),
+        "n_chars",
+    )
+    files = (
+        nat.unionByName(clu)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.max("n_chars").alias("max_nc"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    tcol = F.explode(
+        F.array(*[F.lit(t) for t in _O10_THRESHOLDS])
+    ).alias("threshold")
+    scanned = F.when(F.col("max_nc") >= F.col("threshold"), 1).otherwise(0)
+    scanned_rows = F.when(
+        F.col("max_nc") >= F.col("threshold"), F.col("n_rows")
+    ).otherwise(F.lit(0))
+    per = (
+        files.select("*", tcol)
+        .groupBy("layout", F.col("threshold").cast("long").alias("threshold"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(scanned).cast("long").alias("n_files_scanned"),
+            F.sum(scanned_rows).cast("long").alias("n_rows_scanned"),
+        )
+    )
+    mt = (
+        docs.select("n_chars", tcol)
+        .groupBy(F.col("threshold").cast("long").alias("threshold"))
+        .agg(
+            F.sum(F.when(F.col("n_chars") >= F.col("threshold"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_rows_matched")
+        )
+    )
+    return per.join(F.broadcast(mt), "threshold").select(
+        "layout",
+        "threshold",
+        "n_files",
+        "n_files_scanned",
+        "n_rows_scanned",
+        "n_rows_matched",
+        dround(
+            F.lit(1.0) - F.col("n_files_scanned") * F.lit(1.0) / F.col("n_files"), 6
+        ).alias("skip_ratio"),
+        dround(
+            F.when(F.col("n_rows_scanned") == 0, F.lit(0.0)).otherwise(
+                F.col("n_rows_matched") * F.lit(1.0) / F.col("n_rows_scanned")
+            ),
+            6,
+        ).alias("scan_efficiency"),
+    )

@@ -47,16 +47,22 @@ def _dround(x: float, d: int) -> float:
 # --- staging hygiene --------------------------------------------------------
 
 
-def test_staged_module_does_not_touch_registry():
+def test_pool_registered_and_pointers_live():
+    # round 13 registered this pool: every staged name must now be a
+    # driver-visible REGISTRY entry, and the STAGED pointer must be the
+    # very same fn/oracle the driver sees (not a stale copy)
     assert set(STAGED) == {
         "i13_incremental_minhash",
         "sp12_grouped_split_balance",
         "w14_spearman_trend",
         "o10_file_skipping_stats",
     }
-    assert not (set(STAGED) & set(REGISTRY))
-    assert not (set(STAGED) & (set(STAGED_R12) | set(STAGED_R13)))
-    assert len(REGISTRY) == 208
+    assert set(STAGED) <= set(REGISTRY)
+    for name, sdef in STAGED.items():
+        assert sdef.fn is REGISTRY[name].fn
+        assert sdef.oracle == REGISTRY[name].oracle
+    assert not (set(STAGED) & (set(STAGED_R12) | set(STAGED_R13)))  # disjoint
+    assert len(REGISTRY) == 212
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------

@@ -57,7 +57,7 @@ def test_staged_module_does_not_touch_registry():
     assert not (set(STAGED) & set(REGISTRY))
     pools = set(STAGED_R12) | set(STAGED_R13) | set(STAGED_R14)
     assert not (set(STAGED) & pools)
-    assert len(REGISTRY) == 208
+    assert len(REGISTRY) == 212
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------
