@@ -233,6 +233,23 @@ PREFIX_ORDER = [
 # set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
 # and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
+# SWEEP ledger (round 13): full 212-entry registry (post staged_r14
+# registration) bit-green through the pandas-path driver-sim at
+# sf0.001, sf0.01 AND sf0.1 (one run each, after the tx16 broadcast
+# fix + rotation + registration landed).  The round's touched surface
+# — the tx16 hash-bucket redesign, w13's NULLS LAST pin (both hold
+# r13 prefix slots, so their oracle edits re-enter the prefix by
+# plan), and the 4 new registrations i13/sp12/w14/o10 — additionally
+# re-verified bit-level under the r8-precedent adversarial config
+# (AQE DISABLED, shuffle.partitions=7): tx16+w13 2/2 at ALL THREE
+# SFs, the new registrations 4/4 at ALL THREE SFs; then the ENTIRE
+# 212-entry registry re-verified under the same adversarial config at
+# sf0.01 AND sf0.1 — 212/212 green at each, zero skips.  The live
+# 50-row prefix was also separately green at 32 threads
+# (SPARK_GRAFT_CPUS=32 driver-sim), and the unregistered staged_r15
+# pool is adversarial-green at ALL THREE SFs (4/4 each) ahead of its
+# round-14 registration.  Zero failures -> nothing to name.
+#
 # SWEEP ledger (round 12): full 208-entry registry (post staged_r13
 # registration) bit-green through the pandas-path driver-sim at
 # sf0.001, sf0.01 AND sf0.1 (one run each, after the rotation +
