@@ -308,6 +308,22 @@ def test_tx16_vocab_join_is_broadcast(spark, sf_dir):
     plan = _plan_of(spark, STAGED["tx16_bigram_vocab_coverage"].fn, sf_dir)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+    # The pin that would have caught the original defect (the r12 verdict
+    # flag): the join must be keyed on the BOUNDED hashed bucket (hb),
+    # never the raw bigram string — a plan-level guarantee the build side
+    # is <= 2^22 rows.  The bucket projection must appear in the plan.
+    import re
+
+    from ifcb_data_pipeline_spark.queries.text import TX16_BUCKETS
+
+    lk = re.search(r"Left keys \[1\]: \[(\w+)#", plan)
+    rk = re.search(r"Right keys \[1\]: \[(\w+)#", plan)
+    assert lk and rk, "BroadcastHashJoin keys not found in formatted plan"
+    assert lk.group(1) == "hb" and rk.group(1) == "hb", (
+        f"membership join keyed on ({lk.group(1)}, {rk.group(1)}), not the "
+        "bounded hash bucket"
+    )
+    assert f"% {TX16_BUCKETS}" in plan, "fixed bucket-space projection missing"
 
 
 def test_pk4_has_no_window_and_two_corpus_scans(spark, sf_dir):
