@@ -244,10 +244,12 @@ PREFIX_ORDER = [
 # (AQE DISABLED, shuffle.partitions=7): tx16+w13 2/2 at ALL THREE
 # SFs, the new registrations 4/4 at ALL THREE SFs; then the ENTIRE
 # 212-entry registry re-verified under the same adversarial config at
-# sf0.01 AND sf0.1 — 212/212 green at each, zero skips.  The live
-# 50-row prefix was also separately green at 32 threads
-# (SPARK_GRAFT_CPUS=32 driver-sim), and the unregistered staged_r15
-# pool is adversarial-green at ALL THREE SFs (4/4 each) ahead of its
+# ALL THREE SFs — 212/212 green at each (sf0.001 added beyond the
+# r12 precedent), zero skips.  The FULL registry was also separately
+# green at 32 threads (SPARK_GRAFT_CPUS=32 driver-sim --full at
+# sf0.01 — a third partial-merge order beyond the default 8 and the
+# adversarial 7), and the unregistered staged_r15 pool is
+# adversarial-green at ALL THREE SFs (4/4 each) ahead of its
 # round-14 registration.  Zero failures -> nothing to name.
 #
 # SWEEP ledger (round 12): full 208-entry registry (post staged_r13
