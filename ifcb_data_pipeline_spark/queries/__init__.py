@@ -250,7 +250,10 @@ PREFIX_ORDER = [
 # sf0.01 — a third partial-merge order beyond the default 8 and the
 # adversarial 7), and the unregistered staged_r15 pool is
 # adversarial-green at ALL THREE SFs (4/4 each) ahead of its
-# round-14 registration.  Zero failures -> nothing to name.
+# round-14 registration.  A fourth distinct merge order was also
+# swept: AQE off + shuffle.partitions=13 over the FULL registry at
+# sf0.01 — 212/212 green (orders now covered: 7, 8-default, 13, 32).
+# Zero failures -> nothing to name.
 #
 # SWEEP ledger (round 12): full 208-entry registry (post staged_r13
 # registration) bit-green through the pandas-path driver-sim at
