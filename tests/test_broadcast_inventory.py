@@ -1,0 +1,152 @@
+"""Registry-wide forced-broadcast inventory lint.
+
+The round-12 verdict's one scale defect was a forced broadcast whose
+build side grew with corpus CONTENT (tx16's raw min-count bigram
+vocabulary — fixed in round 13 by projecting survivors into a fixed
+2^22 hash-bucket space).  `F.broadcast(x)` disables the engine's own
+size-based fallback, so every call site is an explicit claim that the
+build side is bounded by a PARAMETER (a dim table, a 1-row agg, a
+≤2^k hashed model/codebook, a query-pruned probe set), never by data
+content.
+
+This lint pins the exact inventory of call sites, keyed by
+(file, innermost enclosing function).  Adding a new forced broadcast —
+or adding one to an existing function — fails here until the entry is
+added below, which forces the boundedness argument to be made
+consciously (record it in the op's design comment and, for registered
+ops, SCALE.md) instead of the tx16 default.  Removing or relocating a
+broadcast must also update the pin, keeping the inventory honest in
+both directions.
+"""
+
+from __future__ import annotations
+
+import ast
+import pathlib
+
+PKG = pathlib.Path(__file__).resolve().parent.parent / "ifcb_data_pipeline_spark"
+
+# (file relative to the repo, innermost enclosing function) -> site count.
+# Every entry has a bounded build side by construction: bounded dims
+# (nation/region/classlists), 1-row/per-group-collapsed aggregates,
+# fixed-size hashed models or codebooks (2^20/2^22 bucket spaces, PQ/IVF
+# centroids), query-pruned probe sets, or per-partition offset frames
+# (≤ parallelism rows) from the global_rank/prefix-sum combinators.
+BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
+    ("operators/aggregates.py", "biovolume_rollup"): 1,
+    ("operators/joins.py", "interval_join"): 1,
+    ("operators/joins.py", "prefix_blacklist_anti_join"): 2,
+    ("operators/similarity.py", "cosine_topk"): 1,
+    ("operators/similarity.py", "ivf_assign"): 1,
+    ("operators/similarity.py", "ivf_assign_probes"): 1,
+    ("operators/skew.py", "salted_broadcast_join"): 1,
+    ("operators/windows.py", "global_rank"): 1,
+    ("operators/windows.py", "grouped_prefix_sum"): 1,
+    ("operators/windows.py", "stitched_adjacency_flag"): 1,
+    ("plans/shark_export.py", "shark_export"): 2,
+    ("plans/streaming_ingest.py", "batch_twin"): 1,
+    ("queries/aggregates.py", "a1_biovolume_rollup"): 1,
+    ("queries/aggregates.py", "a22_decayed_engagement"): 1,
+    ("queries/aggregates.py", "a25_survival_curve"): 1,
+    ("queries/aggregates.py", "a27_retention_cohorts"): 1,
+    ("queries/aggregates.py", "a29_cms_heavy_hitters"): 2,
+    ("queries/aggregates.py", "a2_taxon_rollup"): 1,
+    ("queries/aggregates.py", "a4_monthly_stats"): 1,
+    ("queries/aggregates.py", "a5_grouped_top1"): 1,
+    ("queries/dedup.py", "dd10_fuzzy_decontamination"): 2,
+    ("queries/dedup.py", "dd14_lsh_recall"): 2,
+    ("queries/dedup.py", "dd15_lsh_parameter_sweep"): 2,
+    ("queries/dedup.py", "dd8_benchmark_contamination"): 1,
+    ("queries/joins.py", "j13_classlist_full_join"): 1,
+    ("queries/joins.py", "j1_enrichment_chain"): 2,
+    ("queries/multimodal.py", "augmented_panel_rois"): 1,
+    ("queries/multimodal.py", "finalize"): 1,
+    ("queries/multimodal.py", "st3_watermarked_append"): 1,
+    ("queries/pipelines.py", "k7_ecotaxa_export"): 1,
+    ("queries/pipelines.py", "p2_hab_alert"): 1,
+    ("queries/profiling.py", "dp11_psi_drift"): 1,
+    ("queries/profiling.py", "dp12_quantile_drift_gate"): 2,
+    ("queries/profiling.py", "dp2_winsorize"): 1,
+    ("queries/profiling.py", "dp4_domain_mixture"): 1,
+    ("queries/profiling.py", "dp8_exact_quantiles"): 1,
+    ("queries/profiling.py", "dp9_mutual_information"): 5,
+    ("queries/profiling.py", "sp4_mixture_materialize"): 2,
+    ("queries/profiling.py", "sp5_temperature_resampling"): 2,
+    ("queries/qc_extra.py", "a15_mean_collapse"): 2,
+    ("queries/qc_extra.py", "a9_class_counts"): 1,
+    ("queries/qc_extra.py", "c4_taxa_resolver"): 1,
+    ("queries/qc_extra.py", "c5_trophic_lookup"): 1,
+    ("queries/similarity.py", "sim10_pq_adc"): 4,
+    ("queries/similarity.py", "sim11_mips_topk"): 2,
+    ("queries/similarity.py", "sim13_int8_quant_error"): 1,
+    ("queries/similarity.py", "sim9_quantized_rerank"): 2,
+    ("queries/staged_r15.py", "dp13_leading_digit_audit"): 1,
+    ("queries/staged_r15.py", "j18_bloom_join_prefilter"): 2,
+    ("queries/staged_r15.py", "w15_ks_two_sample"): 2,
+    ("queries/text.py", "sp11_class_balanced_resample"): 2,
+    ("queries/text.py", "sp12_grouped_split_balance"): 2,
+    ("queries/text.py", "sp8_importance_resampling"): 2,
+    ("queries/text.py", "tx10_tfidf_top_terms"): 1,
+    ("queries/text.py", "tx13_bm25_topk"): 4,
+    # tx16: the vocab side is projected into the fixed 2^22 hash-bucket
+    # space BEFORE this broadcast (the round-13 fix this lint encodes)
+    ("queries/text.py", "tx16_bigram_vocab_coverage"): 1,
+    ("queries/text.py", "tx6_trigram_logprob"): 2,
+    ("queries/windows_sorts.py", "o10_file_skipping_stats"): 1,
+    ("queries/windows_sorts.py", "o6_pivot_wider"): 2,
+    ("queries/windows_sorts.py", "w12_mad_outliers"): 2,
+}
+
+
+def _scan() -> dict[tuple[str, str], int]:
+    inv: dict[tuple[str, str], int] = {}
+    for p in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(PKG))
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "broadcast"
+                    and isinstance(f.value, ast.Name)
+                    and f.value.id == "F"
+                ):
+                    key = (rel, self.stack[-1] if self.stack else "<module>")
+                    inv[key] = inv.get(key, 0) + 1
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return inv
+
+
+def test_forced_broadcast_inventory_is_pinned():
+    got = _scan()
+    new = {k: v for k, v in got.items() if k not in BROADCAST_INVENTORY}
+    gone = {k: v for k, v in BROADCAST_INVENTORY.items() if k not in got}
+    changed = {
+        k: (BROADCAST_INVENTORY[k], v)
+        for k, v in got.items()
+        if k in BROADCAST_INVENTORY and BROADCAST_INVENTORY[k] != v
+    }
+    assert not (new or gone or changed), (
+        "forced-broadcast inventory drifted.\n"
+        f"NEW sites (need a boundedness argument + allowlist entry): {new}\n"
+        f"REMOVED sites (delete their pin): {gone}\n"
+        f"CHANGED counts (old, new): {changed}\n"
+        "A forced F.broadcast disables the engine's size fallback; the "
+        "build side must be bounded by a PARAMETER, never by corpus "
+        "content (the tx16 class). Document the bound in the op's design "
+        "comment / SCALE.md, then update BROADCAST_INVENTORY."
+    )
