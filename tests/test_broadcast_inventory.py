@@ -212,6 +212,28 @@ def test_driver_action_inventory_is_pinned():
     )
 
 
+def test_no_native_round_anywhere():
+    """The dround discipline, linted: Spark's F.round (BigDecimal HALF_UP
+    on the exact binary expansion) and DuckDB's round (shortest-decimal)
+    disagree on boundary values like 15139.495, so every float that
+    crosses the engine boundary must use the floor-form dround/dround_sql
+    pair.  No package code may call F.round, and no registered oracle may
+    call native round()."""
+    import re
+
+    for p in sorted(PKG.rglob("*.py")):
+        assert "F.round(" not in p.read_text(), f"{p}: F.round is banned (use dround)"
+
+    from ifcb_data_pipeline_spark.queries import load_all
+
+    offenders = [
+        name
+        for name, qd in load_all().items()
+        if qd.oracle and re.search(r"(?<![\w.])round\s*\(", qd.oracle, re.I)
+    ]
+    assert not offenders, f"oracles using native round(): {offenders}"
+
+
 def test_forced_broadcast_inventory_is_pinned():
     got = _scan()
     new = {k: v for k, v in got.items() if k not in BROADCAST_INVENTORY}
