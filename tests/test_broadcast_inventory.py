@@ -234,6 +234,21 @@ def test_no_native_round_anywhere():
     assert not offenders, f"oracles using native round(): {offenders}"
 
 
+def test_no_row_at_a_time_udfs():
+    """Row-at-a-time Python UDFs (F.udf/@udf) are the slow path — banned
+    outright.  Arrow-batched pandas UDFs are allowed but pinned: the only
+    one in the package is geo.py's point-in-polygon vectorized kernel
+    (everything else is built-in functions or mapInPandas batches)."""
+    row_udfs, pandas_udfs = [], []
+    for p in sorted(PKG.rglob("*.py")):
+        text = p.read_text()
+        if "F.udf(" in text or "@udf" in text:
+            row_udfs.append(str(p))
+        pandas_udfs += [str(p.relative_to(PKG))] * text.count("pandas_udf(")
+    assert not row_udfs, f"row-at-a-time UDFs found: {row_udfs}"
+    assert sorted(pandas_udfs) == ["operators/geo.py"], pandas_udfs
+
+
 def test_forced_broadcast_inventory_is_pinned():
     got = _scan()
     new = {k: v for k, v in got.items() if k not in BROADCAST_INVENTORY}
