@@ -1,4 +1,9 @@
-"""Registry-wide forced-broadcast inventory lint.
+"""Scale-discipline lints: the repo's past incident classes, as CI gates.
+
+Four disciplines that code review alone failed to hold at some point
+(or would be one lapse away from losing) are pinned here as tests:
+the forced-broadcast inventory, the driver-side action inventory, the
+dround cross-engine rounding rule, and the no-row-UDF rule.
 
 The round-12 verdict's one scale defect was a forced broadcast whose
 build side grew with corpus CONTENT (tx16's raw min-count bigram
