@@ -217,6 +217,90 @@ def test_driver_action_inventory_is_pinned():
     )
 
 
+# (file, innermost enclosing function) -> crossJoin site count.  Every
+# entry pairs the fact stream with a BOUNDED broadcast frame (1-row
+# global stats/totals, per-group-collapsed scalars, fixed codebooks) —
+# the pattern the registry-wide no-cartesian plan sweep verifies at the
+# physical level; this pins it at the source level so a new crossJoin
+# is a reviewed decision.
+CROSSJOIN_INVENTORY: dict[tuple[str, str], int] = {
+    ("operators/similarity.py", "cosine_topk"): 1,
+    ("operators/similarity.py", "ivf_assign"): 1,
+    ("operators/similarity.py", "ivf_assign_probes"): 1,
+    ("plans/streaming_ingest.py", "batch_twin"): 1,
+    ("queries/aggregates.py", "a22_decayed_engagement"): 1,
+    ("queries/aggregates.py", "a25_survival_curve"): 1,
+    ("queries/aggregates.py", "a29_cms_heavy_hitters"): 1,
+    ("queries/dedup.py", "dd14_lsh_recall"): 2,
+    ("queries/dedup.py", "dd15_lsh_parameter_sweep"): 2,
+    ("queries/multimodal.py", "augmented_panel_rois"): 1,
+    ("queries/multimodal.py", "finalize"): 1,
+    ("queries/multimodal.py", "st3_watermarked_append"): 1,
+    ("queries/profiling.py", "dp11_psi_drift"): 1,
+    ("queries/profiling.py", "dp4_domain_mixture"): 1,
+    ("queries/profiling.py", "dp9_mutual_information"): 5,
+    ("queries/profiling.py", "sp4_mixture_materialize"): 1,
+    ("queries/profiling.py", "sp5_temperature_resampling"): 1,
+    ("queries/similarity.py", "sim10_pq_adc"): 3,
+    ("queries/similarity.py", "sim11_mips_topk"): 1,
+    ("queries/similarity.py", "sim13_int8_quant_error"): 1,
+    ("queries/similarity.py", "sim9_quantized_rerank"): 1,
+    ("queries/staged_r15.py", "w15_ks_two_sample"): 1,
+    ("queries/text.py", "sp11_class_balanced_resample"): 1,
+    ("queries/text.py", "sp12_grouped_split_balance"): 1,
+    ("queries/text.py", "sp8_importance_resampling"): 1,
+    ("queries/text.py", "tx10_tfidf_top_terms"): 1,
+    ("queries/text.py", "tx13_bm25_topk"): 1,
+    ("queries/text.py", "tx6_trigram_logprob"): 1,
+}
+
+
+def _scan_calls(attr: str) -> dict[tuple[str, str], int]:
+    inv: dict[tuple[str, str], int] = {}
+    for p in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(PKG))
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if isinstance(f, ast.Attribute) and f.attr == attr:
+                    key = (rel, self.stack[-1] if self.stack else "<module>")
+                    inv[key] = inv.get(key, 0) + 1
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return inv
+
+
+def test_crossjoin_inventory_is_pinned():
+    got = _scan_calls("crossJoin")
+    new = {k: v for k, v in got.items() if k not in CROSSJOIN_INVENTORY}
+    gone = {k: v for k, v in CROSSJOIN_INVENTORY.items() if k not in got}
+    changed = {
+        k: (CROSSJOIN_INVENTORY[k], v)
+        for k, v in got.items()
+        if k in CROSSJOIN_INVENTORY and CROSSJOIN_INVENTORY[k] != v
+    }
+    assert not (new or gone or changed), (
+        "crossJoin inventory drifted.\n"
+        f"NEW: {new}\nREMOVED: {gone}\nCHANGED (old, new): {changed}\n"
+        "A crossJoin is only legitimate against a bounded broadcast frame "
+        "(1-row stats, fixed codebook). Argue the bound at the call site, "
+        "then update CROSSJOIN_INVENTORY."
+    )
+
+
 def test_no_native_round_anywhere():
     """The dround discipline, linted: Spark's F.round (BigDecimal HALF_UP
     on the exact binary expansion) and DuckDB's round (shortest-decimal)
