@@ -247,7 +247,8 @@ PREFIX_ORDER = [
 # ALL THREE SFs — 212/212 green at each (sf0.001 added beyond the
 # r12 precedent), zero skips.  The FULL registry was also separately
 # green at 32 threads (SPARK_GRAFT_CPUS=32 driver-sim --full at
-# sf0.01 — a third partial-merge order beyond the default 8 and the
+# sf0.01 AND at sf0.1 — a third partial-merge order beyond the
+# default 8 and the
 # adversarial 7), and the unregistered staged_r15 pool is
 # adversarial-green at ALL THREE SFs (4/4 each) ahead of its
 # round-14 registration.  A fourth distinct merge order was also
