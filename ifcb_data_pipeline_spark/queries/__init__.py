@@ -200,8 +200,8 @@ PREFIX_ORDER = [
 #
 # POST-r15 REGISTRY ENDGAME (decided round 12, per VERDICT r11 item 6):
 # the registry FREEZES at 216 entries once the staged queue drains —
-# staged_r13 (registered this round, registry = 208), staged_r14
-# (round 13 -> 212), staged_r15 (round 14 -> 216), then NO further
+# staged_r13 (registered round 12 -> 208), staged_r14 (registered
+# round 13 -> 212, DONE), staged_r15 (round 14 -> 216), then NO further
 # registrations without explicit driver buy-in on a larger per-round
 # check budget (this is the SCALE.md stop-staging policy made binding).
 # Staleness math at the frozen size: 216 entries / 50-row gate = a
