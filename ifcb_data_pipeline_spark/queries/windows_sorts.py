@@ -1057,8 +1057,10 @@ def w13_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 W14_SQL = r"""
 WITH r AS (
     SELECT user_id,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rt,
-           row_number() OVER (PARTITION BY user_id ORDER BY value, event_id) AS rv
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS LAST, event_id) AS rt,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value NULLS LAST, event_id) AS rv
     FROM events
 ),
 g AS (
@@ -1085,8 +1087,12 @@ FROM g
 )
 def w14_spearman_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = tables(spark, sf_dir, "events")
-    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+    # NULLS LAST pinned explicitly in BOTH engines (ADVICE r13, the w13
+    # precedent): Spark ASC defaults nulls-first while DuckDB defaults
+    # nulls-last, so the rank rule must not depend on ts/value having no
+    # NULLs in shipped data.
+    wt = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.asc_nulls_last("value"), "event_id")
     r = events.select(
         "user_id",
         F.row_number().over(wt).alias("rt"),
