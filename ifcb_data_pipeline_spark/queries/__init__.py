@@ -89,113 +89,111 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 13 — the precomputed plan below, applied verbatim
-    # (CORRECTNESS_r12 was 50/50 green, so no red row displaces slot 1;
-    # tools/rotation_audit.py confirmed plan/artifact consistency at
-    # round-13 start).  tx16's unbounded-vocab-broadcast fix (the r12
-    # verdict's one weak flag) landed BEFORE this rotation, so its first
-    # driver row checks the bounded 2^22-hash-bucket design.
-    # slots 1-4: round-12 adds, never driver-checked
-    "tx16_bigram_vocab_coverage",
-    "pk4_cdc_chunking",
-    "w13_mad_anomaly",
-    "sim13_int8_quant_error",
-    # slots 5-8: the 4 r8-era rows that spilled past round 12
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx6_trigram_logprob",
-    "u13b_psd_fit_pandas",
-    # slots 9-50: 42 of the 50 r9-era rows (alphabetical; the tx5/tx7/
-    # tx8/tx9/u13/w1/w3/w6 keys spill to round 14)
-    "a27_retention_cohorts",
-    "c10_date_format",
-    "c11_encoding_fix",
-    "c12_haversine",
-    "c1_taxa_clean_cascade",
-    "c2_species_flag",
-    "c6_parse_bin_id",
-    "c8_f1_score",
-    "c9_signif_round",
-    "dd16_quality_survivor",
-    "dd2_minhash_lsh",
-    "dd8_benchmark_contamination",
-    "dp3_categorical_profile",
-    "dp4_domain_mixture",
-    "dp5_correlation_matrix",
-    "f10_timestamp_range",
-    "f12_value_threshold",
-    "f13_membership_filter",
-    "f2_gps_staleness",
-    "f3_blacklist_prefix_anti",
-    "f4_flag_removal",
-    "f7_qc_gating",
-    "f8_sentinel_normalization",
-    "j4_asof_join",
-    "mm1_multimodal_features",
-    "mm3_resize_normalize",
-    "mm4_video_frame_sample",
-    "p1_shark_export",
-    "p2_hab_alert",
-    "p3_dashboard_metadata",
-    "pk1_sequence_packing",
-    "sim2_signlsh_ann",
-    "sim5_ivf_nprobe2",
-    "sim6_embedding_quantize",
-    "sim7_filtered_ann",
-    "sim8_kmeans_refine",
-    "sp10_decontaminated_split",
-    "sp2_stratified_sample",
-    "sp3_shuffle_shards",
-    "sp4_mixture_materialize",
-    "tp1_training_corpus",
-    "tx10_tfidf_top_terms",
+    # ROUND 14 — the precomputed ROUND-14 plan (see commit 8007387's
+    # version of this file), applied verbatim (CORRECTNESS_r13 landed
+    # 50/50 green, so no red row displaces slot 1; tools/
+    # rotation_audit.py confirmed plan/artifact consistency at round-14
+    # start).  w14's NULLS LAST rank pin (ADVICE r13, the w13-precedent
+    # cross-engine rank-desync class) landed BEFORE this rotation, so
+    # its first driver row checks the pinned ordering.
+    # slots 1-4: round-13 adds, never driver-checked
+    "i13_incremental_minhash",
+    "sp12_grouped_split_balance",
+    "w14_spearman_trend",
+    "o10_file_skipping_stats",
+    # slots 5-12: the 8 r9-era rows that spilled past round 13
+    "tx5_vocabulary",
+    "tx7_repetition_signals",
+    "tx8_pii_scrub",
+    "tx9_bpe_pair_merge",
+    "u13_psd_fit",
+    "w1_adjacency_removal",
+    "w3_gap_fill",
+    "w6_moving_average",
+    # slots 13-50: 38 of the 50 r10-era rows (alphabetical; the st5/
+    # st7/tp2/tp3/tp5/tx11/tx12/tx14/w10/w11/w7/w8 keys spill to
+    # round 15 — the predicted peak spill)
+    "a22_decayed_engagement",
+    "a23_cohort_retention",
+    "dd10_fuzzy_decontamination",
+    "dd11_span_dedup",
+    "dd12_containment_pairs",
+    "dd17_shingle_containment",
+    "dd4_ngram_jaccard",
+    "dd4b_ngram_jaccard_dfcut",
+    "dd5_embedding_cosine_dup",
+    "dp11_psi_drift",
+    "dp6_drift_profile",
+    "i8_snapshot_diff",
+    "i9_scd2_compaction",
+    "j14_bucketed_range_join",
+    "j16_interval_overlap",
+    "j8b_grid_spatial_join",
+    "k7_ecotaxa_export",
+    "mm10_voice_activity",
+    "mm2_real_kernel_features",
+    "mm2b_kernel_topologies",
+    "mm5_audio_frame_features",
+    "mm7_modality_coverage",
+    "mm8_patchify",
+    "mm9_perceptual_dedup",
+    "o8_zorder_layout",
+    "pk2_document_chunking",
+    "pk3_length_bucketed_batching",
+    "s6b_json_props_extract",
+    "sim10_pq_adc",
+    "sim9_quantized_rerank",
+    "sp11_class_balanced_resample",
+    "sp2b_stratified_topk",
+    "sp5_temperature_resampling",
+    "sp7_epoch_shuffle",
+    "st1_stream_windowed_counts",
+    "st2_stateful_user_counts",
+    "st3_watermarked_append",
+    "st4_stream_stream_join",
 ]
-# The round-13 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r12 landed 50/50 green, so no red row
+# The round-14 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r13 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
-# consistency at round-13 start).  After round 13 the never-checked set
-# is exactly the 4 staged_r14 registrations (i13/sp12/w14/o10, below
-# the prefix this round); the staleness head is the 8 spilled r9 rows
-# (the tx5 / tx7 / tx8 / tx9 / u13 / w1 / w3 / w6 keys) + the 50-row
-# r10 era, so round 14 takes the spill + 38 r10 rows and 12 r10 rows
-# spill to round 15 (the peak spill the SCALE.md endgame note
-# predicts).
+# consistency at round-14 start).  After round 14 the never-checked set
+# is exactly the 4 staged_r15 registrations (a30/j18/w15/dp13 — the
+# LAST registrations; the registry is now FROZEN at 216 per the
+# endgame note below); the staleness head is the 12 spilled r10 rows
+# + the 50-row r11 era, so round 15 takes the 4 adds + the 12-row
+# spill + 34 r11 rows and 16 r11 rows spill to round 16.
 #
-# ROUND-14 ROTATION PLAN (precomputed; apply verbatim unless round-13
+# ROUND-15 ROTATION PLAN (precomputed; apply verbatim unless round-14
 # driver results dictate otherwise — a red row takes slot 1):
-#   4 round-13 adds (never driver-checked; throttle respected) take
-#   slots 1-4:
-#     i13_incremental_minhash, sp12_grouped_split_balance,
-#     w14_spearman_trend, o10_file_skipping_stats
-#   slots 5-12: the 8 r9-era rows that spilled past round 13:
-#     tx5_vocabulary, tx7_repetition_signals, tx8_pii_scrub,
-#     tx9_bpe_pair_merge, u13_psd_fit, w1_adjacency_removal,
-#     w3_gap_fill, w6_moving_average
-#   then 38 of the 50 r10-era rows (alphabetical; the last 12 — the
-#   st5 / st7 / tp2 / tp3 / tp5 / tx11 / tx12 / tx14 / w10 / w11 / w7 /
-#   w8 keys, named here by key only so the plan parser doesn't count
-#   them — spill to round 15, becoming its staleness head after the
-#   staged_r15 adds):
-#     a22_decayed_engagement, a23_cohort_retention,
-#     dd10_fuzzy_decontamination, dd11_span_dedup,
-#     dd12_containment_pairs, dd17_shingle_containment,
-#     dd4_ngram_jaccard, dd4b_ngram_jaccard_dfcut,
-#     dd5_embedding_cosine_dup, dp11_psi_drift, dp6_drift_profile,
-#     i8_snapshot_diff, i9_scd2_compaction, j14_bucketed_range_join,
-#     j16_interval_overlap, j8b_grid_spatial_join, k7_ecotaxa_export,
-#     mm10_voice_activity, mm2_real_kernel_features,
-#     mm2b_kernel_topologies, mm5_audio_frame_features,
-#     mm7_modality_coverage, mm8_patchify, mm9_perceptual_dedup,
-#     o8_zorder_layout, pk2_document_chunking,
-#     pk3_length_bucketed_batching, s6b_json_props_extract,
-#     sim10_pq_adc, sim9_quantized_rerank, sp11_class_balanced_resample,
-#     sp2b_stratified_topk, sp5_temperature_resampling,
-#     sp7_epoch_shuffle, st1_stream_windowed_counts,
-#     st2_stateful_user_counts, st3_watermarked_append,
-#     st4_stream_stream_join
-# = exactly 50; re-run tools/rotation_audit.py at round-14 start once
-# CORRECTNESS_r13.json lands (a red row there displaces slot 1 by
-# rule).
+#   the 4 round-14 adds (never driver-checked; the FINAL registrations
+#   before the 216 freeze) take slots 1-4:
+#     a30_bottomk_distinct_sample, j18_bloom_join_prefilter,
+#     w15_ks_two_sample, dp13_leading_digit_audit
+#   slots 5-16: the 12 r10-era rows that spilled past round 14:
+#     st5_streaming_dedup, st7_stream_static_join,
+#     tp2_multimodal_corpus, tp3_incremental_refresh, tp5_funnel_report,
+#     tx11_langid_confusion, tx12_ngram_novelty,
+#     tx14_quality_model_score, w10_cumulative_distinct,
+#     w11_cusum_drift, w7_native_session_window, w8_ewma_smoothing
+#   then 34 of the 50 r11-era rows (alphabetical; the last 16 — the
+#   o7-intersect / o9 / sim11 / sim12 / sim1 / sim3 / sp8 / st6 / st8 /
+#   tp4 / tp6 / tx15 / w12 / w4 / w5 / w9 keys, named here by key only
+#   so the plan parser doesn't count them — spill to round 16, becoming
+#   its staleness head; the freeze means no adds compete for slots):
+#     a20_grouped_percentiles, a21_conversion_funnel,
+#     a24_salted_skew_rollup, a26_sequence_funnel, a9_class_counts,
+#     c4_taxa_resolver, c5_trophic_lookup, dd13_star_components,
+#     dd14_lsh_recall, dd15_lsh_parameter_sweep, dd18_url_host_dedup,
+#     dd19_repeated_ngram_spans, dd9_normalized_dedup,
+#     dp12_quantile_drift_gate, dp1_column_profile, dp2_winsorize,
+#     dp8_exact_quantiles, dp9_mutual_information, g1_pagerank,
+#     i10_merge_upsert, i11_late_data_audit, i12_incremental_rollup,
+#     j17_point_in_time_join, j9_basin_tagging, j9b_polygon_tagging,
+#     mm11_scene_cuts, mm12_spectral_frames, mm6_augmentation_panel,
+#     o1_multi_key_sort, o3_union_by_name, o5_split_apply_union,
+#     o6_pivot_longer, o6_pivot_wider, o7_set_except
+# = exactly 50 (4 + 12 + 34); re-run tools/rotation_audit.py at
+# round-15 start once CORRECTNESS_r14.json lands (a red row there
+# displaces slot 1 by rule).
 # END PLAN
 #
 # POST-r15 REGISTRY ENDGAME (decided round 12, per VERDICT r11 item 6):

@@ -1198,3 +1198,118 @@ def a29_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") * 100 >= F.col("n")).alias("is_heavy_hitter"),
         )
     )
+
+
+# --- round-14 registered add (re-homed from queries/staged_r15.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- A30: KMV bottom-k distinct sketch ----------------------------------------
+# Scale shape: the distinct (month, hash) frame is one hash-distinct
+# shuffle, checkpointed so the corpus is scanned+deduped once; bottom-k
+# uses the sp2b local-heads discipline (per-(group, input-partition)
+# heads window first), so the final per-group window only ever sees
+# <= k * |partitions| rows — never a fat group partition.  The THIRD
+# distinct sketch next to a28's HLL on the same task — KMV is the one
+# whose state is also a uniform sample of the distinct keys.
+_A30_K = 32
+
+A30_SQL = r"""
+WITH h AS (
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month, {h32} AS h
+    FROM orders
+),
+r AS (
+    SELECT month, h,
+           row_number() OVER (PARTITION BY month ORDER BY h) AS rn,
+           count(*) OVER (PARTITION BY month) AS nh
+    FROM h
+),
+kth AS (
+    SELECT month, nh::BIGINT AS n_distinct_hashes, h AS kth_hash
+    FROM r WHERE rn = {k}
+),
+x AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           count(DISTINCT o_custkey)::BIGINT AS exact_distinct,
+           count(DISTINCT {h32o})::BIGINT AS nh_all
+    FROM orders GROUP BY month
+),
+est AS (
+    SELECT x.month, x.exact_distinct,
+           coalesce(k.n_distinct_hashes, x.nh_all) AS n_distinct_hashes,
+           k.kth_hash,
+           CASE WHEN k.kth_hash IS NOT NULL AND k.kth_hash > 0
+                THEN ({k} - 1) * 4294967296.0 / k.kth_hash
+                ELSE x.nh_all * 1.0 END AS e
+    FROM x LEFT JOIN kth k ON x.month = k.month
+)
+SELECT month, exact_distinct, n_distinct_hashes, kth_hash,
+       {est4} AS kmv_estimate,
+       {err4} AS rel_err_pct
+FROM est
+""".format(
+    h32=HASH32_SQL.format(x="'c' || o_custkey::VARCHAR"),
+    h32o=HASH32_SQL.format(x="'c' || o_custkey::VARCHAR"),
+    k=_A30_K,
+    est4=dround_sql("e", 4),
+    err4=dround_sql("(e - exact_distinct) * 100.0 / exact_distinct", 4),
+)
+
+
+@register(
+    "a30_bottomk_distinct_sample",
+    A30_SQL,
+    survey_ref="beyond reference: KMV/bottom-k distinct sketch (k=32, shared "
+    "md5 hash) vs exact twin per order month — the sample-bearing member of "
+    "the distinct-sketch series (a28 HLL, a30 KMV)",
+)
+def a30_bottomk_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    h = hash32(F.concat(F.lit("c"), F.col("o_custkey").cast("string")))
+    # the distinct (month, hash) frame feeds the local-heads ladder AND the
+    # per-month count — checkpoint so the corpus is scanned+deduped once
+    d = orders.select(month, h.alias("h")).distinct().localCheckpoint()
+    # sp2b local-heads discipline: per-(month, source-partition) bottom-k
+    # first, so the month-keyed final window sees <= k * |partitions| rows
+    # (bottom-k of a union = bottom-k of per-slice bottom-k's, so the
+    # result is partitioning-invariant).
+    local = d.withColumn("__pid", F.spark_partition_id())
+    wloc = Window.partitionBy("month", "__pid").orderBy("h")
+    heads = (
+        local.withColumn("__rn", F.row_number().over(wloc))
+        .where(F.col("__rn") <= _A30_K)
+        .drop("__pid", "__rn")
+    )
+    wmon = Window.partitionBy("month").orderBy("h")
+    kth = (
+        heads.withColumn("rn", F.row_number().over(wmon))
+        .where(F.col("rn") == _A30_K)
+        .select("month", F.col("h").alias("kth_hash"))
+    )
+    stats = d.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("nh_all")
+    )
+    x = orders.groupBy(month).agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    e = F.when(
+        F.col("kth_hash").isNotNull() & (F.col("kth_hash") > 0),
+        F.lit(float(_A30_K - 1)) * F.lit(4294967296.0) / F.col("kth_hash"),
+    ).otherwise(F.col("nh_all") * F.lit(1.0))
+    return (
+        x.join(stats, "month")
+        .join(kth, "month", "left")
+        .select(
+            "month",
+            "exact_distinct",
+            F.col("nh_all").cast("long").alias("n_distinct_hashes"),
+            "kth_hash",
+            dround(e, 4).alias("kmv_estimate"),
+            dround(
+                (e - F.col("exact_distinct"))
+                * F.lit(100.0)
+                / F.col("exact_distinct"),
+                4,
+            ).alias("rel_err_pct"),
+        )
+    )

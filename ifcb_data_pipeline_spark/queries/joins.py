@@ -1347,3 +1347,145 @@ def i13_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("oka") & F.col("okb")).alias("merged_equals_full"),
         )
     )
+
+
+# --- round-14 registered add (re-homed from queries/staged_r15.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- J18: Bloom-filter join pre-filter + exact twin ----------------------------
+# Scale shape: the filter itself is a <= min(3*|build|, m)-row
+# distinct-bit frame — broadcast to the probe side, exactly what a
+# runtime filter ships; m = 2^17 bits bounds the broadcast at ANY build
+# cardinality (the tx16 lesson made structural).  ONE customer scan:
+# nationkey rides along through the probe explode.
+_J18_M = 131072  # 2^17 bits
+_J18_HASHES = 3
+
+J18_SQL = r"""
+WITH build AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+),
+bits AS (
+    SELECT DISTINCT {hb} % {m} AS bit
+    FROM build, (SELECT unnest(range({kh})) AS i) i
+),
+probe AS (
+    SELECT c.c_custkey, c.c_nationkey, i.i,
+           {hp} % {m} AS bit
+    FROM customer c, (SELECT unnest(range({kh})) AS i) i
+),
+hits AS (
+    SELECT p.c_custkey, p.c_nationkey,
+           (count(b.bit) = {kh}) AS bloom_pass
+    FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+    GROUP BY p.c_custkey, p.c_nationkey
+),
+truth AS (
+    SELECT h.c_custkey, h.c_nationkey, h.bloom_pass,
+           (h.c_custkey IN (SELECT o_custkey FROM build)) AS is_true
+    FROM hits h
+)
+SELECT c_nationkey::BIGINT AS nationkey,
+       count(*)::BIGINT AS n_customers,
+       sum(CASE WHEN is_true THEN 1 ELSE 0 END)::BIGINT AS n_true,
+       sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+       sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)::BIGINT
+           AS n_false_pos,
+       bool_and(bloom_pass OR NOT is_true) AS no_false_negatives,
+       {fp6} AS fp_rate
+FROM truth
+GROUP BY c_nationkey
+""".format(
+    hb=HASH32_SQL.format(x="'b' || i.i::VARCHAR || '|' || o_custkey::VARCHAR"),
+    hp=HASH32_SQL.format(x="'b' || i.i::VARCHAR || '|' || c_custkey::VARCHAR"),
+    m=_J18_M,
+    kh=_J18_HASHES,
+    fp6=dround_sql(
+        "CASE WHEN count(*) = sum(CASE WHEN is_true THEN 1 ELSE 0 END) THEN 0.0"
+        " ELSE sum(CASE WHEN bloom_pass AND NOT is_true THEN 1 ELSE 0 END)"
+        " * 1.0 / (count(*) - sum(CASE WHEN is_true THEN 1 ELSE 0 END)) END",
+        6,
+    ),
+)
+
+
+@register(
+    "j18_bloom_join_prefilter",
+    J18_SQL,
+    survey_ref="beyond reference: from-scratch deterministic Bloom filter "
+    "(k=3, m=2^17) as a join pre-filter, with the exact semi-join twin and "
+    "the structural no-false-negative column per nation",
+)
+def j18_bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+    # the build-key set feeds the bit frame AND the exact-twin probe —
+    # checkpoint so orders is scanned once
+    build = (
+        orders.where(F.year("o_orderdate") == 1995)
+        .select("o_custkey")
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def salted_bit(key_col):
+        return (
+            hash32(
+                F.concat(
+                    F.lit("b"),
+                    F.col("i").cast("string"),
+                    F.lit("|"),
+                    key_col.cast("string"),
+                )
+            )
+            % _J18_M
+        ).alias("bit")
+
+    iexp = F.explode(F.sequence(F.lit(0), F.lit(_J18_HASHES - 1))).alias("i")
+    # the filter itself: a <= min(3·|build|, m)-row distinct-bit frame —
+    # broadcast to the probe side, exactly what a runtime filter ships
+    bits = (
+        build.select("o_custkey", iexp)
+        .select(salted_bit(F.col("o_custkey")))
+        .distinct()
+    )
+    # ONE customer scan: nationkey rides along through the probe explode
+    probe = customer.select("c_custkey", "c_nationkey", iexp).select(
+        "c_custkey", "c_nationkey", salted_bit(F.col("c_custkey"))
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left"
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg((F.count("hit") == _J18_HASHES).alias("bloom_pass"))
+    )
+    truth = hits.join(
+        F.broadcast(build.withColumn("is_true0", F.lit(True))),
+        hits.c_custkey == build.o_custkey,
+        "left",
+    ).select(
+        "c_nationkey",
+        "bloom_pass",
+        F.coalesce("is_true0", F.lit(False)).alias("is_true"),
+    )
+    t1 = F.when(F.col("is_true"), 1).otherwise(0)
+    p1 = F.when(F.col("bloom_pass"), 1).otherwise(0)
+    fp1 = F.when(F.col("bloom_pass") & ~F.col("is_true"), 1).otherwise(0)
+    return truth.groupBy(
+        F.col("c_nationkey").cast("long").alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(t1).cast("long").alias("n_true"),
+        F.sum(p1).cast("long").alias("n_pass"),
+        F.sum(fp1).cast("long").alias("n_false_pos"),
+        F.bool_and(F.col("bloom_pass") | ~F.col("is_true")).alias(
+            "no_false_negatives"
+        ),
+        dround(
+            F.when(F.count(F.lit(1)) == F.sum(t1), F.lit(0.0)).otherwise(
+                F.sum(fp1).cast("long")
+                * F.lit(1.0)
+                / (F.count(F.lit(1)) - F.sum(t1))
+            ),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import register
-from ._util import HASH32_SQL, dround, tables
+from ._util import HASH32_SQL, dround, dround_sql, tables
 
 # --- DP1: column profile ---------------------------------------------------
 DP1_SQL = """
@@ -1129,4 +1129,89 @@ def dp12_quantile_drift_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_decile_shift",
             (F.col("max_decile_shift") >= F.lit(25.0)).alias("drifted"),
         )
+    )
+
+
+# --- round-14 registered add (re-homed from queries/staged_r15.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- DP13: Benford-style leading-digit audit -----------------------------------
+# Scale shape: one corpus scan into the checkpointed digit frame, then
+# two hash aggs and a <=|types|-row broadcast join.  Per-digit ROWS (no
+# cross-digit float sum), so every float is a short deterministic chain
+# on exact integers; the log10((d+1)/d) family (d in 1..9) is a FINITE
+# transcendental domain, certified bit-for-bit across Spark/DuckDB/
+# CPython by tests/test_staged_r15.py (the a28 ln-parity lesson).
+DP13_SQL = r"""
+WITH c AS (
+    SELECT event_type, floor(value * 100.0 + 0.5)::BIGINT AS cents
+    FROM events
+),
+d AS (
+    -- zero-cent rows have no leading digit (Benford is a law about
+    -- nonzero magnitudes); sf0.1 contains value = 0.00 events
+    SELECT event_type, substr(cents::VARCHAR, 1, 1)::BIGINT AS digit
+    FROM c WHERE cents > 0
+),
+g AS (
+    SELECT event_type, digit, count(*)::BIGINT AS observed FROM d
+    GROUP BY event_type, digit
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY event_type)
+SELECT g.event_type, g.digit, g.observed,
+       {share6} AS observed_share,
+       {exp6} AS benford_expected,
+       {chi4} AS chi2_contribution
+FROM g JOIN n ON g.event_type = n.event_type
+""".format(
+    share6=dround_sql("g.observed * 1.0 / n.n", 6),
+    exp6=dround_sql("log10((g.digit + 1) * 1.0 / g.digit)", 6),
+    chi4=dround_sql(
+        "(g.observed - n.n * log10((g.digit + 1) * 1.0 / g.digit))"
+        " * (g.observed - n.n * log10((g.digit + 1) * 1.0 / g.digit))"
+        " / (n.n * log10((g.digit + 1) * 1.0 / g.digit))",
+        4,
+    ),
+)
+
+
+@register(
+    "dp13_leading_digit_audit",
+    DP13_SQL,
+    survey_ref="beyond reference (dp-family): Benford leading-digit profile "
+    "of integer cents per event type — per-digit rows, no cross-digit float "
+    "sum, fabrication screen",
+)
+def dp13_leading_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .where(F.col("cents") > 0)  # zero magnitudes carry no leading digit
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+        # the digit frame feeds both the (type, digit) counts and the
+        # per-type totals — one corpus scan, not two
+        .localCheckpoint()
+    )
+    g = d.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).cast("long").alias("observed")
+    )
+    n = d.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    exp_p = F.log10((F.col("digit") + 1) * F.lit(1.0) / F.col("digit"))
+    dev = F.col("observed") - F.col("n") * exp_p
+    return g.join(F.broadcast(n), "event_type").select(
+        "event_type",
+        "digit",
+        "observed",
+        dround(F.col("observed") * F.lit(1.0) / F.col("n"), 6).alias(
+            "observed_share"
+        ),
+        dround(exp_p, 6).alias("benford_expected"),
+        dround(dev * dev / (F.col("n") * exp_p), 4).alias("chi2_contribution"),
     )

@@ -1270,3 +1270,123 @@ def o10_file_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("scan_efficiency"),
     )
+
+
+# --- round-14 registered add (re-homed from queries/staged_r15.py per the
+# registration checklist; registered BELOW the driver prefix) -----------------
+# --- W15: exact two-sample Kolmogorov–Smirnov ----------------------------------
+# Exactness via the finite-decimal rule: the CDF steps live on the
+# integer-cents DOMAIN (bounded by the value domain, not the row count —
+# the w12 counting trick), so the cumulative window runs over a
+# ≤|domain|-row frame (the allowlisted bounded single-partition class),
+# and the argmax of |F1−F2| is an INTEGER argmax of |c1·n2 − c2·n1|.
+W15_SQL = r"""
+WITH c AS (
+    SELECT floor(value * 100.0 + 0.5)::BIGINT AS cents,
+           CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('click', 'view')
+),
+g AS (
+    SELECT cents,
+           sum(is_a)::BIGINT AS a,
+           sum(1 - is_a)::BIGINT AS b
+    FROM c GROUP BY cents
+),
+cum AS (
+    SELECT cents,
+           sum(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS ca,
+           sum(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cb
+    FROM g
+),
+n AS (
+    SELECT sum(is_a)::BIGINT AS n1, sum(1 - is_a)::BIGINT AS n2 FROM c
+),
+diff AS (
+    SELECT cum.cents, abs(cum.ca * n.n2 - cum.cb * n.n1)::BIGINT AS num,
+           n.n1, n.n2
+    FROM cum CROSS JOIN n
+),
+best AS (
+    SELECT min(cents)::BIGINT AS argmax_cents, max(num)::BIGINT AS max_num,
+           max(n1)::BIGINT AS n1, max(n2)::BIGINT AS n2
+    FROM diff WHERE num = (SELECT max(num) FROM diff)
+)
+SELECT n1, n2,
+       {d6} AS d_stat,
+       (argmax_cents * 1.0 / 100.0) AS d_location,
+       (max_num * 1.0 / (n1 * n2)
+        > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2))) AS reject_at_5pct
+FROM best
+""".format(
+    d6=dround_sql("max_num * 1.0 / (n1 * n2)", 6),
+)
+
+
+@register(
+    "w15_ks_two_sample",
+    W15_SQL,
+    survey_ref="beyond reference: exact two-sample KS on the integer-cents "
+    "domain — integer cross-difference argmax, one division + one sqrt at "
+    "the end",
+)
+def w15_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    # the cents frame feeds the domain counts AND the totals — one scan
+    c = (
+        events.where(F.col("event_type").isin("click", "view"))
+        .select(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        )
+        .localCheckpoint()
+    )
+    g = c.groupBy("cents").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("b"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = g.select(
+        "cents",
+        F.sum("a").over(wc).alias("ca"),
+        F.sum("b").over(wc).alias("cb"),
+    )
+    n = c.agg(
+        F.sum("is_a").cast("long").alias("n1"),
+        F.sum(1 - F.col("is_a")).cast("long").alias("n2"),
+    )
+    diff = (
+        cum.crossJoin(F.broadcast(n))  # 1-row broadcast totals
+        .select(
+            "cents",
+            F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+            .cast("long")
+            .alias("num"),
+            "n1",
+            "n2",
+        )
+        # domain-bounded (<=|cents domain| rows); feeds the max AND the
+        # argmax probe — materialize instead of recomputing the CDF twice
+        .localCheckpoint()
+    )
+    # two-pass argmax without a window: max first, then filter (both tiny)
+    mx = diff.agg(F.max("num").alias("mxnum"))
+    best = (
+        diff.join(F.broadcast(mx), diff.num == mx.mxnum)
+        .agg(
+            F.min("cents").cast("long").alias("argmax_cents"),
+            F.max("num").cast("long").alias("max_num"),
+            F.max("n1").cast("long").alias("n1"),
+            F.max("n2").cast("long").alias("n2"),
+        )
+    )
+    d_raw = F.col("max_num") * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    crit = F.lit(1.358) * F.sqrt(
+        (F.col("n1") + F.col("n2")) * F.lit(1.0) / (F.col("n1") * F.col("n2"))
+    )
+    return best.select(
+        "n1",
+        "n2",
+        dround(d_raw, 6).alias("d_stat"),
+        (F.col("argmax_cents") * F.lit(1.0) / F.lit(100.0)).alias("d_location"),
+        (d_raw > crit).alias("reject_at_5pct"),
+    )

@@ -63,6 +63,7 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/dedup.py", "dd15_lsh_parameter_sweep"): 2,
     ("queries/dedup.py", "dd8_benchmark_contamination"): 1,
     ("queries/joins.py", "j13_classlist_full_join"): 1,
+    ("queries/joins.py", "j18_bloom_join_prefilter"): 2,
     ("queries/joins.py", "j1_enrichment_chain"): 2,
     ("queries/multimodal.py", "augmented_panel_rois"): 1,
     ("queries/multimodal.py", "finalize"): 1,
@@ -71,6 +72,7 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/pipelines.py", "p2_hab_alert"): 1,
     ("queries/profiling.py", "dp11_psi_drift"): 1,
     ("queries/profiling.py", "dp12_quantile_drift_gate"): 2,
+    ("queries/profiling.py", "dp13_leading_digit_audit"): 1,
     ("queries/profiling.py", "dp2_winsorize"): 1,
     ("queries/profiling.py", "dp4_domain_mixture"): 1,
     ("queries/profiling.py", "dp8_exact_quantiles"): 1,
@@ -85,9 +87,6 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/similarity.py", "sim11_mips_topk"): 2,
     ("queries/similarity.py", "sim13_int8_quant_error"): 1,
     ("queries/similarity.py", "sim9_quantized_rerank"): 2,
-    ("queries/staged_r15.py", "dp13_leading_digit_audit"): 1,
-    ("queries/staged_r15.py", "j18_bloom_join_prefilter"): 2,
-    ("queries/staged_r15.py", "w15_ks_two_sample"): 2,
     ("queries/text.py", "sp11_class_balanced_resample"): 2,
     ("queries/text.py", "sp12_grouped_split_balance"): 2,
     ("queries/text.py", "sp8_importance_resampling"): 2,
@@ -98,6 +97,7 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/text.py", "tx16_bigram_vocab_coverage"): 1,
     ("queries/text.py", "tx6_trigram_logprob"): 2,
     ("queries/windows_sorts.py", "o10_file_skipping_stats"): 1,
+    ("queries/windows_sorts.py", "w15_ks_two_sample"): 2,
     ("queries/windows_sorts.py", "o6_pivot_wider"): 2,
     ("queries/windows_sorts.py", "w12_mad_outliers"): 2,
 }
@@ -245,8 +245,8 @@ CROSSJOIN_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/similarity.py", "sim11_mips_topk"): 1,
     ("queries/similarity.py", "sim13_int8_quant_error"): 1,
     ("queries/similarity.py", "sim9_quantized_rerank"): 1,
-    ("queries/staged_r15.py", "w15_ks_two_sample"): 1,
     ("queries/text.py", "sp11_class_balanced_resample"): 1,
+    ("queries/windows_sorts.py", "w15_ks_two_sample"): 1,
     ("queries/text.py", "sp12_grouped_split_balance"): 1,
     ("queries/text.py", "sp8_importance_resampling"): 1,
     ("queries/text.py", "tx10_tfidf_top_terms"): 1,

@@ -61,7 +61,7 @@ def test_pool_registered_and_pointers_live():
     for name, sdef in STAGED.items():
         assert sdef.fn is REGISTRY[name].fn
         assert sdef.oracle == REGISTRY[name].oracle
-    assert len(REGISTRY) == 212
+    assert len(REGISTRY) == 216
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------

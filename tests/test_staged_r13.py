@@ -68,7 +68,7 @@ def test_pool_registered_and_pointers_live():
         assert sdef.fn is REGISTRY[name].fn
         assert sdef.oracle == REGISTRY[name].oracle
     assert not (set(STAGED) & set(STAGED_R12))  # pools stay disjoint
-    assert len(REGISTRY) == 212
+    assert len(REGISTRY) == 216
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------

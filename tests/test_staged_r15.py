@@ -47,17 +47,24 @@ def _dround(x: float, d: int) -> float:
 # --- staging hygiene --------------------------------------------------------
 
 
-def test_staged_module_does_not_touch_registry():
+def test_pool_registered_and_pointers_live():
+    # round 14 registered this pool (the LAST registrations before the
+    # 216 freeze): every staged name must now be a driver-visible
+    # REGISTRY entry, and the STAGED pointer must be the very same
+    # fn/oracle the driver sees (not a stale copy)
     assert set(STAGED) == {
         "a30_bottomk_distinct_sample",
         "j18_bloom_join_prefilter",
         "w15_ks_two_sample",
         "dp13_leading_digit_audit",
     }
-    assert not (set(STAGED) & set(REGISTRY))
+    assert set(STAGED) <= set(REGISTRY)
+    for name, sdef in STAGED.items():
+        assert sdef.fn is REGISTRY[name].fn
+        assert sdef.oracle == REGISTRY[name].oracle
     pools = set(STAGED_R12) | set(STAGED_R13) | set(STAGED_R14)
-    assert not (set(STAGED) & pools)
-    assert len(REGISTRY) == 212
+    assert not (set(STAGED) & pools)  # disjoint
+    assert len(REGISTRY) == 216
 
 
 # --- layer 1: driver-strict oracle compare ---------------------------------
