@@ -154,7 +154,33 @@ def pid_stamped_range(df: DataFrame, cols: list) -> DataFrame:
     )
 
 
-def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
+def _pin_boundary_sample(pre: DataFrame, reliable: bool) -> DataFrame:
+    """Materialize the pid-stamped range frame ONCE so both consuming
+    plan branches see the same sampled range boundaries.
+
+    ``reliable=False`` (the local[32] default): ``localCheckpoint()`` —
+    eager, executor-local storage.  On a real cluster an executor loss
+    after this point fails the query instead of recomputing, so at
+    100× scale pass ``reliable=True``: ``checkpoint(eager=True)`` writes
+    the materialized partitions to the RELIABLE checkpoint directory
+    (``spark.sparkContext.setCheckpointDir(...)`` — HDFS/S3 on a
+    cluster), one extra write that survives executor loss.  Both paths
+    truncate lineage and pin a single boundary sample; results are
+    identical (tests/test_rank_combinators.py exercises both)."""
+    if reliable:
+        sc = pre.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isEmpty():
+            raise RuntimeError(
+                "reliable=True requires spark.sparkContext.setCheckpointDir "
+                "(reliable storage: HDFS/S3 on a cluster)"
+            )
+        return pre.checkpoint(eager=True)
+    return pre.localCheckpoint()
+
+
+def global_rank(
+    df: DataFrame, *keys, rank_col: str = "rank", reliable: bool = False
+) -> DataFrame:
     """Distributed total-order rank — the o1/dp8/sp6 machinery as a
     reusable combinator: ONE range-partitioning exchange gives a total
     order across partitions, ``spark_partition_id()`` is then monotone
@@ -162,23 +188,21 @@ def global_rank(df: DataFrame, *keys, rank_col: str = "rank") -> DataFrame:
     per-partition offset cumsum.  The only unsplittable frame is the
     ≤ |partitions|-row counts table (the bounded-window exception);
     the fact side is never windowed on a single partition."""
-    # localCheckpoint: the pid-stamped frame is consumed by TWO plan
+    # Checkpoint: the pid-stamped frame is consumed by TWO plan
     # branches (offsets aggregate + within-partition window, joined on
     # __pid).  Range boundaries are SAMPLED per exchange, so if the two
     # exchanges are not de-duplicated (AQE re-planning / column pruning
     # can change their canonical forms), each branch sees different
     # boundaries and __pid disagrees between them — silently wrong ranks.
     # Materializing once pins a single boundary sample for both branches.
-    # Trade-offs (ADVICE r7): localCheckpoint is EAGER — the range
-    # exchange runs NOW, at construction time — and its executor-local
-    # storage is non-reliable, so on a cluster an executor loss after
-    # this point fails the query rather than recomputing (see SCALE.md
-    # "global_rank combinator" for the reliable-checkpoint alternative
-    # at scale); repeated constructions accumulate persisted RDDs until
-    # JVM GC reclaims them.
+    # Trade-offs (ADVICE r7): the materialization is EAGER — the range
+    # exchange runs NOW, at construction time — and the default
+    # localCheckpoint's executor-local storage is non-reliable; at 100×
+    # scale pass reliable=True for the setCheckpointDir-backed path
+    # (see _pin_boundary_sample and SCALE.md "global_rank combinator").
     pre = pid_stamped_range(df, list(keys))
     _record_pre("global_rank", pre)
-    ranged = pre.localCheckpoint()
+    ranged = _pin_boundary_sample(pre, reliable)
     counts = ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
     offsets = counts.select(
         "__pid",
@@ -204,6 +228,7 @@ def grouped_prefix_sum(
     order_cols: list[str],
     value_col: str,
     out_col: str = "cum",
+    reliable: bool = False,
 ) -> DataFrame:
     """Inclusive per-group running sum of ``value_col`` in ``order_cols``
     order — WITHOUT a group-fat window.
@@ -220,14 +245,16 @@ def grouped_prefix_sum(
     # Same dual-consumption hazard as global_rank: __pid must come from
     # ONE materialized range exchange, or the offsets side and the window
     # side can sample different range boundaries and disagree on __pid.
-    # localCheckpoint pins a single boundary sample for both branches
-    # (eager + non-reliable storage — same trade-offs as global_rank).
-    # Attribution note (round 8): the r6/r7 sp6 driver reds were oracle
-    # HUGEINT typing, not this hazard — the checkpoint stays as
-    # hardening against a real but never-observed-firing latent bug.
+    # _pin_boundary_sample pins a single boundary sample for both
+    # branches (localCheckpoint by default; reliable=True for the
+    # setCheckpointDir-backed cluster path — same trade-offs as
+    # global_rank).  Attribution note (round 8): the r6/r7 sp6 driver
+    # reds were oracle HUGEINT typing, not this hazard — the checkpoint
+    # stays as hardening against a real but never-observed-firing
+    # latent bug.
     pre = pid_stamped_range(df, [F.col(c) for c in group_cols + order_cols])
     _record_pre("grouped_prefix_sum", pre)
-    ranged = pre.localCheckpoint()
+    ranged = _pin_boundary_sample(pre, reliable)
     part_sums = ranged.groupBy(*group_cols, "__pid").agg(
         F.sum(value_col).alias("__sum")
     )

@@ -119,3 +119,48 @@ def test_global_rank_is_repeatable(spark):
         for _ in range(5)
     ]
     assert all(run == runs[0] for run in runs)
+
+
+def test_reliable_checkpoint_paths_match_default(spark, tmp_path):
+    """VERDICT r13 item 7: the setCheckpointDir-backed reliable path is
+    one flag, not a rewrite — both combinators produce bit-identical
+    results under reliable=True, and the flag fails loudly when no
+    checkpoint dir is configured."""
+    df = _synthetic(spark)
+    sc = spark.sparkContext
+
+    # without a checkpoint dir the reliable path must refuse, not hang
+    assert sc._jsc.sc().getCheckpointDir().isEmpty()
+    with pytest.raises(RuntimeError, match="setCheckpointDir"):
+        global_rank(df, F.col("ord"), F.col("id"), reliable=True)
+
+    sc.setCheckpointDir(str(tmp_path / "reliable_ckpt"))
+    try:
+        base_rank = sorted(
+            (r["id"], r["rank"])
+            for r in global_rank(df, F.col("ord"), F.col("id")).collect()
+        )
+        rel_rank = sorted(
+            (r["id"], r["rank"])
+            for r in global_rank(
+                df, F.col("ord"), F.col("id"), reliable=True
+            ).collect()
+        )
+        assert rel_rank == base_rank
+
+        base_cum = sorted(
+            (r["grp"], r["id"], r["cum"])
+            for r in grouped_prefix_sum(
+                df, ["grp"], ["ord", "id"], "val", out_col="cum"
+            ).collect()
+        )
+        rel_cum = sorted(
+            (r["grp"], r["id"], r["cum"])
+            for r in grouped_prefix_sum(
+                df, ["grp"], ["ord", "id"], "val", out_col="cum", reliable=True
+            ).collect()
+        )
+        assert rel_cum == base_cum
+    finally:
+        # leave the shared session as we found it for later tests
+        sc._jsc.sc().setCheckpointDir(None)
