@@ -231,6 +231,24 @@ PREFIX_ORDER = [
 # set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
 # and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
+# SWEEP ledger (round 14): ONE command — tools/full_sweep.py, full
+# mode, run AFTER everything landed (w14 NULLS LAST pin, rotation,
+# staged_r15 registration to 216, the reliable-checkpoint combinator
+# flag): ALL GREEN, 9 legs — round_start bundle (rotation/anchor/
+# preflight), full 216-entry registry bit-green through the pandas-path
+# driver-sim at sf0.001 (193 s), sf0.01 (155 s) AND sf0.1 (290 s),
+# full-registry adversarial sweep (AQE off, partitions=7) 216/216 at
+# ALL THREE SFs, the 32-thread merge-order leg 216/216 at sf0.01, and
+# the 5 scale-discipline lints.  Before the battery, the round's
+# touched surface was also swept piecewise: the 4 new registrations
+# adversarial-green 4/4 at all three SFs, the new 50-row prefix
+# driver-sim 50/50 at sf0.01, w14 bit-green at 3 SFs after its NULLS
+# LAST pin, and all 8 rank-combinator consumers bit-green after the
+# reliable-flag refactor.  Zero failures -> nothing to name.  NEW
+# hazard-class coverage: tests/test_r14_null_rank_parity.py plants
+# NULLs in both rank keys and proves the w13/w14 pins sync the engines
+# (reds when a pin is removed).
+#
 # SWEEP ledger (round 13): full 212-entry registry (post staged_r14
 # registration) bit-green through the pandas-path driver-sim at
 # sf0.001, sf0.01 AND sf0.1 (one run each, after the tx16 broadcast
