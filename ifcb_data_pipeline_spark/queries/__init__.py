@@ -247,7 +247,12 @@ PREFIX_ORDER = [
 # reliable-flag refactor.  Zero failures -> nothing to name.  NEW
 # hazard-class coverage: tests/test_r14_null_rank_parity.py plants
 # NULLs in both rank keys and proves the w13/w14 pins sync the engines
-# (reds when a pin is removed).
+# (reds when a pin is removed).  Post-battery extra legs: a FIFTH
+# partial-merge order swept — AQE off + shuffle.partitions=3 over the
+# FULL registry at sf0.01, 216/216 green (orders now covered: 3, 7,
+# 8-default, 13, 32) — and the 32-thread driver-sim repeated at sf0.1
+# (216/216 green; matches the r13 precedent of both SFs at 32
+# threads).
 #
 # SWEEP ledger (round 13): full 212-entry registry (post staged_r14
 # registration) bit-green through the pandas-path driver-sim at
