@@ -981,3 +981,62 @@ def test_registry_wide_no_scale_killers(spark, sf_dir):
         if "SinglePartition" in plan and name not in _SINGLEPART_OK:
             violations.append(f"{name}: unexpected SinglePartition exchange")
     assert not violations, "\n".join(violations)
+
+
+# --- round-14 registrations: structural pins at the tx16 grade ---------------
+
+
+def test_j18_bloom_probe_is_broadcast_on_bounded_bit_key(spark, sf_dir):
+    """j18's bit-membership probe must stay a BroadcastHashJoin keyed on
+    the MODULAR bit column — the build side is structurally bounded at
+    m = 2^17 distinct BIGINTs regardless of build-set cardinality (the
+    tx16 lesson made structural).  A SortMergeJoin here would re-shuffle
+    the 3×-exploded customer probe frame on every run."""
+    plan = plan_of(spark, "j18_bloom_join_prefilter", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "% 131072" in plan, "fixed bit-space modulo projection missing"
+    lkeys = re.findall(r"Left keys \[\d+\]: \[(\w+)#", plan)
+    assert "bit" in lkeys, f"no join keyed on the bounded bit column: {lkeys}"
+
+
+def test_a30_bottomk_uses_local_heads_ladder(spark, sf_dir):
+    """a30's bottom-k must run the sp2b local-heads discipline: the FIRST
+    rank window is partitioned by (month, __pid) so the month-only final
+    window ever sees ≤ k·|partitions| rows — a single month-keyed window
+    over the raw distinct-hash frame would serialize a hot month."""
+    plan = plan_of(spark, "a30_bottomk_distinct_sample", sf_dir)
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*?), h#", plan)
+    assert any("__pid" in s for s in specs), (
+        f"local-heads (month, __pid) window missing: {specs}"
+    )
+    assert any("__pid" not in s for s in specs), (
+        "final month-keyed window missing"
+    )
+
+
+def test_dp13_totals_join_is_broadcast(spark, sf_dir):
+    """dp13's per-type totals frame is ≤|event types| rows — it must ride
+    a BroadcastHashJoin on event_type, and the digit frame must come from
+    the checkpointed single scan (scan budget pinned in the staged pool
+    tests)."""
+    plan = plan_of(spark, "dp13_leading_digit_audit", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    lkeys = re.findall(r"Left keys \[\d+\]: \[(\w+)#", plan)
+    assert "event_type" in lkeys
+
+
+def test_w15_argmax_probe_is_broadcast(spark, sf_dir):
+    """w15's two-pass argmax joins the domain-bounded diff frame against
+    a broadcast 1-row max — no sort-merge, and the only SinglePartition
+    frames are the 1-row total aggregates (allowlisted)."""
+    plan = plan_of(spark, "w15_ks_two_sample", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    lkeys = re.findall(r"Left keys \[\d+\]: \[(\w+)#", plan)
+    assert "num" in lkeys
