@@ -187,7 +187,13 @@ def global_rank(
     in it, so global rank = within-partition row_number + a broadcast
     per-partition offset cumsum.  The only unsplittable frame is the
     ≤ |partitions|-row counts table (the bounded-window exception);
-    the fact side is never windowed on a single partition."""
+    the fact side is never windowed on a single partition.
+
+    Caller contract (the w13/w14 NULL-ordering class — the static lint
+    cannot see through the starred ``*keys``): every key must be
+    structurally non-null (PK, hash, pid) OR carry an explicit
+    ``asc_nulls_last``/``desc_nulls_last`` matched by ``NULLS LAST`` in
+    the oracle — Spark defaults NULLS FIRST, DuckDB NULLS LAST."""
     # Checkpoint: the pid-stamped frame is consumed by TWO plan
     # branches (offsets aggregate + within-partition window, joined on
     # __pid).  Range boundaries are SAMPLED per exchange, so if the two
@@ -241,7 +247,10 @@ def grouped_prefix_sum(
     broadcast offset cumsum over the bounded |groups|×|partitions|
     frame, and the within-partition window runs partitioned by
     (partition, group).  Every stage is balanced regardless of group
-    skew."""
+    skew.
+
+    Caller contract: ``order_cols`` must be structurally non-null or
+    explicitly null-pinned in both engines (see ``global_rank``)."""
     # Same dual-consumption hazard as global_rank: __pid must come from
     # ONE materialized range exchange, or the offsets side and the window
     # side can sample different range boundaries and disagree on __pid.

@@ -1,9 +1,10 @@
 """Scale-discipline lints: the repo's past incident classes, as CI gates.
 
-Four disciplines that code review alone failed to hold at some point
+Six disciplines that code review alone failed to hold at some point
 (or would be one lapse away from losing) are pinned here as tests:
 the forced-broadcast inventory, the driver-side action inventory, the
-dround cross-engine rounding rule, and the no-row-UDF rule.
+crossJoin inventory, the dround cross-engine rounding rule, the
+no-row-UDF rule, and (round 14) the window NULL-ordering inventory.
 
 The round-12 verdict's one scale defect was a forced broadcast whose
 build side grew with corpus CONTENT (tx16's raw min-count bigram
@@ -356,4 +357,146 @@ def test_forced_broadcast_inventory_is_pinned():
         "build side must be bounded by a PARAMETER, never by corpus "
         "content (the tx16 class). Document the bound in the op's design "
         "comment / SCALE.md, then update BROADCAST_INVENTORY."
+    )
+
+
+# --- lint 6 (round 14): cross-engine window NULL-ordering inventory ----------
+# Incident class: Spark window/rank orderBy defaults to NULLS FIRST while
+# DuckDB defaults to NULLS LAST — a rank key that can be NULL silently
+# desyncs the two engines' row_number/lag frames (the w13 ADVICE-r12 and
+# w14 ADVICE-r13 findings; tests/test_r14_null_rank_parity.py makes the
+# class fire on planted data).  Every entry below is an explicit claim
+# that the default-ordered key(s) at that site are STRUCTURALLY non-null:
+# table primary keys (event_id, doc_id, ts, sample, *_orderkey), md5
+# hashes, spark_partition_id, posexplode indices, bucket/cell labels, or
+# arithmetic on such.  A window ordered by a nullable MEASURE (value,
+# price, a computed score) must pin asc_nulls_last/desc_nulls_last in
+# Spark AND "NULLS LAST" in the oracle — then the site does not appear
+# here.  New or changed sites fail until the nullability argument is
+# made and the inventory updated (both directions, like the broadcast
+# lint).
+WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
+    ("operators/similarity.py", "cosine_topk"): 1,
+    ("operators/similarity.py", "ivf_assign"): 1,
+    ("operators/similarity.py", "ivf_assign_probes"): 1,
+    ("operators/similarity.py", "ivf_topk"): 1,
+    ("operators/similarity.py", "ivf_topk_nprobe"): 1,
+    ("operators/similarity.py", "signlsh_topk"): 1,
+    ("operators/windows.py", "global_rank"): 1,
+    ("operators/windows.py", "grouped_prefix_sum"): 1,
+    ("plans/streaming_merge.py", "latest_per_key"): 1,
+    ("queries/aggregates.py", "a25_survival_curve"): 2,
+    ("queries/aggregates.py", "a30_bottomk_distinct_sample"): 2,
+    ("queries/aggregates.py", "w10_cumulative_distinct"): 1,
+    ("queries/dedup.py", "dd19_repeated_ngram_spans"): 1,
+    ("queries/dedup.py", "dd20_exact_substring_dedup"): 1,
+    ("queries/joins.py", "i10_merge_upsert"): 1,
+    ("queries/joins.py", "i11_late_data_audit"): 1,
+    ("queries/joins.py", "i9_scd2_compaction"): 2,
+    ("queries/joins.py", "j17_point_in_time_join"): 1,
+    ("queries/multimodal.py", "mm10_voice_activity"): 1,
+    ("queries/multimodal.py", "st2_stateful_user_counts"): 2,
+    ("queries/packing.py", "pk3_length_bucketed_batching"): 1,
+    ("queries/pipelines.py", "p2_hab_alert"): 1,
+    ("queries/profiling.py", "dp7_binned_quantiles"): 1,
+    ("queries/similarity.py", "sim10_pq_adc"): 2,
+    ("queries/similarity.py", "sim12_knn_graph"): 1,
+    ("queries/similarity.py", "sim2_signlsh_ann"): 1,
+    ("queries/similarity.py", "sim9_quantized_rerank"): 2,
+    ("queries/text.py", "sp2_stratified_sample"): 1,
+    ("queries/text.py", "sp2b_stratified_topk"): 2,
+    ("queries/text.py", "sp3_shuffle_shards"): 1,
+    ("queries/text.py", "sp7_epoch_shuffle"): 1,
+    ("queries/text.py", "tx10_tfidf_top_terms"): 1,
+    ("queries/text.py", "tx13_bm25_topk"): 1,
+    ("queries/text.py", "tx5_vocabulary"): 1,
+    ("queries/text.py", "tx9_bpe_pair_merge"): 1,
+    ("queries/training.py", "tp6_dataset_card"): 1,
+    # w13/w14: the nullable measure keys (value, dev, ts) ARE pinned
+    # nulls-last; the residual default-ordered key is the event_id PK
+    ("queries/windows_sorts.py", "w13_mad_anomaly"): 2,
+    ("queries/windows_sorts.py", "w14_spearman_trend"): 2,
+    ("queries/windows_sorts.py", "w15_ks_two_sample"): 1,
+    ("queries/windows_sorts.py", "w5_sessionization"): 2,
+    ("queries/windows_sorts.py", "w9_rolling_zscore"): 1,
+    ("sources/listing.py", "max_version_per_year"): 1,
+}
+
+
+def _is_window_chain(node) -> bool:
+    while True:
+        if isinstance(node, ast.Name):
+            return node.id == "Window"
+        if isinstance(node, ast.Attribute):
+            node = node.value
+        elif isinstance(node, ast.Call):
+            node = node.func
+        else:
+            return False
+
+
+def _scan_window_orders() -> dict[tuple[str, str], int]:
+    inv: dict[tuple[str, str], int] = {}
+    for p in sorted(PKG.rglob("*.py")):
+        tree = ast.parse(p.read_text())
+        rel = str(p.relative_to(PKG))
+
+        class V(ast.NodeVisitor):
+            def __init__(self):
+                self.stack: list[str] = []
+
+            def visit_FunctionDef(self, node):
+                self.stack.append(node.name)
+                self.generic_visit(node)
+                self.stack.pop()
+
+            visit_AsyncFunctionDef = visit_FunctionDef
+
+            def visit_Call(self, node):
+                f = node.func
+                if (
+                    isinstance(f, ast.Attribute)
+                    and f.attr == "orderBy"
+                    and _is_window_chain(f.value)
+                ):
+                    # count order keys using the engine-default NULL
+                    # placement: raw strings, F.col/F.desc/F.asc/F.expr
+                    # (asc_nulls_last/desc_nulls_last are the pins)
+                    default_ordered = 0
+                    for a in node.args:
+                        if isinstance(a, ast.Constant) and isinstance(a.value, str):
+                            default_ordered += 1
+                        elif (
+                            isinstance(a, ast.Call)
+                            and isinstance(a.func, ast.Attribute)
+                            and a.func.attr in ("col", "desc", "asc", "expr")
+                        ):
+                            default_ordered += 1
+                    if default_ordered:
+                        key = (rel, self.stack[-1] if self.stack else "<module>")
+                        inv[key] = inv.get(key, 0) + 1
+                self.generic_visit(node)
+
+        V().visit(tree)
+    return inv
+
+
+def test_window_null_ordering_inventory_is_pinned():
+    got = _scan_window_orders()
+    new = {k: v for k, v in got.items() if k not in WINDOW_ORDER_INVENTORY}
+    gone = {k: v for k, v in WINDOW_ORDER_INVENTORY.items() if k not in got}
+    changed = {
+        k: (WINDOW_ORDER_INVENTORY[k], v)
+        for k, v in got.items()
+        if k in WINDOW_ORDER_INVENTORY and WINDOW_ORDER_INVENTORY[k] != v
+    }
+    assert not (new or gone or changed), (
+        "window NULL-ordering inventory drifted.\n"
+        f"NEW: {new}\nREMOVED: {gone}\nCHANGED (old, new): {changed}\n"
+        "Spark windows default NULLS FIRST, DuckDB NULLS LAST (the "
+        "w13/w14 rank-desync class).  A window ordered by a nullable "
+        "key must pin asc_nulls_last/desc_nulls_last in Spark AND "
+        "'NULLS LAST' in the oracle; a structurally non-null key "
+        "(PK/hash/pid/bucket) may use the default — argue which at the "
+        "call site, then update WINDOW_ORDER_INVENTORY."
     )
