@@ -969,9 +969,14 @@ def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
+    # The pair frame feeds BOTH branches of the symmetric union below;
+    # without materialization each branch re-runs the candidate join AND
+    # the exact-cosine verify (round-14 profile: 8 parquet scans, zero
+    # ReusedExchange, ~2x cold wall).  Checkpoint once — proven
+    # bit-identical at all 3 SFs (md5 snapshots in the commit message).
     pairs = embedding_lsh_pairs(
         e, dim=64, bands=_SIM12_BANDS, rows_per_band=_SIM12_ROWS, threshold=-1.0
-    )
+    ).localCheckpoint()
     sym = pairs.select(
         F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"), "cos_sim"
     ).unionByName(
