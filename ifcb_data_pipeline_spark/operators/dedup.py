@@ -307,6 +307,14 @@ def _inverted_index_scores(
             shingles.join(df_counts.where(F.col("__df") <= max_df), "shingle")
             .drop("__df")
         )
+    # The (post-cut) shingle frame feeds three consumers below (sizes +
+    # both self-join sides) and stays RECOMPUTE deliberately: a round-14
+    # A/B measured localCheckpoint here SLOWER cold (eager
+    # materialization of the corpus-scaled shingle frame serializes what
+    # the lazy tree's scheduler runs as one parallel job, and the
+    # re-scans are column-pruned and cheap) — the dd20/pk4 doctrine.
+    # Checkpoints are reserved for BOUNDED multiply-consumed frames
+    # (tx6's trigram model, sim12's pair set).
     sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.select(F.col("doc").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc").alias("doc_b"), "shingle")

@@ -1438,6 +1438,12 @@ FROM cand c JOIN res r ON r.doc = c.doc AND r.container = c.container
 def dd17_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_sets(corpus_df(spark, sf_dir), text_col="text", id_col="doc", k=6)
     dfc = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # kept and cand stay RECOMPUTE (the dd20/pk4 doctrine): the lazy
+    # 36-scan tree runs its branches in ONE parallel job, and round-14
+    # A/B measured every checkpoint variant SLOWER cold (kept+cand
+    # 11.1 s, cand-only 10.0 s, lazy 3.0 s at sf0.1) — eager
+    # materialization serializes what the scheduler parallelizes, and
+    # the scans are column-pruned and cheap.
     kept = sh.join(dfc.where(F.col("df") <= 20), "shingle").drop("df")
     sizes = kept.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = kept

@@ -259,7 +259,14 @@ def tx6_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    # The model is consumed TWICE (broadcast build + the total agg) and
+    # each consumption re-ran the full corpus explode+shuffle (round-14
+    # profile: 3 parquet scans, zero ReusedExchange).  The frame is
+    # BOUNDED (≤ charset³ distinct trigrams) so materializing it once is
+    # free at any corpus scale — the probe-side `tri` stays recompute
+    # (checkpointing the corpus-scaled explode would be the wrong trade).
+    # Proven bit-identical at all 3 SFs (md5 in the commit message).
+    model = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
     total = model.agg(F.sum("c").cast("double").alias("n"))
     # The model is bounded by the number of DISTINCT trigrams (≤ charset³,
     # independent of corpus size), so broadcast it: the alternative shuffle
