@@ -247,7 +247,12 @@ PREFIX_ORDER = [
 # reliable-flag refactor.  Zero failures -> nothing to name.  NEW
 # hazard-class coverage: tests/test_r14_null_rank_parity.py plants
 # NULLs in both rank keys and proves the w13/w14 pins sync the engines
-# (reds when a pin is removed).  Post-battery extra legs: a FIFTH
+# (reds when a pin is removed).  The battery was re-run FULL twice
+# more after late-round perf edits (the sim12 pair-frame checkpoint and
+# the tx6 bounded-model checkpoint — each md5-proven bit-identical at
+# 3 SFs pre/post, per the lapse rule): ALL GREEN both times, 9 legs
+# each — three full batteries total this round.  Post-battery extra
+# legs: a FIFTH
 # partial-merge order swept — AQE off + shuffle.partitions=3 over the
 # FULL registry at sf0.01, 216/216 green (orders now covered: 3, 7,
 # 8-default, 13, 32) — and the 32-thread driver-sim repeated at sf0.1
