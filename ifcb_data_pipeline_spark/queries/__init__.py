@@ -257,7 +257,9 @@ PREFIX_ORDER = [
 # FULL registry at sf0.01, 216/216 green (orders now covered: 3, 7,
 # 8-default, 13, 32) — and the 32-thread driver-sim repeated at sf0.1
 # (216/216 green; matches the r13 precedent of both SFs at 32
-# threads).
+# threads).  End-of-round repeatability (r8 precedent): the live
+# 50-row prefix 3/3 repeat runs green at driver-like local[32],
+# after every round-14 edit landed.
 #
 # SWEEP ledger (round 13): full 212-entry registry (post staged_r14
 # registration) bit-green through the pandas-path driver-sim at
