@@ -259,7 +259,12 @@ PREFIX_ORDER = [
 # (216/216 green; matches the r13 precedent of both SFs at 32
 # threads).  End-of-round repeatability (r8 precedent): the live
 # 50-row prefix 3/3 repeat runs green at driver-like local[32],
-# after every round-14 edit landed.
+# after every round-14 edit landed.  FULL adversarial GRID closed at
+# round end: partitions ∈ {3, 7, 13} × SF ∈ {0.001, 0.01, 0.1} — all
+# nine cells 216/216 green (plus the default-8 and 32-thread orders
+# at every SF via the batteries); merge-order sensitivity is
+# empirically absent across five orders at three scales on the
+# frozen registry.
 #
 # SWEEP ledger (round 13): full 212-entry registry (post staged_r14
 # registration) bit-green through the pandas-path driver-sim at
