@@ -12,9 +12,13 @@ in order, stopping at the first failure:
    sf0.01
 5. the scale-discipline lints
 
-Usage: python tools/full_sweep.py [--fast]
+Usage: python tools/full_sweep.py [--fast] [--grid]
   --fast skips the sf0.1 legs (for mid-round iteration; the final
   pre-commit run must be full).
+  --grid additionally closes the merge-order grid: adversarial legs
+  at partitions 3 and 13 for every selected SF (round-14 precedent —
+  five partial-merge orders x three scales, all green on the frozen
+  registry).  Adds ~15 min full.
 
 Each leg shells out to the existing single-purpose tools so their
 output/exit conventions stay canonical; this is orchestration only.
@@ -58,6 +62,11 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--fast", action="store_true", help="skip the sf0.1 legs")
+    ap.add_argument(
+        "--grid",
+        action="store_true",
+        help="also run adversarial legs at partitions 3 and 13 per SF",
+    )
     args = ap.parse_args()
     sfs = SFS[:2] if args.fast else SFS
     py = sys.executable
@@ -75,6 +84,24 @@ def main() -> int:
                 None,
             )
         )
+    if args.grid:
+        for parts in ("3", "13"):
+            for sf in sfs:
+                legs.append(
+                    (
+                        f"adversarial --full {sf} @partitions={parts}",
+                        [
+                            py,
+                            "tools/adversarial_check.py",
+                            "--full",
+                            "--sf",
+                            sf,
+                            "--partitions",
+                            parts,
+                        ],
+                        None,
+                    )
+                )
     legs.append(
         (
             "driver-sim --full sf0.01 @32 threads",
