@@ -55,6 +55,12 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
     status = "OK " if p.returncode == 0 else "FAIL"
     print(f"[{status}] {label} ({dt:.0f}s): {tail[0]}", flush=True)
     if p.returncode != 0:
+        # surface the per-query FAIL/ERROR lines FIRST — the round-14
+        # flake chase lost a failing query's name because the raw tail
+        # below was all Spark progress bars
+        for ln in p.stdout.splitlines():
+            if "FAIL" in ln or "ERROR" in ln:
+                print(ln)
         print((p.stdout + p.stderr)[-3000:])
     return p.returncode == 0
 
