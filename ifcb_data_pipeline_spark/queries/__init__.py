@@ -277,6 +277,12 @@ PREFIX_ORDER = [
 # INFERRED, not proven, because the message is gone.  Standing watch
 # item for round 15: if any adversarial leg drops a row again, the
 # fixed tooling will name it; chase it before anything else.
+# CLOSE-OUT: a final full_sweep --grid with the fixed tooling ran
+# ALL GREEN end-to-end — 15 legs in one command (round_start + 3-SF
+# driver-sim + the full 9-cell adversarial grid + 32-thread leg +
+# lints), including the previously-flaking sf0.1/partitions=7 leg at
+# 216/216.  That leg's season record: 9 green runs, 1 unexplained
+# 215/216.
 #
 # SWEEP ledger (round 13): full 212-entry registry (post staged_r14
 # registration) bit-green through the pandas-path driver-sim at
