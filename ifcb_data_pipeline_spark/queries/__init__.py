@@ -89,111 +89,110 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 14 — the precomputed ROUND-14 plan (see commit 8007387's
-    # version of this file), applied verbatim (CORRECTNESS_r13 landed
-    # 50/50 green, so no red row displaces slot 1; tools/
-    # rotation_audit.py confirmed plan/artifact consistency at round-14
-    # start).  w14's NULLS LAST rank pin (ADVICE r13, the w13-precedent
-    # cross-engine rank-desync class) landed BEFORE this rotation, so
-    # its first driver row checks the pinned ordering.
-    # slots 1-4: round-13 adds, never driver-checked
-    "i13_incremental_minhash",
-    "sp12_grouped_split_balance",
-    "w14_spearman_trend",
-    "o10_file_skipping_stats",
-    # slots 5-12: the 8 r9-era rows that spilled past round 13
-    "tx5_vocabulary",
-    "tx7_repetition_signals",
-    "tx8_pii_scrub",
-    "tx9_bpe_pair_merge",
-    "u13_psd_fit",
-    "w1_adjacency_removal",
-    "w3_gap_fill",
-    "w6_moving_average",
-    # slots 13-50: 38 of the 50 r10-era rows (alphabetical; the st5/
-    # st7/tp2/tp3/tp5/tx11/tx12/tx14/w10/w11/w7/w8 keys spill to
-    # round 15 — the predicted peak spill)
-    "a22_decayed_engagement",
-    "a23_cohort_retention",
-    "dd10_fuzzy_decontamination",
-    "dd11_span_dedup",
-    "dd12_containment_pairs",
-    "dd17_shingle_containment",
-    "dd4_ngram_jaccard",
-    "dd4b_ngram_jaccard_dfcut",
-    "dd5_embedding_cosine_dup",
-    "dp11_psi_drift",
-    "dp6_drift_profile",
-    "i8_snapshot_diff",
-    "i9_scd2_compaction",
-    "j14_bucketed_range_join",
-    "j16_interval_overlap",
-    "j8b_grid_spatial_join",
-    "k7_ecotaxa_export",
-    "mm10_voice_activity",
-    "mm2_real_kernel_features",
-    "mm2b_kernel_topologies",
-    "mm5_audio_frame_features",
-    "mm7_modality_coverage",
-    "mm8_patchify",
-    "mm9_perceptual_dedup",
-    "o8_zorder_layout",
-    "pk2_document_chunking",
-    "pk3_length_bucketed_batching",
-    "s6b_json_props_extract",
-    "sim10_pq_adc",
-    "sim9_quantized_rerank",
-    "sp11_class_balanced_resample",
-    "sp2b_stratified_topk",
-    "sp5_temperature_resampling",
-    "sp7_epoch_shuffle",
-    "st1_stream_windowed_counts",
-    "st2_stateful_user_counts",
-    "st3_watermarked_append",
-    "st4_stream_stream_join",
+    # ROUND 15 — the first FREEZE-ERA rotation (registry frozen at 216;
+    # protocol in SCALE.md).  The precomputed ROUND-15 plan (see commit
+    # 1c5823f's version of this file) applied verbatim: CORRECTNESS_r14
+    # landed 50/50 green, so no red row displaces slot 1;
+    # tools/rotation_audit.py confirmed plan/artifact consistency at
+    # round-15 start.  After this round every registry row has a driver
+    # row (never-driver-checked drops to ZERO for the first time).
+    # slots 1-4: the round-14 adds — the registry's FINAL registrations,
+    # never driver-checked
+    "a30_bottomk_distinct_sample",
+    "j18_bloom_join_prefilter",
+    "w15_ks_two_sample",
+    "dp13_leading_digit_audit",
+    # slots 5-16: the 12 r10-era rows that spilled past round 14
+    "st5_streaming_dedup",
+    "st7_stream_static_join",
+    "tp2_multimodal_corpus",
+    "tp3_incremental_refresh",
+    "tp5_funnel_report",
+    "tx11_langid_confusion",
+    "tx12_ngram_novelty",
+    "tx14_quality_model_score",
+    "w10_cumulative_distinct",
+    "w11_cusum_drift",
+    "w7_native_session_window",
+    "w8_ewma_smoothing",
+    # slots 17-50: 34 of the 50 r11-era rows (alphabetical; the 16
+    # o7-intersect/o9/sim11/sim12/sim1/sim3/sp8/st6/st8/tp4/tp6/tx15/
+    # w12/w4/w5/w9 keys spill to round 16 — its staleness head)
+    "a20_grouped_percentiles",
+    "a21_conversion_funnel",
+    "a24_salted_skew_rollup",
+    "a26_sequence_funnel",
+    "a9_class_counts",
+    "c4_taxa_resolver",
+    "c5_trophic_lookup",
+    "dd13_star_components",
+    "dd14_lsh_recall",
+    "dd15_lsh_parameter_sweep",
+    "dd18_url_host_dedup",
+    "dd19_repeated_ngram_spans",
+    "dd9_normalized_dedup",
+    "dp12_quantile_drift_gate",
+    "dp1_column_profile",
+    "dp2_winsorize",
+    "dp8_exact_quantiles",
+    "dp9_mutual_information",
+    "g1_pagerank",
+    "i10_merge_upsert",
+    "i11_late_data_audit",
+    "i12_incremental_rollup",
+    "j17_point_in_time_join",
+    "j9_basin_tagging",
+    "j9b_polygon_tagging",
+    "mm11_scene_cuts",
+    "mm12_spectral_frames",
+    "mm6_augmentation_panel",
+    "o1_multi_key_sort",
+    "o3_union_by_name",
+    "o5_split_apply_union",
+    "o6_pivot_longer",
+    "o6_pivot_wider",
+    "o7_set_except",
 ]
-# The round-14 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r13 landed 50/50 green, so no red row
+# The round-15 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r14 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
-# consistency at round-14 start).  After round 14 the never-checked set
-# is exactly the 4 staged_r15 registrations (a30/j18/w15/dp13 — the
-# LAST registrations; the registry is now FROZEN at 216 per the
-# endgame note below); the staleness head is the 12 spilled r10 rows
-# + the 50-row r11 era, so round 15 takes the 4 adds + the 12-row
-# spill + 34 r11 rows and 16 r11 rows spill to round 16.
+# consistency at round-15 start).  After round 15 the never-checked set
+# is EMPTY for the first time (every one of the 216 frozen registry
+# rows has a driver row); the staleness head is the 16 spilled r11
+# rows + the 50-row r12 era, so round 16 takes the 16-row spill + 34
+# r12 rows and 16 r12 rows spill to round 17 (the steady-state
+# 4.32-round cycle of the freeze-era protocol, SCALE.md).
 #
-# ROUND-15 ROTATION PLAN (precomputed; apply verbatim unless round-14
+# ROUND-16 ROTATION PLAN (precomputed; apply verbatim unless round-15
 # driver results dictate otherwise — a red row takes slot 1):
-#   the 4 round-14 adds (never driver-checked; the FINAL registrations
-#   before the 216 freeze) take slots 1-4:
-#     a30_bottomk_distinct_sample, j18_bloom_join_prefilter,
-#     w15_ks_two_sample, dp13_leading_digit_audit
-#   slots 5-16: the 12 r10-era rows that spilled past round 14:
-#     st5_streaming_dedup, st7_stream_static_join,
-#     tp2_multimodal_corpus, tp3_incremental_refresh, tp5_funnel_report,
-#     tx11_langid_confusion, tx12_ngram_novelty,
-#     tx14_quality_model_score, w10_cumulative_distinct,
-#     w11_cusum_drift, w7_native_session_window, w8_ewma_smoothing
-#   then 34 of the 50 r11-era rows (alphabetical; the last 16 — the
-#   o7-intersect / o9 / sim11 / sim12 / sim1 / sim3 / sp8 / st6 / st8 /
-#   tp4 / tp6 / tx15 / w12 / w4 / w5 / w9 keys, named here by key only
-#   so the plan parser doesn't count them — spill to round 16, becoming
-#   its staleness head; the freeze means no adds compete for slots):
-#     a20_grouped_percentiles, a21_conversion_funnel,
-#     a24_salted_skew_rollup, a26_sequence_funnel, a9_class_counts,
-#     c4_taxa_resolver, c5_trophic_lookup, dd13_star_components,
-#     dd14_lsh_recall, dd15_lsh_parameter_sweep, dd18_url_host_dedup,
-#     dd19_repeated_ngram_spans, dd9_normalized_dedup,
-#     dp12_quantile_drift_gate, dp1_column_profile, dp2_winsorize,
-#     dp8_exact_quantiles, dp9_mutual_information, g1_pagerank,
-#     i10_merge_upsert, i11_late_data_audit, i12_incremental_rollup,
-#     j17_point_in_time_join, j9_basin_tagging, j9b_polygon_tagging,
-#     mm11_scene_cuts, mm12_spectral_frames, mm6_augmentation_panel,
-#     o1_multi_key_sort, o3_union_by_name, o5_split_apply_union,
-#     o6_pivot_longer, o6_pivot_wider, o7_set_except
-# = exactly 50 (4 + 12 + 34); re-run tools/rotation_audit.py at
-# round-15 start once CORRECTNESS_r14.json lands (a red row there
-# displaces slot 1 by rule).
+#   slots 1-16: the 16 r11-era rows that spilled past round 15
+#   (alphabetical):
+#     o7_set_intersect, o9_compaction_plan, sim11_mips_topk,
+#     sim12_knn_graph, sim1_cosine_topk, sim3_label_centroids,
+#     sp8_importance_resampling, st6_sliding_window_rates,
+#     st8_streaming_sessions, tp4_curriculum_order, tp6_dataset_card,
+#     tx15_tokenizer_fertility, w12_mad_outliers, w4_newest_topk,
+#     w5_sessionization, w9_rolling_zscore
+#   slots 17-50: the first 34 of the 50 r12-era rows (alphabetical; the
+#   last 16 — the j13 / j1 / j4b / j5 / j6 / j7 / j8 / qf / s6 / sim4 /
+#   sp1 / sp6 / st9 / tx13 / tx1 / tx2 keys, named here by key only so
+#   the plan parser doesn't count them — spill to round 17, becoming
+#   its staleness head):
+#     a10_duplicate_detection, a11_distinct, a12_minmax_summary,
+#     a13_grid_cell_frequency, a14_monthly_histogram, a15_mean_collapse,
+#     a17_qc_sums, a18_provenance_summary, a19_cube_rollup,
+#     a1_biovolume_rollup, a25_survival_curve, a28_hll_distinct_sketch,
+#     a29_cms_heavy_hitters, a2_taxon_rollup, a3_flag_frequency,
+#     a4_monthly_stats, a5_grouped_top1, a6_bloom_categorize,
+#     a7_global_top1, a8_last_per_group, c3_name_type_split,
+#     dd1_exact_dedup, dd20_exact_substring_dedup, dd3_simhash,
+#     dd6_dup_clusters, dd7_dedup_materialize, dp10_anova_eta,
+#     dp7_binned_quantiles, f11_missing_position_filter,
+#     f1_select_rename, f6_regional_filter, j10_semi_join,
+#     j11_incremental_anti_join, j12_provenance_merge
+# = exactly 50 (16 + 34); re-run tools/rotation_audit.py at round-16
+# start once CORRECTNESS_r15.json lands (a red row there displaces
+# slot 1 by rule).
 # END PLAN
 #
 # POST-r15 REGISTRY ENDGAME (decided round 12, per VERDICT r11 item 6):
