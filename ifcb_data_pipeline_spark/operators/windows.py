@@ -168,8 +168,13 @@ def _pin_boundary_sample(pre: DataFrame, reliable: bool) -> DataFrame:
     truncate lineage and pin a single boundary sample; results are
     identical (tests/test_rank_combinators.py exercises both)."""
     if reliable:
+        # Early-validate that a checkpoint dir is configured so the
+        # error names the fix; _jsc is a private py4j handle absent
+        # under Spark Connect, so when it isn't there fall through and
+        # let checkpoint() itself raise (same failure, later message).
         sc = pre.sparkSession.sparkContext
-        if sc._jsc.sc().getCheckpointDir().isEmpty():
+        jsc = getattr(sc, "_jsc", None)
+        if jsc is not None and jsc.sc().getCheckpointDir().isEmpty():
             raise RuntimeError(
                 "reliable=True requires spark.sparkContext.setCheckpointDir "
                 "(reliable storage: HDFS/S3 on a cluster)"

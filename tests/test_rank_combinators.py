@@ -162,5 +162,11 @@ def test_reliable_checkpoint_paths_match_default(spark, tmp_path):
         )
         assert rel_cum == base_cum
     finally:
-        # leave the shared session as we found it for later tests
+        # Leave the shared session as we found it for later tests.
+        # LOCAL-MODE ASSUMPTION (ADVICE r14): passing None through the
+        # py4j gateway only works because local mode short-circuits the
+        # non-local path-validation branch in SparkContext.setCheckpointDir;
+        # if this suite ever runs non-local, give this test its own
+        # SparkContext fixture instead.  tmp_path itself is pytest-managed,
+        # so the checkpoint files written above are reclaimed with it.
         sc._jsc.sc().setCheckpointDir(None)

@@ -422,6 +422,23 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     ("sources/listing.py", "max_version_per_year"): 1,
 }
 
+# Starred orderBy sites (Window.orderBy(*keys)) — the static scan can't
+# see through *args, so every such site is pinned here and governed by
+# the CALLER CONTRACT in the combinator docstrings: callers pass keys
+# that are already NULL-pinned (asc_nulls_last/desc_nulls_last) or
+# structurally non-null (PK/hash/pid/bucket).  ADVICE r14 item: a new
+# starred site silently bypassing the NULL-ordering lint must land here
+# with its contract argued at the call site.
+WINDOW_ORDER_STARRED_INVENTORY: dict[tuple[str, str], int] = {
+    ("operators/aggregates.py", "grouped_top_k"): 1,
+    ("operators/joins.py", "asof_join"): 1,
+    ("operators/windows.py", "adjacency_flag_filter"): 1,
+    ("operators/windows.py", "gap_fill"): 2,
+    ("operators/windows.py", "global_rank"): 1,
+    ("operators/windows.py", "grouped_prefix_sum"): 1,
+    ("operators/windows.py", "stitched_adjacency_flag"): 2,
+}
+
 
 def _is_window_chain(node) -> bool:
     while True:
@@ -435,8 +452,20 @@ def _is_window_chain(node) -> bool:
             return False
 
 
-def _scan_window_orders() -> dict[tuple[str, str], int]:
+def _scan_window_orders() -> tuple[dict[tuple[str, str], int], dict[tuple[str, str], int]]:
+    """Returns (default-placement inventory, starred-args inventory).
+
+    Starred calls (``Window.orderBy(*keys)`` — the rank combinators)
+    are opaque to this static scan, so they get their OWN inventory:
+    each such site must honor the caller contract documented in the
+    combinator docstrings (callers pass keys already NULL-pinned or
+    structurally non-null).  ``asc_nulls_first``/``desc_nulls_first``
+    count as DEFAULT placement, not pins — they desync from DuckDB's
+    NULLS LAST default unless the oracle pins NULLS FIRST too, so any
+    use must enter the inventory and be adjudicated like a raw key.
+    """
     inv: dict[tuple[str, str], int] = {}
+    starred: dict[tuple[str, str], int] = {}
     for p in sorted(PKG.rglob("*.py")):
         tree = ast.parse(p.read_text())
         rel = str(p.relative_to(PKG))
@@ -461,28 +490,37 @@ def _scan_window_orders() -> dict[tuple[str, str], int]:
                 ):
                     # count order keys using the engine-default NULL
                     # placement: raw strings, F.col/F.desc/F.asc/F.expr
-                    # (asc_nulls_last/desc_nulls_last are the pins)
+                    # and the *_nulls_first wrappers (which pin the
+                    # OPPOSITE of DuckDB's default and therefore need
+                    # the same adjudication); asc_nulls_last/
+                    # desc_nulls_last are the pins
                     default_ordered = 0
+                    n_starred = 0
                     for a in node.args:
-                        if isinstance(a, ast.Constant) and isinstance(a.value, str):
+                        if isinstance(a, ast.Starred):
+                            n_starred += 1
+                        elif isinstance(a, ast.Constant) and isinstance(a.value, str):
                             default_ordered += 1
                         elif (
                             isinstance(a, ast.Call)
                             and isinstance(a.func, ast.Attribute)
-                            and a.func.attr in ("col", "desc", "asc", "expr")
+                            and a.func.attr
+                            in ("col", "desc", "asc", "expr", "asc_nulls_first", "desc_nulls_first")
                         ):
                             default_ordered += 1
+                    key = (rel, self.stack[-1] if self.stack else "<module>")
                     if default_ordered:
-                        key = (rel, self.stack[-1] if self.stack else "<module>")
                         inv[key] = inv.get(key, 0) + 1
+                    if n_starred:
+                        starred[key] = starred.get(key, 0) + 1
                 self.generic_visit(node)
 
         V().visit(tree)
-    return inv
+    return inv, starred
 
 
 def test_window_null_ordering_inventory_is_pinned():
-    got = _scan_window_orders()
+    got, _ = _scan_window_orders()
     new = {k: v for k, v in got.items() if k not in WINDOW_ORDER_INVENTORY}
     gone = {k: v for k, v in WINDOW_ORDER_INVENTORY.items() if k not in got}
     changed = {
@@ -499,4 +537,24 @@ def test_window_null_ordering_inventory_is_pinned():
         "'NULLS LAST' in the oracle; a structurally non-null key "
         "(PK/hash/pid/bucket) may use the default — argue which at the "
         "call site, then update WINDOW_ORDER_INVENTORY."
+    )
+
+
+def test_window_starred_order_inventory_is_pinned():
+    _, got = _scan_window_orders()
+    new = {k: v for k, v in got.items() if k not in WINDOW_ORDER_STARRED_INVENTORY}
+    gone = {k: v for k, v in WINDOW_ORDER_STARRED_INVENTORY.items() if k not in got}
+    changed = {
+        k: (WINDOW_ORDER_STARRED_INVENTORY[k], v)
+        for k, v in got.items()
+        if k in WINDOW_ORDER_STARRED_INVENTORY and WINDOW_ORDER_STARRED_INVENTORY[k] != v
+    }
+    assert not (new or gone or changed), (
+        "starred Window.orderBy(*keys) inventory drifted.\n"
+        f"NEW: {new}\nREMOVED: {gone}\nCHANGED (old, new): {changed}\n"
+        "Starred sites are invisible to the NULL-ordering key scan; the "
+        "combinator docstrings' caller contract governs them (callers "
+        "pass NULL-pinned or structurally non-null keys).  State the "
+        "contract at the new call site, then update "
+        "WINDOW_ORDER_STARRED_INVENTORY."
     )

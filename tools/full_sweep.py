@@ -57,10 +57,19 @@ def run(label: str, cmd: list[str], env: dict | None = None) -> bool:
     if p.returncode != 0:
         # surface the per-query FAIL/ERROR lines FIRST — the round-14
         # flake chase lost a failing query's name because the raw tail
-        # below was all Spark progress bars
-        for ln in p.stdout.splitlines():
-            if "FAIL" in ln or "ERROR" in ln:
-                print(ln)
+        # below was all Spark progress bars.  Scan BOTH streams (the
+        # flake was a Py4J/executor exception, which lands on stderr)
+        # and cap the surfaced lines so a log-noisy leg can't dump
+        # thousands of Spark ERROR lines ahead of the tail.
+        hits = [
+            ln
+            for ln in (p.stdout.splitlines() + p.stderr.splitlines())
+            if "FAIL" in ln or "ERROR" in ln
+        ]
+        for ln in hits[:50]:
+            print(ln)
+        if len(hits) > 50:
+            print(f"... ({len(hits) - 50} more FAIL/ERROR lines suppressed)")
         print((p.stdout + p.stderr)[-3000:])
     return p.returncode == 0
 
