@@ -22,6 +22,16 @@ Usage:
     python tools/adversarial_check.py --names a1_biovolume_rollup dd20_...
     python tools/adversarial_check.py --staged r14 r15    # unregistered pools
     python tools/adversarial_check.py --sf /root/testdata/sf0.1 --names ...
+    python tools/adversarial_check.py --full --hostile broadcast-off,codegen-off,tz-offset
+
+--hostile (round 15) stacks further axes on the standing pair:
+broadcast-off disables AUTO broadcast so every unforced join becomes a
+shuffle join (results must be join-strategy invariant; the package's
+explicit broadcast() hints are unaffected); codegen-off runs the
+interpreted expression path (catches wholestage-codegen-dependent
+float fusion); tz-offset starts the session in America/New_York
+(proves _util.tables' UTC forcing governs every timestamp path rather
+than relying on the harness default).
 
 Exit 0 = all compared queries bit-green; 1 = at least one mismatch
 (each printed).  Rows-only entries (oracle is None) are skipped and
@@ -57,7 +67,24 @@ def main() -> int:
         "dicts instead of the registry",
     )
     ap.add_argument("--partitions", default="7")
+    ap.add_argument(
+        "--hostile",
+        default="",
+        help="comma list of extra hostile axes on top of AQE-off/partitions: "
+        "broadcast-off (autoBroadcastJoinThreshold=-1 — auto-broadcasts "
+        "become shuffle joins; the package's explicit broadcast() hints "
+        "remain, so results must be join-strategy invariant), "
+        "codegen-off (spark.sql.codegen.wholeStage=false — interpreted "
+        "expression path; catches codegen-dependent float fusion), "
+        "tz-offset (session starts in America/New_York — proves the "
+        "_util.tables UTC forcing actually governs every timestamp path)",
+    )
     args = ap.parse_args()
+    hostile = {h for h in args.hostile.split(",") if h}
+    unknown_axes = hostile - {"broadcast-off", "codegen-off", "tz-offset"}
+    if unknown_axes:
+        print(f"unknown --hostile axes: {sorted(unknown_axes)}")
+        return 1
 
     import importlib
 
@@ -87,15 +114,22 @@ def main() -> int:
     else:
         names = list(PREFIX_ORDER)
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[8]")
         .appName("adversarial-check")
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.shuffle.partitions", args.partitions)
-        .config("spark.sql.session.timeZone", "UTC")
+        .config(
+            "spark.sql.session.timeZone",
+            "America/New_York" if "tz-offset" in hostile else "UTC",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if "broadcast-off" in hostile:
+        builder = builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    if "codegen-off" in hostile:
+        builder = builder.config("spark.sql.codegen.wholeStage", "false")
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb_connection(args.sf)
 
@@ -116,9 +150,10 @@ def main() -> int:
         else:
             bad.append((name, msg))
             print(f"{name}: FAIL {msg}")
+    hostile_note = f", hostile={'+'.join(sorted(hostile))}" if hostile else ""
     print(
-        f"--- adversarial-check (AQE off, partitions={args.partitions}, "
-        f"{args.sf}): {n_cmp - len(bad)}/{n_cmp} green ---"
+        f"--- adversarial-check (AQE off, partitions={args.partitions}"
+        f"{hostile_note}, {args.sf}): {n_cmp - len(bad)}/{n_cmp} green ---"
     )
     return 1 if bad else 0
 
