@@ -10,7 +10,9 @@ in order, stopping at the first failure:
    three SFs
 4. full-registry driver-sim at 32 threads (a third merge order) at
    sf0.01
-5. the scale-discipline lints
+5. full-registry adversarial at sf0.01 under the stacked hostile axes
+   (broadcast-off + codegen-off + tz-offset; round-15 standing leg)
+6. the scale-discipline lints
 
 Usage: python tools/full_sweep.py [--fast] [--grid]
   --fast skips the sf0.1 legs (for mid-round iteration; the final
@@ -122,6 +124,24 @@ def main() -> int:
             "driver-sim --full sf0.01 @32 threads",
             [py, "tools/driver_sim.py", "/root/testdata/sf0.01", "--full"],
             {"SPARK_GRAFT_CPUS": "32"},
+        )
+    )
+    # round-15 standing leg: the stacked hostile axes (auto-broadcast
+    # off -> shuffle joins everywhere unforced, interpreted expression
+    # path, non-UTC session start) at the driver's compare SF
+    legs.append(
+        (
+            "adversarial --full sf0.01 @hostile-axes",
+            [
+                py,
+                "tools/adversarial_check.py",
+                "--full",
+                "--sf",
+                "/root/testdata/sf0.01",
+                "--hostile",
+                "broadcast-off,codegen-off,tz-offset",
+            ],
+            None,
         )
     )
     legs.append(
