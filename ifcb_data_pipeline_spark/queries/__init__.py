@@ -230,6 +230,38 @@ PREFIX_ORDER = [
 # set, dd9/dd13/dd14/dd15 get fresh driver rows THIS round (r11 prefix)
 # and dd1/dd3/dd6/dd7 next round (r12 plan) regardless.
 #
+# SWEEP ledger (round 15, first freeze-era round): ONE command —
+# tools/full_sweep.py --grid, run after the rotation + the four ADVICE
+# fixes landed (no product-source commits after launch, so this IS the
+# round-end battery): ALL GREEN, 15 legs — round_start bundle, full
+# 216-entry registry bit-green through the pandas-path driver-sim at
+# sf0.001 (167 s) / sf0.01 (196 s) / sf0.1 (377 s), the full 9-cell
+# adversarial grid (AQE off, partitions ∈ {3, 7, 13} × all three SFs)
+# 216/216 in every cell, the 32-thread merge-order leg 216/216, and
+# the (now 7) scale-discipline lints.  The round-14 FLAKE-WATCH leg
+# (sf0.1/partitions=7) ran 216/216 — season record for that leg now
+# 10 green / 1 unexplained 215/216; no adversarial leg dropped a row
+# anywhere this round, so the transient adjudication stands.  NEW
+# standing evidence (round 15): a full-registry adversarial leg under
+# STACKED hostile axes — autoBroadcastJoinThreshold=-1 (every unforced
+# join degrades to a shuffle join; explicit broadcast() hints remain),
+# wholeStage codegen OFF (interpreted expression path), and an
+# America/New_York session start (the _util.tables UTC forcing must
+# govern) — 216/216 green at sf0.01; the leg is now wired into
+# full_sweep as a standing battery member.  NEW hazard-class coverage:
+# tests/test_r15_tz_parity.py proves the UTC forcing is load-bearing
+# at the NTZ→TIMESTAMP casts feeding unix_micros (5 queries
+# driver-strict from a non-UTC session; reds with the forcing
+# removed), and tests/test_full_sweep_surfacing.py pins the
+# failure-line surfacing fix against synthetic legs.  Full pytest:
+# 1032/1032 (622 s).  Bench: probe-first, three sequential-clean
+# passes 36.71/38.57/38.50 s (spins 0.151–0.183); the VERDICT r14
+# watch item w1_adjacency_removal re-bracketed IN BAND all three
+# passes (0.391/0.431/0.395 vs its 0.38–0.50 history) — the r14
+# 0.856 s max adjudicated a within-pass scheduler blip (BENCH_NOTES
+# round-15 section).  Zero registrations; registry still 216;
+# anchor gate 216/216.
+#
 # SWEEP ledger (round 14): ONE command — tools/full_sweep.py, full
 # mode, run AFTER everything landed (w14 NULLS LAST pin, rotation,
 # staged_r15 registration to 216, the reliable-checkpoint combinator
