@@ -248,7 +248,16 @@ PREFIX_ORDER = [
 # wholeStage codegen OFF (interpreted expression path), and an
 # America/New_York session start (the _util.tables UTC forcing must
 # govern) — 216/216 green at sf0.01; the leg is now wired into
-# full_sweep as a standing battery member.  NEW hazard-class coverage:
+# full_sweep as a standing battery member, and post-battery the same
+# stacked axes closed at sf0.001 AND sf0.1 (216/216 each — all three
+# SFs).  End-of-round repeatability (r8 precedent): the live 50-row
+# round-15 prefix ran 3/3 green at driver-like local[32].
+# Registry-wide single-pass profile re-run as a standing tool
+# (tools/registry_profile.py → REGISTRY_PROFILE.jsonl): 326.1 s/216 at
+# sf0.1, adjudicated probe-first as a slow-window reading — see
+# BENCH_NOTES round-15 addendum (a code regression is impossible by
+# construction: the round's only package-source change is dead on the
+# default path).  NEW hazard-class coverage:
 # tests/test_r15_tz_parity.py proves the UTC forcing is load-bearing
 # at the NTZ→TIMESTAMP casts feeding unix_micros (5 queries
 # driver-strict from a non-UTC session; reds with the forcing
