@@ -65,3 +65,18 @@ def test_green_leg_prints_ok_only(capsys):
     ok, out = _run_child(capsys, "print('all good: 216/216 green')")
     assert ok
     assert "[OK ]" in out and "FAIL" not in out.replace("FAIL/ERROR", "")
+
+
+def test_adversarial_check_rejects_unknown_hostile_axis():
+    # arg validation lives in tools/adversarial_check.py: a typo'd axis
+    # must exit 1 naming it, not silently run the default config
+    import subprocess
+
+    p = subprocess.run(
+        [sys.executable, str(_tool.parent / "adversarial_check.py"),
+         "--names", "a4_monthly_stats", "--hostile", "codgen-off"],
+        capture_output=True, text=True,
+    )
+    assert p.returncode == 1
+    assert "unknown --hostile axes" in p.stdout
+    assert "codgen-off" in p.stdout
