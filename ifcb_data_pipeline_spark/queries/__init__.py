@@ -250,7 +250,8 @@ PREFIX_ORDER = [
 # govern) — 216/216 green at sf0.01; the leg is now wired into
 # full_sweep as a standing battery member, and post-battery the same
 # stacked axes closed at sf0.001 AND sf0.1 (216/216 each — all three
-# SFs).  End-of-round repeatability (r8 precedent): the live 50-row
+# SFs), and each axis ALSO ran alone at sf0.01 (216/216 apiece, so no
+# axis is masked by stacking).  End-of-round repeatability (r8 precedent): the live 50-row
 # round-15 prefix ran 3/3 green at driver-like local[32].
 # Registry-wide single-pass profile re-run as a standing tool
 # (tools/registry_profile.py → REGISTRY_PROFILE.jsonl): 326.1 s/216 at
