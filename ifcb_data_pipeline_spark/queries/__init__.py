@@ -263,8 +263,18 @@ PREFIX_ORDER = [
 # at the NTZ→TIMESTAMP casts feeding unix_micros (5 queries
 # driver-strict from a non-UTC session; reds with the forcing
 # removed), and tests/test_full_sweep_surfacing.py pins the
-# failure-line surfacing fix against synthetic legs.  Full pytest:
-# 1032/1032 (622 s).  Bench: probe-first, three sequential-clean
+# failure-line surfacing fix against synthetic legs.  NEW robustness
+# axis (round 15): tools/schema_evolution_audit.py reads MUTATED
+# physical layouts (extra trailing column; reversed column order)
+# against oracles on the originals — BOTH modes 216/216 green at
+# sf0.001, proving the registry selects inputs by name and projects
+# explicit outputs (no positional reads, no select-* pass-through);
+# in-suite subset in tests/test_r15_schema_evolution.py (one query
+# per family × both modes).  NEW hypothesis laws
+# (tests/test_r15_property_laws.py): global_rank = exact
+# lexicographic permutation rank and grouped_prefix_sum = pandas
+# groupby-cumsum under randomized shapes AND randomized input
+# partitioning (1–7 parts).  Bench: probe-first, three sequential-clean
 # passes 36.71/38.57/38.50 s (spins 0.151–0.183); the VERDICT r14
 # watch item w1_adjacency_removal re-bracketed IN BAND all three
 # passes (0.391/0.431/0.395 vs its 0.38–0.50 history) — the r14
