@@ -23,7 +23,7 @@ from ..operators.dedup import (
 )
 from ..operators.text import STOPWORDS as _TEXT_STOPWORDS
 from . import register
-from ._util import dround, dround_sql, tables
+from ._util import dround, dround_sql, fan_out, tables
 
 # --- shared augmented corpus ----------------------------------------------
 # Variant ids are CORPUS-DERIVED (VERDICT r10 item 6 / ADVICE r9): the
@@ -304,7 +304,11 @@ def dd5_embedding_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + F.lit(variant_offset(spark, sf_dir, "embeddings", "vec_id"))).alias("vec_id"),
         F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 1.5).alias("v"),
     )
-    e = base.unionByName(scaled)
+    # Sign-LSH signature projection is the expensive narrow stage; a
+    # single-row-group source serializes it onto one task (fan_out is a
+    # no-op whenever the scan already has ≥ cores splits; band/pair keys
+    # drive everything downstream, partitioning-invariant).
+    e = fan_out(base.unionByName(scaled))
     return embedding_lsh_pairs(
         e, dim=_DD5_DIM, bands=_DD5_BANDS, rows_per_band=_DD5_ROWS, threshold=0.95
     )
@@ -1724,6 +1728,12 @@ GROUP BY doc_id
 )
 def dd20_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # The per-position k-gram explode+substr below is the expensive
+    # narrow stage and runs on BOTH consumers of `grams`; a
+    # single-row-group source serializes it onto one task (fan_out is a
+    # no-op whenever the scan already has ≥ cores splits; every
+    # downstream agg/window keys on gram/doc_id, partitioning-invariant).
+    documents = fan_out(documents)
     k = 40
     g = documents.where(F.length("text") >= k).select(
         "doc_id",

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import token_count_ws
 from . import register
-from ._util import dround, dround_sql, tables
+from ._util import dround, dround_sql, fan_out, tables
 
 _BUDGET = 256
 _SHARD = 64
@@ -307,6 +307,11 @@ transform(
 )
 def pk4_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # The per-char rolling-hash HOFs below are the expensive narrow
+    # stage; a single-row-group source serializes them onto one task
+    # (fan_out is a no-op whenever the scan already has ≥ cores splits;
+    # the doc_id groupBy result is partitioning-invariant).
+    documents = fan_out(documents)
     ch = (
         documents.select(
             "doc_id",

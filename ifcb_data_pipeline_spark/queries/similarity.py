@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from ..operators.similarity import cosine, cosine_topk, dot, label_centroids
 from . import register
-from ._util import dround, dround_sql, tables
+from ._util import dround, dround_sql, fan_out, tables
 
 _COS_SQL = (
     "(list_inner_product({a}, {b})"
@@ -134,7 +134,16 @@ SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
 @register("sim2_signlsh_ann", SIM2_SQL, survey_ref="north-star ANN: banded multi-table sign-LSH")
 def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    # Signature projection + the exact-cosine verify both re-derive `e`
+    # from the scan; a single-row-group source serializes those narrow
+    # stages onto one task (fan_out is a no-op whenever the scan already
+    # has ≥ cores splits; candidate keys drive the joins downstream,
+    # partitioning-invariant).
+    e = fan_out(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+    )
     coded = sim2_coded(e)
     q = coded.select(F.col("vec_id").alias("query_id"), "band", "sig")
     c = coded.select(F.col("vec_id").alias("neighbor_id"), "band", "sig")

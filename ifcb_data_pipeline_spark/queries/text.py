@@ -248,6 +248,12 @@ GROUP BY tri.doc_id
 @register("tx6_trigram_logprob", TX6_SQL, survey_ref="north-star text: corpus-LM quality score")
 def tx6_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # The trigram explode below runs TWICE (model-build scan at
+    # localCheckpoint time + the probe-side recompute) and is the
+    # expensive narrow stage; a single-row-group source serializes both
+    # onto one task (fan_out is a no-op whenever the scan already has
+    # ≥ cores splits; the doc_id groupBy result is partitioning-invariant).
+    documents = fan_out(documents)
     # substring with a per-row start position needs the expr form
     # (F.substring takes a literal pos).
     tri = documents.select(
