@@ -106,11 +106,25 @@ def embedding_lsh_pairs(
         .select("vec_a", "vec_b")
         .dropDuplicates()
     )
-    ea = vectors.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    eb = vectors.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    # Self-norms are computed ON THE VECTOR SIDES (|corpus| rows, before
+    # the candidate join) instead of per candidate pair: the verify then
+    # evaluates ONE dim-length dot per pair instead of three — at any
+    # scale the candidate set is >> the corpus, so this cuts the verify
+    # stage's fold work ~3×.  Float-identical to the inline form: na/nb
+    # are the same left-to-right `dot` folds over the same doubles, and
+    # sqrt(na*nb) multiplies them in the same order as before.
+    ea = vectors.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("na"),
+    )
+    eb = vectors.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        dot(F.col(vec_col), F.col(vec_col)).alias("nb"),
+    )
     cos = dround(
-        dot(F.col("va"), F.col("vb"))
-        / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb")))
+        dot(F.col("va"), F.col("vb")) / F.sqrt(F.col("na") * F.col("nb"))
     )
     return (
         cand.join(ea, "vec_a")
@@ -138,7 +152,20 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def shingle_sets(
     df: DataFrame, text_col: str, id_col: str, k: int = 3
 ) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle) rows."""
+    """Distinct word k-shingles per document: (id, shingle) rows.
+
+    The explode+array_join below is the expensive narrow stage of the
+    entire shingle family (dd2/dd3/dd4*/dd6-8/dd10/dd12/dd14-17, tx12,
+    sp10); same precedent as ``explode_bins_to_rois``: balance BEFORE
+    the row expansion so a few-split source doesn't serialize it onto
+    a few tasks (``fan_out`` is a no-op whenever the scan already has
+    ≥ cores splits; every consumer keys on doc/shingle downstream, so
+    results are partitioning-invariant — proven by the partitions
+    3/7/13 adversarial grid).
+    """
+    from .skew import fan_out
+
+    df = fan_out(df)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.split(F.lower(F.col(text_col)), " ").alias("w"),

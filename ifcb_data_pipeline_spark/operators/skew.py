@@ -67,3 +67,23 @@ def salted_broadcast_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted_fact.join(F.broadcast(salted_dim), [on, "__salt"])
     return out.drop("__salt")
+
+
+def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Raise map-side parallelism when the SOURCE's split count caps it.
+
+    A parquet file is splittable only at row-group boundaries; the local
+    testdata tables are single-row-group, so an expensive narrow stage
+    downstream of the scan (explode + per-trigram hashing, tokenize)
+    runs on ONE task no matter how many cores the session has.  When the
+    scan's partition count is already ≥ the session parallelism — every
+    realistic at-scale layout, where splits ≫ cores — this is a NO-OP
+    and adds no shuffle; only a parallelism-starved scan pays one small
+    round-robin exchange of the raw rows to unlock the cores.  Opt-in
+    per call site (not folded into the table loader) so unchanged
+    queries keep byte-identical plans across rounds.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -282,6 +282,21 @@ PREFIX_ORDER = [
 # round-15 section).  Zero registrations; registry still 216;
 # anchor gate 216/216.
 #
+# ROUND-15 ADDENDUM (perf batch, after the battery above): two
+# result-preserving performance commits landed late in the round —
+# (1) fan_out on the scan-bound narrow stages of tx6/dd20/pk4/dd5/sim2
+# and (2) fan_out folded into shingle_sets (16-query family) plus
+# vector-side self-norm precompute in embedding_lsh_pairs
+# (dd5/tp2/sim12) — see the SCALE.md round-15 parallelism-starvation
+# section for the measured numbers and the float-identity argument.
+# Lapse-rule adjudication: every touched query proven md5-IDENTICAL at
+# all 3 SFs before landing (19 affected registered queries in batch 2
+# + 5 in batch 1), and the FULL 10-leg full_sweep battery re-ran ALL
+# GREEN on each edited tree (two complete batteries; the second's legs
+# are themselves 20-30% faster — sf0.1 driver-sim 413→314 s — because
+# the evidence pipeline exercises the fixed queries).  Green validity
+# of the affected rows therefore carries per the round-11 template.
+#
 # SWEEP ledger (round 14): ONE command — tools/full_sweep.py, full
 # mode, run AFTER everything landed (w14 NULLS LAST pin, rotation,
 # staged_r15 registration to 216, the reliable-checkpoint combinator

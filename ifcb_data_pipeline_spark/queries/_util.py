@@ -28,24 +28,12 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
 
 
-def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Raise map-side parallelism when the SOURCE's split count caps it.
-
-    A parquet file is splittable only at row-group boundaries; the local
-    testdata tables are single-row-group, so an expensive narrow stage
-    downstream of the scan (explode + per-trigram hashing, tokenize)
-    runs on ONE task no matter how many cores the session has.  When the
-    scan's partition count is already ≥ the session parallelism — every
-    realistic at-scale layout, where splits ≫ cores — this is a NO-OP
-    and adds no shuffle; only a parallelism-starved scan pays one small
-    round-robin exchange of the raw rows to unlock the cores.  Opt-in
-    per query (not folded into ``tables``) so unchanged queries keep
-    byte-identical plans across rounds.
-    """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# Canonical implementation lives with the other physical-layout
+# combinators in operators/skew.py (operators never import from
+# queries/, so the shared-operator call sites — shingle_sets,
+# explode_bins_to_rois — need it at that layer); re-exported here so
+# query modules keep their one-stop `_util` import.
+from ..operators.skew import fan_out  # noqa: E402,F401
 
 
 def lat_expr(key: Column) -> Column:
