@@ -8,8 +8,13 @@
   pattern against a small anchor set, search only the bucket.  The scale
   path: candidate generation is an equi-join on the bucket key.
 
-Dot products use ``zip_with`` + ``aggregate`` — JVM-side codegen'd
-higher-order functions, no Python UDF in the hot path.
+Dot products use ``zip_with`` + ``aggregate`` — JVM-side higher-order
+functions, no Python UDF in the hot path.  (Measured round 15: HOFs are
+NOT whole-stage-codegen'd — they evaluate interpreted per element — but
+they still beat a literal-index unrolled sum 2–4×, because the unrolled
+expression tree blows past the codegen method-size limits and falls
+back to interpreted eval of a much deeper tree.  See the SCALE.md
+round-15 negative-result note before "optimizing" this.)
 """
 
 from __future__ import annotations
