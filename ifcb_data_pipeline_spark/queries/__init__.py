@@ -296,6 +296,18 @@ PREFIX_ORDER = [
 # are themselves 20-30% faster — sf0.1 driver-sim 413→314 s — because
 # the evidence pipeline exercises the fixed queries).  Green validity
 # of the affected rows therefore carries per the round-11 template.
+# Batch 3 (same protocol): w8/w11's per-user recursive kernels
+# re-grouped under coarse hash buckets (_by_user_bucketed — identical
+# per-user kernel, ~buckets pandas round-trips instead of ~|users|;
+# w8 3.5→2.6 s, w11 4.7→2.8 s warm sf0.1), md5-identical at 3 SFs,
+# validated by the round-end 16-leg full_sweep --grid battery ALL
+# GREEN (round_start + 3-SF driver-sim + 9-cell partitions grid +
+# 32-thread merge order + stacked hostile axes + lints).  Post-batch
+# standing numbers: registry-wide profile 326.1→244.6 s/216 (probes
+# same regime), bench passes 39.28/38.23 s with every untouched
+# headline query inside its historical band and tp2 at 3.53/3.00 s
+# (below its 3.86–5.73 band).  Full pytest on the final tree:
+# 1052/1052 green.
 #
 # SWEEP ledger (round 14): ONE command — tools/full_sweep.py, full
 # mode, run AFTER everything landed (w14 NULLS LAST pin, rotation,
