@@ -153,13 +153,30 @@ def sim2_signlsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .dropDuplicates()  # a pair may collide in several tables — verify once
     )
-    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
-    ce = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    # Self-norms on the vector sides (|corpus| rows) instead of per
+    # candidate pair — one dim-length fold per pair instead of three in
+    # the verify; float-identical to the inline cosine (same folds, same
+    # multiply order).  Same pattern as operators/dedup.embedding_lsh_pairs.
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        dot(F.col("v"), F.col("v")).alias("nq"),
+    )
+    ce = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        dot(F.col("v"), F.col("v")).alias("nc"),
+    )
     scored = (
         cand.join(qe, "query_id")
         .join(ce, "neighbor_id")
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos_raw")
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("qv"), F.col("cv"))
+                / F.sqrt(F.col("nq") * F.col("nc"))
+            ).alias("cos_raw"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), "neighbor_id")
