@@ -296,6 +296,23 @@ PREFIX_ORDER = [
 # are themselves 20-30% faster — sf0.1 driver-sim 413→314 s — because
 # the evidence pipeline exercises the fixed queries).  Green validity
 # of the affected rows therefore carries per the round-11 template.
+# FLAKE NAMED AND FIXED (late round 15): the round-14 215/216
+# transient RECURRED on its leg (adversarial sf0.1/partitions=7,
+# battery #5) and the r14 name-surfacing fix did its job —
+# i13_incremental_minhash, Py4JJavaError task abort (one task failed
+# once; job aborted).  Root cause analysis: adversarial_check was the
+# ONLY tool building its session without the factory's 8g driver
+# memory (1g JVM default) AND plain local[8] pins
+# spark.task.maxFailures=1 — so the battery's fattest-partition leg
+# ran the full registry on an under-provisioned heap where a single
+# transient python-worker death aborts the job.  Three fixes landed
+# (tools only, zero result surface): str(e) failure surfacing (the
+# Py4J repr hid the Java class), driver-memory parity with every other
+# tool, and local[8,4] task retries (no real cluster runs with
+# maxFailures=1; deterministic failures still fail 4/4).  Post-fix the
+# leg ran 216/216 three consecutive times; mechanism is inferred (the
+# Java class predates the surfacing fix) but the leg-selectivity fits
+# and any recurrence now prints the named exception class.
 # Batch 3 (same protocol): w8/w11's per-user recursive kernels
 # re-grouped under coarse hash buckets (_by_user_bucketed — identical
 # per-user kernel, ~buckets pandas round-trips instead of ~|users|;

@@ -113,6 +113,9 @@ FROM documents
 @register("tx3_lang_id", TX3_SQL, survey_ref="north-star text: n-gram language ID heuristic")
 def tx3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # Pure map-side per-doc scoring (same class as tx7): no agg to
+    # amortize a starved scan, so balance before the HOF chain.
+    documents = fan_out(documents)
     return documents.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -344,6 +347,11 @@ LEFT JOIN adj a USING (doc_id)
 @register("tx7_repetition_signals", TX7_SQL, survey_ref="north-star text: Gopher-style repetition filters")
 def tx7_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
+    # Pure map-side per-doc output: the whole cost is the HOF chain on
+    # the scan task, so a starved scan serializes it (unlike tx13, there
+    # is no map-side partial agg to amortize — fan_out is strictly the
+    # right trade here, and a no-op at any realistic split count).
+    documents = fan_out(documents)
     w = F.split(F.lower(F.col("text")), " ")
     d = documents.select("doc_id", w.alias("w"), F.size(w).alias("n"))
     head = F.slice("w", 1, F.greatest(F.col("n") - 1, F.lit(0)))

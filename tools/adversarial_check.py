@@ -41,6 +41,7 @@ reported as such.
 from __future__ import annotations
 
 import argparse
+import os
 import pathlib
 import sys
 
@@ -114,9 +115,20 @@ def main() -> int:
     else:
         names = list(PREFIX_ORDER)
 
+    # local[8,4] (not local[8]): plain local mode hard-pins
+    # spark.task.maxFailures=1, so ONE transient task failure (a python
+    # worker dying under memory pressure) aborts the whole job — no real
+    # cluster runs without task retry.  Driver memory gets the same 8g
+    # the session factory gives every other tool; this harness ran the
+    # full 216-query registry at sf0.1 in the 1g DEFAULT heap, which is
+    # the best explanation of the round-14/round-15 one-off Py4J task
+    # aborts seen ONLY on this leg (sf0.1, partitions=7: the fattest
+    # partitions of the battery).  Results are unaffected — retries
+    # re-run deterministic plans; a deterministic failure still fails.
     builder = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master("local[8,4]")
         .appName("adversarial-check")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.adaptive.enabled", "false")
         .config("spark.sql.shuffle.partitions", args.partitions)
         .config(
@@ -144,7 +156,12 @@ def main() -> int:
         try:
             ok, msg = frames_match(q.fn(spark, args.sf).toPandas(), con.sql(q.oracle).df())
         except Exception as e:  # noqa: BLE001 - report and continue
-            ok, msg = False, repr(e)[:300]
+            # str(e), not repr(e): Py4JJavaError's repr is an opaque
+            # "JavaObject id=..." while str() carries the Java exception
+            # class + stack — the round-15 i13 flake was unactionable
+            # until this.  One line so the FAIL-surfacing grep keeps it.
+            detail = " | ".join(str(e).splitlines())[:1500]
+            ok, msg = False, detail or repr(e)[:300]
         if ok:
             print(f"{name}: ok")
         else:
