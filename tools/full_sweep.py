@@ -24,8 +24,8 @@ Usage: python tools/full_sweep.py [--fast] [--grid]
 
 Each leg shells out to the existing single-purpose tools so their
 output/exit conventions stay canonical; this is orchestration only.
-Expected wall-clock: ~35 min full, ~17 min --fast (local[32] box;
-measured round 13 — matches .claude/skills/verify/SKILL.md).
+Expected wall-clock: ~23 min full, ~12 min --fast (local[32] box;
+measured round 15 after the perf batches — was ~35/~17 at round 13).
 """
 
 from __future__ import annotations
