@@ -1,9 +1,9 @@
 """Similarity-search operators over embedding columns.
 
 * :func:`cosine_topk` — brute-force top-k (the exactness baseline).  At
-  scale: broadcast the (small) query set, scan the corpus once, per-query
-  top-k via window — one shuffle on query_id, no all-pairs materialization
-  beyond the scored scan.
+  scale: broadcast the (small) query set, scan the corpus once, then a
+  TWO-PHASE top-k (local per-(query, source-partition) heads, bounded
+  final rank) so no corpus-sized partition is ever sorted on one task.
 * :func:`signlsh_topk` — random-hyperplane (sign) LSH: bucket by the sign
   pattern against a small anchor set, search only the bucket.  The scale
   path: candidate generation is an equi-join on the bucket key.
@@ -57,11 +57,32 @@ def cosine_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+    # Two-phase top-k (the sp2b local-heads discipline): a single-phase
+    # row_number() over (partition by query_id) would materialize and
+    # sort a corpus-sized partition per query on ONE task — fine at
+    # sf0.1, a scale-killer at 100×.  Phase 1 ranks within each
+    # (query, source-partition) slice — the window key includes
+    # spark_partition_id(), so no post-shuffle partition is larger than
+    # one corpus split's contribution to one query — and keeps the
+    # local top-k heads.  Phase 2 ranks only the ≤ k × n_partitions
+    # survivors per query: bounded by construction, not by data.  The
+    # heads are a superset of the global top-k for ANY partitioning,
+    # so the result is partitioning-invariant (pinned by
+    # tests/test_invariants.py's repartition law).
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    heads = (
+        local.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= k)
+        .drop("__lrk", "__pid")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        heads.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

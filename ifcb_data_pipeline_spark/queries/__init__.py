@@ -89,69 +89,69 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 15 — the first FREEZE-ERA rotation (registry frozen at 216;
-    # protocol in SCALE.md).  The precomputed ROUND-15 plan (see commit
-    # 1c5823f's version of this file) applied verbatim: CORRECTNESS_r14
-    # landed 50/50 green, so no red row displaces slot 1;
-    # tools/rotation_audit.py confirmed plan/artifact consistency at
-    # round-15 start.  After this round every registry row has a driver
-    # row (never-driver-checked drops to ZERO for the first time).
-    # slots 1-4: the round-14 adds — the registry's FINAL registrations,
-    # never driver-checked
-    "a30_bottomk_distinct_sample",
-    "j18_bloom_join_prefilter",
-    "w15_ks_two_sample",
-    "dp13_leading_digit_audit",
-    # slots 5-16: the 12 r10-era rows that spilled past round 14
-    "st5_streaming_dedup",
-    "st7_stream_static_join",
-    "tp2_multimodal_corpus",
-    "tp3_incremental_refresh",
-    "tp5_funnel_report",
-    "tx11_langid_confusion",
-    "tx12_ngram_novelty",
-    "tx14_quality_model_score",
-    "w10_cumulative_distinct",
-    "w11_cusum_drift",
-    "w7_native_session_window",
-    "w8_ewma_smoothing",
-    # slots 17-50: 34 of the 50 r11-era rows (alphabetical; the 16
-    # o7-intersect/o9/sim11/sim12/sim1/sim3/sp8/st6/st8/tp4/tp6/tx15/
-    # w12/w4/w5/w9 keys spill to round 16 — its staleness head)
-    "a20_grouped_percentiles",
-    "a21_conversion_funnel",
-    "a24_salted_skew_rollup",
-    "a26_sequence_funnel",
-    "a9_class_counts",
-    "c4_taxa_resolver",
-    "c5_trophic_lookup",
-    "dd13_star_components",
-    "dd14_lsh_recall",
-    "dd15_lsh_parameter_sweep",
-    "dd18_url_host_dedup",
-    "dd19_repeated_ngram_spans",
-    "dd9_normalized_dedup",
-    "dp12_quantile_drift_gate",
-    "dp1_column_profile",
-    "dp2_winsorize",
-    "dp8_exact_quantiles",
-    "dp9_mutual_information",
-    "g1_pagerank",
-    "i10_merge_upsert",
-    "i11_late_data_audit",
-    "i12_incremental_rollup",
-    "j17_point_in_time_join",
-    "j9_basin_tagging",
-    "j9b_polygon_tagging",
-    "mm11_scene_cuts",
-    "mm12_spectral_frames",
-    "mm6_augmentation_panel",
-    "o1_multi_key_sort",
-    "o3_union_by_name",
-    "o5_split_apply_union",
-    "o6_pivot_longer",
-    "o6_pivot_wider",
-    "o7_set_except",
+    # ROUND 16 — second freeze-era rotation (registry frozen at 216;
+    # protocol in SCALE.md).  The precomputed ROUND-16 plan (see the
+    # ROTATION PLAN comment below, written at round 15) applied
+    # verbatim: CORRECTNESS_r15 landed 50/50 green, so no red row
+    # displaces slot 1; tools/rotation_audit.py re-confirmed
+    # plan/artifact consistency at round-16 start.  This drains the
+    # r11 era entirely (the 16-row spill below) and starts on the r12
+    # era (34 of its 50 rows; the remaining 16 spill to round 17 as
+    # its staleness head — see the ROUND-17 plan below).
+    # slots 1-16: the 16 r11-era rows that spilled past round 15
+    # (alphabetical)
+    "o7_set_intersect",
+    "o9_compaction_plan",
+    "sim11_mips_topk",
+    "sim12_knn_graph",
+    "sim1_cosine_topk",
+    "sim3_label_centroids",
+    "sp8_importance_resampling",
+    "st6_sliding_window_rates",
+    "st8_streaming_sessions",
+    "tp4_curriculum_order",
+    "tp6_dataset_card",
+    "tx15_tokenizer_fertility",
+    "w12_mad_outliers",
+    "w4_newest_topk",
+    "w5_sessionization",
+    "w9_rolling_zscore",
+    # slots 17-50: the first 34 of the 50 r12-era rows (alphabetical;
+    # the last 16 spill to round 17)
+    "a10_duplicate_detection",
+    "a11_distinct",
+    "a12_minmax_summary",
+    "a13_grid_cell_frequency",
+    "a14_monthly_histogram",
+    "a15_mean_collapse",
+    "a17_qc_sums",
+    "a18_provenance_summary",
+    "a19_cube_rollup",
+    "a1_biovolume_rollup",
+    "a25_survival_curve",
+    "a28_hll_distinct_sketch",
+    "a29_cms_heavy_hitters",
+    "a2_taxon_rollup",
+    "a3_flag_frequency",
+    "a4_monthly_stats",
+    "a5_grouped_top1",
+    "a6_bloom_categorize",
+    "a7_global_top1",
+    "a8_last_per_group",
+    "c3_name_type_split",
+    "dd1_exact_dedup",
+    "dd20_exact_substring_dedup",
+    "dd3_simhash",
+    "dd6_dup_clusters",
+    "dd7_dedup_materialize",
+    "dp10_anova_eta",
+    "dp7_binned_quantiles",
+    "f11_missing_position_filter",
+    "f1_select_rename",
+    "f6_regional_filter",
+    "j10_semi_join",
+    "j11_incremental_anti_join",
+    "j12_provenance_merge",
 ]
 # The round-15 rotation plan was EXECUTED verbatim as the live
 # PREFIX_ORDER above (CORRECTNESS_r14 landed 50/50 green, so no red row
@@ -163,35 +163,43 @@ PREFIX_ORDER = [
 # r12 rows and 16 r12 rows spill to round 17 (the steady-state
 # 4.32-round cycle of the freeze-era protocol, SCALE.md).
 #
-# ROUND-16 ROTATION PLAN (precomputed; apply verbatim unless round-15
+# The round-16 rotation plan was EXECUTED verbatim as the live
+# PREFIX_ORDER above (CORRECTNESS_r15 landed 50/50 green, so no red row
+# displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
+# consistency at round-16 start).  The r11 era is now fully drained;
+# the staleness head is the 16 spilled r12 rows + the 50-row r13 era,
+# so round 17 takes the 16-row spill + 34 r13 rows and 16 r13 rows
+# spill to round 18 (steady-state 4.32-round cycle, SCALE.md).
+#
+# ROUND-17 ROTATION PLAN (precomputed; apply verbatim unless round-16
 # driver results dictate otherwise — a red row takes slot 1):
-#   slots 1-16: the 16 r11-era rows that spilled past round 15
+#   slots 1-16: the 16 r12-era rows that spilled past round 16
 #   (alphabetical):
-#     o7_set_intersect, o9_compaction_plan, sim11_mips_topk,
-#     sim12_knn_graph, sim1_cosine_topk, sim3_label_centroids,
-#     sp8_importance_resampling, st6_sliding_window_rates,
-#     st8_streaming_sessions, tp4_curriculum_order, tp6_dataset_card,
-#     tx15_tokenizer_fertility, w12_mad_outliers, w4_newest_topk,
-#     w5_sessionization, w9_rolling_zscore
-#   slots 17-50: the first 34 of the 50 r12-era rows (alphabetical; the
-#   last 16 — the j13 / j1 / j4b / j5 / j6 / j7 / j8 / qf / s6 / sim4 /
-#   sp1 / sp6 / st9 / tx13 / tx1 / tx2 keys, named here by key only so
-#   the plan parser doesn't count them — spill to round 17, becoming
-#   its staleness head):
-#     a10_duplicate_detection, a11_distinct, a12_minmax_summary,
-#     a13_grid_cell_frequency, a14_monthly_histogram, a15_mean_collapse,
-#     a17_qc_sums, a18_provenance_summary, a19_cube_rollup,
-#     a1_biovolume_rollup, a25_survival_curve, a28_hll_distinct_sketch,
-#     a29_cms_heavy_hitters, a2_taxon_rollup, a3_flag_frequency,
-#     a4_monthly_stats, a5_grouped_top1, a6_bloom_categorize,
-#     a7_global_top1, a8_last_per_group, c3_name_type_split,
-#     dd1_exact_dedup, dd20_exact_substring_dedup, dd3_simhash,
-#     dd6_dup_clusters, dd7_dedup_materialize, dp10_anova_eta,
-#     dp7_binned_quantiles, f11_missing_position_filter,
-#     f1_select_rename, f6_regional_filter, j10_semi_join,
-#     j11_incremental_anti_join, j12_provenance_merge
-# = exactly 50 (16 + 34); re-run tools/rotation_audit.py at round-16
-# start once CORRECTNESS_r15.json lands (a red row there displaces
+#     j13_classlist_full_join, j1_enrichment_chain, j4b_asof_backward,
+#     j5_interval_join, j6_coalescing_fill_join, j7_full_outer_join,
+#     j8_haversine_theta_join, qf_flag_unification, s6_json_scan,
+#     sim4_ivf_search, sp1_train_test_split, sp6_domain_token_cap,
+#     st9_join_state_audit, tx13_bm25_topk, tx1_token_count,
+#     tx2_quality_score
+#   slots 17-50: the first 34 of the 50 r13-era rows (alphabetical; the
+#   last 16 — the sim5 / sim6 / sim7 / sim8 / sp10 / sp2 / sp3 / sp4 /
+#   tp1 / tx10 / tx16 / tx3 / tx4 / tx6 / u13b / w13 keys, named here by
+#   key only so the plan parser doesn't count them — spill to round 18,
+#   becoming its staleness head):
+#     a27_retention_cohorts, c10_date_format, c11_encoding_fix,
+#     c12_haversine, c1_taxa_clean_cascade, c2_species_flag,
+#     c6_parse_bin_id, c8_f1_score, c9_signif_round,
+#     dd16_quality_survivor, dd2_minhash_lsh,
+#     dd8_benchmark_contamination, dp3_categorical_profile,
+#     dp4_domain_mixture, dp5_correlation_matrix, f10_timestamp_range,
+#     f12_value_threshold, f13_membership_filter, f2_gps_staleness,
+#     f3_blacklist_prefix_anti, f4_flag_removal, f7_qc_gating,
+#     f8_sentinel_normalization, j4_asof_join, mm1_multimodal_features,
+#     mm3_resize_normalize, mm4_video_frame_sample, p1_shark_export,
+#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
+#     pk4_cdc_chunking, sim13_int8_quant_error, sim2_signlsh_ann
+# = exactly 50 (16 + 34); re-run tools/rotation_audit.py at round-17
+# start once CORRECTNESS_r16.json lands (a red row there displaces
 # slot 1 by rule).
 # END PLAN
 #

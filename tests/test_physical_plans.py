@@ -867,6 +867,20 @@ def test_sim1_bruteforce_broadcasts_queries_only(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_sim1_topk_is_two_phase(spark, sf_dir):
+    """No corpus-sized single partition survives in cosine_topk: the
+    local-heads window must key on (query_id, spark_partition_id()) —
+    splitting each query's rank across the corpus's source partitions —
+    BEFORE the bounded final-rank window keyed on query_id alone.  A
+    single-phase plan (one Window, no SPARK_PARTITION_ID key) sorts the
+    whole corpus per query on one task at 100×."""
+    plan = plan_of(spark, "sim1_cosine_topk", sf_dir)
+    assert "SPARK_PARTITION_ID" in plan  # local-heads phase present
+    # formatted plans print tree nodes as "Window (n)": two phases ->
+    # two distinct Window nodes in the tree
+    assert plan.count("Window (") >= 2
+
+
 def test_tx2_is_shuffle_free_single_scan(spark, sf_dir):
     """tx2's quality scores are pure per-row projections — any Exchange
     appearing here means an accidental aggregation or join crept in."""

@@ -376,7 +376,10 @@ def test_forced_broadcast_inventory_is_pinned():
 # made and the inventory updated (both directions, like the broadcast
 # lint).
 WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
-    ("operators/similarity.py", "cosine_topk"): 1,
+    # cosine_topk: 2 = the sp2b-style local-heads window + the bounded
+    # final-rank window, both ordered by the same non-null cos_sim
+    # measure (query/corpus vectors are non-null by schema).
+    ("operators/similarity.py", "cosine_topk"): 2,
     ("operators/similarity.py", "ivf_assign"): 1,
     ("operators/similarity.py", "ivf_assign_probes"): 1,
     ("operators/similarity.py", "ivf_topk"): 1,
