@@ -28,7 +28,7 @@ O(1) lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -98,30 +98,37 @@ def connected_components(
     Scale design: each star is ONE key-partitioned window shuffle over
     the *current* edge set (window-min, not groupBy + join back), the
     edge set is deduplicated once per star pair and
-    ``localCheckpoint``-ed every two pairs, so the iterative plan's
-    lineage stays O(1) and the per-round action count is halved.
-    Convergence is detected by a (count, bit_xor-of-xxhash64)
-    fingerprint and then *proven* with an exact two-way subtract before
-    exiting, so a fingerprint collision can never return early with a
-    wrong labeling.
+    ``localCheckpoint``-ed every two pairs, and the convergence
+    fingerprint rides that checkpoint job as an ``observe`` metric — so
+    each two-pair round costs exactly ONE Spark job.  Convergence is
+    detected by the (count, bit_xor-of-xxhash64) fingerprint and then
+    *proven* with an exact two-way subtract before exiting, so a
+    fingerprint collision can never return early with a wrong labeling.
     """
-    e = _canonical(
-        edges.select(
-            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-        )
-    ).localCheckpoint()
-
-    def fingerprint(df: DataFrame):
-        # bit_xor, not sum: ANSI mode makes a 64-bit hash sum overflow;
-        # xor is order-insensitive and closed over long.  The edge set is
-        # distinct, so xor's pair-cancellation blindness never triggers.
-        row = df.select(
+    def checkpoint_with_fingerprint(df: DataFrame):
+        """ONE job per round: the (count, bit_xor-of-xxhash64) convergence
+        fingerprint rides the localCheckpoint materialization as an
+        ``observe`` metric instead of a second collect job.  bit_xor, not
+        sum: ANSI mode makes a 64-bit hash sum overflow; xor is
+        order-insensitive and closed over long.  The edge set is
+        distinct, so xor's pair-cancellation blindness never triggers."""
+        obs = Observation()
+        ck = df.observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return row["n"], row["h"]
+        ).localCheckpoint()  # eager: triggers the job that fills obs
+        got = obs.get
+        return ck, (got["n"], got["h"])
 
-    fp = fingerprint(e)
+    e, fp = checkpoint_with_fingerprint(
+        _canonical(
+            edges.select(
+                F.col(src).cast("long").alias("u"),
+                F.col(dst).cast("long").alias("v"),
+            )
+        )
+    )
     # Two star-pair rounds per materialization: locally the cost is
     # action-count (checkpoint + fingerprint jobs), so batching halves the
     # job count at the price of at most one redundant (no-op) pair after
@@ -131,9 +138,10 @@ def connected_components(
     converged = False
     while rounds_done < max_rounds:
         nxt = _canonical(_small_star(_large_star(e)))
-        nxt = _canonical(_small_star(_large_star(nxt))).localCheckpoint()
+        nxt, nfp = checkpoint_with_fingerprint(
+            _canonical(_small_star(_large_star(nxt)))
+        )
         rounds_done += 2
-        nfp = fingerprint(nxt)
         if nfp == fp:
             # fingerprints agree — prove set equality (one job) before
             # stopping, so a fingerprint collision can't end early

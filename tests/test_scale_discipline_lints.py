@@ -147,7 +147,8 @@ def _scan() -> dict[tuple[str, str], int]:
 # the bound is argued.
 ACTION_INVENTORY: dict[tuple[str, str, str], int] = {
     ("operators/aggregates.py", "taxon_rollup", "first"): 1,
-    ("operators/graph.py", "fingerprint", "collect"): 1,  # 1-row fingerprint
+    # (graph.py's convergence fingerprint now rides the localCheckpoint
+    # job as an observe metric — zero driver collect sites remain there)
     ("operators/resolver.py", "resolve_and_broadcast", "collect"): 1,  # distinct names
     ("operators/windows.py", "gap_fill", "first"): 1,
     ("queries/dedup.py", "_lsh_cluster_labels", "collect"): 2,  # size-gated union-find
