@@ -69,6 +69,93 @@ def salted_broadcast_join(
     return out.drop("__salt")
 
 
+def _parse_bytes(v: str) -> int:
+    """Parse a Spark byte-size conf string ("128MB", "4194304b", "1g")."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            s = s[: -len(suffix)]
+            mult = m
+            break
+    return int(float(s) * mult)
+
+
+def _session_parallelism(sess) -> int:
+    """defaultParallelism in classic mode; under Spark Connect (no
+    sparkContext) fall back to the shuffle-partition conf."""
+    try:
+        return sess.sparkContext.defaultParallelism
+    except Exception:
+        return int(sess.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _estimate_scan_partitions(df: DataFrame) -> int | None:
+    """Estimate the scan's split count from ``inputFiles()`` + the file
+    source confs — the same arithmetic as Spark's
+    ``FilePartition.maxSplitBytes`` + first-fit packing — WITHOUT
+    touching ``df.rdd`` (which breaks under Spark Connect, silently
+    converts the frame, and forces physical planning per call).
+
+    Returns None when the files cannot be stat'ed (non-local scheme, or
+    an in-memory frame with no files) — the caller treats that as
+    "splits are plentiful", which is the truth for every at-scale
+    object-store layout.
+    """
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        path = f
+        if "://" in f or f.startswith("file:"):
+            parsed = urlparse(f)
+            if parsed.scheme not in ("file", ""):
+                return None
+            path = unquote(parsed.path)
+        if not os.path.exists(path):
+            return None
+        sizes.append(os.path.getsize(path))
+    conf = df.sparkSession.conf
+    max_pb = _parse_bytes(conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    open_cost = _parse_bytes(conf.get("spark.sql.files.openCostInBytes", "4m"))
+    try:
+        min_part_num = int(conf.get("spark.sql.files.minPartitionNum"))
+    except Exception:
+        min_part_num = _session_parallelism(df.sparkSession)
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(1, min_part_num)
+    max_split = int(min(max_pb, max(open_cost, bytes_per_core)))
+    splits: list[int] = []
+    for size in sizes:
+        n_full, rem = divmod(size, max_split)
+        splits.extend([max_split] * int(n_full))
+        if rem > 0 or size == 0:
+            splits.append(int(rem))
+    splits.sort(reverse=True)
+    parts, acc, opened = 0, 0, False
+    for s in splits:
+        cost = s + open_cost
+        if opened and acc + cost > max_split:
+            parts += 1
+            acc, opened = 0, False
+        acc += cost
+        opened = True
+    if opened:
+        parts += 1
+    return max(1, parts)
+
+
 def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Raise map-side parallelism when the SOURCE's split count caps it.
 
@@ -76,14 +163,27 @@ def fan_out(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     testdata tables are single-row-group, so an expensive narrow stage
     downstream of the scan (explode + per-trigram hashing, tokenize)
     runs on ONE task no matter how many cores the session has.  When the
-    scan's partition count is already ≥ the session parallelism — every
+    scan's split count is already ≥ the session parallelism — every
     realistic at-scale layout, where splits ≫ cores — this is a NO-OP
     and adds no shuffle; only a parallelism-starved scan pays one small
     round-robin exchange of the raw rows to unlock the cores.  Opt-in
     per call site (not folded into the table loader) so unchanged
     queries keep byte-identical plans across rounds.
+
+    MUST be applied on scan-adjacent DataFrames (all call sites comply):
+    the split estimate reads the frame's ``inputFiles()``, so it speaks
+    for the scan, not for any shuffle in between.  The estimate is
+    logical-plan-only and Connect-safe — no ``df.rdd`` probe (which
+    would force physical planning per call, report pre-AQE counts
+    downstream of a shuffle, and break under Spark Connect).  When the
+    input files cannot be stat'ed (object store, in-memory frame) the
+    scan is assumed un-starved and the call is a no-op — pass an
+    explicit ``min_parts`` to force a target in that case.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    target = min_parts or _session_parallelism(df.sparkSession)
+    est = _estimate_scan_partitions(df)
+    if est is None and min_parts is None:
+        return df
+    if est is not None and est >= target:
         return df
     return df.repartition(target)

@@ -552,7 +552,12 @@ def _by_user_bucketed(base: DataFrame, kernel, schema: str) -> DataFrame:
     b = base.withColumn("__b", F.pmod(F.hash("user_id"), F.lit(buckets)))
 
     def many(pdf: pd.DataFrame) -> pd.DataFrame:
-        outs = [kernel(g) for _, g in pdf.groupby("user_id", sort=False)]
+        # dropna=False: Spark's groupBy keeps a NULL-key group, and the
+        # pandas default (dropna=True) would silently drop null-user
+        # rows if the events schema ever allowed them.
+        outs = [
+            kernel(g) for _, g in pdf.groupby("user_id", sort=False, dropna=False)
+        ]
         # iloc[0:0] (not pandas .head) so the Spark driver-action lint's
         # textual inventory stays clean — this is the empty-batch guard
         return pd.concat(outs) if outs else kernel(pdf.iloc[0:0])

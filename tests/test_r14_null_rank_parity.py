@@ -89,3 +89,25 @@ def test_planted_table_actually_exercises_the_hazard(planted_dir):
     # and duplicate non-null values exist so the event_id tie-break runs
     dup = pdf["value"].dropna()
     assert dup.duplicated().any()
+
+
+def test_bucketed_pandas_kernel_keeps_null_key_group(spark):
+    """_by_user_bucketed's pandas groupby must pass dropna=False: Spark's
+    groupBy keeps a NULL-key group, so the pandas re-grouping inside the
+    coarse-bucket kernel must too — otherwise a schema change that lets
+    user_id be NULL silently drops those rows from w8/w11."""
+    from ifcb_data_pipeline_spark.queries.windows_sorts import _by_user_bucketed
+
+    df = spark.createDataFrame(
+        [(None, 1, 10.0), (None, 2, 20.0), (7, 3, 30.0)],
+        "user_id int, event_id int, value double",
+    )
+
+    def kernel(pdf):
+        return pdf[["user_id", "event_id", "value"]]
+
+    out = _by_user_bucketed(
+        df, kernel, "user_id int, event_id int, value double"
+    ).collect()
+    assert len(out) == 3, out
+    assert sum(1 for r in out if r["user_id"] is None) == 2

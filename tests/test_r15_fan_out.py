@@ -27,23 +27,59 @@ from ifcb_data_pipeline_spark.operators.skew import fan_out
 from ifcb_data_pipeline_spark.operators.similarity import dot
 
 
-def test_fan_out_noop_when_partitions_suffice(spark):
+def test_fan_out_noop_when_splits_suffice(spark, tmp_path):
     cores = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 10_000, numPartitions=cores)
+    path = str(tmp_path / "wide")
+    spark.range(0, 10_000).repartition(cores + 5).write.parquet(path)
+    df = spark.read.parquet(path)
     assert fan_out(df) is df  # structural identity, not just equal plans
-    wide = spark.range(0, 10_000, numPartitions=cores + 5)
-    assert fan_out(wide) is wide
 
 
-def test_fan_out_raises_starved_scan_to_parallelism(spark):
+def test_fan_out_noop_on_in_memory_frames(spark):
+    """No inputFiles -> the scan-split estimate is unknown -> fan_out
+    assumes an un-starved source (the at-scale truth) and no-ops; an
+    explicit min_parts overrides."""
+    df = spark.range(0, 1_000, numPartitions=1)
+    assert fan_out(df) is df
+    forced = fan_out(df, min_parts=8)
+    assert forced is not df
+    assert forced.rdd.getNumPartitions() == 8
+
+
+def test_fan_out_raises_starved_scan_to_parallelism(spark, tmp_path):
     cores = spark.sparkContext.defaultParallelism
-    df = spark.range(0, 10_000, numPartitions=1)
+    path = str(tmp_path / "narrow")
+    spark.range(0, 10_000).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
     out = fan_out(df)
     assert out is not df
     assert out.rdd.getNumPartitions() == cores
     # round-robin repartition preserves the multiset of rows
     assert out.count() == 10_000
     assert out.agg(F.sum("id")).collect()[0][0] == sum(range(10_000))
+
+
+def test_fan_out_path_never_touches_df_rdd():
+    """The split probe must stay logical-plan-only: df.rdd forces
+    physical planning per call, reports pre-AQE counts downstream of a
+    shuffle, and breaks under Spark Connect (silently converting the
+    frame).  Lint the source so a regression can't land."""
+    import ast
+    import pathlib
+
+    src = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "ifcb_data_pipeline_spark"
+        / "operators"
+        / "skew.py"
+    ).read_text()
+    tree = ast.parse(src)
+    offenders = [
+        node.lineno
+        for node in ast.walk(tree)
+        if isinstance(node, ast.Attribute) and node.attr == "rdd"
+    ]
+    assert not offenders, f"df.rdd access in operators/skew.py at {offenders}"
 
 
 def _adversarial_vectors(dim: int = 16, n: int = 60) -> list[tuple[int, list[float]]]:
@@ -81,14 +117,22 @@ def test_lsh_norm_precompute_is_float_identical(spark):
     )
     ea = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    inline = F.floor(
-        (
-            dot(F.col("va"), F.col("vb"))
-            / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb")))
-        )
-        * 1000000.0
-        + F.lit(0.5)
-    ) / F.lit(1000000.0)
+    # Shared rounding helper (not an inline floor-form re-derivation):
+    # if dround or embedding_lsh_pairs' round_digits default ever
+    # changes, this reference path follows instead of silently
+    # diverging from production rounding.
+    import inspect
+
+    from ifcb_data_pipeline_spark.queries._util import dround
+
+    round_digits = inspect.signature(embedding_lsh_pairs).parameters[
+        "round_digits"
+    ].default
+    inline = dround(
+        dot(F.col("va"), F.col("vb"))
+        / F.sqrt(dot(F.col("va"), F.col("va")) * dot(F.col("vb"), F.col("vb"))),
+        round_digits,
+    )
     want = {
         (r["vec_a"], r["vec_b"]): r["cos_ref"]
         for r in cand.join(ea, "vec_a")

@@ -38,6 +38,16 @@ def main() -> int:
     # absorbs JVM/codegen/python-worker startup (~3-4 s locally) and
     # shows up as a phantom tail entry (round 15: a30's 7.99 s "tail"
     # reading was exactly this slot-1 artifact; warm steady-state 1.6 s).
+    # Warm BOTH execution paths explicitly — a codegen query and an
+    # Arrow/applyInPandas query — so whichever path the first measured
+    # entry uses, its startup cost is already paid; and don't crash on
+    # an empty registry.
+    if not reg:
+        print(json.dumps({"label": label, "sf_dir": sf_dir, "error": "empty registry"}))
+        return
+    for warm in ("a11_distinct", "w8_ewma_smoothing"):
+        if warm in reg:
+            reg[warm].fn(spark, sf_dir).toPandas()
     next(iter(reg.values())).fn(spark, sf_dir).toPandas()
     times: dict[str, float] = {}
     t_all = time.monotonic()
