@@ -127,11 +127,24 @@ def signlsh_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+    # Same two-phase top-k as cosine_topk: a hot LSH bucket makes one
+    # query's candidate set arbitrarily large, so never sort it on one
+    # task — local per-(query, partition) heads first, then the bounded
+    # final rank (≤ k × n_partitions rows per query).
+    local = scored.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("query_id", "__pid").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    heads = (
+        local.withColumn("__lrk", F.row_number().over(w_local))
+        .where(F.col("__lrk") <= k)
+        .drop("__lrk", "__pid")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        heads.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )

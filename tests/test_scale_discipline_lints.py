@@ -385,7 +385,7 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     ("operators/similarity.py", "ivf_assign_probes"): 1,
     ("operators/similarity.py", "ivf_topk"): 1,
     ("operators/similarity.py", "ivf_topk_nprobe"): 1,
-    ("operators/similarity.py", "signlsh_topk"): 1,
+    ("operators/similarity.py", "signlsh_topk"): 2,
     ("operators/windows.py", "global_rank"): 1,
     ("operators/windows.py", "grouped_prefix_sum"): 1,
     ("plans/streaming_merge.py", "latest_per_key"): 1,
