@@ -992,8 +992,14 @@ def sim12_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import embedding_lsh_pairs
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    # Same fan_out as dd5/sim2: the 16-plane signature projection and the
+    # norm precompute are expensive narrow stages that a single-row-group
+    # source serializes onto one task (no-op at scale: splits >= cores;
+    # band/pair keys drive everything downstream, partitioning-invariant).
+    e = fan_out(
+        embeddings.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
     )
     # The pair frame feeds BOTH branches of the symmetric union below;
     # without materialization each branch re-runs the candidate join AND

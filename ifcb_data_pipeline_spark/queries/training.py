@@ -245,7 +245,10 @@ def tp2_multimodal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from its own pair of parquet scans.  localCheckpoint computes the
     # stage once — the I3 stage-materialization pattern, and the same
     # call dd2 makes for its signature frame; its blocks are
-    # context-cleaned when the returned plan is dropped.
+    # context-cleaned when the returned plan is dropped.  (A/B round 16:
+    # fan_out before this checkpoint measured SLOWER — the doc⋈emb join's
+    # exchange already spreads the corpus, so the extra repartition only
+    # added a shuffle.  Recorded so nobody retries it.)
     corpus = base.unionByName(scaled).localCheckpoint()
     pairs = embedding_lsh_pairs(
         corpus.select("doc", "v"),
