@@ -219,6 +219,19 @@ def hu_moments(mask: np.ndarray) -> list[float]:
 
 # --- mapInPandas wrapper ---------------------------------------------------
 
+# roi_features_ref keys exported through the schema (its summed* extras
+# beyond summedArea are reference-chain-tested but not in the schema)
+_KERNEL_FEATURE_COLS = frozenset(
+    {
+        "Area", "EquivDiameter", "Extent", "MajorAxisLength",
+        "MinorAxisLength", "Eccentricity", "Orientation",
+        "BoundingBox_xwidth", "BoundingBox_ywidth", "ConvexArea",
+        "ConvexPerimeter", "maxFeretDiameter", "minFeretDiameter",
+        "Perimeter", "Solidity", "Biovolume", "RepresentativeWidth",
+        "SurfaceArea", "BiovolumeBranch", "numBlobs", "summedArea",
+    }
+)
+
 KERNEL_FEATURE_SCHEMA = (
     "sample string, roi_number int, Area double, EquivDiameter double,"
     " Extent double, MajorAxisLength double, MinorAxisLength double,"
@@ -273,13 +286,14 @@ def features_from_images(
                     mask = segment_roi(img)
                 else:
                     mask = img > threshold
-                geo = blob_geometry(mask)
-                hull = hull_metrics(mask)
+                # compute_features-faithful chain (all.py:446-545): the
+                # largest blob's cov-form ellipse / Heron hull / Feret /
+                # rotated bbox / branch-selected biovolume + the summed
+                # family — reference-certified bit-for-bit in
+                # tests/test_golden_chain_parity.py.
+                ref = roi_features_ref(mask)
                 tex = texture_stats(img, mask)
-                vol = biovolume_auto(mask)  # U5 branches, U11 inside SoR
-                summed = summed_features(mask)
                 sym = symmetry_features(mask)
-                area = geo["Area"]
                 if ringwedge_size:
                     rw = ringwedge_features(img, size=ringwedge_size)
                     ring_wedge = [
@@ -291,16 +305,13 @@ def features_from_images(
                     {
                         "sample": sample,
                         "roi_number": int(roi),
-                        **geo,
-                        **hull,
-                        # U4: Benkrid MATLAB-parity perimeter + PRNG stats
-                        "Perimeter": benkrid_perimeter(perimeter_image(mask)),
-                        "Solidity": area / hull["ConvexArea"] if hull["ConvexArea"] else 0.0,
+                        **{
+                            k: v
+                            for k, v in ref.items()
+                            if k in _KERNEL_FEATURE_COLS
+                        },
                         **tex,
-                        **vol,
                         **perimeter_pair_stats(mask),
-                        "numBlobs": summed["numBlobs"],
-                        "summedArea": summed["summedArea"],
                         "symmetry_b180": sym["symmetry_b180"],
                         "moment_invariants": hu_moments(mask),
                         "hog": hog_features(img),
@@ -782,10 +793,14 @@ def benkrid_perimeter(border: np.ndarray) -> float:
         + 2 * (p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:])
         + 10 * (p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:])
     )
-    total = 0.0
+    # Elementwise LUT + np.sum over the image-shaped array — the
+    # reference's exact form (``perimeter.py:24-38``): np.sum's pairwise
+    # accumulation order over the same values is what makes the result
+    # bit-equal (a per-code grouped sum differs in the last ulp).
+    lut = np.zeros(50, dtype=np.float64)
     for c, wgt in _BENKRID_WEIGHTS.items():
-        total += wgt * np.count_nonzero(code == c)
-    return float(total)
+        lut[c] = wgt
+    return float(np.sum(lut[np.clip(code, 0, lut.size - 1)]))
 
 
 _PRNG_STREAMS: dict[int, np.ndarray] = {}
@@ -1054,3 +1069,315 @@ def biovolume_auto(mask: np.ndarray) -> dict[str, float]:
     use_sor = area_ratio < 1.2 or (g["Eccentricity"] < 0.8 and p > 0.8)
     out = biovolume_sor_rotated(mask) if use_sor else biovolume_distmap(mask)
     return {**out, "BiovolumeBranch": "sor" if use_sor else "distmap"}
+
+
+# --- compute_features-faithful per-blob feature chain (round 16) ------------
+# The reference's exported features come from ``compute_features``
+# (``ifcb_features/all.py:497-545``): the image is segmented, split into
+# 8-connected blobs sorted largest-first (``blobs.py:13-30``), and the
+# per-blob features are computed on the LARGEST blob's cropped mask with
+# these exact estimator forms:
+#   * ellipse axes/eccentricity — eig of np.cov of the on-pixel coords,
+#     axes 4·sqrt(λ)                     (``blob_geometry.py:22-46``)
+#   * orientation — MATLAB central-moment form, degrees, wrapped to
+#     (-90, 90]                          (``blob_geometry.py:48-86``)
+#   * convex hull — qhull vertices of the PERIMETER points; perimeter =
+#     edge sum; area = Heron fan from the vertex centroid + perimeter/2
+#     rasterization adjustment, with degenerate-hull fallbacks
+#     (``blob_geometry.py:145-171``, ``all.py:81-97``)
+#   * Feret diameters — 360×1° rotating sweep with the |cos|+|sin|
+#     pixel-width correction          (``blob_geometry.py:193-208``)
+#   * bounding box — of the blob ROTATED to its major axis
+#     (``all.py:176-180``, ``blobs.py:137-149``)
+#   * biovolume — the U5 branch rule with THESE inputs (area_ratio from
+#     the Heron convex area, cov-form ecc/major) on the cropped blob
+#     (``all.py:200-233``)
+# These forms differ measurably from the MATLAB-regionprops conventions
+# in :func:`blob_geometry`/:func:`hull_metrics` (cov uses n-1; MATLAB
+# moments add 1/12; the shoelace hull area differs from the Heron+per/2
+# form by ~1) — certified against fixtures generated by EXECUTING the
+# reference package (tests/test_golden_chain_parity.py).
+
+def label_components_8(mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """8-connected variant of :func:`label_components` (the reference's
+    ``find_blobs`` labels with EIGHT connectivity, ``blobs.py:7-10``)."""
+    m = mask.astype(bool)
+    h, w = m.shape
+    if not m.any():
+        return np.zeros((h, w), dtype=np.int32), 0
+    ids = (np.arange(h * w, dtype=np.int64) + 1).reshape(h, w)
+    lab = np.where(m, ids, 0)
+    z_col = np.zeros((h, 1), dtype=lab.dtype)
+    z_row = np.zeros((1, w), dtype=lab.dtype)
+    while True:
+        nxt = lab.copy()
+        up = np.vstack([lab[1:, :], z_row])
+        down = np.vstack([z_row, lab[:-1, :]])
+        shifted = [up, down]
+        for base in (lab, up, down):
+            shifted.append(np.hstack([base[:, 1:], z_col]))
+            shifted.append(np.hstack([z_col, base[:, :-1]]))
+        for s in shifted:
+            np.minimum(nxt, np.where(m & (s > 0), s, nxt), out=nxt)
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    roots = np.unique(lab[lab > 0])
+    out = np.zeros((h, w), dtype=np.int32)
+    out[m] = np.searchsorted(roots, lab[m]) + 1
+    return out, len(roots)
+
+
+def find_blobs_sorted(mask: np.ndarray) -> list[np.ndarray]:
+    """Cropped single-component masks, 8-connected, sorted by
+    (-area, bbox x0, bbox y0) — the reference's ``find_blobs`` order
+    (``blobs.py:13-30``)."""
+    labels, n = label_components_8(mask)
+    blobs = []
+    for i in range(1, n + 1):
+        comp = labels == i
+        ys, xs = np.nonzero(comp)
+        y0, y1 = int(ys.min()), int(ys.max()) + 1
+        x0, x1 = int(xs.min()), int(xs.max()) + 1
+        blobs.append((-int(comp.sum()), x0, y0, comp[y0:y1, x0:x1]))
+    blobs.sort(key=lambda t: t[:3])
+    return [b for *_, b in blobs]
+
+
+def ellipse_properties_cov(blob: np.ndarray) -> tuple[float, float, float]:
+    """(major, minor, eccentricity) via the covariance eigendecomposition
+    form (``blob_geometry.py:22-46``): axes are 4·sqrt of the
+    eigenvalues of ``np.cov`` (sample covariance, n-1 divisor) of the
+    on-pixel (row, col) coordinates."""
+    P = np.vstack(np.where(blob)).astype(np.float64)
+    if P.shape[1] < 2:
+        return 0.0, 0.0, 0.0
+    eval_, _ = np.linalg.eig(np.cov(P))
+    L = 4.0 * np.sqrt(eval_)
+    maj, mn = float(np.max(L)), float(np.min(L))
+    ecc = float(np.sqrt(1.0 - (mn / maj) ** 2)) if maj > 0 else 0.0
+    return maj, mn, ecc
+
+
+def explicit_orientation(blob: np.ndarray) -> float:
+    """Blob orientation in degrees, MATLAB central-moment convention
+    (``blob_geometry.py:48-86``): θ = −½·degrees(atan2(2µ11, µ20−µ02)),
+    wrapped to (−90, 90].  The reference accumulates the moments in a
+    sequential float64 fold over C-ravel order; ``np.add.accumulate`` is
+    that fold, so the sums match bit-for-bit without the Python loop."""
+    b = np.asarray(blob).astype(bool)
+    if not b.any():
+        return 0.0
+    rows, cols = np.indices(b.shape, dtype=np.float64)
+    x = (cols + 1.0).ravel(order="C")
+    y = (rows + 1.0).ravel(order="C")
+    f = b.astype(np.float64).ravel(order="C")
+
+    def fold(arr: np.ndarray) -> np.float64:
+        return np.add.accumulate(arr, dtype=np.float64)[-1]
+
+    m00 = fold(f)
+    if m00 == 0:
+        return 0.0
+    xbar = np.float64(fold(x * f) / m00)
+    ybar = np.float64(fold(y * f) / m00)
+    dx = x - xbar
+    dy = y - ybar
+    mu20 = fold(dx * dx * f)
+    mu02 = fold(dy * dy * f)
+    mu11 = fold(dx * dy * f)
+    theta = np.float64(-0.5) * np.float64(
+        np.degrees(np.arctan2(np.float64(2.0) * mu11, mu20 - mu02))
+    )
+    while theta > 90.0:
+        theta = np.float64(theta - 180.0)
+    while theta <= -90.0:
+        theta = np.float64(theta + 180.0)
+    return float(theta)
+
+
+def hull_vertices_ref(points: np.ndarray) -> np.ndarray | None:
+    """Extreme points of the integer point set in CCW order (collinear
+    points excluded) — the unique hull vertex SET qhull returns
+    (``all.py:81-88``); ``None`` for degenerate (<3 vertices or rank<2)
+    inputs, which take the reference's fallback."""
+    P = np.asarray(points)
+    if len(P) < 3:
+        return None
+    order = np.lexsort((P[:, 1], P[:, 0]))
+
+    def cross(o, a, b):
+        return int(
+            (P[a, 0] - P[o, 0]) * (P[b, 1] - P[o, 1])
+            - (P[a, 1] - P[o, 1]) * (P[b, 0] - P[o, 0])
+        )
+
+    lower: list[int] = []
+    for idx in order:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], idx) <= 0:
+            lower.pop()
+        lower.append(int(idx))
+    upper: list[int] = []
+    for idx in order[::-1]:
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], idx) <= 0:
+            upper.pop()
+        upper.append(int(idx))
+    verts = lower[:-1] + upper[:-1]
+    if len(verts) < 3:
+        return None
+    hull = P[np.array(verts, dtype=np.intp)].astype(np.float64)
+    if np.linalg.matrix_rank(hull - hull[0]) < 2:
+        return None
+    return hull
+
+
+def convex_hull_properties_ref(hull: np.ndarray) -> tuple[float, float]:
+    """(perimeter, area) of the hull polygon: edge-length sum; Heron fan
+    from the vertex centroid; + perimeter/2 rasterization adjustment
+    (``blob_geometry.py:149-171``, operation-for-operation)."""
+    ab = hull - np.roll(hull, 1, axis=0)
+    C = np.sqrt(np.sum(ab**2, axis=1))
+    perimeter = np.sum(C)
+    center = np.mean(hull, axis=0)
+    A = np.sqrt(np.sum((hull - center) ** 2, axis=1))
+    B = np.roll(A, 1, axis=0)
+    S = np.sum(np.vstack((A, B, C)), axis=0) / 2
+    areas = np.sqrt(S * (S - A) * (S - B) * (S - C))
+    area = np.sum(areas)
+    area += perimeter / 2
+    return float(perimeter), float(area)
+
+
+def feret_diameters_ref(hull: np.ndarray) -> tuple[float, float]:
+    """(min, max) Feret diameter: 360×1° rotating projection sweep with
+    the |cosθ|+|sinθ| pixel-width correction
+    (``blob_geometry.py:193-208``)."""
+    y, x = hull.astype(np.float64).T
+    m = []
+    for theta in np.linspace(0, -359, 360) * (np.pi / 180.0):
+        cos_t, sin_t = np.cos(theta), np.sin(theta)
+        x2 = x * cos_t - y * sin_t
+        # dl summed FIRST — the reference's grouping (a-b)+(c+d); the
+        # left-associated a-b+c+d differs in the last ulp
+        dl = np.abs(cos_t) + np.abs(sin_t)
+        m.append(np.max(x2) - np.min(x2) + dl)
+    return float(np.min(m)), float(np.max(m))
+
+
+def blob_features_ref(blob: np.ndarray) -> dict[str, float]:
+    """The 18 per-blob features of ``compute_features``
+    (``all.py:497-521``) for ONE cropped single-component blob mask."""
+    from .rotation import rotate_blob, rotated_bbox
+
+    area = int(blob.sum())
+    equiv_d = float(np.sqrt(4.0 * area / np.pi))
+    border = perimeter_image(blob)
+    perimeter = benkrid_perimeter(border)
+    maj, mn, ecc = ellipse_properties_cov(blob)
+    orientation = explicit_orientation(blob)
+    pp = np.vstack(np.where(border)).T
+    hull = hull_vertices_ref(pp) if len(pp) else None
+    if hull is None:
+        convex_per, convex_area = float(perimeter), float(area)
+        feret_pts = pp.astype(np.float64) if len(pp) else np.zeros((1, 2))
+        feret_min, feret_max = feret_diameters_ref(feret_pts)
+    else:
+        convex_per, convex_area = convex_hull_properties_ref(hull)
+        feret_min, feret_max = feret_diameters_ref(hull)
+    rotated = rotate_blob(blob, orientation)
+    bb_h, bb_w = rotated_bbox(rotated)
+    # U5 branch with the compute_features inputs (all.py:225-233)
+    area_ratio = convex_area / area if area else 0.0
+    p = equiv_d / maj if maj else 0.0
+    use_sor = area_ratio < 1.2 or (ecc < 0.8 and p > 0.8)
+    if use_sor:
+        vol = biovolume_sor_raster(rotated)
+        branch = "sor"
+    else:
+        vol = biovolume_distmap(blob)
+        branch = "distmap"
+    return {
+        "Area": float(area),
+        "Biovolume": vol["Biovolume"],
+        "BoundingBox_xwidth": float(bb_w),
+        "BoundingBox_ywidth": float(bb_h),
+        "ConvexArea": convex_area,
+        "ConvexPerimeter": convex_per,
+        "Eccentricity": ecc,
+        "EquivDiameter": equiv_d,
+        "Extent": float(area) / blob.size if blob.size else 0.0,
+        "MajorAxisLength": maj,
+        "MinorAxisLength": mn,
+        "Orientation": orientation,
+        "Perimeter": perimeter,
+        "RepresentativeWidth": vol["RepresentativeWidth"],
+        "Solidity": float(area) / convex_area if convex_area else 0.0,
+        "SurfaceArea": vol["SurfaceArea"],
+        "maxFeretDiameter": feret_max,
+        "minFeretDiameter": feret_min,
+        "BiovolumeBranch": branch,
+    }
+
+
+def roi_features_ref(mask: np.ndarray) -> dict[str, float]:
+    """``compute_features``' exported set: the largest blob's features +
+    numBlobs + the summed-over-blobs family (``all.py:446-545``),
+    including the zero→NaN ratio semantics."""
+    blobs = find_blobs_sorted(mask)
+    if not blobs:
+        out = {
+            k: 0.0
+            for k in (
+                "Area", "Biovolume", "BoundingBox_xwidth", "BoundingBox_ywidth",
+                "ConvexArea", "ConvexPerimeter", "Eccentricity", "EquivDiameter",
+                "Extent", "MajorAxisLength", "MinorAxisLength", "Orientation",
+                "Perimeter", "RepresentativeWidth", "Solidity", "SurfaceArea",
+                "maxFeretDiameter", "minFeretDiameter",
+            )
+        }
+        out["BiovolumeBranch"] = "none"
+        out.update(
+            numBlobs=0.0, summedArea=0.0, summedBiovolume=0.0,
+            summedConvexArea=0.0, summedConvexPerimeter=0.0,
+            summedMajorAxisLength=0.0, summedMinorAxisLength=0.0,
+            summedPerimeter=0.0, summedSurfaceArea=0.0,
+            Area_over_PerimeterSquared=float("nan"),
+            Area_over_Perimeter=float("nan"),
+            summedConvexPerimeter_over_Perimeter=float("nan"),
+        )
+        return out
+    feats = [blob_features_ref(b) for b in blobs]
+    b0 = feats[0]
+
+    def summed(key: str) -> float:
+        return float(
+            np.sum(np.array([f[key] for f in feats], dtype=np.float64), dtype=np.float64)
+        )
+
+    def zero_to_nan(v: float) -> float:
+        return float("nan") if v == 0 else v
+
+    out = dict(b0)
+    s_per = summed("Perimeter")
+    s_cper = summed("ConvexPerimeter")
+    out.update(
+        numBlobs=float(len(feats)),
+        summedArea=summed("Area"),
+        summedBiovolume=summed("Biovolume"),
+        summedConvexArea=summed("ConvexArea"),
+        summedConvexPerimeter=s_cper,
+        summedMajorAxisLength=summed("MajorAxisLength"),
+        summedMinorAxisLength=summed("MinorAxisLength"),
+        summedPerimeter=s_per,
+        summedSurfaceArea=summed("SurfaceArea"),
+        Area_over_PerimeterSquared=zero_to_nan(
+            b0["Area"] / b0["Perimeter"] ** 2 if b0["Perimeter"] else 0.0
+        ),
+        Area_over_Perimeter=zero_to_nan(
+            b0["Area"] / b0["Perimeter"] if b0["Perimeter"] else 0.0
+        ),
+        summedConvexPerimeter_over_Perimeter=zero_to_nan(
+            s_cper / s_per if len(feats) > 0 and s_per else 0.0
+        ),
+    )
+    return out

@@ -149,9 +149,17 @@ PREFIX_ORDER = [
     "f11_missing_position_filter",
     "f1_select_rename",
     "f6_regional_filter",
-    "j10_semi_join",
-    "j11_incremental_anti_join",
-    "j12_provenance_merge",
+    # slots 48-50: LAPSE-RULE RE-ENTRY (round 16, kernel-chain refactor):
+    # the feature layer switched to the compute_features-faithful
+    # estimator forms (cov ellipse, Heron hull, largest-blob semantics —
+    # reference-certified in tests/test_golden_chain_parity.py) and the
+    # mm2/mm2b/mm6 baked oracles were regenerated, so their old green
+    # rows are invalidated and they re-enter the prefix NOW.  The three
+    # displaced r12-era rows (j10_semi_join, j11_incremental_anti_join,
+    # j12_provenance_merge) join the ROUND-17 staleness head.
+    "mm2_real_kernel_features",
+    "mm2b_kernel_topologies",
+    "mm6_augmentation_panel",
 ]
 # The round-15 rotation plan was EXECUTED verbatim as the live
 # PREFIX_ORDER above (CORRECTNESS_r14 landed 50/50 green, so no red row
@@ -173,32 +181,32 @@ PREFIX_ORDER = [
 #
 # ROUND-17 ROTATION PLAN (precomputed; apply verbatim unless round-16
 # driver results dictate otherwise — a red row takes slot 1):
-#   slots 1-16: the 16 r12-era rows that spilled past round 16
-#   (alphabetical):
+#   slots 1-19: the 19 r12-era rows that spilled past round 16 — the 16
+#   original spill rows plus the 3 displaced by the round-16 mm
+#   lapse-rule re-entry (alphabetical):
+#     j10_semi_join, j11_incremental_anti_join, j12_provenance_merge,
 #     j13_classlist_full_join, j1_enrichment_chain, j4b_asof_backward,
 #     j5_interval_join, j6_coalescing_fill_join, j7_full_outer_join,
 #     j8_haversine_theta_join, qf_flag_unification, s6_json_scan,
 #     sim4_ivf_search, sp1_train_test_split, sp6_domain_token_cap,
 #     st9_join_state_audit, tx13_bm25_topk, tx1_token_count,
 #     tx2_quality_score
-#   slots 17-50: the first 34 of the 50 r13-era rows (alphabetical; the
-#   last 16 — the sim5 / sim6 / sim7 / sim8 / sp10 / sp2 / sp3 / sp4 /
-#   tp1 / tx10 / tx16 / tx3 / tx4 / tx6 / u13b / w13 keys, named here by
-#   key only so the plan parser doesn't count them — spill to round 18,
-#   becoming its staleness head):
+#   slots 20-50: the first 31 of the 50 r13-era rows (alphabetical; the
+#   last 19 — the pk4 / sim13 / sim2 / sim5 / sim6 / sim7 / sim8 /
+#   sp10 / sp2 / sp3 / sp4 / tp1 / tx10 / tx16 / tx3 / tx4 / tx6 /
+#   u13b / w13 keys, named here by key only so the plan parser does
+#   not count them — spill to round 18, becoming its staleness head):
 #     a27_retention_cohorts, c10_date_format, c11_encoding_fix,
 #     c12_haversine, c1_taxa_clean_cascade, c2_species_flag,
-#     c6_parse_bin_id, c8_f1_score, c9_signif_round,
-#     dd16_quality_survivor, dd2_minhash_lsh,
-#     dd8_benchmark_contamination, dp3_categorical_profile,
+#     c6_parse_bin_id, c8_f1_score, c9_signif_round, dd16_quality_survivor,
+#     dd2_minhash_lsh, dd8_benchmark_contamination, dp3_categorical_profile,
 #     dp4_domain_mixture, dp5_correlation_matrix, f10_timestamp_range,
 #     f12_value_threshold, f13_membership_filter, f2_gps_staleness,
 #     f3_blacklist_prefix_anti, f4_flag_removal, f7_qc_gating,
 #     f8_sentinel_normalization, j4_asof_join, mm1_multimodal_features,
 #     mm3_resize_normalize, mm4_video_frame_sample, p1_shark_export,
-#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
-#     pk4_cdc_chunking, sim13_int8_quant_error, sim2_signlsh_ann
-# = exactly 50 (16 + 34); re-run tools/rotation_audit.py at round-17
+#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing
+# = exactly 50 (19 + 31); re-run tools/rotation_audit.py at round-17
 # start once CORRECTNESS_r16.json lands (a red row there displaces
 # slot 1 by rule).
 # END PLAN

@@ -26,14 +26,12 @@ from ifcb_data_pipeline_spark.queries.multimodal import (
 
 
 def chain_features(kind: str, p1: int, p2: int) -> dict:
+    # the production chain: segmentation + the compute_features-faithful
+    # feature layer (roi_features_ref — reference-certified in
+    # tests/test_golden_chain_parity.py) + the texture/symmetry extras
     from ifcb_data_pipeline_spark.operators.kernels import (
-        benkrid_perimeter,
-        biovolume_auto,
-        blob_geometry,
-        hull_metrics,
-        perimeter_image,
+        roi_features_ref,
         segment_roi_pc,
-        summed_features,
         symmetry_features,
         texture_stats,
     )
@@ -42,14 +40,9 @@ def chain_features(kind: str, p1: int, p2: int) -> dict:
     img = np.full(m.shape, 215, dtype=np.uint8)
     img[m] = 45
     mask = segment_roi_pc(img)
-    out = blob_geometry(mask)
-    out.update(biovolume_auto(mask))
+    out = roi_features_ref(mask)
     out.update(texture_stats(img, mask))
-    out.update(summed_features(mask))
     out.update(symmetry_features(mask))
-    hull = hull_metrics(mask)
-    out["Solidity"] = out["Area"] / hull["ConvexArea"] if hull["ConvexArea"] else 0.0
-    out["Perimeter"] = benkrid_perimeter(perimeter_image(mask))
     out["true_mask"] = m
     out["seg_mask"] = mask
     return out
@@ -93,7 +86,9 @@ def test_square_is_segmentation_exact():
     feats = chain_features("rect", 10, 10)
     assert np.array_equal(feats["seg_mask"], feats["true_mask"])
     assert feats["Area"] == 100.0
-    assert feats["Solidity"] == pytest.approx(1.0)
+    # reference Heron+per/2 hull convention: hull area of the 10x10
+    # square's 9x9 vertex polygon = 81 + 36/2 = 99 -> Solidity 100/99
+    assert feats["Solidity"] == pytest.approx(100.0 / 99.0)
 
 
 def test_baked_oracle_matches_live_chain():
@@ -123,14 +118,9 @@ def test_baked_oracle_matches_live_chain():
 
 
 def chain_summed(kind: str, p1: int, p2: int) -> dict:
-    """chain_features plus the U12 multi-blob outputs mm2b exports."""
-    from ifcb_data_pipeline_spark.operators.kernels import (
-        summed_features,
-    )
-
-    out = chain_features(kind, p1, p2)
-    out.update(summed_features(out["seg_mask"]))
-    return out
+    """chain_features already carries the U12 multi-blob outputs
+    (roi_features_ref computes numBlobs + the summed family)."""
+    return chain_features(kind, p1, p2)
 
 
 def test_mm2b_pairs_segment_as_two_blobs():
@@ -178,21 +168,11 @@ def test_mm2b_baked_oracle_matches_live_chain():
 # --- MM6 isotropy ----------------------------------------------------------
 def chain_features_img(img: np.ndarray) -> dict:
     from ifcb_data_pipeline_spark.operators.kernels import (
-        benkrid_perimeter,
-        biovolume_auto,
-        blob_geometry,
-        hull_metrics,
-        perimeter_image,
+        roi_features_ref,
         segment_roi_pc,
     )
 
-    mask = segment_roi_pc(img)
-    out = blob_geometry(mask)
-    out.update(biovolume_auto(mask))
-    hull = hull_metrics(mask)
-    out["Solidity"] = out["Area"] / hull["ConvexArea"] if hull["ConvexArea"] else 0.0
-    out["Perimeter"] = benkrid_perimeter(perimeter_image(mask))
-    return out
+    return roi_features_ref(segment_roi_pc(img))
 
 
 @pytest.mark.parametrize("sample,kind,p1,p2", MM2_PANEL)
