@@ -3721,7 +3721,13 @@ def test_mm6_augmentation_panel_laws(spark):
     assert (got["Area"] > 0).all()
     assert (got["Area"] == got["Area"].round()).all()
     assert (got["Perimeter"] > 0).all()
-    assert got["Solidity"].between(0.0, 1.0, inclusive="right").all()
+    # Solidity uses the reference's Heron+perimeter/2 hull-area form
+    # (blob_geometry.py:149-171), whose half-pixel rasterization
+    # adjustment genuinely under-counts the hull on straight-edged
+    # blobs — a 10x10 square's hull area is 99 vs 100 pixels, so
+    # Solidity lands slightly ABOVE 1 there (reference-certified in
+    # test_golden_chain_parity).  Bound: (0, 1.05].
+    assert got["Solidity"].between(0.0, 1.05, inclusive="right").all()
     assert got["Eccentricity"].between(0.0, 1.0, inclusive="left").all()
     assert (got["Biovolume"] > 0).all()
     # single-blob panel: the summed-roi epilogue must equal the blob area
