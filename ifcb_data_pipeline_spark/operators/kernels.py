@@ -288,7 +288,7 @@ def features_from_images(
                     mask = img > threshold
                 # compute_features-faithful chain (all.py:446-545): the
                 # largest blob's cov-form ellipse / Heron hull / Feret /
-                # rotated bbox / branch-selected biovolume + the summed
+                # cropped bbox / branch-selected biovolume + the summed
                 # family — reference-certified bit-for-bit in
                 # tests/test_golden_chain_parity.py.
                 ref = roi_features_ref(mask)
@@ -1267,7 +1267,7 @@ def feret_diameters_ref(hull: np.ndarray) -> tuple[float, float]:
 def blob_features_ref(blob: np.ndarray) -> dict[str, float]:
     """The 18 per-blob features of ``compute_features``
     (``all.py:497-521``) for ONE cropped single-component blob mask."""
-    from .rotation import rotate_blob, rotated_bbox
+    from .rotation import rotate_blob
 
     area = int(blob.sum())
     equiv_d = float(np.sqrt(4.0 * area / np.pi))
@@ -1284,8 +1284,12 @@ def blob_features_ref(blob: np.ndarray) -> dict[str, float]:
     else:
         convex_per, convex_area = convex_hull_properties_ref(hull)
         feret_min, feret_max = feret_diameters_ref(hull)
+    # BoundingBox is the cropped, UNROTATED blob image shape — the
+    # reference exports BlobFeatures.bbox_xwidth = image.shape[1]
+    # (all.py:36-40, 504-505); rotated_bbox exists there but is never
+    # exported.
+    bb_h, bb_w = blob.shape
     rotated = rotate_blob(blob, orientation)
-    bb_h, bb_w = rotated_bbox(rotated)
     # U5 branch with the compute_features inputs (all.py:225-233)
     area_ratio = convex_area / area if area else 0.0
     p = equiv_d / maj if maj else 0.0

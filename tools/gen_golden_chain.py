@@ -141,8 +141,11 @@ def _blob_features(mods, blob: np.ndarray) -> dict:
             hull.astype(np.float64)
         )
         feret_min, feret_max = bg.feret_diameters(hull.astype(np.float64))
+    # compute_features exports the cropped UNROTATED blob image shape
+    # (all.py:36-40, 504-505) — NOT the rotated bbox (rotated_bbox
+    # exists in the reference but is never exported).
+    bb_h, bb_w = B.shape
     rotated = blobs.rotate_blob(B, orientation)
-    bb_h, bb_w = blobs.blob_shape(rotated)
     area_ratio = float(convex_area) / area
     p = equiv_d / maj
     use_sor = area_ratio < 1.2 or (ecc < 0.8 and p > 0.8)
