@@ -1,8 +1,9 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints ONE JSON line (queries carry [median, min, max] of 3 passes):
+  {"metric": "...", "value": N, "unit": "sec",
+   "queries": {"q1": [med, lo, hi], ...}, "sf": ...}
 
 Each query is forced end-to-end with a noop sink (full computation, no
 write cost).  The headline set spans the operator families: composed
@@ -125,21 +126,19 @@ def main() -> None:
             run_query(registry[name].fn(spark, sf_dir))
             samples[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
-    spread = {
-        n: [round(min(s), 3), round(max(s), 3)] for n, s in samples.items()
+    # Per-query [median, min, max] IN the headline line (VERDICT r16
+    # item 5): the r16 driver bench ran in a contended window and only
+    # the per-pass spreads exonerated the +66% suite number — they must
+    # be machine-readable from BENCH_rN.json itself.  Budget: the
+    # driver keeps a 2000-char stdout tail and parses the FINAL line;
+    # with 31 queries the triple form is ~1.6 kB (median 3dp, min/max
+    # 2dp), under the cap — unlike round 6's 3.4 kB casualty — and the
+    # ~160 B probe line above it still fits in the same tail.
+    timings = {
+        n: [round(statistics.median(s), 3), round(min(s), 2), round(max(s), 2)]
+        for n, s in samples.items()
     }
-    total = round(sum(timings.values()), 3)
-    # Spread/detail goes to stderr: the driver captures only a bounded
-    # tail of stdout, and round 6's single fat line (~3.4 kB with spreads)
-    # overflowed that window, starting the captured tail mid-line —
-    # "parsed": null, no bench number landed.  stdout ends with ONE
-    # compact summary line (the driver's parse target) small enough to
-    # survive any tail cut.
-    print(
-        json.dumps({"metric": "spread_detail", "spread": spread, "passes": 3}),
-        file=sys.stderr,
-    )
+    total = round(sum(m for m, _, _ in timings.values()), 3)
     # One compact (<160 B) run-conditions line ABOVE the headline: small
     # enough that the driver's bounded stdout tail keeps both lines, and
     # the headline stays the final line for the parser.  before/after

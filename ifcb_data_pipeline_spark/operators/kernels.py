@@ -151,52 +151,134 @@ def perimeter_estimate(mask: np.ndarray) -> float:
 
 # --- U7: texture statistics ------------------------------------------------
 
+def matlab_prctile(arr: np.ndarray, ps) -> np.ndarray:
+    """MATLAB ``prctile`` (the reference's weighted interpolation form,
+    ``texture.py:9-34``): sorted values at plotting positions
+    ``100·(i+0.5)/n`` blended by triangular weights of width ``100/n``."""
+    ap = np.asarray(arr).flatten().copy()
+    ap.sort()
+    n = ap.size
+    pcts = 100 * (np.linspace(0.5, n - 0.5, n) / n)
+    ps = np.asarray(ps)
+    if ps.ndim == 0:
+        ps = ps.reshape(-1)
+    out = np.zeros(ps.size)
+    for ix, p in enumerate(ps):
+        if p < pcts[0]:
+            out[ix] = ap[0]
+        elif p > pcts[-1]:
+            out[ix] = ap[-1]
+        else:
+            d = pcts - p
+            weights = 1.0 - np.abs(d / (100.0 / n))
+            weights *= weights > 0
+            out[ix] = np.sum(weights * ap)
+    return out
+
+
+def contrast_enhanced_pixels(img: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """The reference's ``texture_pixels`` (``texture.py:37-42``): stretch
+    the [p1, p99] percentile band of the image to [0, 1] (skimage
+    ``img_as_float`` = ×(1/255); ``rescale_intensity`` = clip then
+    scale), re-quantize to 0..255 by rounding, and select masked
+    pixels."""
+    p1, p99 = matlab_prctile(img, (1, 99))
+    x = img * (1.0 / 255.0)
+    imin, imax = p1 / 255.0, p99 / 255.0
+    x = np.clip(x, imin, imax)
+    if imin != imax:
+        x = (x - imin) / (imax - imin)
+    else:
+        x = np.clip(x, 0.0, 1.0)
+    E = np.round(x * 255.0)
+    return E[np.where(mask)]
+
+
+def _scipy_moment3(a: np.ndarray) -> float:
+    """Third central moment with scipy.stats.moment's exact op sequence
+    (exponentiation by squaring: ``s = x²; s *= x``) — the last-ulp
+    matters for reference parity."""
+    a0 = a - a.mean()
+    s = a0.copy()
+    s = s**2
+    s *= a0
+    return float(np.mean(s))
+
+
 def texture_stats(img: np.ndarray, mask: np.ndarray) -> dict[str, float]:
-    """Mean, contrast, smoothness, third moment, uniformity, entropy over
-    the masked pixels (reference surface: ``texture.py:9-69``; intensities
-    normalized to [0,1] over 256 levels)."""
-    vals = img[mask.astype(bool)].astype(np.float64)
-    if vals.size == 0:
-        return {k: 0.0 for k in (
-            "texture_average_gray_level", "texture_average_contrast",
-            "texture_smoothness", "texture_third_moment",
-            "texture_uniformity", "texture_entropy",
-        )}
-    v = vals / 255.0
-    mean = v.mean()
-    var = v.var()
-    third = ((v - mean) ** 3).mean()
-    hist, _ = np.histogram(vals, bins=256, range=(0, 256))
-    p = hist / hist.sum()
-    p = p[p > 0]
+    """statxture over the contrast-enhanced masked pixels — the
+    reference's exact form (``texture.py:45-69``, wired per
+    ``all.py:377-407``): statistics on the 0..255 scale, a 256-bin
+    histogram spanning the pixel min..max (skimage
+    ``exposure.histogram`` float path), smoothness/third-moment
+    normalized by (L-1)²."""
+    keys = (
+        "texture_average_gray_level", "texture_average_contrast",
+        "texture_smoothness", "texture_third_moment",
+        "texture_uniformity", "texture_entropy",
+    )
+    if not mask.any():
+        return dict.fromkeys(keys, 0.0)
+    P = contrast_enhanced_pixels(img, mask)
+    average_gray_level = np.mean(P)
+    average_contrast = np.std(P)
+    H = np.histogram(P, bins=256)[0]
+    H = H / (1.0 * len(P))
+    L = len(H)
+    d = (L - 1.0) ** 2
+    normvar = np.var(P) / d
+    smoothness = 1.0 - 1.0 / (1.0 + normvar)
+    third_moment = _scipy_moment3(P) / d
+    uniformity = np.sum(H**2)
+    eps = np.finfo(float).eps
+    entropy = 0.0 - np.sum(H * np.log2(H + eps))
     return {
-        "texture_average_gray_level": float(mean),
-        "texture_average_contrast": float(math.sqrt(var)),
-        "texture_smoothness": float(1 - 1 / (1 + var)),
-        "texture_third_moment": float(third),
-        "texture_uniformity": float(np.sum(p**2)),
-        "texture_entropy": float(-np.sum(p * np.log2(p))),
+        "texture_average_gray_level": float(average_gray_level),
+        "texture_average_contrast": float(average_contrast),
+        "texture_smoothness": float(smoothness),
+        "texture_third_moment": float(third_moment),
+        "texture_uniformity": float(uniformity),
+        "texture_entropy": float(entropy),
     }
 
 
 # --- U8: Hu invariant moments ---------------------------------------------
 
 def hu_moments(mask: np.ndarray) -> list[float]:
-    """φ1-φ7 scale/translation/rotation-invariant moments
-    (reference surface: ``blob_geometry.py:88-143``)."""
-    ys, xs = np.nonzero(mask)
-    if len(xs) == 0:
+    """φ1-φ7 scale/translation/rotation-invariant moments in the
+    reference's exact summation form (``blob_geometry.py:88-143``,
+    Digital Image Processing Using MATLAB ch. 11): 1-based meshgrid
+    coordinates over the FULL image, raw/central moments as full-array
+    ``np.sum`` with zero weights on background pixels — the summation
+    order (not just the formulas) is what makes the values bit-equal."""
+    if not np.any(mask):
         return [0.0] * 7
-    x = xs.astype(np.float64)
-    y = ys.astype(np.float64)
-    m00 = float(len(x))
-    cx, cy = x.mean(), y.mean()
+    B = np.array(mask).astype(np.float64)
+    M, N = B.shape
+    x, y = np.meshgrid(np.arange(1, N + 1), np.arange(1, M + 1))
+    x = x.ravel()
+    y = y.ravel()
+    F = B.ravel()
+
+    def m(p, q):
+        xp = 1 if p == 0 else x**p
+        yq = 1 if q == 0 else y**q
+        return np.sum(xp * yq * F)
+
+    m00 = m(0, 0)
+    x_ = x - (m(1, 0) / m00)
+    y_ = y - (m(0, 1) / m00)
+    mu_x = [1, x_] + [x_**p for p in (2, 3)]
+    mu_y = [1, y_] + [y_**p for p in (2, 3)]
 
     def mu(p, q):
-        return float((((x - cx) ** p) * ((y - cy) ** q)).sum())
+        return np.sum(mu_x[p] * mu_y[q] * F)
+
+    mu00 = mu(0, 0)
 
     def eta(p, q):
-        return mu(p, q) / (m00 ** (1 + (p + q) / 2))
+        gamma = (p + q) / 2.0 + 1.0
+        return mu(p, q) / mu00**gamma
 
     n20, n02, n11 = eta(2, 0), eta(0, 2), eta(1, 1)
     n30, n03 = eta(3, 0), eta(0, 3)
@@ -256,7 +338,7 @@ def features_from_images(
     rois,
     threshold: int = 128,
     segment: bool | str = "pc",
-    ringwedge_size: int | None = 64,
+    ringwedge_size: int | None = 65,
 ):
     """Real U1-U12 features over ROI byte images.
 
@@ -268,8 +350,14 @@ def features_from_images(
     selects the gradient-hysteresis variant, ``segment=False`` a fixed
     threshold; ``ringwedge_size`` shrinks U10's FFT canvas from the
     reference's 301 (right for full-size ROIs, wasteful for the tiny
-    synthetic payloads) and ``None`` skips it.  Arrow-batched; one
-    python call per batch, numpy inside."""
+    synthetic payloads; must stay odd) and ``None`` skips it.
+    Arrow-batched; one python call per batch, numpy inside.
+
+    Family forms are the reference's exact estimators, certified
+    bit-for-bit against reference-executed fixtures in
+    tests/test_golden_family_parity.py (U6/U7/U9/U10 + U4 pair stats +
+    U8 invariant moments) and tests/test_golden_chain_parity.py (the
+    U2/U3/U5/U11/U12 geometry chain)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .image_codec import decode_image
@@ -294,11 +382,15 @@ def features_from_images(
                 ref = roi_features_ref(mask)
                 tex = texture_stats(img, mask)
                 sym = symmetry_features(mask)
-                if ringwedge_size:
-                    rw = ringwedge_features(img, size=ringwedge_size)
+                if ringwedge_size and mask.any():
+                    # the reference transforms the segmented MASK, not
+                    # the grayscale image (all.py:409-418)
+                    rw = ringwedge_features(mask, size=ringwedge_size)
                     ring_wedge = [
                         *rw["Ring"], *rw["Wedge"], rw["RWcenter2total_powerratio"],
                     ]
+                elif ringwedge_size:
+                    ring_wedge = [0.0] * 99
                 else:
                     ring_wedge = []
                 rows.append(
@@ -403,77 +495,192 @@ def summed_features(mask: np.ndarray) -> dict[str, float]:
 
 # --- U9: HOG (histogram of oriented gradients) -----------------------------
 
+def correlate_constant(img: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """2-D correlation, zero-padded borders, centered kernel — the
+    scipy.ndimage.correlate(mode='constant') semantics the reference's
+    HOG gradients rely on (``hog.py:26-30``).  Accumulates one kernel
+    tap at a time in row-major kernel order, matching scipy's C loop so
+    float sums are bit-equal."""
+    W = np.asarray(weights)
+    kh, kw = W.shape
+    ph, pw = kh // 2, kw // 2
+    P = np.pad(np.asarray(img), ((ph, ph), (pw, pw)))
+    h, w = img.shape
+    out = np.zeros((h, w), dtype=np.result_type(img, W))
+    for dy in range(kh):
+        for dx in range(kw):
+            wv = W[dy, dx]
+            if wv != 0:
+                out += wv * P[dy : dy + h, dx : dx + w]
+    return out
+
+
 def hog_features(img: np.ndarray, cells: int = 3, bins: int = 9) -> list[float]:
-    """3×3 cell grid × 9 orientation bins = 81-vector (reference surface:
-    ``ifcb_features/hog.py:8-57``).  Gradients via central differences;
-    unsigned orientations (0-180°); per-cell magnitude-weighted histogram,
-    L2-normalized over the whole descriptor."""
-    f = img.astype(np.float64)
-    gy, gx = np.gradient(f)
-    mag = np.hypot(gx, gy)
-    ang = np.degrees(np.arctan2(gy, gx)) % 180.0
-    h, w = f.shape
-    out = np.zeros((cells, cells, bins))
-    cell_h, cell_w = max(h // cells, 1), max(w // cells, 1)
-    bin_idx = np.minimum((ang / (180.0 / bins)).astype(int), bins - 1)
-    for cy in range(cells):
-        for cx in range(cells):
-            y0, x0 = cy * cell_h, cx * cell_w
-            y1 = h if cy == cells - 1 else (cy + 1) * cell_h
-            x1 = w if cx == cells - 1 else (cx + 1) * cell_w
-            if y0 >= h or x0 >= w:
-                continue
-            cb = bin_idx[y0:y1, x0:x1].ravel()
-            cm = mag[y0:y1, x0:x1].ravel()
-            out[cy, cx] = np.bincount(cb, weights=cm, minlength=bins)[:bins]
-    v = out.ravel()
-    norm = np.linalg.norm(v)
-    return list(v / norm if norm > 0 else v)
+    """The reference's MATLAB-heritage windowed HOG, exact form
+    (``hog.py:8-57``): [-1,0,1] correlation gradients, SIGNED
+    orientations binned into 9 sectors of (-π, π] (the first bin is an
+    open catch-all below -π+2π/9), 3×3 OVERLAPPING windows of size
+    2·⌊dim/4⌋, each window's 9-bin magnitude histogram normalized by
+    (‖H‖+0.01) — 81 values, window-major."""
+    nwin_x, nwin_y, B = cells, cells, bins
+    L, C = img.shape
+    H = np.zeros((nwin_x * nwin_y, B))
+    Im = img.astype(np.float64)
+    step_x = int(np.floor(C / (nwin_x + 1)))
+    step_y = int(np.floor(L / (nwin_y + 1)))
+    hx = np.array([[-1, 0, 1]], dtype=np.float64)
+    grad_xr = correlate_constant(Im, hx)
+    grad_yu = correlate_constant(Im, np.rot90(hx))
+    angles = np.arctan2(grad_yu, grad_xr)
+    magnit = np.sqrt(grad_yu**2 + grad_xr**2)
+    cont = 0
+    ang_high = np.linspace(0 - np.pi + 2 * np.pi / B, np.pi, B)
+    ang_low = np.roll(ang_high, 1)
+    ang_low[0] = np.min(ang_high) - 999.0
+    for n in range(nwin_y):
+        for mw in range(nwin_x):
+            v_angles = angles[
+                n * step_y : (n + 2) * step_y, mw * step_x : (mw + 2) * step_x
+            ].ravel()
+            v_magnit = magnit[
+                n * step_y : (n + 2) * step_y, mw * step_x : (mw + 2) * step_x
+            ].ravel()
+            H2 = np.zeros(B)
+            for b in range(B):
+                sel = np.logical_and(v_angles >= ang_low[b], v_angles < ang_high[b])
+                H2[b] += np.sum(v_magnit[sel])
+            H2 /= np.linalg.norm(H2) + 0.01
+            H[cont, :] = H2
+            cont += 1
+    return [float(v) for v in H.ravel()]
 
 
 # --- U10: ring/wedge FFT power spectrum ------------------------------------
 
-def ringwedge_features(
-    img: np.ndarray, size: int = 301, n_rings: int = 50, n_wedges: int = 48
-) -> dict[str, object]:
-    """Power-spectrum ring/wedge integrals (reference surface:
-    ``ifcb_features/ringwedge.py:13-108``): the image is centered on a
-    ``size``×``size`` canvas, |FFT|² is accumulated into ``n_rings``
-    radial annuli and ``n_wedges`` half-plane angular sectors, plus the
-    center-to-total power ratio."""
-    h, w = img.shape
-    canvas = np.zeros((size, size), dtype=np.float64)
-    y0 = (size - min(h, size)) // 2
-    x0 = (size - min(w, size)) // 2
-    canvas[y0 : y0 + min(h, size), x0 : x0 + min(w, size)] = img[
-        :size, :size
-    ].astype(np.float64)
-    spec = np.fft.fftshift(np.abs(np.fft.fft2(canvas)) ** 2)
-    c = size // 2
-    yy, xx = np.mgrid[:size, :size]
-    dy, dx = yy - c, xx - c
-    r = np.hypot(dx, dy)
-    r_max = r[0, c]  # half height — the inscribed-circle radius
-    ring_idx = np.minimum((r / r_max * n_rings).astype(int), n_rings)
-    # Wedges over the upper half plane (spectrum is symmetric).
-    theta = np.arctan2(dy, dx) % np.pi
-    wedge_idx = np.minimum((theta / np.pi * n_wedges).astype(int), n_wedges - 1)
+_RW_MASK_CACHE: dict[tuple, object] = {}
 
-    in_circle = r <= r_max
-    rings = np.bincount(
-        ring_idx[in_circle].ravel(),
-        weights=spec[in_circle].ravel(),
-        minlength=n_rings + 1,
-    )[:n_rings]
-    upper = in_circle & (dy <= 0)
-    wedges = np.bincount(
-        wedge_idx[upper].ravel(), weights=spec[upper].ravel(), minlength=n_wedges
-    )[:n_wedges]
-    total = float(spec.sum())
-    center = float(spec[c, c])
+
+def _rw_unit_circle(dim: int):
+    key = ("unit", dim)
+    if key not in _RW_MASK_CACHE:
+        I = np.linspace(-1, 1, dim)
+        X, Y = np.meshgrid(I, I)
+        r = np.sqrt(X**2 + Y**2)
+        theta = np.arctan2(Y, X)
+        _RW_MASK_CACHE[key] = (r, theta)
+    return _RW_MASK_CACHE[key]
+
+
+def _rw_ring_mask(i: int, dim: int, n_rings: int) -> np.ndarray:
+    """Kaccie Li's ring mask (``ringwedge.py:37-47``): 3·df-wide annuli
+    on the 1/6.45 µm⁻¹ frequency grid, inner radius stepped by
+    ``(c-3)·df/(n_rings-1)``."""
+    key = ("ring", i, dim, n_rings)
+    if key not in _RW_MASK_CACHE:
+        c = dim // 2
+        df = (1.0 / dim) * (1 / 6.45)
+        f = np.linspace(-0.5 / 6.45, 0.5 / 6.45, dim + 1)[:dim]
+        X, Y = np.meshgrid(f, f)
+        r = np.sqrt(X**2 + Y**2)
+        inner_rad = (i / (n_rings - 1.0)) * (c - 3) * df
+        outer_rad = (i / (n_rings - 1.0)) * (c - 3) * df + (3 * df)
+        out = np.zeros((dim, dim), dtype=bool)
+        out[(r > inner_rad) & (r < outer_rad)] = 1
+        _RW_MASK_CACHE[key] = out
+    return _RW_MASK_CACHE[key]
+
+
+def _rw_wedge_mask(i: int, dim: int, n_wedges: int) -> np.ndarray:
+    """Adjacent π/n_wedges pie slices of the unit circle
+    (``ringwedge.py:50-59``), with the reference's vertical-strip XOR
+    correction on the middle wedge."""
+    key = ("wedge", i, dim, n_wedges)
+    if key not in _RW_MASK_CACHE:
+        r, th = _rw_unit_circle(dim)
+        wedge = (r <= 1) & (th > i * np.pi / n_wedges) & (th <= (i + 1) * np.pi / n_wedges)
+        if i == (n_wedges // 2) - 1:
+            wedge = np.logical_xor(wedge, th == np.pi / 2)
+        _RW_MASK_CACHE[key] = wedge
+    return _RW_MASK_CACHE[key]
+
+
+def _rw_filter_masks(dim: int):
+    """Center/inverse masks at radius 15·df (``ringwedge.py:70-77``)."""
+    key = ("filter", dim)
+    if key not in _RW_MASK_CACHE:
+        df = (1.0 / (dim - 1)) / 6.45
+        I = np.linspace(-0.5 / 6.45, 0.5 / 6.45, dim)
+        Y, X = np.meshgrid(I, I)
+        R = np.sqrt(X**2 + Y**2)
+        filt = R > 15 * df
+        _RW_MASK_CACHE[key] = (np.invert(filt), filt)
+    return _RW_MASK_CACHE[key]
+
+
+def bilinear_zoom(arr: np.ndarray, out_shape: tuple[int, int]) -> np.ndarray:
+    """scipy.ndimage.zoom(order=1, grid_mode=False) semantics: endpoint
+    aligned coordinates ``in = out·(n_in-1)/(n_out-1)``, order-1 spline
+    weights (1-t, t), support points accumulated in scipy's C loop
+    order ``Σ v·(wy·wx)`` over (iy, ix) row-major."""
+    h, w = arr.shape
+    oh, ow = out_shape
+    ys = np.arange(oh) * ((h - 1) / (oh - 1)) if oh > 1 else np.zeros(1)
+    xs = np.arange(ow) * ((w - 1) / (ow - 1)) if ow > 1 else np.zeros(1)
+    y0 = np.minimum(np.floor(ys).astype(np.int64), h - 1)
+    x0 = np.minimum(np.floor(xs).astype(np.int64), w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    ty = ys - y0
+    tx = xs - x0
+    wy = ((1.0 - ty)[:, None], ty[:, None])
+    wx = ((1.0 - tx)[None, :], tx[None, :])
+    iy = (y0, y1)
+    jx = (x0, x1)
+    out = np.zeros((oh, ow), dtype=np.float64)
+    for a in (0, 1):
+        for b in (0, 1):
+            out += arr[np.ix_(iy[a], jx[b])] * (wy[a] * wx[b])
+    return out
+
+
+def ringwedge_features(
+    mask: np.ndarray, size: int = 301, n_rings: int = 50, n_wedges: int = 48
+) -> dict[str, object]:
+    """The reference's ring/wedge transform, exact form
+    (``ringwedge.py:79-108``, wired on the segmented MASK per
+    ``all.py:409-418``): |FFT|² of the blob mask, bilinearly zoomed to a
+    ``size``×``size`` canvas, bottom-half power integrated through the
+    Kaccie ring/wedge masks (wedges exclude the 15·df center), all
+    normalized by the wedge power integral.  ``size`` must be odd (the
+    reference's 301; the fast chain path uses 65)."""
+    image = np.asarray(mask)
+    dim = size
+    amp_trans = np.fft.fftshift(np.fft.fft2(image))
+    int_trans = np.real(amp_trans * np.conj(amp_trans))
+    int_trans = bilinear_zoom(int_trans, (dim, dim))
+    cmask, filt = _rw_filter_masks(dim)
+    filter_img = cmask * int_trans
+    inner_int = np.sum(filter_img)
+    total_int = np.sum(int_trans)
+    pwr_ratio = inner_int / total_int
+    wedge_int_trans = int_trans * filt
+    half = np.vstack(
+        (np.zeros(((dim // 2) + 1, dim)), np.ones((dim // 2, dim)))
+    ).astype(bool)
+    wedge_half = wedge_int_trans * half
+    ring_half = int_trans * half
+    wedge_vector = np.array(
+        [np.sum(_rw_wedge_mask(i, dim, n_wedges) * wedge_half) for i in range(n_wedges)]
+    )
+    ring_vector = np.array(
+        [np.sum(_rw_ring_mask(i, dim, n_rings) * ring_half) for i in range(n_rings)]
+    )
+    pwr_integral = np.sum(wedge_vector)
+    wedges = wedge_vector / pwr_integral
+    rings = ring_vector / pwr_integral
     return {
-        "RWhalfpowerintegral": float(rings.sum()),
-        "RWcenter2total_powerratio": center / total if total > 0 else 0.0,
+        "RWhalfpowerintegral": float(pwr_integral),
+        "RWcenter2total_powerratio": float(pwr_ratio),
         "Ring": [float(x) for x in rings],
         "Wedge": [float(x) for x in wedges],
     }
@@ -513,9 +720,10 @@ def fill_holes(mask: np.ndarray) -> np.ndarray:
 
 
 def hysteresis(weak: np.ndarray, strong: np.ndarray) -> np.ndarray:
-    """Keep weak components containing at least one strong pixel (the
-    reference's two-threshold linking, ``segmentation.py:117-186``)."""
-    labels, n = label_components(weak.astype(np.uint8))
+    """Keep weak components containing at least one strong pixel — the
+    fixpoint of the reference's iterative EIGHT-connected dilation growth
+    (``morphology.py:22-36``: strong seeds grown through the weak set)."""
+    labels, n = label_components_8(weak.astype(np.uint8))
     if n == 0:
         return np.zeros_like(weak, dtype=bool)
     keep = set(np.unique(labels[strong.astype(bool) & (labels > 0)]))
@@ -523,7 +731,10 @@ def hysteresis(weak: np.ndarray, strong: np.ndarray) -> np.ndarray:
 
 
 def remove_small_blobs(mask: np.ndarray, min_area: int = 40) -> np.ndarray:
-    labels, n = label_components(mask.astype(np.uint8))
+    """MATLAB ``bwareaopen`` as the reference applies it
+    (``segmentation.py:141-153``): 8-connected components below
+    ``min_area`` pixels are dropped."""
+    labels, n = label_components_8(mask.astype(np.uint8))
     keep = [
         i for i in range(1, n + 1) if np.count_nonzero(labels == i) >= min_area
     ]
@@ -593,70 +804,181 @@ def close_diamond(mask: np.ndarray, r: int) -> np.ndarray:
     return erode_diamond(dilate_diamond(padded, r), r)[r + 1 : -(r + 1), r + 1 : -(r + 1)]
 
 
-def guo_hall_thin(mask: np.ndarray, n_iter: int = 3) -> np.ndarray:
-    """Morphological thinning (Guo & Hall 1989 two-subiteration
-    algorithm — published; the reference reproduces MATLAB's LUT-based
-    ``bwmorph(thin)``, same topological effect, pixel-level patterns may
-    differ and that deviation is documented)."""
-    img = mask.astype(bool).copy()
+def _thin_luts() -> tuple[np.ndarray, np.ndarray]:
+    """The two 256-entry deletion LUTs of MATLAB's ``bwmorph(thin)``
+    (Lam, Lee & Suen 1992 conditions G1/G2/G3 and G3′), derived at
+    import from the published conditions.  Neighbor bit layout: bit 0 =
+    E, then counterclockwise (1=NE, 2=N, 3=NW, 4=W, 5=SW, 6=S, 7=SE) —
+    the reference's ``morphology.py:40-120`` encoding."""
+
+    def bits_of(n):
+        return [(n >> i) & 1 for i in range(8)]
+
+    def G1(bits):
+        s = 0
+        for i in (0, 2, 4, 6):
+            if not bits[i] and (bits[i + 1] or bits[(i + 2) % 8]):
+                s += 1
+        return s == 1
+
+    def G2(bits):
+        n1 = sum(1 for k in (1, 3, 5, 7) if bits[k] or bits[k - 1])
+        n2 = sum(1 for k in (1, 3, 5, 7) if bits[k] or bits[(k + 1) % 8])
+        return min(n1, n2) in (2, 3)
+
+    def G3(bits):
+        return not ((bits[1] or bits[2] or not bits[7]) and bits[0])
+
+    def G3p(bits):
+        return not ((bits[5] or bits[6] or not bits[3]) and bits[4])
+
+    lut_a = np.zeros(256, dtype=bool)
+    lut_b = np.zeros(256, dtype=bool)
+    for n in range(256):
+        b = bits_of(n)
+        g12 = G1(b) and G2(b)
+        lut_a[n] = g12 and G3(b)
+        lut_b[n] = g12 and G3p(b)
+    return lut_a, lut_b
+
+
+_G123_LUT, _G123P_LUT = _thin_luts()
+
+# Neighbor weight layout of the LUT index (N = Σ weight·neighbor):
+# [[NW=8, N=4, NE=2], [W=16, ·, E=1], [SW=32, S=64, SE=128]].
+_THIN_OFFSETS = (
+    (1, (0, 1)), (2, (-1, 1)), (4, (-1, 0)), (8, (-1, -1)),
+    (16, (0, -1)), (32, (1, -1)), (64, (1, 0)), (128, (1, 1)),
+)
+
+
+def bwmorph_thin(mask: np.ndarray, n_iter: int = 1) -> np.ndarray:
+    """MATLAB ``bwmorph(B, 'thin', n)`` parity — the reference's
+    two-subiteration LUT thinning (``morphology.py:122-131``): each pass
+    codes every pixel's 8-neighborhood and deletes pixels whose code
+    hits the G123 (then G123′) LUT."""
+    skel = np.asarray(mask).astype(bool)
+    h, w = skel.shape
     for _ in range(n_iter):
-        for phase in (0, 1):
-            p = np.pad(img, 1)
-            p2 = p[:-2, 1:-1]; p3 = p[:-2, 2:]; p4 = p[1:-1, 2:]
-            p5 = p[2:, 2:]; p6 = p[2:, 1:-1]; p7 = p[2:, :-2]
-            p8 = p[1:-1, :-2]; p9 = p[:-2, :-2]
-            c = (
-                (~p2 & (p3 | p4)).astype(int)
-                + (~p4 & (p5 | p6)).astype(int)
-                + (~p6 & (p7 | p8)).astype(int)
-                + (~p8 & (p9 | p2)).astype(int)
-            )
-            n1 = (p9 | p2).astype(int) + (p3 | p4).astype(int) \
-                + (p5 | p6).astype(int) + (p7 | p8).astype(int)
-            n2 = (p2 | p3).astype(int) + (p4 | p5).astype(int) \
-                + (p6 | p7).astype(int) + (p8 | p9).astype(int)
-            n = np.minimum(n1, n2)
-            if phase == 0:
-                cond3 = (p2 | p3 | ~p5) & p4
-            else:
-                cond3 = (p6 | p7 | ~p9) & p8
-            deleted = img & (c == 1) & (n >= 2) & (n <= 3) & ~cond3
-            img &= ~deleted
-    return img
+        for lut in (_G123_LUT, _G123P_LUT):
+            code = np.zeros((h, w), dtype=np.int64)
+            p = np.pad(skel, 1)
+            for weight, (dy, dx) in _THIN_OFFSETS:
+                code += weight * p[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            skel = skel & ~lut[code]
+    return skel
+
+
+def kmeans_1d_matlab(values: np.ndarray, max_iter: int = 100):
+    """MATLAB-style batch 1-D 2-means, centers seeded at [0, 1] — the
+    reference's strict parity port (``segmentation.py:20-115``), float32
+    throughout with cumsum totals, singleton empty-cluster handoff, and
+    tie-stays-put reassignment.  Returns (centers, labels)."""
+    values = np.asarray(values, dtype=np.float32)
+    n = values.shape[0]
+    if n == 0:
+        return np.array([0.0, 1.0], dtype=np.float32), np.zeros(0, dtype=np.int8)
+    row_indices = np.arange(n)
+
+    def cluster_center(idx, cluster):
+        members = idx == cluster
+        count = int(np.count_nonzero(members))
+        if count == 0:
+            return np.float32(np.nan), 0
+        total = np.cumsum(values[members], dtype=np.float32)[-1]
+        return np.float32(total / np.float32(count)), count
+
+    def dist_col(center):
+        delta = values - np.float32(center)
+        return np.asarray(delta * delta, dtype=np.float32)
+
+    centers = np.array([0.0, 1.0], dtype=np.float32)
+    D = np.empty((n, 2), dtype=np.float32)
+    D[:, 0] = dist_col(centers[0])
+    D[:, 1] = dist_col(centers[1])
+    idx = np.argmin(D, axis=1).astype(np.int8)
+
+    changed = np.array([0, 1], dtype=np.int64)
+    previdx = np.zeros(n, dtype=np.int8)
+    prevtotsumD = np.float32(np.inf)
+
+    for _ in range(max_iter):
+        counts = np.bincount(idx, minlength=2).astype(np.int64)
+        for c in changed:
+            if counts[c] > 0:
+                centers[c], counts[c] = cluster_center(idx, c)
+        for c in changed:
+            D[:, c] = dist_col(centers[c])
+
+        empties = [c for c in changed if counts[c] == 0]
+        if empties:
+            d_assigned = D[row_indices, idx]
+            for empty in empties:
+                lonely = int(np.argmax(d_assigned))
+                from_cluster = int(idx[lonely])
+                if counts[from_cluster] < 2:
+                    from_cluster = int(np.argmax(counts > 1))
+                    lonely = int(np.argmax(idx == from_cluster))
+                centers[empty] = values[lonely]
+                idx[lonely] = empty
+                counts[empty] = 1
+                counts[from_cluster] -= 1
+                D[:, empty] = dist_col(centers[empty])
+                if counts[from_cluster] > 0:
+                    centers[from_cluster], counts[from_cluster] = cluster_center(
+                        idx, from_cluster
+                    )
+                D[:, from_cluster] = dist_col(centers[from_cluster])
+                changed = np.unique(
+                    np.concatenate([changed, np.array([from_cluster], dtype=np.int64)])
+                )
+
+        totsumD = np.cumsum(D[row_indices, idx], dtype=np.float32)[-1]
+        if prevtotsumD <= totsumD:
+            idx = previdx
+            counts = np.bincount(idx, minlength=2).astype(np.int64)
+            for c in changed:
+                if counts[c] > 0:
+                    centers[c], counts[c] = cluster_center(idx, c)
+            break
+
+        previdx = idx.copy()
+        prevtotsumD = totsumD
+
+        nidx = np.argmin(D, axis=1).astype(np.int8)
+        dmin = D[row_indices, nidx]
+        moved = np.where(nidx != previdx)[0]
+        if moved.size:
+            stay_mask = D[moved, previdx[moved]] > dmin[moved]
+            moved = moved[stay_mask]
+        if moved.size == 0:
+            break
+        idx[moved] = nidx[moved]
+        changed = np.unique(np.concatenate([idx[moved], previdx[moved]]))
+
+    return centers, idx.astype(np.int8)
 
 
 def kmeans_dark_mask(img: np.ndarray, adjustment: float = 0.75) -> np.ndarray:
-    """Dark-pixel foreground via 1-D 2-means seeded at centers [0, 1]
-    over the [0,1]-scaled image (``segmentation.py:20-139``): cluster,
-    take the brighter cluster as background, then extend it with the
-    threshold ``min(background pixels)·adjustment`` and return the
-    non-background mask.  Plain Lloyd's iteration — the reference's
-    MATLAB singleton/tie bookkeeping is omitted (documented deviation;
-    identical convergence on bimodal ROI histograms)."""
-    r = img.astype(np.float32) / np.float32(255.0) if img.dtype == np.uint8 \
-        else img.astype(np.float32)
-    vals = r.ravel()
-    c = np.array([0.0, 1.0], dtype=np.float32)
-    assign = np.argmin(np.abs(vals[:, None] - c[None, :]), axis=1)
-    for _ in range(100):
-        newc = c.copy()
-        for j in (0, 1):
-            members = vals[assign == j]
-            if members.size:
-                newc[j] = np.float32(members.sum(dtype=np.float32) / np.float32(members.size))
-        new_assign = np.argmin(np.abs(vals[:, None] - newc[None, :]), axis=1)
-        if np.array_equal(new_assign, assign) and np.array_equal(newc, c):
-            break
-        c, assign = newc, new_assign
-    bg = int(np.argmax(c))
-    labels = assign.reshape(r.shape)
-    bg_pixels = r[labels == bg]
-    if bg_pixels.size == 0:
-        return np.zeros_like(r, dtype=bool)
-    threshold = float(bg_pixels.min()) * adjustment
-    labels = labels.copy()
-    labels[r > threshold] = bg
-    return labels != bg
+    """The reference's ``kmeans_segment`` (``segmentation.py:117-139``):
+    strict 1-D 2-means over the [0,1] float32 image traversed in MATLAB
+    column-major order, brighter cluster = background, background
+    extended by the ``min(background)·0.75`` threshold; returns the
+    non-background mask."""
+    if img.dtype == np.uint8:
+        r = img.astype(np.float32) / np.float32(255.0)
+    else:
+        r = img.astype(np.float32)
+    values = r.reshape(-1, order="F")
+    C, J = kmeans_1d_matlab(values, max_iter=100)
+    C = C.reshape(-1)
+    J = J.reshape(r.shape, order="F")
+    bg_label = np.argmax(C)
+    darkest_background = np.min(r[J == bg_label])
+    threshold = darkest_background * adjustment
+    J = J.copy()
+    J[r > threshold] = bg_label
+    return (J != bg_label).reshape(img.shape)
 
 
 def segment_roi_pc(
@@ -679,7 +1001,7 @@ def segment_roi_pc(
     b[0, b[1, :] == 0] = 0
     b[-1, b[-2, :] == 0] = 0
     b = close_diamond(b, 2)
-    b = guo_hall_thin(b, 3)
+    b = bwmorph_thin(b, 3)
     b = b | kmeans_dark_mask(img)
     b = fill_holes(b)
     eroded = erode_diamond(b, 1)
@@ -688,38 +1010,82 @@ def segment_roi_pc(
     return remove_small_blobs(b, min_area + 1)
 
 
-# --- U6: symmetry via point-set reflections + modified Hausdorff -----------
+# --- U6: symmetry (binary overlap + modified Hausdorff, rotated blob) ------
 
 def modified_hausdorff(a: np.ndarray, b: np.ndarray) -> float:
-    """MHD (Dubuisson & Jain): max of the two mean nearest-neighbor
-    distances between point sets (N,2)."""
+    """MHD (Dubuisson & Jain 1994, the reference's ``perimeter.py:77-94``):
+    max of the two mean nearest-neighbor distances between point sets
+    (N,2).  Brute-force exact NN — cKDTree's query(k=1) returns the same
+    correctly-rounded Euclidean distances."""
     if len(a) == 0 or len(b) == 0:
         return float("inf")
     d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(axis=2)
-    return float(
-        max(np.sqrt(d2.min(axis=1)).mean(), np.sqrt(d2.min(axis=0)).mean())
-    )
+    d_b_to_a = np.sqrt(d2.min(axis=0))  # per-b nearest in a
+    d_a_to_b = np.sqrt(d2.min(axis=1))  # per-a nearest in b
+    return float(max(np.mean(d_b_to_a), np.mean(d_a_to_b)))
+
+
+def binary_symmetry(rotated: np.ndarray) -> tuple[float, float, float]:
+    """b180/b90/bflip overlap ratios of the major-axis-aligned blob with
+    its 180°/90° rotations and up/down mirror — the reference's exact
+    form (``blob_geometry.py:210-225``; inputs are ``rotate_blob``
+    squares so np.rot90 stays shape-compatible)."""
+    B = np.asarray(rotated).astype(bool)
+    area = np.sum(B)
+    if area == 0:
+        return 0.0, 0.0, 0.0
+
+    def ss(D):
+        return 1.0 * np.sum(np.logical_and(B, D)) / area
+
+    return ss(np.rot90(B, 2)), ss(np.rot90(B)), ss(np.flipud(B))
+
+
+def hausdorff_symmetry(rotated: np.ndarray) -> tuple[float, float, float]:
+    """h180/h90/hflip: modified Hausdorff distances between the rotated
+    blob's perimeter point set (centered on ``shape/2 - 1``) and its
+    180°/90° rotations and major-axis mirror — the reference's exact
+    wiring (``perimeter.py:96-104``)."""
+    B = np.asarray(rotated).astype(bool)
+    cy, cx = (np.array(B.shape) / 2.0) - 1
+    by, bx = np.where(perimeter_image(B))
+    if len(by) == 0:
+        return 0.0, 0.0, 0.0
+    P = np.vstack((by, bx)).T - [[cy, cx]]
+    P90 = np.roll(P, 1, axis=1)
+    P180 = P * -1
+    Pfud = P * [[-1, 1]]
+    h180, h90, hflip = (modified_hausdorff(P, Q) for Q in (P180, P90, Pfud))
+    return h180, h90, hflip
+
+
+def rotated_largest_blob(mask: np.ndarray) -> np.ndarray | None:
+    """The largest blob rotated so its major axis is horizontal — the
+    input both symmetry families receive (``all.py:166-171, 276-316``)."""
+    from .rotation import rotate_blob
+
+    blobs = find_blobs_sorted(mask)
+    if not blobs:
+        return None
+    blob = blobs[0]
+    return rotate_blob(blob, explicit_orientation(blob))
 
 
 def symmetry_features(mask: np.ndarray) -> dict[str, float]:
-    """B180/B90/Bflip: modified-Hausdorff distances between the boundary
-    point set and its 180°/90° rotations and mirror about the centroid
-    (reference surface: ``perimeter.py:69-104``, ``all.py:276-316``).
-    Point-set reflections are exact — no raster rotation needed."""
-    edge = mask.astype(bool) & ~_erode3(mask)
-    ys, xs = np.nonzero(edge)
-    if len(xs) == 0:
-        return {"symmetry_b180": 0.0, "symmetry_b90": 0.0, "symmetry_bflip": 0.0}
-    pts = np.column_stack([xs, ys]).astype(np.float64)
-    c = pts.mean(axis=0)
-    d = pts - c
-    rot180 = c - d
-    rot90 = c + np.column_stack([-d[:, 1], d[:, 0]])
-    flip = c + np.column_stack([-d[:, 0], d[:, 1]])
+    """U6 exports over the segmented mask: the reference's binary
+    overlap ratios + modified-Hausdorff distances of the rotated largest
+    blob (``all.py:276-316``)."""
+    rotated = rotated_largest_blob(mask)
+    if rotated is None:
+        return {
+            "symmetry_b180": 0.0, "symmetry_b90": 0.0, "symmetry_bflip": 0.0,
+            "symmetry_h180": 0.0, "symmetry_h90": 0.0, "symmetry_hflip": 0.0,
+        }
+    b180, b90, bflip = binary_symmetry(rotated)
+    h180, h90, hflip = hausdorff_symmetry(rotated)
     return {
-        "symmetry_b180": modified_hausdorff(pts, rot180),
-        "symmetry_b90": modified_hausdorff(pts, rot90),
-        "symmetry_bflip": modified_hausdorff(pts, flip),
+        "symmetry_b180": b180, "symmetry_b90": b90, "symmetry_bflip": bflip,
+        "symmetry_h180": h180, "symmetry_h90": h90, "symmetry_hflip": hflip,
     }
 
 
@@ -834,38 +1200,56 @@ def simple_prng(n: int, seed: int = 1, shape: int | tuple[int, ...] = 1) -> np.n
     return (_prng_stream(seed, size) % n).reshape(*shape, order="F")
 
 
+def _scipy_skew_kurtosis(d: np.ndarray) -> tuple[float, float]:
+    """Biased skewness and Pearson kurtosis with scipy.stats' exact op
+    sequence (``_moment``'s exponentiation-by-squaring:
+    m3 = mean((x²)·x), m4 = mean((x²)²)) — the reference calls
+    scipy.stats.skew / kurtosis(fisher=False) (``perimeter.py:14-21``)."""
+    a0 = d - d.mean()
+    s2 = a0**2
+    m2 = np.mean(s2)
+    s3 = a0.copy()
+    s3 = s3**2
+    s3 *= a0
+    m3 = np.mean(s3)
+    s4 = a0**2
+    s4 = s4**2
+    m4 = np.mean(s4)
+    return float(m3 / m2**1.5), float(m4 / m2**2.0)
+
+
 def perimeter_pair_stats(mask: np.ndarray, max_n: int = 10000) -> dict[str, float]:
-    """U4 pairwise-distance stats (``perimeter.py:42-67``): perimeter
-    points are sorted by ``y·max(x) + x``, ``min(n², 10000)`` point pairs
-    are drawn with the shared PRNG, and the pair distances (normalized by
-    the blob's equivalent diameter) summarize to mean / median / skewness
-    / kurtosis (both biased, Pearson kurtosis — the reference's scipy
-    defaults)."""
+    """U4 pairwise-distance stats in the reference's exact wiring
+    (``perimeter.py:42-67``, ``all.py:253-275``): the LARGEST blob's
+    perimeter points sorted by ``y·max(x) + x`` (crop coordinates),
+    ``min(n², 10000)`` pairs drawn with the shared PRNG, distances
+    normalized by that blob's equivalent diameter, summarized with
+    scipy-form biased skewness / Pearson kurtosis."""
     keys = (
         "perimeter_mean", "perimeter_median",
         "perimeter_skewness", "perimeter_kurtosis",
     )
-    border = perimeter_image(mask)
-    ys, xs = np.nonzero(border)
-    n = len(xs)
-    area = float(np.count_nonzero(mask))
+    blobs = find_blobs_sorted(mask)
+    if not blobs:
+        return dict.fromkeys(keys, 0.0)
+    blob = blobs[0]
+    border = perimeter_image(blob)
+    points = np.where(border)
+    n = len(points[0])
+    area = int(blob.sum())
     if n == 0 or area == 0:
         return dict.fromkeys(keys, 0.0)
-    equiv_d = math.sqrt(4.0 * area / math.pi)
-    pts = np.column_stack([ys, xs]).astype(np.float64)
-    order = np.argsort(pts @ np.array([pts[:, 1].max(), 1.0]))
-    pts = pts[order]
-    m = min(n * n, max_n)
+    equiv_d = float(np.sqrt(4.0 * area / np.pi))
+    A = np.vstack(points).T
+    six = np.argsort(np.sum(A * [np.max(A[:, 1]), 1], axis=1))
+    pp = A[six, :]
+    m = min(n**2, max_n)
     ix = simple_prng(n, shape=(m, 2))
-    diffs = pts[ix[:, 0]] - pts[ix[:, 1]]
-    d = np.sqrt((diffs**2).sum(axis=1)) / equiv_d
-    mu = float(d.mean())
-    m2 = float(((d - mu) ** 2).mean())
-    if m2 == 0:
-        skew, kurt = 0.0, 0.0
-    else:
-        skew = float(((d - mu) ** 3).mean()) / m2**1.5
-        kurt = float(((d - mu) ** 4).mean()) / m2**2
+    spp_a = pp[ix[:, 0], :]
+    spp_b = pp[ix[:, 1], :]
+    d = np.sqrt(np.sum((spp_a - spp_b) ** 2, axis=1)) / equiv_d
+    mu = float(np.mean(d))
+    skew, kurt = _scipy_skew_kurtosis(d)
     return {
         "perimeter_mean": mu,
         "perimeter_median": float(np.median(d)),

@@ -89,74 +89,86 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 16 — second freeze-era rotation (registry frozen at 216;
-    # protocol in SCALE.md).  The precomputed ROUND-16 plan (see the
-    # ROTATION PLAN comment below, written at round 15) applied
-    # verbatim: CORRECTNESS_r15 landed 50/50 green, so no red row
-    # displaces slot 1; tools/rotation_audit.py re-confirmed
-    # plan/artifact consistency at round-16 start.  This drains the
-    # r11 era entirely (the 16-row spill below) and starts on the r12
-    # era (34 of its 50 rows; the remaining 16 spill to round 17 as
-    # its staleness head — see the ROUND-17 plan below).
-    # slots 1-16: the 16 r11-era rows that spilled past round 15
-    # (alphabetical)
-    "o7_set_intersect",
-    "o9_compaction_plan",
-    "sim11_mips_topk",
-    "sim12_knn_graph",
-    "sim1_cosine_topk",
-    "sim3_label_centroids",
-    "sp8_importance_resampling",
-    "st6_sliding_window_rates",
-    "st8_streaming_sessions",
-    "tp4_curriculum_order",
-    "tp6_dataset_card",
-    "tx15_tokenizer_fertility",
-    "w12_mad_outliers",
-    "w4_newest_topk",
-    "w5_sessionization",
-    "w9_rolling_zscore",
-    # slots 17-50: the first 34 of the 50 r12-era rows (alphabetical;
-    # the last 16 spill to round 17)
-    "a10_duplicate_detection",
-    "a11_distinct",
-    "a12_minmax_summary",
-    "a13_grid_cell_frequency",
-    "a14_monthly_histogram",
-    "a15_mean_collapse",
-    "a17_qc_sums",
-    "a18_provenance_summary",
-    "a19_cube_rollup",
-    "a1_biovolume_rollup",
-    "a25_survival_curve",
-    "a28_hll_distinct_sketch",
-    "a29_cms_heavy_hitters",
-    "a2_taxon_rollup",
-    "a3_flag_frequency",
-    "a4_monthly_stats",
-    "a5_grouped_top1",
-    "a6_bloom_categorize",
-    "a7_global_top1",
-    "a8_last_per_group",
-    "c3_name_type_split",
-    "dd1_exact_dedup",
-    "dd20_exact_substring_dedup",
-    "dd3_simhash",
-    "dd6_dup_clusters",
-    "dd7_dedup_materialize",
-    "dp10_anova_eta",
-    "dp7_binned_quantiles",
-    "f11_missing_position_filter",
-    "f1_select_rename",
-    "f6_regional_filter",
-    # slots 48-50: LAPSE-RULE RE-ENTRY (round 16, kernel-chain refactor):
-    # the feature layer switched to the compute_features-faithful
-    # estimator forms (cov ellipse, Heron hull, largest-blob semantics —
-    # reference-certified in tests/test_golden_chain_parity.py) and the
-    # mm2/mm2b/mm6 baked oracles were regenerated, so their old green
-    # rows are invalidated and they re-enter the prefix NOW.  The three
-    # displaced r12-era rows (j10_semi_join, j11_incremental_anti_join,
-    # j12_provenance_merge) join the ROUND-17 staleness head.
+    # ROUND 17 — third freeze-era rotation (registry frozen at 216;
+    # protocol in SCALE.md).  The precomputed ROUND-17 plan (written at
+    # round 16, see the ROTATION PLAN comment below) applied with ONE
+    # lapse-rule amendment: CORRECTNESS_r16 landed 50/50 green so no
+    # red row displaces slot 1, but the round-17 kernel-family
+    # reference-certification (tests/test_golden_family_parity.py —
+    # U6 symmetry moved to the reference's rotated-blob overlap
+    # ratios, U7 texture to the contrast-enhanced 0..255 statxture
+    # form, U1 segmentation to MATLAB-LUT thinning + strict k-means +
+    # 8-connected linking) regenerated the mm2/mm2b/mm6 baked oracles
+    # AGAIN, so those three rows re-enter the prefix NOW (slots 48-50)
+    # exactly as in round 16.  The three displaced r13-era rows
+    # (p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing) join
+    # the ROUND-18 staleness head.  tools/rotation_audit.py re-run at
+    # round-17 start confirmed plan/artifact consistency.
+    # slots 1-19: the 19 r12-era rows that spilled past round 16 — the
+    # 16 original spill rows plus the 3 displaced by the round-16 mm
+    # lapse-rule re-entry (alphabetical)
+    "j10_semi_join",
+    "j11_incremental_anti_join",
+    "j12_provenance_merge",
+    "j13_classlist_full_join",
+    "j1_enrichment_chain",
+    "j4b_asof_backward",
+    "j5_interval_join",
+    "j6_coalescing_fill_join",
+    "j7_full_outer_join",
+    "j8_haversine_theta_join",
+    "qf_flag_unification",
+    "s6_json_scan",
+    "sim4_ivf_search",
+    "sp1_train_test_split",
+    "sp6_domain_token_cap",
+    "st9_join_state_audit",
+    "tx13_bm25_topk",
+    "tx1_token_count",
+    "tx2_quality_score",
+    # slots 20-47: the first 28 of the 50 r13-era rows (alphabetical;
+    # the last 19 r13 rows — the pre-planned 19-row spill of the
+    # ROUND-17 plan plus the 3 rows displaced by the mm lapse-rule
+    # re-entry below — spill to round 18 as its staleness head)
+    "a27_retention_cohorts",
+    "c10_date_format",
+    "c11_encoding_fix",
+    "c12_haversine",
+    "c1_taxa_clean_cascade",
+    "c2_species_flag",
+    "c6_parse_bin_id",
+    "c8_f1_score",
+    "c9_signif_round",
+    "dd16_quality_survivor",
+    "dd2_minhash_lsh",
+    "dd8_benchmark_contamination",
+    "dp3_categorical_profile",
+    "dp4_domain_mixture",
+    "dp5_correlation_matrix",
+    "f10_timestamp_range",
+    "f12_value_threshold",
+    "f13_membership_filter",
+    "f2_gps_staleness",
+    "f3_blacklist_prefix_anti",
+    "f4_flag_removal",
+    "f7_qc_gating",
+    "f8_sentinel_normalization",
+    "j4_asof_join",
+    "mm1_multimodal_features",
+    "mm3_resize_normalize",
+    "mm4_video_frame_sample",
+    "p1_shark_export",
+    # slots 48-50: LAPSE-RULE RE-ENTRY (round 17, kernel-family
+    # reference-certification): U6/U7 moved to the reference's exact
+    # estimator forms (rotated-blob binary-overlap symmetry,
+    # contrast-enhanced 0..255 statxture) and U1 segmentation to
+    # MATLAB-LUT thinning + strict k-means + 8-connected
+    # linking/blob-min — all certified bit-for-bit against
+    # reference-executed fixtures (tests/test_golden_family_parity.py)
+    # — so the mm2/mm2b/mm6 baked oracles were regenerated and the
+    # three rows re-enter the prefix NOW.  The three displaced r13-era
+    # rows (p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing)
+    # join the ROUND-18 staleness head.
     "mm2_real_kernel_features",
     "mm2b_kernel_topologies",
     "mm6_augmentation_panel",
@@ -171,43 +183,55 @@ PREFIX_ORDER = [
 # r12 rows and 16 r12 rows spill to round 17 (the steady-state
 # 4.32-round cycle of the freeze-era protocol, SCALE.md).
 #
-# The round-16 rotation plan was EXECUTED verbatim as the live
-# PREFIX_ORDER above (CORRECTNESS_r15 landed 50/50 green, so no red row
+# The round-16 rotation plan was EXECUTED verbatim as the then-live
+# PREFIX_ORDER (CORRECTNESS_r15 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
-# consistency at round-16 start).  The r11 era is now fully drained;
-# the staleness head is the 16 spilled r12 rows + the 50-row r13 era,
-# so round 17 takes the 16-row spill + 34 r13 rows and 16 r13 rows
-# spill to round 18 (steady-state 4.32-round cycle, SCALE.md).
+# consistency at round-16 start).  The r11 era is now fully drained.
 #
-# ROUND-17 ROTATION PLAN (precomputed; apply verbatim unless round-16
+# The round-17 rotation plan was EXECUTED as the live PREFIX_ORDER
+# above with ONE lapse-rule amendment (CORRECTNESS_r16 landed 50/50
+# green so no red row displaced slot 1): the round-17 kernel-family
+# reference-certification regenerated the mm2/mm2b/mm6 baked oracles,
+# so those three rows re-entered slots 48-50 and the last 3 planned
+# r13-era rows (p2_hab_alert, p3_dashboard_metadata,
+# pk1_sequence_packing) were displaced to the round-18 staleness head.
+# This drains the r12 era entirely; the staleness head is now the 22
+# remaining r13-era rows + the 48-row r14 era, so round 18 takes the
+# 22-row head + 28 r14 rows and 20 r14 rows spill to round 19
+# (steady-state 4.32-round cycle, SCALE.md).
+#
+# ROUND-18 ROTATION PLAN (precomputed; apply verbatim unless round-17
 # driver results dictate otherwise — a red row takes slot 1):
-#   slots 1-19: the 19 r12-era rows that spilled past round 16 — the 16
-#   original spill rows plus the 3 displaced by the round-16 mm
+#   slots 1-22: the 22 r13-era rows that spilled past round 17 — the 19
+#   pre-planned spill rows plus the 3 displaced by the round-17 mm
 #   lapse-rule re-entry (alphabetical):
-#     j10_semi_join, j11_incremental_anti_join, j12_provenance_merge,
-#     j13_classlist_full_join, j1_enrichment_chain, j4b_asof_backward,
-#     j5_interval_join, j6_coalescing_fill_join, j7_full_outer_join,
-#     j8_haversine_theta_join, qf_flag_unification, s6_json_scan,
-#     sim4_ivf_search, sp1_train_test_split, sp6_domain_token_cap,
-#     st9_join_state_audit, tx13_bm25_topk, tx1_token_count,
-#     tx2_quality_score
-#   slots 20-50: the first 31 of the 50 r13-era rows (alphabetical; the
-#   last 19 — the pk4 / sim13 / sim2 / sim5 / sim6 / sim7 / sim8 /
-#   sp10 / sp2 / sp3 / sp4 / tp1 / tx10 / tx16 / tx3 / tx4 / tx6 /
-#   u13b / w13 keys, named here by key only so the plan parser does
-#   not count them — spill to round 18, becoming its staleness head):
-#     a27_retention_cohorts, c10_date_format, c11_encoding_fix,
-#     c12_haversine, c1_taxa_clean_cascade, c2_species_flag,
-#     c6_parse_bin_id, c8_f1_score, c9_signif_round, dd16_quality_survivor,
-#     dd2_minhash_lsh, dd8_benchmark_contamination, dp3_categorical_profile,
-#     dp4_domain_mixture, dp5_correlation_matrix, f10_timestamp_range,
-#     f12_value_threshold, f13_membership_filter, f2_gps_staleness,
-#     f3_blacklist_prefix_anti, f4_flag_removal, f7_qc_gating,
-#     f8_sentinel_normalization, j4_asof_join, mm1_multimodal_features,
-#     mm3_resize_normalize, mm4_video_frame_sample, p1_shark_export,
-#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing
-# = exactly 50 (19 + 31); re-run tools/rotation_audit.py at round-17
-# start once CORRECTNESS_r16.json lands (a red row there displaces
+#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
+#     pk4_cdc_chunking, sim13_int8_quant_error, sim2_signlsh_ann,
+#     sim5_ivf_nprobe2, sim6_embedding_quantize, sim7_filtered_ann,
+#     sim8_kmeans_refine, sp10_decontaminated_split,
+#     sp2_stratified_sample, sp3_shuffle_shards, sp4_mixture_materialize,
+#     tp1_training_corpus, tx10_tfidf_top_terms,
+#     tx16_bigram_vocab_coverage, tx3_lang_id, tx4_fingerprint,
+#     tx6_trigram_logprob, u13b_psd_fit_pandas, w13_mad_anomaly
+#   slots 23-50: the first 28 of the 48 r14-era rows (alphabetical; the
+#   last 20 — the sim10 / sim9 / sp11 / sp12 / sp2b / sp5 / sp7 / st1 /
+#   st2 / st3 / st4 / tx5 / tx7 / tx8 / tx9 / u13 / w14 / w1 / w3 / w6
+#   keys, named here by key only so the plan parser does not count
+#   them — spill to round 19, becoming its staleness head):
+#     a22_decayed_engagement, a23_cohort_retention,
+#     dd10_fuzzy_decontamination, dd11_span_dedup,
+#     dd12_containment_pairs, dd17_shingle_containment,
+#     dd4_ngram_jaccard, dd4b_ngram_jaccard_dfcut,
+#     dd5_embedding_cosine_dup, dp11_psi_drift, dp6_drift_profile,
+#     i13_incremental_minhash, i8_snapshot_diff, i9_scd2_compaction,
+#     j14_bucketed_range_join, j16_interval_overlap,
+#     j8b_grid_spatial_join, k7_ecotaxa_export, mm10_voice_activity,
+#     mm5_audio_frame_features, mm7_modality_coverage, mm8_patchify,
+#     mm9_perceptual_dedup, o10_file_skipping_stats, o8_zorder_layout,
+#     pk2_document_chunking, pk3_length_bucketed_batching,
+#     s6b_json_props_extract
+# = exactly 50 (22 + 28); re-run tools/rotation_audit.py at round-18
+# start once CORRECTNESS_r17.json lands (a red row there displaces
 # slot 1 by rule).
 # END PLAN
 #

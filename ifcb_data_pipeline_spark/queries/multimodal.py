@@ -302,18 +302,18 @@ SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
        summedArea::DOUBLE AS summedArea, symmetry_b180::DOUBLE AS symmetry_b180,
        n_phi::INT AS n_phi, n_hog::INT AS n_hog, n_ringwedge::INT AS n_ringwedge
 FROM (VALUES
-    ('disk_r12', 3, 450.0, 75.598, 0.2009, 0.9783, 0.1657, 7123.8231, 'sor', 450.0, 0.6043, 7, 81, 99),
-    ('disk_r15', 4, 697.0, 99.7401, 0.1001, 0.9619, 0.04, 13559.6375, 'sor', 697.0, 0.5696, 7, 81, 99),
-    ('disk_r6', 1, 133.0, 43.3137, 0.0, 0.9205, 0.6108, 1190.4018, 'sor', 133.0, 0.0, 7, 81, 99),
-    ('disk_r9', 2, 271.0, 58.6274, 0.232, 0.9728, 0.3799, 3350.7704, 'sor', 271.0, 0.5652, 7, 81, 99),
-    ('ellipse_14x6', 10, 227.0, 68.2843, 0.9318, 0.9323, 0.1762, 1534.9298, 'sor', 227.0, 0.3813, 7, 81, 99),
-    ('ellipse_18x8', 11, 421.0, 87.9411, 0.9209, 0.9511, 0.1491, 4043.7533, 'sor', 421.0, 0.4783, 7, 81, 99),
-    ('lshape_20x8', 12, 235.0, 85.0711, 0.845, 0.6515, 0.6582, 1104.1764, 'distmap', 235.0, 3.5053, 7, 81, 99),
-    ('rect_10x10', 7, 100.0, 36.0, 0.0, 1.0101, 0.0, 785.3982, 'sor', 100.0, 0.0, 7, 81, 99),
-    ('rect_12x5', 5, 68.0, 44.4853, 0.9635, 0.6126, 0.9367, 192.8018, 'distmap', 68.0, 0.0, 7, 81, 99),
-    ('rect_18x7', 6, 92.0, 43.6569, 0.9648, 0.9843, 0.1511, 358.1416, 'sor', 92.0, 0.0, 7, 81, 99),
-    ('rect_24x9', 8, 168.0, 58.0, 0.9574, 1.006, 0.0, 923.6282, 'sor', 168.0, 0.0, 7, 81, 99),
-    ('ribbon_30x4', 9, 60.0, 60.0, 0.9983, 1.0169, 0.0, 94.2478, 'sor', 60.0, 0.0, 7, 81, 99)
+    ('disk_r12', 3, 450.0, 75.598, 0.2009, 0.9783, 0.1657, 7123.8231, 'sor', 450.0, 0.9511, 7, 81, 99),
+    ('disk_r15', 4, 697.0, 99.7401, 0.1001, 0.9619, 0.04, 13559.6375, 'sor', 697.0, 0.9768, 7, 81, 99),
+    ('disk_r6', 1, 133.0, 43.3137, 0.0, 0.9205, 0.6108, 1190.4018, 'sor', 133.0, 0.8421, 7, 81, 99),
+    ('disk_r9', 2, 271.0, 58.6274, 0.232, 0.9728, 0.3799, 3350.7704, 'sor', 271.0, 0.9446, 7, 81, 99),
+    ('ellipse_14x6', 10, 227.0, 68.2843, 0.9318, 0.9323, 0.1762, 1534.9298, 'sor', 227.0, 0.9075, 7, 81, 99),
+    ('ellipse_18x8', 11, 421.0, 87.9411, 0.9209, 0.9511, 0.1491, 4043.7533, 'sor', 421.0, 0.9382, 7, 81, 99),
+    ('lshape_20x8', 12, 236.0, 85.0711, 0.8398, 0.615, 0.6565, 1105.675, 'distmap', 236.0, 0.3252, 7, 81, 99),
+    ('rect_10x10', 7, 104.0, 36.0, 0.0, 0.7273, 0.2352, 804.2477, 'sor', 104.0, 0.7981, 7, 81, 99),
+    ('rect_12x5', 5, 68.0, 44.4853, 0.9635, 0.6126, 0.9367, 192.8018, 'distmap', 68.0, 0.8382, 7, 81, 99),
+    ('rect_18x7', 6, 96.0, 43.6569, 0.9629, 0.6906, 0.3373, 348.9231, 'distmap', 96.0, 0.9063, 7, 81, 99),
+    ('rect_24x9', 8, 168.0, 58.0, 0.9574, 1.006, 0.0, 923.6282, 'sor', 168.0, 0.9583, 7, 81, 99),
+    ('ribbon_30x4', 9, 64.0, 60.0, 0.9978, 0.5039, 0.3373, 94.6174, 'distmap', 64.0, 0.4844, 7, 81, 99)
 ) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, n_phi, n_hog, n_ringwedge)
 """
 
@@ -372,14 +372,14 @@ SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
        numBlobs::INT AS numBlobs,
        n_phi::INT AS n_phi, n_hog::INT AS n_hog, n_ringwedge::INT AS n_ringwedge
 FROM (VALUES
-    ('annulus_r12x4', 2, 432.0, 74.4264, 0.0698, 0.9724, 0.55, 6728.5061, 'sor', 432.0, 0.5335, 1, 7, 81, 99),
-    ('annulus_r15x8', 1, 625.0, 93.2548, 0.0, 0.9587, 0.8991, 11810.5558, 'sor', 625.0, 0.0, 1, 7, 81, 99),
-    ('frame_20x5', 7, 324.0, 68.0, 0.0, 1.0031, 0.8916, 4580.4421, 'sor', 324.0, 0.0, 1, 7, 81, 99),
-    ('frame_26x7', 8, 576.0, 92.0, 0.0, 1.0017, 0.8113, 10857.3442, 'sor', 576.0, 0.0, 1, 7, 81, 99),
-    ('pair_r10g16', 4, 320.0, 65.4558, 0.2069, 0.9657, 0.1854, 4268.9008, 'sor', 638.0, 0.8048, 2, 7, 81, 99),
-    ('pair_r7g12', 3, 178.0, 50.2843, 0.4498, 0.9232, 0.6413, 1681.2757, 'sor', 356.0, 0.0, 2, 7, 81, 99),
-    ('plus_24x8', 5, 270.0, 83.799, 0.0189, 0.6709, 0.0631, 3401.2976, 'sor', 270.0, 0.2268, 1, 7, 81, 99),
-    ('plus_30x6', 6, 258.0, 119.8701, 0.209, 0.3838, 0.4205, 976.7169, 'distmap', 258.0, 0.0567, 1, 7, 81, 99)
+    ('annulus_r12x4', 2, 432.0, 74.4264, 0.0698, 0.9724, 0.55, 6728.5061, 'sor', 432.0, 0.9491, 1, 7, 81, 99),
+    ('annulus_r15x8', 1, 625.0, 93.2548, 0.0, 0.9587, 0.8991, 11810.5558, 'sor', 625.0, 0.9344, 1, 7, 81, 99),
+    ('frame_20x5', 7, 324.0, 68.0, 0.0, 1.0031, 0.8916, 4580.4421, 'sor', 324.0, 0.892, 1, 7, 81, 99),
+    ('frame_26x7', 8, 576.0, 92.0, 0.0, 1.0017, 0.8113, 10857.3442, 'sor', 576.0, 0.9184, 1, 7, 81, 99),
+    ('pair_r10g16', 4, 322.0, 67.1127, 0.2366, 0.9627, 0.1997, 4357.1272, 'sor', 644.0, 0.9692, 2, 7, 81, 99),
+    ('pair_r7g12', 3, 178.0, 50.2843, 0.4498, 0.9232, 0.6413, 1681.2757, 'sor', 356.0, 0.9157, 2, 7, 81, 99),
+    ('plus_24x8', 5, 270.0, 83.799, 0.0189, 0.6709, 0.0631, 3401.2976, 'sor', 270.0, 0.9778, 1, 7, 81, 99),
+    ('plus_30x6', 6, 258.0, 119.8701, 0.209, 0.3838, 0.4205, 976.7169, 'distmap', 258.0, 0.9922, 1, 7, 81, 99)
 ) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, numBlobs, n_phi, n_hog, n_ringwedge)
 """
 
@@ -1048,18 +1048,18 @@ FROM (VALUES
     ('ellipse_14x6', 'rot90', 227.0, 68.2843, 0.9288, 0.9147, 1551.1614, 'sor', 227.0),
     ('ellipse_18x8', 'flip_h', 421.0, 87.9411, 0.9209, 0.9511, 4043.7533, 'sor', 421.0),
     ('ellipse_18x8', 'rot90', 424.0, 88.7696, 0.9182, 0.9354, 4121.9005, 'sor', 424.0),
-    ('lshape_20x8', 'flip_h', 235.0, 85.0711, 0.845, 0.6515, 1104.1764, 'distmap', 235.0),
-    ('lshape_20x8', 'rot90', 235.0, 85.0711, 0.845, 0.6515, 1104.1764, 'distmap', 235.0),
-    ('rect_10x10', 'flip_h', 100.0, 36.0, 0.0, 1.0101, 785.3982, 'sor', 100.0),
-    ('rect_10x10', 'rot90', 100.0, 36.0, 0.0, 1.0101, 785.3982, 'sor', 100.0),
+    ('lshape_20x8', 'flip_h', 236.0, 85.0711, 0.8398, 0.615, 1105.675, 'distmap', 236.0),
+    ('lshape_20x8', 'rot90', 236.0, 85.0711, 0.8398, 0.615, 1105.675, 'distmap', 236.0),
+    ('rect_10x10', 'flip_h', 104.0, 36.0, 0.0, 0.7273, 804.2477, 'sor', 104.0),
+    ('rect_10x10', 'rot90', 104.0, 36.0, 0.0, 0.7273, 804.2477, 'sor', 104.0),
     ('rect_12x5', 'flip_h', 68.0, 44.4853, 0.9635, 0.6126, 192.8018, 'distmap', 68.0),
     ('rect_12x5', 'rot90', 68.0, 44.4853, 0.9635, 0.6126, 192.8018, 'distmap', 68.0),
-    ('rect_18x7', 'flip_h', 92.0, 43.6569, 0.9648, 0.9843, 358.1416, 'sor', 92.0),
-    ('rect_18x7', 'rot90', 91.0, 42.8284, 0.9635, 0.9974, 355.7854, 'sor', 91.0),
+    ('rect_18x7', 'flip_h', 96.0, 43.6569, 0.9629, 0.6906, 348.9231, 'distmap', 96.0),
+    ('rect_18x7', 'rot90', 95.0, 42.8284, 0.9617, 0.6835, 342.9425, 'distmap', 95.0),
     ('rect_24x9', 'flip_h', 168.0, 58.0, 0.9574, 1.006, 923.6282, 'sor', 168.0),
     ('rect_24x9', 'rot90', 168.0, 58.0, 0.9574, 1.006, 923.6282, 'sor', 168.0),
-    ('ribbon_30x4', 'flip_h', 60.0, 60.0, 0.9983, 1.0169, 94.2478, 'sor', 60.0),
-    ('ribbon_30x4', 'rot90', 60.0, 60.0, 0.9983, 1.0169, 94.2478, 'sor', 60.0)
+    ('ribbon_30x4', 'flip_h', 64.0, 60.0, 0.9978, 0.5039, 94.6174, 'distmap', 64.0),
+    ('ribbon_30x4', 'rot90', 64.0, 60.0, 0.9978, 0.5039, 94.6174, 'distmap', 64.0)
 ) AS t(sample, transform, Area, Perimeter, Eccentricity, Solidity, Biovolume, BiovolumeBranch, summedArea)
 """
 

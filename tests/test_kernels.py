@@ -94,9 +94,13 @@ def test_texture_uniform_image():
     img = np.full((10, 10), 128, dtype=np.uint8)
     mask = np.ones_like(img)
     t = texture_stats(img, mask)
+    # flat image: p1 == p99 so the contrast stretch degenerates to a
+    # clip; every enhanced pixel is round(128/255·255) = 128
+    assert t["texture_average_gray_level"] == 128.0
     assert t["texture_average_contrast"] == pytest.approx(0.0, abs=1e-12)
     assert t["texture_uniformity"] == 1.0
-    assert t["texture_entropy"] == 0.0
+    # the reference's eps regularizer leaves -log2(1+eps) ≈ -3e-16
+    assert t["texture_entropy"] == pytest.approx(0.0, abs=1e-12)
     assert t["texture_smoothness"] == 0.0
 
 
@@ -111,7 +115,8 @@ def test_features_from_images_spark(spark):
     for r in rows:
         assert r["Area"] >= 0
         assert len(r["moment_invariants"]) == 7
-        assert 0 <= r["texture_average_gray_level"] <= 1
+        # texture statistics live on the 0..255 scale (reference form)
+        assert 0 <= r["texture_average_gray_level"] <= 255
         if r["ConvexArea"] > 0:
             assert 0 < r["Solidity"] <= 1.2
 
@@ -152,41 +157,48 @@ def test_summed_features_two_rectangles():
 def test_hog_properties():
     from ifcb_data_pipeline_spark.operators.kernels import hog_features
 
-    # Vertical stripe image: gradients are horizontal → energy
-    # concentrates in the 0° orientation bin of every cell.
+    # Vertical step edge: gradients point in +x → angle 0, which lands
+    # in the middle signed bin [-π/9, π/9) = bin 4 of the reference's
+    # 9-sector layout.
     img = np.zeros((30, 30), dtype=np.uint8)
     img[:, 15:] = 200
     v = np.array(hog_features(img))
     assert len(v) == 81
-    assert np.linalg.norm(v) == pytest.approx(1.0)
-    cells = v.reshape(3, 3, 9)
-    # The dominant bin per center-column cell is bin 0 (0°).
-    assert cells[1, 1].argmax() == 0
-    # Uniform image → zero descriptor.
+    windows = v.reshape(9, 9)
+    assert windows[4].argmax() == 4  # center window, 0°-sector
+    # per-window normalization is ‖H‖/(‖H‖+0.01) < 1
+    norms = np.linalg.norm(windows, axis=1)
+    assert np.all(norms < 1.0)
+    assert norms.max() > 0.9  # edge windows carry real energy
+    # Uniform image: interior gradients are zero; only the zero-padded
+    # border (a real property of the reference's constant-mode
+    # correlation) contributes, so the center window stays zero.
     flat = np.array(hog_features(np.full((30, 30), 7, dtype=np.uint8)))
-    assert np.all(flat == 0)
+    assert np.all(flat.reshape(9, 9)[4] == 0)
+    assert flat.sum() > 0  # border windows see the pad step
 
 
 def test_ringwedge_properties():
     from ifcb_data_pipeline_spark.operators.kernels import ringwedge_features
 
-    rng_img = ((np.indices((40, 40)).sum(axis=0) * 37) % 251).astype(np.uint8)
-    rw = ringwedge_features(rng_img)
+    yy, xx = np.mgrid[:40, :40]
+    disk = (xx - 20) ** 2 + (yy - 20) ** 2 <= 14 * 14
+    rw = ringwedge_features(disk, size=301)
     assert len(rw["Ring"]) == 50 and len(rw["Wedge"]) == 48
-    assert all(x >= 0 for x in rw["Ring"])
+    # wedges are normalized by their own power integral
+    assert sum(rw["Wedge"]) == pytest.approx(1.0, rel=1e-9)
+    assert all(x >= 0 for x in rw["Wedge"])
     assert 0 <= rw["RWcenter2total_powerratio"] <= 1
-    # A full-canvas constant image (no windowing) has all power at DC:
-    # ring 0 carries everything, every other ring is ~0.
-    flat = ringwedge_features(np.full((301, 301), 9, dtype=np.uint8))
-    assert flat["Ring"][0] == pytest.approx(flat["RWhalfpowerintegral"], rel=1e-9)
-    assert sum(flat["Ring"][1:]) <= 1e-6 * flat["Ring"][0]
-    # Horizontal-stripe image: power concentrates along the vertical
+    # the smaller fast-path canvas keeps the layout (odd dim required)
+    rw65 = ringwedge_features(disk, size=65)
+    assert len(rw65["Ring"]) == 50 and len(rw65["Wedge"]) == 48
+    assert sum(rw65["Wedge"]) == pytest.approx(1.0, rel=1e-9)
+    # Horizontal-stripe mask: power concentrates along the vertical
     # frequency axis → the wedge containing 90° dominates.
-    stripes = np.zeros((40, 40), dtype=np.uint8)
-    stripes[::4, :] = 200
-    rw_s = ringwedge_features(stripes)
+    stripes = np.zeros((40, 40), dtype=bool)
+    stripes[::4, :] = True
+    rw_s = ringwedge_features(stripes, size=301)
     wedges = np.array(rw_s["Wedge"])
-    # exclude DC-heavy wedge effects by checking argmax near vertical
     dominant_angle = (wedges.argmax() + 0.5) / 48 * 180
     assert 60 <= dominant_angle <= 120
 
@@ -228,15 +240,18 @@ def test_symmetry_square_vs_asymmetric():
     square = np.zeros((30, 30), dtype=np.uint8)
     square[5:25, 5:25] = 1
     s = symmetry_features(square)
-    # A square is symmetric under 180°, 90° and mirror.
-    assert s["symmetry_b180"] < 0.3
-    assert s["symmetry_b90"] < 0.3
-    assert s["symmetry_bflip"] < 0.3
+    # binary symmetry is an overlap RATIO (reference form): a square is
+    # symmetric under 180°, 90° and mirror, so ratios are near 1.
+    assert s["symmetry_b180"] > 0.9
+    assert s["symmetry_b90"] > 0.9
+    assert s["symmetry_bflip"] > 0.9
     lshape = np.zeros((30, 30), dtype=np.uint8)
     lshape[5:25, 5:10] = 1
     lshape[20:25, 5:25] = 1
     a = symmetry_features(lshape)
-    assert a["symmetry_b90"] > s["symmetry_b90"]  # L is less 90°-symmetric
+    assert a["symmetry_b90"] < s["symmetry_b90"]  # L is less 90°-symmetric
+    # the Hausdorff family is a DISTANCE: larger = less symmetric
+    assert a["symmetry_h90"] > s["symmetry_h90"]
 
 
 def test_biovolume_sphere_and_cylinder():
@@ -437,14 +452,18 @@ def test_kmeans_dark_mask_bimodal():
     assert not m[:5, :].any()
 
 
-def test_guo_hall_thin_reduces_strokes():
-    from ifcb_data_pipeline_spark.operators.kernels import guo_hall_thin
+def test_bwmorph_thin_reduces_strokes():
+    from ifcb_data_pipeline_spark.operators.kernels import bwmorph_thin
 
     bar = np.zeros((20, 20), dtype=bool)
     bar[8:13, 2:18] = True  # 5-px-thick horizontal bar
-    thin = guo_hall_thin(bar, 3)
+    thin = bwmorph_thin(bar, 3)
     assert thin.sum() < bar.sum() / 2  # substantially thinned
     assert thin.any()                  # but not erased
+    # idempotent once reduced to a unit-width stroke
+    line = np.zeros((9, 15), dtype=bool)
+    line[4, 2:13] = True
+    assert np.array_equal(bwmorph_thin(line, 2), line)
 
 
 def test_segment_roi_pc_recovers_dark_organism():

@@ -3732,9 +3732,14 @@ def test_mm6_augmentation_panel_laws(spark):
     assert (got["Biovolume"] > 0).all()
     # single-blob panel: the summed-roi epilogue must equal the blob area
     assert (got["summedArea"] == got["Area"]).all()
-    # isoperimetric bound on the lattice: 4*pi*A <= P^2 (+ rounding slack)
+    # isoperimetric bound on the lattice: 4*pi*A <= P^2, with slack for
+    # the reference's estimators: the round-17 reference-exact
+    # segmentation (MATLAB-LUT thinning ∪ k-means mask,
+    # test_golden_family_parity) leaves 1-px spurs that add area while
+    # the Benkrid sub-pixel perimeter weights (perimeter.py:24-38)
+    # barely move — rect_10x10 lands at 4πA/P² ≈ 1.0084.  Bound: 1.02.
     assert (
-        4 * math.pi * got["Area"] <= got["Perimeter"] ** 2 * 1.0001 + 1e-6
+        4 * math.pi * got["Area"] <= got["Perimeter"] ** 2 * 1.02 + 1e-6
     ).all()
     # branch-selection implication (U5 rule: sor iff convex_area/area <
     # 1.2 OR (ecc < 0.8 and p > 0.8); Solidity = area/convex_area, so

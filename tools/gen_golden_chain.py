@@ -33,7 +33,10 @@ excluded like qhull).  The shim returns vertices in CCW order starting
 from the lexicographic minimum; real qhull may start the cycle at a
 different vertex, which permutes the float SUMMATION ORDER of the
 Heron fan (last-ulp).  Everything else in the fixture is
-order-independent of that choice.
+order-independent of that choice.  Round 17 PINNED this degree of
+freedom (tests/test_qhull_cycle_stability.py): across every cyclic
+start on every panel hull the spread is ≤ 4 ulp, the U5 branch
+decision never flips, and the lexmin start convention is asserted.
 
 Run:  python tools/gen_golden_chain.py [--report]
 Writes: tests/fixtures/golden_chain.json
