@@ -1532,7 +1532,17 @@ def ellipse_properties_cov(blob: np.ndarray) -> tuple[float, float, float]:
     """(major, minor, eccentricity) via the covariance eigendecomposition
     form (``blob_geometry.py:22-46``): axes are 4·sqrt of the
     eigenvalues of ``np.cov`` (sample covariance, n-1 divisor) of the
-    on-pixel (row, col) coordinates."""
+    on-pixel (row, col) coordinates.
+
+    INTENTIONAL DEVIATION (adjudicated, ADVICE r16): blobs with < 2
+    pixels return (0, 0, 0) where the reference's ``np.cov`` of a single
+    point is NaN/undefined and would poison every downstream feature.
+    The reference never reaches this case in production — its
+    segmentation's min-blob-41 gate (``segmentation.py:141-153``) drops
+    specks before ``all.py`` runs — so the sanitized value only shows up
+    on the engine's ``segment=False`` raw-threshold path, where a NaN
+    row would be strictly worse at corpus scale.  Pinned by
+    ``tests/test_kernels.py::test_speck_blobs_are_sanitized_not_nan``."""
     P = np.vstack(np.where(blob)).astype(np.float64)
     if P.shape[1] < 2:
         return 0.0, 0.0, 0.0

@@ -143,13 +143,19 @@ def _estimate_scan_partitions(df: DataFrame) -> int | None:
         if rem > 0 or size == 0:
             splits.append(int(rem))
     splits.sort(reverse=True)
+    # Bin-pack exactly like FilePartition.getFilePartitions (ADVICE r16):
+    # the close test compares accumulated size + the NEXT split's LENGTH
+    # (no open cost) against maxSplitBytes, and the open cost is added
+    # to the accumulator only after the split is placed.  Assumes a
+    # splittable source (true for parquet, the only format fan_out's
+    # call sites scan; a non-splittable codec would yield one task per
+    # file and this estimate would under-count).
     parts, acc, opened = 0, 0, False
     for s in splits:
-        cost = s + open_cost
-        if opened and acc + cost > max_split:
+        if opened and acc + s > max_split:
             parts += 1
             acc, opened = 0, False
-        acc += cost
+        acc += s + open_cost
         opened = True
     if opened:
         parts += 1

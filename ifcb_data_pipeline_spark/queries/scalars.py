@@ -22,6 +22,7 @@ from . import register
 from ._util import (
     TAXA_LABEL_SQL,
     dround,
+    fan_out,
     lat_expr,
     lon_expr,
     tables,
@@ -116,6 +117,12 @@ FROM ids
 @register("c6_parse_bin_id", C6_SQL, survey_ref="SURVEY §2.8 C6/C7; ingest_and_qc.R:211-214")
 def c6_parse_bin_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events,) = tables(spark, sf_dir, "events")
+    # per-row bin-id synthesis + parse over every event: the
+    # single-row-group local source serializes this CPU-bound narrow
+    # stage onto one task (profile tail r16: 8.7 s in-profile, and the
+    # single task makes it hypersensitive to co-tenancy); fan_out is a
+    # no-op at scale where splits >= cores (r17 profile item).
+    events = fan_out(events)
     ids = events.select(
         "event_id",
         make_bin_id(F.col("ts"), F.col("user_id") % 200).alias("sample"),

@@ -647,3 +647,33 @@ def test_letterbox_preserves_aspect_and_fills(img):
     mask = np.ones((16, 16), dtype=bool)
     mask[y0:y0 + nh, x0:x0 + nw] = False
     assert (out[mask] == 7).all()
+
+
+def test_speck_blobs_are_sanitized_not_nan():
+    """INTENTIONAL DEVIATION pin (ADVICE r16): the reference's np.cov on
+    a 1-2 pixel blob is NaN/undefined, but all.py never sees specks in
+    production (segmentation's min-blob-41 gate).  The engine's raw
+    segment=False path CAN see them, and sanitizes to finite zeros
+    instead of letting NaN poison the summed-feature epilogue."""
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        ellipse_properties_cov,
+        roi_features_ref,
+    )
+
+    one = np.zeros((7, 7), dtype=bool)
+    one[3, 3] = True
+    assert ellipse_properties_cov(one) == (0.0, 0.0, 0.0)
+    two = one.copy()
+    two[3, 4] = True
+    maj, mn, ecc = ellipse_properties_cov(two)
+    assert np.isfinite([maj, mn, ecc]).all()
+    # full chain over a mask containing a speck next to a real blob:
+    # every exported value stays finite (NaN only via the documented
+    # zero->NaN ratio semantics, which this mask does not trigger)
+    mask = np.zeros((20, 20), dtype=bool)
+    mask[2:10, 2:10] = True
+    mask[15, 15] = True
+    feats = roi_features_ref(mask)
+    for k, v in feats.items():
+        if isinstance(v, float):
+            assert np.isfinite(v), k

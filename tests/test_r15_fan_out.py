@@ -27,12 +27,30 @@ from ifcb_data_pipeline_spark.operators.skew import fan_out
 from ifcb_data_pipeline_spark.operators.similarity import dot
 
 
-def test_fan_out_noop_when_splits_suffice(spark, tmp_path):
+def test_fan_out_estimate_matches_spark_bin_packing(spark, tmp_path):
+    """The split estimator reproduces FilePartition.getFilePartitions
+    exactly (ADVICE r16: close on size + next LENGTH > maxSplitBytes,
+    open cost added after) — pinned against Spark's own partition count
+    on a many-tiny-files layout, where the old close condition
+    over-counted by ~2x."""
+    from ifcb_data_pipeline_spark.operators.skew import (
+        _estimate_scan_partitions,
+    )
+
     cores = spark.sparkContext.defaultParallelism
     path = str(tmp_path / "wide")
     spark.range(0, 10_000).repartition(cores + 5).write.parquet(path)
     df = spark.read.parquet(path)
-    assert fan_out(df) is df  # structural identity, not just equal plans
+    actual = df.rdd.getNumPartitions()
+    assert _estimate_scan_partitions(df) == actual
+    # Real Spark bin-packs tiny files BELOW core count here (open cost
+    # dominates), so this layout is genuinely starved and fan_out
+    # correctly raises it; the no-op law is exercised via min_parts.
+    assert fan_out(df, min_parts=max(1, actual - 1)) is df
+    raised = fan_out(df)
+    if actual < cores:
+        assert raised is not df
+        assert raised.rdd.getNumPartitions() == cores
 
 
 def test_fan_out_noop_on_in_memory_frames(spark):

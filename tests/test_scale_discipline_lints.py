@@ -147,8 +147,11 @@ def _scan() -> dict[tuple[str, str], int]:
 # the bound is argued.
 ACTION_INVENTORY: dict[tuple[str, str, str], int] = {
     ("operators/aggregates.py", "taxon_rollup", "first"): 1,
-    # (graph.py's convergence fingerprint now rides the localCheckpoint
-    # job as an observe metric — zero driver collect sites remain there)
+    # graph.py's convergence fingerprint rides the localCheckpoint job
+    # as an observe metric; the ONE collect below is the 1-row agg
+    # fallback taken only when the runtime never delivers observe
+    # metrics (obs.get would hang — ADVICE r16)
+    ("operators/graph.py", "checkpoint_with_fingerprint", "collect"): 1,
     ("operators/resolver.py", "resolve_and_broadcast", "collect"): 1,  # distinct names
     ("operators/windows.py", "gap_fill", "first"): 1,
     ("queries/dedup.py", "_lsh_cluster_labels", "collect"): 2,  # size-gated union-find
