@@ -45,6 +45,25 @@ def sign_hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     ]
 
 
+_PLANE_COL_CACHE: dict[tuple[int, int], list[Column]] = {}
+
+
+def _plane_literal_columns(dim: int, n_planes: int) -> list[Column]:
+    """The sign-LSH plane matrix as literal-array Columns, memoized per
+    process: building dim×n_planes ``F.lit`` nodes costs ~2.7 s of py4j
+    round trips (measured r17, 64×64), paid on EVERY
+    ``embedding_lsh_pairs`` call without this cache.  Column objects are
+    unresolved expression trees — reusable across queries and sessions
+    within a process (and client-side protos under Connect)."""
+    key = (dim, n_planes)
+    if key not in _PLANE_COL_CACHE:
+        _PLANE_COL_CACHE[key] = [
+            F.array(*[F.lit(x) for x in plane])
+            for plane in sign_hyperplanes(dim, n_planes)
+        ]
+    return _PLANE_COL_CACHE[key]
+
+
 def embedding_lsh_pairs(
     vectors: DataFrame,
     dim: int,
@@ -67,7 +86,7 @@ def embedding_lsh_pairs(
     """
     from .similarity import dot
 
-    planes = sign_hyperplanes(dim, bands * rows_per_band)
+    plane_cols = _plane_literal_columns(dim, bands * rows_per_band)
     # Cross-engine floor-form rounding (see queries._util.dround).
     rf = float(10.0**round_digits)
 
@@ -77,7 +96,7 @@ def embedding_lsh_pairs(
     def band_sig(b: int) -> Column:
         bits = []
         for r in range(rows_per_band):
-            arr = F.array(*[F.lit(x) for x in planes[b * rows_per_band + r]])
+            arr = plane_cols[b * rows_per_band + r]
             bits.append(F.when(dot(F.col(vec_col), arr) > 0, "1").otherwise("0"))
         return F.concat(*bits)
 
