@@ -350,6 +350,16 @@ def _shape_mask(kind: str, h: int, w: int, p1: int, p2: int) -> np.ndarray:
     if kind == "annulus":
         d2 = (xx - cx) ** 2 + (yy - cy) ** 2
         return (d2 <= p1 * p1) & (d2 > p2 * p2)
+    if kind == "frame":  # square ring: hole + straight thin walls
+        m = np.zeros((h, w), dtype=bool)
+        m[cy - p1 // 2 : cy + p1 // 2, cx - p1 // 2 : cx + p1 // 2] = True
+        m[cy - p1 // 2 + p2 : cy + p1 // 2 - p2, cx - p1 // 2 + p2 : cx + p1 // 2 - p2] = False
+        return m
+    if kind == "plus":  # non-convex, 4-fold symmetric
+        m = np.zeros((h, w), dtype=bool)
+        m[cy - p2 // 2 : cy - p2 // 2 + p2, cx - p1 // 2 : cx + p1 // 2] = True
+        m[cy - p1 // 2 : cy + p1 // 2, cx - p2 // 2 : cx - p2 // 2 + p2] = True
+        return m
     raise ValueError(kind)
 
 
@@ -394,6 +404,11 @@ def panel_images() -> dict[str, np.ndarray]:
     render("pair_blobs", _shape_mask("pair", 60, 96, 11, 14), noise_fg=22, noise_bg=8, seed=53)
     render("annulus", _shape_mask("annulus", 66, 66, 20, 9), noise_fg=12, seed=61)
     render("dim_contrast", _shape_mask("disk", 64, 64, 15, 0), fg=120, bg=170, noise_fg=18, noise_bg=14, seed=71)
+    # topology extensions (round 17): hole-filling over straight thin
+    # walls, and a non-convex 4-fold-symmetric shape (solidity well
+    # below 1, symmetry overlap ratios under rotation by construction)
+    render("frame", _shape_mask("frame", 60, 60, 34, 6), noise_fg=16, seed=83)
+    render("plus", _shape_mask("plus", 64, 64, 38, 12), noise_fg=20, noise_bg=6, seed=97)
     return out
 
 
