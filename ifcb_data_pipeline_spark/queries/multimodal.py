@@ -284,16 +284,21 @@ def panel_rois(spark: SparkSession, panel: list | None = None) -> DataFrame:
 
 # Baked from the deterministic chain over MM2_PANEL (two consecutive
 # runs bit-identical; regenerate with tools/bake_multimodal_oracles.py
-# if a kernel legitimately changes — round 16: the feature layer moved
-# to the compute_features-faithful estimator forms, reference-certified
-# in tests/test_golden_chain_parity.py).  Analytic anchors:
-# disk_r12 Area 450 vs pi*12^2=452.4 (within 0.6%), Biovolume 7123.8 vs
-# sphere 4/3*pi*12^3=7238.2 (1.6%), Eccentricity→0 on disks/square;
-# rect_10x10 is segmentation-exact (Area=100, Perimeter=36 = Benkrid
-# weighted boundary of the true square; Solidity=1.0101 — the
-# reference's Heron+per/2 hull-area convention genuinely exceeds the
-# pixel count on rectangles).  The tolerance-based versions of these
-# assertions live in tests/test_multimodal_panel.py.
+# if a kernel legitimately changes — round 16: the geometry chain moved
+# to the compute_features-faithful estimator forms
+# (tests/test_golden_chain_parity.py); round 17: the remaining families
+# moved too — reference-exact segmentation (MATLAB-LUT thinning, strict
+# k-means, 8-connected linking), contrast-enhanced 0..255 texture, and
+# rotated-blob binary-overlap symmetry, all reference-certified in
+# tests/test_golden_family_parity.py).  Analytic anchors: disk_r12
+# Area 450 vs pi*12^2=452.4 (within 0.6%), Biovolume 7123.8 vs sphere
+# 4/3*pi*12^3=7238.2 (1.6%), Eccentricity→0 on disks; rect_10x10 is
+# NEARLY segmentation-exact — the reference's exact thinning leaves a
+# few 1-px edge spurs, so Area=104 > the true 100 and Solidity drops
+# below 1 (see test_square_is_nearly_segmentation_exact); symmetry_b180
+# is now an overlap RATIO (≈1 on symmetric shapes).  The
+# tolerance-based versions of these assertions live in
+# tests/test_multimodal_panel.py.
 MM2_SQL = """
 SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
        Perimeter::DOUBLE AS Perimeter, Eccentricity::DOUBLE AS Eccentricity,
@@ -349,7 +354,9 @@ def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # blobs: numBlobs=2, exercises the multi-blob labeling in U12
 # summed_features and is exported so the driver checks it), and
 # plus-shapes (non-convex: Solidity 0.38-0.67, and both U5 branches
-# fire across the panel — pairs/plus_30x6 take distmap, the rest SoR).
+# fire across the panel — plus_30x6 takes distmap, the rest SoR after
+# the round-17 reference-exact segmentation shifted the pair blobs'
+# area ratios under 1.2).
 # Baked exactly like MM2_SQL: two consecutive chain runs bit-identical;
 # tests/test_multimodal_panel.py re-derives every float column live.
 MM2B_PANEL: list[tuple[str, str, int, int]] = [
