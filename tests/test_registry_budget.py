@@ -52,14 +52,17 @@ def test_bench_summary_line_fits_tail_window():
             "metric": "headline_suite_wall_time",
             "value": 99999.999,
             "unit": "sec",
-            "queries": {n: 99999.999 for n in bench.HEADLINE},
+            # r17 format: per-query [median(3dp), min(2dp), max(2dp)]
+            "queries": {
+                n: [99999.999, 99999.99, 99999.99] for n in bench.HEADLINE
+            },
             "sf": 0.1,
         }
     )
-    assert len(worst) < 1600, (
+    assert len(worst) < 1900, (
         f"bench summary line worst-case {len(worst)} B — trim HEADLINE or "
-        "move the query map to stderr before it overflows the driver's "
-        "tail-capture window again"
+        "drop the min/max digits before it overflows the driver's "
+        "tail-capture window (~2 kB) again"
     )
 
 
