@@ -677,3 +677,41 @@ def test_speck_blobs_are_sanitized_not_nan():
     for k, v in feats.items():
         if isinstance(v, float):
             assert np.isfinite(v), k
+
+
+def test_phase_congruency_brightness_shift_invariant():
+    """The log-Gabor bank zeroes DC, so a constant brightness shift
+    changes nothing but FFT rounding — machine-precision invariance on
+    an odd grid (round-17 property pin for the one U1 stage the golden
+    family fixtures can't reference-execute; phasepack is external)."""
+    from ifcb_data_pipeline_spark.operators.phasecong import phase_congruency_Mm
+
+    rng = np.random.RandomState(7)
+    img = rng.rand(49, 49) * 30 + 110
+    img[14:34, 18:40] -= 55
+    a = phase_congruency_Mm(img)
+    b = phase_congruency_Mm(img + 37.0)
+    assert np.abs(a - b).max() <= 1e-12 * max(a.max(), 1.0)
+
+
+def test_phase_congruency_rot90_equivariant():
+    """norient=6 covers 30-degree steps, so a 90-degree image rotation
+    permutes the orientation set onto itself and the covariance moments
+    must rotate with the image.  Machine-exact on odd grids; even grids
+    carry the asymmetric-Nyquist-bin artifact (~1e-3 relative), which
+    is a property of the standard frequency grid, not a bug — both
+    regimes pinned."""
+    from ifcb_data_pipeline_spark.operators.phasecong import phase_congruency_Mm
+
+    rng = np.random.RandomState(11)
+    odd = rng.rand(49, 49) * 40 + 100
+    odd[10:30, 20:44] -= 60
+    a = phase_congruency_Mm(odd)
+    b = phase_congruency_Mm(np.rot90(odd))
+    assert np.abs(b - np.rot90(a)).max() <= 1e-12 * max(a.max(), 1.0)
+    even = rng.rand(48, 48) * 40 + 100
+    even[10:30, 20:44] -= 60
+    c = phase_congruency_Mm(even)
+    d = phase_congruency_Mm(np.rot90(even))
+    rel = np.abs(d - np.rot90(c)).max() / max(c.max(), 1.0)
+    assert rel < 5e-3  # Nyquist-bin asymmetry band, pinned
