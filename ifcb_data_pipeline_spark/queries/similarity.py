@@ -83,10 +83,16 @@ def _sim2_sig_sql(b: int) -> str:
 
 def sim2_coded(e: DataFrame) -> DataFrame:
     """(vec_id, band, sig): one row per vector per LSH table."""
+    from ..operators.dedup import _plane_literal_columns
+
+    # memoized literal Columns — 32 plane arrays × 64 F.lit py4j round
+    # trips per call otherwise (same fix as embedding_lsh_pairs, r17)
+    plane_cols = _plane_literal_columns(_SIM2_DIM, _SIM2_BANDS * _SIM2_ROWS)
+
     def band_sig(b: int):
         bits = []
         for r in range(_SIM2_ROWS):
-            arr = F.array(*[F.lit(x) for x in _SIM2_PLANES[b * _SIM2_ROWS + r]])
+            arr = plane_cols[b * _SIM2_ROWS + r]
             bits.append(F.when(dot(F.col("v"), arr) > 0, "1").otherwise("0"))
         return F.concat(*bits)
 
