@@ -328,7 +328,9 @@ KERNEL_FEATURE_SCHEMA = (
     " BiovolumeBranch string,"
     " perimeter_mean double, perimeter_median double,"
     " perimeter_skewness double, perimeter_kurtosis double,"
-    " numBlobs double, summedArea double, symmetry_b180 double,"
+    " numBlobs double, summedArea double,"
+    " symmetry_b180 double, symmetry_b90 double, symmetry_bflip double,"
+    " symmetry_h180 double, symmetry_h90 double, symmetry_hflip double,"
     " moment_invariants array<double>, hog array<double>,"
     " ringwedge array<double>"
 )
@@ -404,7 +406,7 @@ def features_from_images(
                         },
                         **tex,
                         **perimeter_pair_stats(mask),
-                        "symmetry_b180": sym["symmetry_b180"],
+                        **sym,  # b180/b90/bflip + h180/h90/hflip
                         "moment_invariants": hu_moments(mask),
                         "hog": hog_features(img),
                         "ringwedge": ring_wedge,
