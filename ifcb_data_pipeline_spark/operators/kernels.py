@@ -301,8 +301,9 @@ def hu_moments(mask: np.ndarray) -> list[float]:
 
 # --- mapInPandas wrapper ---------------------------------------------------
 
-# roi_features_ref keys exported through the schema (its summed* extras
-# beyond summedArea are reference-chain-tested but not in the schema)
+# roi_features_ref keys exported through the schema — the COMPLETE
+# slim-v4 production set (extract_slim_features.py:16-47) plus the
+# branch tag, every value reference-chain-certified
 _KERNEL_FEATURE_COLS = frozenset(
     {
         "Area", "EquivDiameter", "Extent", "MajorAxisLength",
@@ -311,6 +312,11 @@ _KERNEL_FEATURE_COLS = frozenset(
         "ConvexPerimeter", "maxFeretDiameter", "minFeretDiameter",
         "Perimeter", "Solidity", "Biovolume", "RepresentativeWidth",
         "SurfaceArea", "BiovolumeBranch", "numBlobs", "summedArea",
+        "summedBiovolume", "summedConvexArea", "summedConvexPerimeter",
+        "summedMajorAxisLength", "summedMinorAxisLength",
+        "summedPerimeter", "summedSurfaceArea",
+        "Area_over_PerimeterSquared", "Area_over_Perimeter",
+        "summedConvexPerimeter_over_Perimeter",
     }
 )
 
@@ -328,7 +334,12 @@ KERNEL_FEATURE_SCHEMA = (
     " BiovolumeBranch string,"
     " perimeter_mean double, perimeter_median double,"
     " perimeter_skewness double, perimeter_kurtosis double,"
-    " numBlobs double, summedArea double,"
+    " numBlobs double, summedArea double, summedBiovolume double,"
+    " summedConvexArea double, summedConvexPerimeter double,"
+    " summedMajorAxisLength double, summedMinorAxisLength double,"
+    " summedPerimeter double, summedSurfaceArea double,"
+    " Area_over_PerimeterSquared double, Area_over_Perimeter double,"
+    " summedConvexPerimeter_over_Perimeter double,"
     " symmetry_b180 double, symmetry_b90 double, symmetry_bflip double,"
     " symmetry_h180 double, symmetry_h90 double, symmetry_hflip double,"
     " moment_invariants array<double>, hog array<double>,"

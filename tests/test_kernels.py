@@ -715,3 +715,34 @@ def test_phase_congruency_rot90_equivariant():
     d = phase_congruency_Mm(np.rot90(even))
     rel = np.abs(d - np.rot90(c)).max() / max(c.max(), 1.0)
     assert rel < 5e-3  # Nyquist-bin asymmetry band, pinned
+
+
+def test_chain_schema_covers_slim_v4_export():
+    """features_from_images' schema carries the COMPLETE slim-v4
+    production export set — the 30 FEATURE_COLUMNS of the reference's
+    extract_slim_features.py:16-47 — so a user of the reference's slim
+    CSV pipeline can switch to the chain output column-for-column."""
+    from ifcb_data_pipeline_spark.operators.kernels import (
+        KERNEL_FEATURE_SCHEMA,
+    )
+
+    slim_v4 = [
+        "Area", "Biovolume", "BoundingBox_xwidth", "BoundingBox_ywidth",
+        "ConvexArea", "ConvexPerimeter", "Eccentricity", "EquivDiameter",
+        "Extent", "MajorAxisLength", "MinorAxisLength", "Orientation",
+        "Perimeter", "RepresentativeWidth", "Solidity", "SurfaceArea",
+        "maxFeretDiameter", "minFeretDiameter", "numBlobs", "summedArea",
+        "summedBiovolume", "summedConvexArea", "summedConvexPerimeter",
+        "summedMajorAxisLength", "summedMinorAxisLength",
+        "summedPerimeter", "summedSurfaceArea",
+        "Area_over_PerimeterSquared", "Area_over_Perimeter",
+        "summedConvexPerimeter_over_Perimeter",
+    ]
+    # DDL string has only simple `name type` fields plus array<double>
+    # (no nested commas inside names), so split on top-level commas
+    fields = {
+        part.strip().split()[0]
+        for part in KERNEL_FEATURE_SCHEMA.replace("array<double>", "ARR").split(",")
+    }
+    missing = [c for c in slim_v4 if c not in fields]
+    assert not missing, missing
