@@ -409,6 +409,12 @@ def panel_images() -> dict[str, np.ndarray]:
     # below 1, symmetry overlap ratios under rotation by construction)
     render("frame", _shape_mask("frame", 60, 60, 34, 6), noise_fg=16, seed=83)
     render("plus", _shape_mask("plus", 64, 64, 38, 12), noise_fg=20, noise_bg=6, seed=97)
+    # border-touching blob: exercises the closing/erosion BORDER
+    # semantics (skimage erosion border_value=True vs dilation False)
+    # and the hysteresis border trim at the actual image frame
+    yy, xx = np.mgrid[:56, :56]
+    clipped = (xx - 4) ** 2 + (yy - 28) ** 2 <= 18 * 18  # disk clipped at x=0
+    render("border_clipped", clipped, noise_fg=14, seed=103)
     return out
 
 
