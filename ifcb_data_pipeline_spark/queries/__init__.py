@@ -89,90 +89,77 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 17 — third freeze-era rotation (registry frozen at 216;
-    # protocol in SCALE.md).  The precomputed ROUND-17 plan (written at
-    # round 16, see the ROTATION PLAN comment below) applied with ONE
-    # lapse-rule amendment: CORRECTNESS_r16 landed 50/50 green so no
-    # red row displaces slot 1, but the round-17 kernel-family
-    # reference-certification (tests/test_golden_family_parity.py —
-    # U6 symmetry moved to the reference's rotated-blob overlap
-    # ratios, U7 texture to the contrast-enhanced 0..255 statxture
-    # form, U1 segmentation to MATLAB-LUT thinning + strict k-means +
-    # 8-connected linking) regenerated the mm2/mm2b/mm6 baked oracles
-    # AGAIN, so those three rows re-enter the prefix NOW (slots 48-50)
-    # exactly as in round 16.  The three displaced r13-era rows
-    # (p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing) join
-    # the ROUND-18 staleness head.  tools/rotation_audit.py re-run at
-    # round-17 start confirmed plan/artifact consistency.
-    # slots 1-19: the 19 r12-era rows that spilled past round 16 — the
-    # 16 original spill rows plus the 3 displaced by the round-16 mm
-    # lapse-rule re-entry (alphabetical)
-    "j10_semi_join",
-    "j11_incremental_anti_join",
-    "j12_provenance_merge",
-    "j13_classlist_full_join",
-    "j1_enrichment_chain",
-    "j4b_asof_backward",
-    "j5_interval_join",
-    "j6_coalescing_fill_join",
-    "j7_full_outer_join",
-    "j8_haversine_theta_join",
-    "qf_flag_unification",
-    "s6_json_scan",
-    "sim4_ivf_search",
-    "sp1_train_test_split",
-    "sp6_domain_token_cap",
-    "st9_join_state_audit",
-    "tx13_bm25_topk",
-    "tx1_token_count",
-    "tx2_quality_score",
-    # slots 20-47: the first 28 of the 50 r13-era rows (alphabetical;
-    # the last 19 r13 rows — the pre-planned 19-row spill of the
-    # ROUND-17 plan plus the 3 rows displaced by the mm lapse-rule
-    # re-entry below — spill to round 18 as its staleness head)
-    "a27_retention_cohorts",
-    "c10_date_format",
-    "c11_encoding_fix",
-    "c12_haversine",
-    "c1_taxa_clean_cascade",
-    "c2_species_flag",
-    "c6_parse_bin_id",
-    "c8_f1_score",
-    "c9_signif_round",
-    "dd16_quality_survivor",
-    "dd2_minhash_lsh",
-    "dd8_benchmark_contamination",
-    "dp3_categorical_profile",
-    "dp4_domain_mixture",
-    "dp5_correlation_matrix",
-    "f10_timestamp_range",
-    "f12_value_threshold",
-    "f13_membership_filter",
-    "f2_gps_staleness",
-    "f3_blacklist_prefix_anti",
-    "f4_flag_removal",
-    "f7_qc_gating",
-    "f8_sentinel_normalization",
-    "j4_asof_join",
-    "mm1_multimodal_features",
-    "mm3_resize_normalize",
-    "mm4_video_frame_sample",
-    "p1_shark_export",
-    # slots 48-50: LAPSE-RULE RE-ENTRY (round 17, kernel-family
-    # reference-certification): U6/U7 moved to the reference's exact
-    # estimator forms (rotated-blob binary-overlap symmetry,
-    # contrast-enhanced 0..255 statxture) and U1 segmentation to
-    # MATLAB-LUT thinning + strict k-means + 8-connected
-    # linking/blob-min — all certified bit-for-bit against
-    # reference-executed fixtures (tests/test_golden_family_parity.py)
-    # — so the mm2/mm2b/mm6 baked oracles were regenerated and the
-    # three rows re-enter the prefix NOW.  The three displaced r13-era
-    # rows (p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing)
-    # join the ROUND-18 staleness head.
-    "mm2_real_kernel_features",
-    "mm2b_kernel_topologies",
-    "mm6_augmentation_panel",
+    # ROUND 18 — fourth freeze-era rotation (registry frozen at 216;
+    # protocol in SCALE.md).  The precomputed ROUND-18 plan (written at
+    # round 17, see the ROTATION PLAN comment below) applied VERBATIM:
+    # CORRECTNESS_r17 landed 50/50 green, so no red row displaces
+    # slot 1 and no lapse-rule re-entry fires (no baked oracle was
+    # regenerated between the plan's writing and this application).
+    # tools/rotation_audit.py re-run at round-18 start confirmed
+    # plan/artifact consistency.  This drains the r13 era entirely;
+    # the staleness head becomes the 20 remaining r14-era rows (the
+    # sim10/sim9/sp11/sp12/sp2b/sp5/sp7/st1/st2/st3/st4/tx5/tx7/tx8/
+    # tx9/u13/w14/w1/w3/w6 keys) which head the ROUND-19 plan.
+    # slots 1-22: the 22 r13-era rows that spilled past round 17 — the
+    # 19 pre-planned spill rows plus the 3 displaced by the round-17
+    # mm lapse-rule re-entry (alphabetical)
+    "p2_hab_alert",
+    "p3_dashboard_metadata",
+    "pk1_sequence_packing",
+    "pk4_cdc_chunking",
+    "sim13_int8_quant_error",
+    "sim2_signlsh_ann",
+    "sim5_ivf_nprobe2",
+    "sim6_embedding_quantize",
+    "sim7_filtered_ann",
+    "sim8_kmeans_refine",
+    "sp10_decontaminated_split",
+    "sp2_stratified_sample",
+    "sp3_shuffle_shards",
+    "sp4_mixture_materialize",
+    "tp1_training_corpus",
+    "tx10_tfidf_top_terms",
+    "tx16_bigram_vocab_coverage",
+    "tx3_lang_id",
+    "tx4_fingerprint",
+    "tx6_trigram_logprob",
+    "u13b_psd_fit_pandas",
+    "w13_mad_anomaly",
+    # slots 23-50: the first 28 of the 48 r14-era rows (alphabetical;
+    # the last 20 spill to round 19, becoming its staleness head)
+    "a22_decayed_engagement",
+    "a23_cohort_retention",
+    "dd10_fuzzy_decontamination",
+    "dd11_span_dedup",
+    "dd12_containment_pairs",
+    "dd17_shingle_containment",
+    "dd4_ngram_jaccard",
+    "dd4b_ngram_jaccard_dfcut",
+    "dd5_embedding_cosine_dup",
+    "dp11_psi_drift",
+    "dp6_drift_profile",
+    "i13_incremental_minhash",
+    "i8_snapshot_diff",
+    "i9_scd2_compaction",
+    "j14_bucketed_range_join",
+    "j16_interval_overlap",
+    "j8b_grid_spatial_join",
+    "k7_ecotaxa_export",
+    "mm10_voice_activity",
+    "mm5_audio_frame_features",
+    "mm7_modality_coverage",
+    "mm8_patchify",
+    "mm9_perceptual_dedup",
+    "o10_file_skipping_stats",
+    "o8_zorder_layout",
+    "pk2_document_chunking",
+    "pk3_length_bucketed_batching",
+    "s6b_json_props_extract",
 ]
+# The round-17 rotation plan was EXECUTED as the live PREFIX_ORDER
+# (with the documented mm2/mm2b/mm6 lapse-rule re-entry in slots 48-50)
+# and CORRECTNESS_r17 landed 50/50 green; see commit 23ef7b8 for the
+# full r17 prefix and its rationale block.
 # The round-15 rotation plan was EXECUTED verbatim as the live
 # PREFIX_ORDER above (CORRECTNESS_r14 landed 50/50 green, so no red row
 # displaced slot 1; tools/rotation_audit.py confirmed plan/artifact
