@@ -44,21 +44,34 @@ _OBSERVE_TIMEOUT_S = 120.0
 def _observation_get(obs: Observation, timeout_s: float = _OBSERVE_TIMEOUT_S):
     """``Observation.get`` with a timeout: get blocks forever when the
     metrics never fire, so poll it from a daemon thread and raise
-    TimeoutError instead of hanging the driver."""
-    from concurrent.futures import ThreadPoolExecutor
-    from concurrent.futures import TimeoutError as FutureTimeout
+    TimeoutError instead of hanging the driver.
 
-    ex = ThreadPoolExecutor(max_workers=1)
-    try:
-        fut = ex.submit(lambda: obs.get)
+    The blocking get runs on a bare ``threading.Thread(daemon=True)``
+    rather than a ThreadPoolExecutor worker: CPython joins executor
+    threads at interpreter exit (even after ``shutdown(wait=False)``),
+    so a get that never returns — the exact scenario this timeout
+    exists for — would otherwise hang process shutdown (ADVICE r17)."""
+    import queue
+    import threading
+
+    box: queue.Queue = queue.Queue(maxsize=1)
+
+    def _poll() -> None:
         try:
-            return fut.result(timeout=timeout_s)
-        except FutureTimeout:
-            raise TimeoutError(
-                f"Observation metrics not delivered within {timeout_s}s"
-            )
-    finally:
-        ex.shutdown(wait=False)
+            box.put((True, obs.get))
+        except BaseException as exc:  # surface get()'s own failure
+            box.put((False, exc))
+
+    threading.Thread(target=_poll, daemon=True, name="obs-get").start()
+    try:
+        ok, payload = box.get(timeout=timeout_s)
+    except queue.Empty:
+        raise TimeoutError(
+            f"Observation metrics not delivered within {timeout_s}s"
+        ) from None
+    if not ok:
+        raise payload
+    return payload
 
 
 def _canonical(e: DataFrame) -> DataFrame:

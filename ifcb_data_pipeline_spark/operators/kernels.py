@@ -364,6 +364,13 @@ def features_from_images(
     threshold; ``ringwedge_size`` shrinks U10's FFT canvas from the
     reference's 301 (right for full-size ROIs, wasteful for the tiny
     synthetic payloads; must stay odd) and ``None`` skips it.
+    PARITY NOTE (ADVICE r17): Ring/Wedge values are reference-certified
+    ONLY at size=301 — the reference's kaccie masks are pinned to a 301
+    canvas regardless of input dim (``ringwedge.py:79``), so the
+    default 65 is a profiling shape for the tiny synthetic panel
+    payloads (mm1/mm2/mm2b/mm6 bake their oracles at the same 65), NOT
+    a parity value.  Any production-parity export path must pass
+    ``ringwedge_size=301``.
     Arrow-batched; one python call per batch, numpy inside.
 
     Family forms are the reference's exact estimators, certified
@@ -666,6 +673,11 @@ def ringwedge_features(
     Kaccie ring/wedge masks (wedges exclude the 15·df center), all
     normalized by the wedge power integral.  ``size`` must be odd (the
     reference's 301; the fast chain path uses 65)."""
+    if size % 2 == 0:
+        raise ValueError(
+            "ringwedge size must be odd (the bottom-half mask vstack "
+            f"needs a center row; got {size})"
+        )
     image = np.asarray(mask)
     dim = size
     amp_trans = np.fft.fftshift(np.fft.fft2(image))

@@ -327,7 +327,10 @@ FROM (VALUES
 def mm2_real_kernel_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
-    feats = features_from_images(panel_rois(spark))  # full U1-U12 chain
+    # Full U1-U12 chain at the default ringwedge_size=65 profiling
+    # canvas — oracle baked at the same 65; production parity needs 301
+    # (see features_from_images PARITY NOTE / ADVICE r17).
+    feats = features_from_images(panel_rois(spark))
     return feats.select(
         "sample",
         "roi_number",
@@ -395,6 +398,7 @@ FROM (VALUES
 def mm2b_kernel_topologies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
+    # ringwedge_size=65 profiling canvas, oracle baked to match (parity=301).
     feats = features_from_images(panel_rois(spark, MM2B_PANEL))
     return feats.select(
         "sample",
@@ -1075,6 +1079,7 @@ FROM (VALUES
 def mm6_augmentation_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kernels import features_from_images
 
+    # ringwedge_size=65 profiling canvas, oracle baked to match (parity=301).
     feats = features_from_images(augmented_panel_rois(spark))
     return feats.select(
         F.split_part(F.col("sample"), F.lit("__"), F.lit(1)).alias("sample"),
