@@ -1019,7 +1019,12 @@ def segment_roi_pc(
     from .phasecong import phase_congruency_Mm
 
     mm = phase_congruency_Mm(img)
-    b = hysteresis(mm > t_weak, mm > t_strong)
+    # Published phasecong divides bare (phasepack form): an image whose
+    # spectrum is exactly 1-D (pure step edge, flat field) yields NaN,
+    # which must read as below-threshold — the k-means union below then
+    # carries the whole segmentation, as it would under the reference.
+    with np.errstate(invalid="ignore"):
+        b = hysteresis(mm > t_weak, mm > t_strong)
     # Trim frame pixels not backed by their inward neighbor.
     b[b[:, 1] == 0, 0] = 0
     b[b[:, -2] == 0, -1] = 0

@@ -91,15 +91,28 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 PREFIX_ORDER = [
     # ROUND 18 — fourth freeze-era rotation (registry frozen at 216;
     # protocol in SCALE.md).  The precomputed ROUND-18 plan (written at
-    # round 17, see the ROTATION PLAN comment below) applied VERBATIM:
-    # CORRECTNESS_r17 landed 50/50 green, so no red row displaces
-    # slot 1 and no lapse-rule re-entry fires (no baked oracle was
-    # regenerated between the plan's writing and this application).
-    # tools/rotation_audit.py re-run at round-18 start confirmed
+    # round 17, see the ROTATION PLAN comment below) applied with ONE
+    # lapse-rule amendment: CORRECTNESS_r17 landed 50/50 green so no
+    # red row displaces slot 1, but the round-18 phase-congruency
+    # anchoring (tools/gen_golden_phasecong.py +
+    # tests/test_golden_phasecong_parity.py — the engine's U1 step 1
+    # adopted the PUBLISHED filtergrid odd-axis divisor n-1, the bare
+    # sumAn division, sqrt-form radius/XEnergy and the (4*covxy)/
+    # norient association, certified bit-for-bit against the
+    # independent published-form transcription on a 20-image panel
+    # incl. odd dims + degenerates) SHIFTED the odd-dimension mm2
+    # panel masks, so the mm2/mm2b/mm6 baked oracles were regenerated
+    # (tools/bake_multimodal_oracles.py, 23 rows moved) and the three
+    # rows re-enter the prefix NOW (slots 48-50) exactly as in rounds
+    # 16 and 17.  The three displaced r14-era rows
+    # (pk2_document_chunking, pk3_length_bucketed_batching,
+    # s6b_json_props_extract) join the ROUND-19 staleness head.
+    # tools/rotation_audit.py re-run after the amendment confirmed
     # plan/artifact consistency.  This drains the r13 era entirely;
     # the staleness head becomes the 20 remaining r14-era rows (the
     # sim10/sim9/sp11/sp12/sp2b/sp5/sp7/st1/st2/st3/st4/tx5/tx7/tx8/
-    # tx9/u13/w14/w1/w3/w6 keys) which head the ROUND-19 plan.
+    # tx9/u13/w14/w1/w3/w6 keys) + the 3 displaced rows, which head
+    # the ROUND-19 plan.
     # slots 1-22: the 22 r13-era rows that spilled past round 17 — the
     # 19 pre-planned spill rows plus the 3 displaced by the round-17
     # mm lapse-rule re-entry (alphabetical)
@@ -125,8 +138,10 @@ PREFIX_ORDER = [
     "tx6_trigram_logprob",
     "u13b_psd_fit_pandas",
     "w13_mad_anomaly",
-    # slots 23-50: the first 28 of the 48 r14-era rows (alphabetical;
-    # the last 20 spill to round 19, becoming its staleness head)
+    # slots 23-47: the first 25 of the 48 r14-era rows (alphabetical;
+    # the planned slots 48-50 — pk2/pk3/s6b — were displaced by the
+    # lapse-rule re-entry below, and spill to round 19 with the other
+    # 20 r14-era rows)
     "a22_decayed_engagement",
     "a23_cohort_retention",
     "dd10_fuzzy_decontamination",
@@ -152,9 +167,16 @@ PREFIX_ORDER = [
     "mm9_perceptual_dedup",
     "o10_file_skipping_stats",
     "o8_zorder_layout",
-    "pk2_document_chunking",
-    "pk3_length_bucketed_batching",
-    "s6b_json_props_extract",
+    # slots 48-50: LAPSE-RULE RE-ENTRY (round 18, phasecong anchoring):
+    # U1 step 1 moved to the published phasepack/Kovesi forms (odd-axis
+    # grid divisor n-1 being the mask-moving one), the mm2/mm2b/mm6
+    # baked oracles were regenerated, so the three rows re-enter the
+    # prefix NOW.  The three displaced r14-era rows
+    # (pk2_document_chunking, pk3_length_bucketed_batching,
+    # s6b_json_props_extract) join the ROUND-19 staleness head.
+    "mm2_real_kernel_features",
+    "mm2b_kernel_topologies",
+    "mm6_augmentation_panel",
 ]
 # The round-17 rotation plan was EXECUTED as the live PREFIX_ORDER
 # (with the documented mm2/mm2b/mm6 lapse-rule re-entry in slots 48-50)

@@ -307,16 +307,16 @@ SELECT sample, roi_number::INT AS roi_number, Area::DOUBLE AS Area,
        summedArea::DOUBLE AS summedArea, symmetry_b180::DOUBLE AS symmetry_b180,
        n_phi::INT AS n_phi, n_hog::INT AS n_hog, n_ringwedge::INT AS n_ringwedge
 FROM (VALUES
-    ('disk_r12', 3, 450.0, 75.598, 0.2009, 0.9783, 0.1657, 7123.8231, 'sor', 450.0, 0.9511, 7, 81, 99),
+    ('disk_r12', 3, 446.0, 75.598, 0.092, 0.9741, 0.1165, 6999.2066, 'sor', 446.0, 0.9436, 7, 81, 99),
     ('disk_r15', 4, 697.0, 99.7401, 0.1001, 0.9619, 0.04, 13559.6375, 'sor', 697.0, 0.9768, 7, 81, 99),
-    ('disk_r6', 1, 133.0, 43.3137, 0.0, 0.9205, 0.6108, 1190.4018, 'sor', 133.0, 0.8421, 7, 81, 99),
-    ('disk_r9', 2, 271.0, 58.6274, 0.232, 0.9728, 0.3799, 3350.7704, 'sor', 271.0, 0.9446, 7, 81, 99),
-    ('ellipse_14x6', 10, 227.0, 68.2843, 0.9318, 0.9323, 0.1762, 1534.9298, 'sor', 227.0, 0.9075, 7, 81, 99),
-    ('ellipse_18x8', 11, 421.0, 87.9411, 0.9209, 0.9511, 0.1491, 4043.7533, 'sor', 421.0, 0.9382, 7, 81, 99),
+    ('disk_r6', 1, 144.0, 45.799, 0.171, 0.9096, 0.7515, 1288.3148, 'sor', 144.0, 0.8611, 7, 81, 99),
+    ('disk_r9', 2, 273.0, 60.2843, 0.2313, 0.9502, 0.378, 3288.7239, 'sor', 273.0, 0.9628, 7, 81, 99),
+    ('ellipse_14x6', 10, 227.0, 70.6274, 0.9434, 0.9216, 0.2606, 1467.9092, 'sor', 227.0, 0.8634, 7, 81, 99),
+    ('ellipse_18x8', 11, 420.0, 88.5269, 0.9219, 0.9474, 0.1623, 4013.9082, 'sor', 420.0, 0.9405, 7, 81, 99),
     ('lshape_20x8', 12, 236.0, 85.0711, 0.8398, 0.615, 0.6565, 1105.675, 'distmap', 236.0, 0.3252, 7, 81, 99),
     ('rect_10x10', 7, 104.0, 36.0, 0.0, 0.7273, 0.2352, 804.2477, 'sor', 104.0, 0.7981, 7, 81, 99),
-    ('rect_12x5', 5, 68.0, 44.4853, 0.9635, 0.6126, 0.9367, 192.8018, 'distmap', 68.0, 0.8382, 7, 81, 99),
-    ('rect_18x7', 6, 96.0, 43.6569, 0.9629, 0.6906, 0.3373, 348.9231, 'distmap', 96.0, 0.9063, 7, 81, 99),
+    ('rect_12x5', 5, 84.0, 50.9706, 0.9319, 0.5874, 0.9984, 260.0524, 'distmap', 84.0, 0.8214, 7, 81, 99),
+    ('rect_18x7', 6, 108.0, 51.6569, 0.9652, 0.777, 0.5564, 395.929, 'distmap', 108.0, 0.9167, 7, 81, 99),
     ('rect_24x9', 8, 168.0, 58.0, 0.9574, 1.006, 0.0, 923.6282, 'sor', 168.0, 0.9583, 7, 81, 99),
     ('ribbon_30x4', 9, 64.0, 60.0, 0.9978, 0.5039, 0.3373, 94.6174, 'distmap', 64.0, 0.4844, 7, 81, 99)
 ) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, n_phi, n_hog, n_ringwedge)
@@ -386,8 +386,8 @@ FROM (VALUES
     ('annulus_r15x8', 1, 625.0, 93.2548, 0.0, 0.9587, 0.8991, 11810.5558, 'sor', 625.0, 0.9344, 1, 7, 81, 99),
     ('frame_20x5', 7, 324.0, 68.0, 0.0, 1.0031, 0.8916, 4580.4421, 'sor', 324.0, 0.892, 1, 7, 81, 99),
     ('frame_26x7', 8, 576.0, 92.0, 0.0, 1.0017, 0.8113, 10857.3442, 'sor', 576.0, 0.9184, 1, 7, 81, 99),
-    ('pair_r10g16', 4, 322.0, 67.1127, 0.2366, 0.9627, 0.1997, 4357.1272, 'sor', 644.0, 0.9692, 2, 7, 81, 99),
-    ('pair_r7g12', 3, 178.0, 50.2843, 0.4498, 0.9232, 0.6413, 1681.2757, 'sor', 356.0, 0.9157, 2, 7, 81, 99),
+    ('pair_r10g16', 4, 330.0, 65.2132, 0.2584, 0.9803, 0.2545, 4468.6538, 'sor', 656.0, 0.9606, 2, 7, 81, 99),
+    ('pair_r7g12', 3, 195.0, 51.1127, 0.578, 0.9523, 0.7882, 1852.7543, 'sor', 390.0, 0.8718, 2, 7, 81, 99),
     ('plus_24x8', 5, 270.0, 83.799, 0.0189, 0.6709, 0.0631, 3401.2976, 'sor', 270.0, 0.9778, 1, 7, 81, 99),
     ('plus_30x6', 6, 258.0, 119.8701, 0.209, 0.3838, 0.4205, 976.7169, 'distmap', 258.0, 0.9922, 1, 7, 81, 99)
 ) AS t(sample, roi_number, Area, Perimeter, Eccentricity, Solidity, texture_entropy, Biovolume, BiovolumeBranch, summedArea, symmetry_b180, numBlobs, n_phi, n_hog, n_ringwedge)
@@ -1047,26 +1047,26 @@ SELECT sample, transform, Area::DOUBLE AS Area, Perimeter::DOUBLE AS Perimeter,
        Biovolume::DOUBLE AS Biovolume, BiovolumeBranch,
        summedArea::DOUBLE AS summedArea
 FROM (VALUES
-    ('disk_r12', 'flip_h', 450.0, 75.598, 0.2009, 0.9783, 7123.8231, 'sor', 450.0),
-    ('disk_r12', 'rot90', 450.0, 75.598, 0.2009, 0.9783, 7123.8231, 'sor', 450.0),
+    ('disk_r12', 'flip_h', 446.0, 75.598, 0.092, 0.9741, 6999.2066, 'sor', 446.0),
+    ('disk_r12', 'rot90', 446.0, 75.598, 0.092, 0.9741, 6999.2066, 'sor', 446.0),
     ('disk_r15', 'flip_h', 697.0, 99.7401, 0.1001, 0.9619, 13559.6375, 'sor', 697.0),
     ('disk_r15', 'rot90', 697.0, 99.7401, 0.1001, 0.9619, 13559.6375, 'sor', 697.0),
-    ('disk_r6', 'flip_h', 133.0, 43.3137, 0.0, 0.9205, 1190.4018, 'sor', 133.0),
-    ('disk_r6', 'rot90', 133.0, 43.3137, 0.0, 0.9205, 1190.4018, 'sor', 133.0),
-    ('disk_r9', 'flip_h', 271.0, 58.6274, 0.232, 0.9728, 3350.7704, 'sor', 271.0),
-    ('disk_r9', 'rot90', 271.0, 58.6274, 0.232, 0.9728, 3350.7704, 'sor', 271.0),
-    ('ellipse_14x6', 'flip_h', 227.0, 68.2843, 0.9318, 0.9323, 1534.9298, 'sor', 227.0),
-    ('ellipse_14x6', 'rot90', 227.0, 68.2843, 0.9288, 0.9147, 1551.1614, 'sor', 227.0),
-    ('ellipse_18x8', 'flip_h', 421.0, 87.9411, 0.9209, 0.9511, 4043.7533, 'sor', 421.0),
-    ('ellipse_18x8', 'rot90', 424.0, 88.7696, 0.9182, 0.9354, 4121.9005, 'sor', 424.0),
+    ('disk_r6', 'flip_h', 144.0, 45.799, 0.171, 0.9096, 1288.3148, 'sor', 144.0),
+    ('disk_r6', 'rot90', 144.0, 45.799, 0.171, 0.9096, 1288.3148, 'sor', 144.0),
+    ('disk_r9', 'flip_h', 273.0, 60.2843, 0.2313, 0.9502, 3288.7239, 'sor', 273.0),
+    ('disk_r9', 'rot90', 273.0, 60.2843, 0.2313, 0.9502, 3288.7239, 'sor', 273.0),
+    ('ellipse_14x6', 'flip_h', 227.0, 70.6274, 0.9434, 0.9216, 1467.9092, 'sor', 227.0),
+    ('ellipse_14x6', 'rot90', 230.0, 71.4558, 0.9432, 0.9146, 1499.3251, 'sor', 230.0),
+    ('ellipse_18x8', 'flip_h', 420.0, 88.5269, 0.9219, 0.9474, 4013.9082, 'sor', 420.0),
+    ('ellipse_18x8', 'rot90', 423.0, 89.3553, 0.9193, 0.9297, 4089.83, 'sor', 423.0),
     ('lshape_20x8', 'flip_h', 236.0, 85.0711, 0.8398, 0.615, 1105.675, 'distmap', 236.0),
     ('lshape_20x8', 'rot90', 236.0, 85.0711, 0.8398, 0.615, 1105.675, 'distmap', 236.0),
     ('rect_10x10', 'flip_h', 104.0, 36.0, 0.0, 0.7273, 804.2477, 'sor', 104.0),
     ('rect_10x10', 'rot90', 104.0, 36.0, 0.0, 0.7273, 804.2477, 'sor', 104.0),
-    ('rect_12x5', 'flip_h', 68.0, 44.4853, 0.9635, 0.6126, 192.8018, 'distmap', 68.0),
-    ('rect_12x5', 'rot90', 68.0, 44.4853, 0.9635, 0.6126, 192.8018, 'distmap', 68.0),
-    ('rect_18x7', 'flip_h', 96.0, 43.6569, 0.9629, 0.6906, 348.9231, 'distmap', 96.0),
-    ('rect_18x7', 'rot90', 95.0, 42.8284, 0.9617, 0.6835, 342.9425, 'distmap', 95.0),
+    ('rect_12x5', 'flip_h', 84.0, 50.9706, 0.9319, 0.5874, 260.0524, 'distmap', 84.0),
+    ('rect_12x5', 'rot90', 84.0, 50.9706, 0.9319, 0.5874, 260.0524, 'distmap', 84.0),
+    ('rect_18x7', 'flip_h', 108.0, 51.6569, 0.9652, 0.777, 395.929, 'distmap', 108.0),
+    ('rect_18x7', 'rot90', 108.0, 51.6569, 0.9652, 0.777, 395.929, 'distmap', 108.0),
     ('rect_24x9', 'flip_h', 168.0, 58.0, 0.9574, 1.006, 923.6282, 'sor', 168.0),
     ('rect_24x9', 'rot90', 168.0, 58.0, 0.9574, 1.006, 923.6282, 'sor', 168.0),
     ('ribbon_30x4', 'flip_h', 64.0, 60.0, 0.9978, 0.5039, 94.6174, 'distmap', 64.0),

@@ -418,6 +418,12 @@ def test_phase_congruency_localizes_step_edge():
 
     img = np.full((64, 64), 200.0)
     img[:, 32:] = 40.0  # vertical step edge at column 32
+    # Tiny deterministic 2-D ripple: a PURE 1-D spectrum would zero
+    # three orientations' energy exactly and the published bare
+    # division then NaNs the map (see test_pure_1d_image_is_nan below);
+    # real ROIs always have 2-D content.
+    yy, xx = np.mgrid[:64, :64]
+    img += 0.5 * np.sin(yy * 0.9) * np.cos(xx * 1.3)
     pc = phase_congruency_Mm(img)
     # Peak response concentrated at the edge (±2 px), low far from it.
     edge_band = pc[8:-8, 30:35].mean()
@@ -427,6 +433,24 @@ def test_phase_congruency_localizes_step_edge():
     # itself a (real) step edge, so argmax over the full row may hit it.
     col_of_max = 5 + np.argmax(pc[32, 5:60])
     assert 30 <= col_of_max <= 33
+
+
+def test_pure_1d_image_is_nan_and_segmentation_falls_back():
+    """Published phasecong (bare division, phasepack form): an image
+    with an exactly 1-D spectrum (pure vertical step) zeroes three
+    orientations' total amplitude, so 0/0 NaNs the whole map.  The
+    segmentation chain must then ride the k-means dark-mask union
+    instead of crashing or returning garbage."""
+    from ifcb_data_pipeline_spark.operators.kernels import segment_roi_pc
+    from ifcb_data_pipeline_spark.operators.phasecong import phase_congruency_Mm
+
+    img = np.full((64, 64), 200.0)
+    img[:, 32:] = 40.0
+    pc = phase_congruency_Mm(img)
+    assert np.isnan(pc).all()
+    mask = segment_roi_pc(img.astype(np.uint8))
+    assert mask[10:50, 40:60].mean() > 0.9  # dark half recovered via k-means
+    assert not mask[10:50, :25].any()
 
 
 def test_phase_congruency_contrast_invariant():
