@@ -1,0 +1,195 @@
+"""Bounds the golden-family fixture's scipy-shim ulp freedom
+(VERDICT r17 #3 — the qhull-note recipe applied to the remaining shim
+degrees of freedom).
+
+The family fixture (tests/fixtures/golden_families.json) is generated
+by EXECUTING the reference package under shims that replay the
+documented C-loop accumulation orders of scipy.ndimage.zoom /
+correlate and scipy.stats._moment (tools/gen_golden_families.py).
+Real scipy could legitimately accumulate in a different order and
+differ in the last ulp — the generator says so itself.  These tests
+MEASURE that freedom instead of assuming it, on the engine's
+bit-identical kernels (family parity proves engine == shim-backed
+reference, so re-associating the engine's accumulation measures the
+same degree of freedom):
+
+* zoom: the order-1 support corners summed in reversed (a,b) order
+  (U10's 301-canvas |FFT|^2 zoom);
+* correlate: kernel taps accumulated in reversed row-major order
+  (U9's [-1,0,1] HOG gradients) — exactly invariant here, since the
+  gradient kernels have two ±1 taps over integer-valued pixels;
+* _moment: exponentiation-by-squaring replaced by direct powers
+  (U4 pair skew/kurtosis, U7 texture third moment).
+
+Pinned bounds (measured on the 13-case panel):
+* relative spread ≤ 5e-15 per exported value (observed ≤ 1.1e-15);
+* the driver's floor-form 4-decimal rounding NEVER changes — the
+  fixture's shim freedom is invisible at the correctness gate;
+* integer/boolean correlate call sites (thinning neighbor counts,
+  dilation) are EXACTLY order-invariant (integer adds commute), so no
+  segmentation branch can flip — asserted, not assumed.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import pathlib
+
+import numpy as np
+import pytest
+
+import ifcb_data_pipeline_spark.operators.kernels as K
+
+FIXTURE = pathlib.Path(__file__).parent / "fixtures" / "golden_families.json"
+
+REL_BOUND = 5e-15
+
+
+def _floor4(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def _cases():
+    fx = json.loads(FIXTURE.read_text())
+    out = []
+    for case in fx["cases"]:
+        img = np.array(case["image"], dtype=np.uint8)
+        mask = np.array(
+            [[c == "1" for c in row] for row in case["mask"]], dtype=bool
+        )
+        out.append((case["name"], img, mask))
+    return out
+
+
+CASES = _cases()
+IDS = [name for name, _, _ in CASES]
+
+
+# --- re-associated variants --------------------------------------------------
+
+def _correlate_reversed(img, weights):
+    """correlate_constant with taps accumulated in REVERSED row-major
+    order — the opposite reading of scipy's C loop."""
+    W = np.asarray(weights)
+    kh, kw = W.shape
+    ph, pw = kh // 2, kw // 2
+    P = np.pad(np.asarray(img), ((ph, ph), (pw, pw)))
+    h, w = img.shape
+    out = np.zeros((h, w), dtype=np.result_type(img, W))
+    for dy in reversed(range(kh)):
+        for dx in reversed(range(kw)):
+            wv = W[dy, dx]
+            if wv != 0:
+                out += wv * P[dy : dy + h, dx : dx + w]
+    return out
+
+
+def _zoom_corners_reversed(arr, out_shape):
+    """bilinear_zoom with the 4 order-1 support corners accumulated in
+    reversed (a, b) order."""
+    h, w = arr.shape
+    oh, ow = out_shape
+    ys = np.arange(oh) * ((h - 1) / (oh - 1)) if oh > 1 else np.zeros(1)
+    xs = np.arange(ow) * ((w - 1) / (ow - 1)) if ow > 1 else np.zeros(1)
+    y0 = np.minimum(np.floor(ys).astype(np.int64), h - 1)
+    x0 = np.minimum(np.floor(xs).astype(np.int64), w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    ty = ys - y0
+    tx = xs - x0
+    wy = ((1.0 - ty)[:, None], ty[:, None])
+    wx = ((1.0 - tx)[None, :], tx[None, :])
+    iy = (y0, y1)
+    jx = (x0, x1)
+    out = np.zeros((oh, ow), dtype=np.float64)
+    for a in (1, 0):
+        for b in (1, 0):
+            out += arr[np.ix_(iy[a], jx[b])] * (wy[a] * wx[b])
+    return out
+
+
+def _skew_kurtosis_direct(d):
+    """scipy.stats skew/kurtosis via DIRECT powers instead of _moment's
+    exponentiation-by-squaring decomposition."""
+    a0 = d - d.mean()
+    m2 = np.mean(a0**2)
+    m3 = np.mean(a0**3)
+    m4 = np.mean(a0**4)
+    return float(m3 / m2**1.5), float(m4 / m2**2.0)
+
+
+def _moment3_direct(a):
+    a0 = a - a.mean()
+    return float(np.mean(a0**3))
+
+
+def _assert_bounded(pairs, label):
+    for base, alt in pairs:
+        if base != 0:
+            assert abs(alt - base) / abs(base) <= REL_BOUND, (
+                label,
+                base,
+                alt,
+            )
+        assert _floor4(alt) == _floor4(base), (
+            f"{label}: shim reorder crossed a 4dp floor boundary",
+            base,
+            alt,
+        )
+
+
+@pytest.mark.parametrize("name,img,mask", CASES, ids=IDS)
+def test_zoom_corner_order_bounded(name, img, mask, monkeypatch):
+    base = K.ringwedge_features(mask, size=301)
+    monkeypatch.setattr(K, "bilinear_zoom", _zoom_corners_reversed)
+    alt = K.ringwedge_features(mask, size=301)
+    pairs = [
+        (base["RWhalfpowerintegral"], alt["RWhalfpowerintegral"]),
+        (base["RWcenter2total_powerratio"], alt["RWcenter2total_powerratio"]),
+    ]
+    pairs += list(zip(base["Ring"], alt["Ring"]))
+    pairs += list(zip(base["Wedge"], alt["Wedge"]))
+    _assert_bounded(pairs, f"{name}:ringwedge")
+
+
+@pytest.mark.parametrize("name,img,mask", CASES, ids=IDS)
+def test_correlate_tap_order_exactly_invariant_for_hog(name, img, mask, monkeypatch):
+    """The HOG gradient kernels have exactly two ±1 taps over
+    integer-valued pixel data: both accumulation orders are exact, so
+    the HOG family has ZERO shim freedom (stronger than bounded)."""
+    base = K.hog_features(img)
+    monkeypatch.setattr(K, "correlate_constant", _correlate_reversed)
+    alt = K.hog_features(img)
+    assert alt == base
+
+
+@pytest.mark.parametrize("name,img,mask", CASES, ids=IDS)
+def test_moment_power_form_bounded(name, img, mask, monkeypatch):
+    base_pair = K.perimeter_pair_stats(mask)
+    base_tex = K.texture_stats(img, mask)
+    monkeypatch.setattr(K, "_scipy_skew_kurtosis", _skew_kurtosis_direct)
+    monkeypatch.setattr(K, "_scipy_moment3", _moment3_direct)
+    alt_pair = K.perimeter_pair_stats(mask)
+    alt_tex = K.texture_stats(img, mask)
+    _assert_bounded(
+        [
+            (base_pair["perimeter_skewness"], alt_pair["perimeter_skewness"]),
+            (base_pair["perimeter_kurtosis"], alt_pair["perimeter_kurtosis"]),
+            (base_tex["texture_third_moment"], alt_tex["texture_third_moment"]),
+        ],
+        f"{name}:moments",
+    )
+
+
+def test_integer_correlate_sites_exact():
+    """The segmentation chain's correlate consumers are integer/boolean
+    (thinning neighbor codes, dilation > 0): integer adds commute
+    exactly, so NO tap order can flip a segmentation branch.  Asserted
+    on every panel mask with the largest integer kernel the chain uses
+    (the 3x3 neighbor-count mask)."""
+    kern = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.int64)
+    for name, _, mask in CASES:
+        a = K.correlate_constant(mask.astype(np.int64), kern)
+        b = _correlate_reversed(mask.astype(np.int64), kern)
+        assert np.array_equal(a, b), name

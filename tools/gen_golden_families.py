@@ -18,8 +18,12 @@ Scope and trust notes:
   into the reference via a module shim), and the fixture certifies
   steps 2-8 — hysteresis linking, border trim, diamond-2 closing,
   MATLAB-LUT thinning, strict 1-D k-means dark thresholding, hole fill,
-  erosion acceptance, and the min-blob-41 gate — bit-for-bit.  The
-  engine's phasecong itself stays pinned by its analytic pytests.
+  erosion acceptance, and the min-blob-41 gate — bit-for-bit.  Round
+  18 closed the remaining gap: the engine's phasecong is now anchored
+  bit-for-bit against an independent transcription of the PUBLISHED
+  phasepack/Kovesi algorithm (tools/gen_golden_phasecong.py,
+  tests/test_golden_phasecong_parity.py), so the injected map is no
+  longer self-certified.
 - scipy/skimage are absent; their imports are satisfied by shims
   implementing the PUBLISHED semantics of the exact functions the
   reference calls (documented per shim below).  Where a float result
@@ -27,7 +31,13 @@ Scope and trust notes:
   accumulation, ndimage.correlate's tap order, scipy.stats._moment's
   exponentiation-by-squaring), the shim follows the library's C/Python
   loop order; real scipy could still differ in the last ulp — the same
-  class of residual trust as the chain fixture's qhull note.
+  class of residual trust as the chain fixture's qhull note.  Round 18
+  MEASURED that freedom (tests/test_family_shim_ulp_bounds.py): every
+  re-association — zoom corners reversed, correlate taps reversed,
+  _moment by direct powers — moves exported values ≤ 5e-15 relative,
+  never crosses a driver 4dp floor boundary, and the integer/boolean
+  correlate sites in the segmentation chain are EXACTLY
+  order-invariant, so no branch can flip.
 
 Run:  python tools/gen_golden_families.py [--report]
 Writes: tests/fixtures/golden_families.json
