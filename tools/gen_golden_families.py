@@ -425,6 +425,34 @@ def panel_images() -> dict[str, np.ndarray]:
     yy, xx = np.mgrid[:56, :56]
     clipped = (xx - 4) ** 2 + (yy - 28) ** 2 <= 18 * 18  # disk clipped at x=0
     render("border_clipped", clipped, noise_fg=14, seed=103)
+
+    # degenerate extensions (round 18, VERDICT r17 #7): the guard
+    # branches production data will eventually hit, reference-executed
+    # so both sides' num_blobs==0 contracts (all.py:360-430 zeros +
+    # ZeroMock) are certified, not assumed.
+    # - exactly flat: 1-D spectrum -> published phasecong NaNs the map
+    #   (bare 0/0), hysteresis empty, strict k-means takes the
+    #   singleton/empty-cluster path -> empty mask end to end.
+    out["flat_all"] = np.full((40, 40), 128, dtype=np.uint8)
+    # - exactly flat DARK field: same guards from the dark side.
+    out["dark_all"] = np.full((40, 40), 25, dtype=np.uint8)
+    # - single dark pixel on a clean field: the PC ring of a point
+    #   survives the min-blob gate via the erosion-acceptance branch —
+    #   the smallest non-empty segmentation the chain produces.
+    one = np.full((40, 40), 215, dtype=np.uint8)
+    one[20, 20] = 30
+    out["dot_1px"] = one
+    # - NON-empty before the min-blob-41 gate, empty after it: a noisy
+    #   background raises the Rayleigh tau enough to suppress the tiny
+    #   dot's PC rings (hysteresis keeps ~40 scattered px), k-means
+    #   finds only the ~9 dot pixels, and the merged pre-gate mask
+    #   (~15 px) dies at remove_small_blobs(41) — exercising the gate
+    #   itself and the erosion-acceptance REJECT branch.
+    gate = np.clip(
+        205 + lcg_noise((44, 44), -12, 13, 17), 0, 255
+    ).astype(np.int64)
+    gate[20:23, 20:23] = 40
+    out["gate_killed"] = gate.astype(np.uint8)
     return out
 
 
@@ -449,11 +477,29 @@ def reference_families(mods, img: np.ndarray) -> dict:
         "mask": ["".join("1" if v else "0" for v in row) for row in mask],
         "kmeans_mask": ["".join("1" if v else "0" for v in row) for row in kmask],
     }
+    # U9 HOG on the raw image (all.py:364-369) — UNCONDITIONAL: the
+    # reference computes it even for an empty mask.
+    rec["hog"] = [repr(float(v)) for v in hog.image_hog(img)]
+    # degenerate panel cases: the reference's num_blobs==0 contract
+    # (all.py:360-430 guards + the ZeroMock per-blob fallback in
+    # compute_features, all.py:490-497) — every masked family is zeros;
+    # recorded through the SAME branch the reference takes, so the
+    # fixture certifies the guards, not just the happy path.
+    _, _, comps = blobs_mod.find_blobs(mask)
+    if len(comps) == 0:
+        rec["texture"] = [repr(0.0)] * 6  # all.py:383-386
+        rec["rw_power_integral"] = repr(0.0)  # all.py:424-429
+        rec["rw_power_ratio"] = repr(0.0)
+        rec["wedges"] = [repr(0.0)] * 48
+        rec["rings"] = [repr(0.0)] * 50
+        rec["invmoments"] = [repr(0.0)] * 7  # all.py:360-366
+        rec["binary_symmetry"] = [repr(0.0)] * 3  # ZeroMock
+        rec["hausdorff_symmetry"] = [repr(0.0)] * 3
+        rec["perimeter_stats"] = [repr(0.0)] * 4
+        return rec
     # U7 texture (all.py:377-407): statxture over texture_pixels(image, mask)
     P = tex.texture_pixels(img, mask)
     rec["texture"] = [repr(float(v)) for v in tex.statxture(P)]
-    # U9 HOG on the raw image (all.py:364-369)
-    rec["hog"] = [repr(float(v)) for v in hog.image_hog(img)]
     # U10 ring/wedge on the MASK (all.py:409-418), reference dim=301
     pwr_integral, pwr_ratio, wedges, rings = rw.ring_wedge(mask)
     rec["rw_power_integral"] = repr(float(pwr_integral))
@@ -463,7 +509,6 @@ def reference_families(mods, img: np.ndarray) -> dict:
     # U8 invariant moments on the whole mask (all.py:371-375)
     rec["invmoments"] = [repr(float(v)) for v in bg.invmoments(mask)]
     # largest blob (find_blobs order = area desc) for U4/U6
-    _, _, comps = blobs_mod.find_blobs(mask)
     b0 = comps[0]
     orientation = bg.explicit_orientation(b0)
     rotated = blobs_mod.rotate_blob(b0, orientation)
