@@ -64,6 +64,44 @@ def _plane_literal_columns(dim: int, n_planes: int) -> list[Column]:
     return _PLANE_COL_CACHE[key]
 
 
+_BAND_ARRAY_CACHE: dict[tuple[str, int, int, int], Column] = {}
+
+
+def _band_struct_array(
+    vec_col: str, dim: int, bands: int, rows_per_band: int
+) -> Column:
+    """The full banded sign-signature projection as ONE memoized Column:
+    ``array(struct(band, sig), ...)`` where each sig concatenates
+    ``rows_per_band`` per-plane sign bits.  The r17 plane-literal cache
+    removed the ``F.lit`` matrix cost, but each ``embedding_lsh_pairs``
+    call still rebuilt bands×rows fold/WHEN/concat trees over py4j —
+    ~1.8 s per sim12 call at 8×8 (measured r18).  Columns are unbound
+    expression trees keyed only by the vector column NAME, so the whole
+    projection is reusable across calls and queries."""
+    from .similarity import dot
+
+    key = (vec_col, dim, bands, rows_per_band)
+    if key not in _BAND_ARRAY_CACHE:
+        plane_cols = _plane_literal_columns(dim, bands * rows_per_band)
+
+        def band_sig(b: int) -> Column:
+            bits = []
+            for r in range(rows_per_band):
+                arr = plane_cols[b * rows_per_band + r]
+                bits.append(
+                    F.when(dot(F.col(vec_col), arr) > 0, "1").otherwise("0")
+                )
+            return F.concat(*bits)
+
+        _BAND_ARRAY_CACHE[key] = F.array(
+            *[
+                F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
+                for b in range(bands)
+            ]
+        )
+    return _BAND_ARRAY_CACHE[key]
+
+
 def embedding_lsh_pairs(
     vectors: DataFrame,
     dim: int,
@@ -86,30 +124,17 @@ def embedding_lsh_pairs(
     """
     from .similarity import dot
 
-    plane_cols = _plane_literal_columns(dim, bands * rows_per_band)
     # Cross-engine floor-form rounding (see queries._util.dround).
     rf = float(10.0**round_digits)
 
     def dround(col: Column, _f: float = rf) -> Column:
         return F.floor(col * _f + F.lit(0.5)) / F.lit(_f)
 
-    def band_sig(b: int) -> Column:
-        bits = []
-        for r in range(rows_per_band):
-            arr = plane_cols[b * rows_per_band + r]
-            bits.append(F.when(dot(F.col(vec_col), arr) > 0, "1").otherwise("0"))
-        return F.concat(*bits)
-
     coded = vectors.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_sig(b).alias("sig"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bs"),
+        F.explode(_band_struct_array(vec_col, dim, bands, rows_per_band)).alias(
+            "bs"
+        ),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     # Pre-partition the signature frame on the join key: both sides of the
     # self-join below then hang off ONE canonical Exchange subtree, so

@@ -28,22 +28,52 @@ def _drain_to_memory(writer, query_name: str, timeout: int = 60) -> bool:
     return False, so every caller's deterministic batch twin is reachable
     on ANY streaming-path failure — an exception must not bypass the
     fallback (ADVICE r4).
+
+    State-partition clamp (round 18 profile work): stateful operators
+    materialize one state store PER shuffle partition PER stateful op —
+    a one-shot availableNow drain of a single file at 32 partitions is
+    store-setup-dominated (st4's two-sided interval join: ~5.1 s at 32,
+    ~2.2 s at 8, measured sf0.1).  The drain runs under
+    min(session, 8) shuffle partitions, restored in finally; min()
+    keeps hostile low-partition sweep legs meaningful, and the result
+    is a set either way.  Each call uses a fresh sink/checkpoint, so no
+    checkpoint ever pins the clamped count.  At production scale the
+    trigger is a long-lived stream on a real cluster where the session
+    partition count is sized to the executor fleet — the clamp is a
+    local-drain optimization, not a scale policy.
     """
+    spark = writer._df.sparkSession if hasattr(writer, "_df") else None
+    prev = None
     try:
-        query = writer.queryName(query_name).trigger(availableNow=True).start()
+        if spark is not None:
+            prev = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(min(int(prev), 8))
+            )
     except Exception:
-        return False
+        prev = None
     try:
-        finished = query.awaitTermination(timeout)
-    except Exception:
-        finished = False
-    finally:
-        # Release the handle so a re-run in-session is clean.
         try:
-            query.stop()
+            query = writer.queryName(query_name).trigger(availableNow=True).start()
         except Exception:
-            pass
-    return bool(finished)
+            return False
+        try:
+            finished = query.awaitTermination(timeout)
+        except Exception:
+            finished = False
+        finally:
+            # Release the handle so a re-run in-session is clean.
+            try:
+                query.stop()
+            except Exception:
+                pass
+        return bool(finished)
+    finally:
+        if prev is not None:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            except Exception:
+                pass
 
 # --- MM1: bin → ROI → features through mapInPandas -------------------------
 # Fake-ROI math (must mirror operators/multimodal.py):
