@@ -1014,35 +1014,55 @@ FROM ranked WHERE rank <= 5
 @register("tx13_bm25_topk", TX13_SQL, survey_ref="north-star text: BM25 inverted-index retrieval (broadcast query set, no corpus×query product)")
 def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
-    # (measured: fan_out on the scan HURTS here — the tokenize feeds a
-    # groupBy whose map-side partial aggregation amortizes the single
-    # scan task, and the extra exchange costs more than it frees.)
     q = spark.createDataFrame(
         [(qid, t) for qid, terms in _TX13_QUERIES for t in terms],
         "query_id string, w string",
     )
+    qterms = sorted({t for _, terms in _TX13_QUERIES for t in terms})
+    # ONE corpus pass (round 18): the old shape tokenized + aggregated
+    # the full vocabulary four times (dt fed dl, stats, df and the
+    # postings join as four independent subtrees — four scans, four
+    # explodes, and two corpus-wide wide-key shuffles: the (doc, w)
+    # tf aggregation over ALL terms and the per-doc dl re-aggregation
+    # of dt).  But BM25 against a fixed query set only ever needs
+    # per-term postings for the QUERY terms, and dl (doc length) is
+    # just size(tokens) — a narrow map, no explode and no shuffle.  So:
+    # tokenize once, keep size(toks) and the query-term hits, and
+    # localCheckpoint that |docs|-row proxy (doc_id, dl, qtoks) so the
+    # three consumers below share the materialization instead of
+    # re-running the scan.  fan_out unlocks the single-row-group local
+    # scan for the one materialization pass (the old "fan_out HURTS"
+    # note applied to the old shape, where map-side partial aggregation
+    # amortized the single scan task across the full-vocab agg).
+    toks = tokens(F.col("text"))
+    base = (
+        fan_out(documents)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(toks).cast("long").alias("dl"),
+            F.filter(toks, lambda x: x.isin(qterms)).alias("qtoks"),
+        )
+        .localCheckpoint()
+    )
     dt = (
-        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-        .groupBy("doc_id", "w")
+        base.select("doc_id", "dl", F.explode("qtoks").alias("w"))
+        .groupBy("doc_id", "dl", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # dl stays an exact BIGINT and avgdl a ratio of exact integers
     # (Σdl / n_docs): a float avg over the corpus is summation-order
     # dependent and would drift last-ulp between engines/runs, shifting
     # every score (ADVICE r6 determinism hardening).
-    dl = dt.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
+    stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
     )
-    # df only matters for query terms: prune the vocabulary-sized frame
-    # with the broadcast query set BEFORE it meets the postings, so the
-    # idf side of the scoring join is |query terms| rows, not |vocab|.
-    df_ = (
-        dt.join(F.broadcast(q.select("w").dropDuplicates()), "w")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("double").alias("docfreq"))
-    )
+    # docfreq per query term: a partial-aggregating groupBy over the
+    # pruned postings (8 groups; map-side partials keep the shuffle a
+    # few rows per task — deliberately NOT a count-over-window by w,
+    # which would ship every posting row to ≤|terms| tasks at scale).
+    df_ = dt.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("docfreq"))
     idf = F.log(
         1
         + (F.col("n_docs") - F.col("docfreq") + 0.5) / (F.col("docfreq") + 0.5)
@@ -1062,7 +1082,6 @@ def tx13_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial = (
         dt.join(F.broadcast(q), "w")
         .join(F.broadcast(df_), "w")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "query_id",

@@ -92,7 +92,12 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/text.py", "sp12_grouped_split_balance"): 2,
     ("queries/text.py", "sp8_importance_resampling"): 2,
     ("queries/text.py", "tx10_tfidf_top_terms"): 1,
-    ("queries/text.py", "tx13_bm25_topk"): 4,
+    # round 18: the df_ pre-prune broadcast went away with the
+    # single-pass rewrite (postings are pruned by an array filter
+    # before aggregation, so no broadcast is needed to prune df);
+    # remaining sites: q onto postings, df_ onto postings, stats
+    # crossJoin — all bounded by the literal query set / 1 row.
+    ("queries/text.py", "tx13_bm25_topk"): 3,
     # tx16: the vocab side is projected into the fixed 2^22 hash-bucket
     # space BEFORE this broadcast (the round-13 fix this lint encodes)
     ("queries/text.py", "tx16_bigram_vocab_coverage"): 1,
