@@ -184,6 +184,31 @@ def connected_components(
             )
         )
     )
+
+    # Scale-adaptive iteration parallelism (round 18, guide §2.2): every
+    # star round is 2 window shuffles + a dedup over the CURRENT edge
+    # set, whose size the convergence fingerprint just measured exactly.
+    # Partitioning those exchanges by the session default (sized for the
+    # whole corpus / core count) makes each of the ~log n rounds pay a
+    # full session-width stage of mostly-empty tasks; deriving the count
+    # from measured bytes (~48 B/edge row against the AQE advisory
+    # target) sizes the rounds to the data at ANY scale — 1 partition
+    # for a 5k-edge local graph, thousands for a 1e11-edge corpus graph
+    # (never capped by the session default: if the derived count exceeds
+    # it, the data genuinely needs more).  Restored in finally so only
+    # the iteration runs resized.
+    from .skew import _parse_bytes
+
+    spark = edges.sparkSession
+    try:
+        advisory = _parse_bytes(spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    except Exception:
+        advisory = 64 << 20
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+
+    def _iter_parts(n_edges: int) -> int:
+        return max(1, -(-int(n_edges) * 48 // max(advisory, 1 << 20)))
     # Two star-pair rounds per materialization: locally the cost is
     # action-count (checkpoint + fingerprint jobs), so batching halves the
     # job count at the price of at most one redundant (no-op) pair after
@@ -199,21 +224,26 @@ def connected_components(
     # choice.
     rounds_done = 0
     converged = False
-    while rounds_done < max_rounds:
-        nxt = _canonical(_small_star(_large_star(e)))
-        nxt, nfp = checkpoint_with_fingerprint(
-            _canonical(_small_star(_large_star(nxt)))
-        )
-        rounds_done += 2
-        if nfp == fp:
-            # fingerprints agree — prove set equality (one job) before
-            # stopping, so a fingerprint collision can't end early
-            if nxt.exceptAll(e).unionAll(e.exceptAll(nxt)).isEmpty():
-                if _round_counter is not None:
-                    _round_counter.append(rounds_done)
-                converged = True
-                break
-        e, fp = nxt, nfp
+    try:
+        while rounds_done < max_rounds:
+            spark.conf.set("spark.sql.shuffle.partitions", str(_iter_parts(fp[0])))
+            nxt = _canonical(_small_star(_large_star(e)))
+            nxt, nfp = checkpoint_with_fingerprint(
+                _canonical(_small_star(_large_star(nxt)))
+            )
+            rounds_done += 2
+            if nfp == fp:
+                # fingerprints agree — prove set equality (one job) before
+                # stopping, so a fingerprint collision can't end early
+                if nxt.exceptAll(e).unionAll(e.exceptAll(nxt)).isEmpty():
+                    if _round_counter is not None:
+                        _round_counter.append(rounds_done)
+                    converged = True
+                    break
+            e, fp = nxt, nfp
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds"
@@ -259,23 +289,57 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    e_deg = e.join(deg, "src").localCheckpoint()
+    obs = Observation()
+    e_deg = (
+        e.join(deg, "src")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    try:
+        n_edges = int(_observation_get(obs)["n"])
+    except TimeoutError:
+        n_edges = e_deg.count()
+
+    # Scale-adaptive iteration parallelism (round 18, guide §2.2) — the
+    # same sizing rule as connected_components: every iteration's
+    # shuffles move ~|edges| (contrib) / ~|nodes| (rank rebuild) rows
+    # whose count is now known exactly, so size the iteration exchanges
+    # to measured bytes instead of the session default.  Result-safe:
+    # rank sums are summation-order "irrational-ish" doubles rounded at
+    # 1e-6 on output (finite-decimal rule), and the adversarial
+    # partition-count sweeps pin exactly this axis.  Restored in
+    # finally; only the fixed-iteration loop runs resized.
+    from .skew import _parse_bytes
+
+    spark = edges.sparkSession
+    try:
+        advisory = _parse_bytes(spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+    except Exception:
+        advisory = 64 << 20
+    iter_parts = max(1, -(-max(n_edges, n) * 48 // max(advisory, 1 << 20)))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
-    for i in range(iterations):
-        contrib = (
-            e_deg.join(ranks, e_deg.src == ranks.node)
-            .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
-        if i % 2 == 1 or i == iterations - 1:
-            ranks = ranks.localCheckpoint()
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+        for i in range(iterations):
+            contrib = (
+                e_deg.join(ranks, e_deg.src == ranks.node)
+                .select("dst", (F.col("rank") / F.col("odeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                (F.lit(base) + damping * F.coalesce("in_mass", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            if i % 2 == 1 or i == iterations - 1:
+                ranks = ranks.localCheckpoint()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return ranks

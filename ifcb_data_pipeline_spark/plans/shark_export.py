@@ -93,9 +93,14 @@ def shark_export(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select(F.col("c_custkey"), F.col("n_name").alias("basin"))
 
-    merged = rolled.join(hdr, "sample").join(
-        geo, hdr.o_custkey == geo.c_custkey, "left"
-    )
+    # Join geo onto hdr BEFORE the rollup join (round 18): the custkey
+    # exchange then carries |samples| header rows instead of the
+    # |sample × taxon| merged frame (which also drags the taxon strings
+    # through the shuffle).  Left-join associativity holds because the
+    # geo key (o_custkey) lives entirely on hdr and the rollup join is
+    # an inner equi-join on sample — row-for-row the same output.
+    hdr_geo = hdr.join(geo, hdr.o_custkey == geo.c_custkey, "left")
+    merged = rolled.join(hdr_geo, "sample")
 
     coeff = dround(F.lit(1000.0) / F.col("ml_analyzed"), 1)
     abund = dround(F.col("counts") * 1000.0 / F.col("ml_analyzed"), 1)
