@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.shark_export import shark_export
@@ -128,17 +128,32 @@ def p2_hab_alert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts_per_liter",
         F.col("counts") * 1000.0 / (F.col("o_totalprice") / 1000.0),
     )
-    w = Window.partitionBy("taxon").orderBy(
-        F.col("counts_per_liter").desc(), F.col("sample")
-    )
+    # Grouped top-1 as a struct-min AGGREGATION, not a row_number window
+    # (r18, guide §2.3/§2.5): taxon is p_brand — 25 distinct values at
+    # ANY scale — so a taxon-partitioned window funnels the whole rolled
+    # frame through 25 tasks and sorts each, a built-in hot-key skew.
+    # min(struct(-cpl, sample, counts)) is the same selection rule
+    # (lexicographic struct order: largest cpl, then smallest sample —
+    # IEEE negation is exact and cpl > 0, and (sample, taxon) is unique
+    # in rolled so the tie-break is total), but runs as a hash aggregate
+    # with map-side partial combine: each task reduces to ≤ 25 rows
+    # before the exchange, and nothing is ever sorted.
     argmax = (
-        rolled.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        rolled.groupBy("taxon")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("counts_per_liter")).alias("neg_cpl"),
+                    F.col("sample").alias("sample"),
+                    F.col("counts").alias("counts"),
+                )
+            ).alias("top")
+        )
         .select(
-            "sample",
+            F.col("top.sample").alias("sample"),
             "taxon",
-            "counts",
-            dround(F.col("counts_per_liter"), 4).alias("counts_per_liter"),
+            F.col("top.counts").alias("counts"),
+            dround(-F.col("top.neg_cpl"), 4).alias("counts_per_liter"),
         )
     )
     totals = rolled.groupBy("sample").agg(F.sum("counts").alias("total_counts"))

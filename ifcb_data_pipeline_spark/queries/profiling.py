@@ -621,7 +621,7 @@ JOIN s hi ON hi.rn = t.hi_idx
 
 @register("dp8_exact_quantiles", DP8_SQL, survey_ref="beyond reference: exact global quantiles via distributed rank (dp7's exact twin)")
 def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.windows import global_rank
+    from ..operators.windows import grouped_prefix_sum
 
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     cents = lineitem.select(
@@ -629,11 +629,33 @@ def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cents")
     )
-    ranked = global_rank(cents, F.col("cents"), rank_col="rn")
-    # total from a plain column count — global_rank preserves
-    # cardinality, and counting the ranked frame would re-execute the
-    # range-exchange + sort pipeline just to produce one number.
-    total = cents.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # Histogram-first (r18, guide §2.3 "aggregate before you shuffle"):
+    # an order statistic only needs to know WHERE in the total order each
+    # distinct value's run of equal rows sits, so collapse the fact frame
+    # to (cents, cnt) with a hash aggregation (map-side partial combine)
+    # BEFORE any ordering machinery.  The range exchange + prefix sum
+    # then operate on |distinct cents| rows — bounded by the VALUE DOMAIN
+    # (part price × quantity), not the row count — and, unlike the
+    # previous global_rank form, nothing fact-sized is ever
+    # localCheckpoint-ed.  A probe at global rank k selects the distinct
+    # value whose cumulative count first reaches k (cum − cnt < k ≤ cum),
+    # which is exactly the row rank-k machinery would have selected:
+    # equal cents are interchangeable under any tie order, so the result
+    # is identical to the oracle's row_number() form.
+    # The checkpoint is load-bearing even though only grouped_prefix_sum
+    # consumes hist: repartitionByRange SAMPLES its input to pick range
+    # boundaries, so an unmaterialized hist would execute the scan + hash
+    # aggregation twice (once for the sample pass, once for the real
+    # exchange) — A/B-measured 4.3 s vs 2.2 s at sf0.1.
+    hist = (
+        cents.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    cum = grouped_prefix_sum(hist, [], ["cents"], "cnt", out_col="cum")
+    # total from the checkpointed histogram — one fact scan serves both
+    # the total and the prefix-sum branches.
+    total = hist.agg(F.sum("cnt").cast("long").alias("n"))
     # 6 probe positions (3 quantiles × lo/hi), derived from the 1-row
     # total — broadcast-scale by construction.
     probes = (
@@ -660,7 +682,13 @@ def dp8_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p", "rf", F.col("pr.rn").alias("rn"), F.col("pr.side").alias("side"))
     )
-    hit = ranked.join(F.broadcast(probes), "rn")
+    # Each probe rank lands in exactly one histogram run; the 6-row probe
+    # frame is broadcast and the range predicate evaluated map-side over
+    # the bounded histogram (BroadcastNestedLoopJoin over |distinct| × 6).
+    hit = cum.join(
+        F.broadcast(probes),
+        (F.col("rn") > F.col("cum") - F.col("cnt")) & (F.col("rn") <= F.col("cum")),
+    )
     return (
         hit.groupBy("p", "rf")
         .agg(

@@ -409,7 +409,9 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/multimodal.py", "mm10_voice_activity"): 1,
     ("queries/multimodal.py", "st2_stateful_user_counts"): 2,
     ("queries/packing.py", "pk3_length_bucketed_batching"): 1,
-    ("queries/pipelines.py", "p2_hab_alert"): 1,
+    # p2_hab_alert left this inventory in r18: its per-taxon argmax is now
+    # a struct-min aggregation (25 hot keys made the window a built-in
+    # skew), so the query has no window at all.
     ("queries/profiling.py", "dp7_binned_quantiles"): 1,
     ("queries/similarity.py", "sim10_pq_adc"): 2,
     ("queries/similarity.py", "sim12_knn_graph"): 1,
