@@ -58,29 +58,75 @@ def stitched_adjacency_flag(
     ``order_by`` must be a unique key of ``df``.
     """
     order = [F.col(c) for c in order_by]
+    resid = [c for c in order_by if c != bucket_col]
     wp = Window.partitionBy(bucket_col).orderBy(*order)
-    # last-row test via partition count — one sort per partition instead
-    # of a second descending window pass.
-    wcnt = Window.partitionBy(bucket_col)
     x = (
         df.withColumn("__hit", F.coalesce(hit, F.lit(False)))
         .withColumn("__lag", F.lag("__hit").over(wp))
         .withColumn("__lead", F.lead("__hit").over(wp))
-        .withColumn("__rn", F.row_number().over(wp))
-        .withColumn("__rnd", (F.count(F.lit(1)).over(wcnt) - F.col("__rn") + 1))
     )
-    # Boundary rows: first and last of each bucket.  In global order these
-    # interleave as ..., bucketN.first, bucketN.last, bucketN+1.first, ...
-    # so within the boundary set, lag(first-of-bucket) is the previous
-    # bucket's last row and lead(last-of-bucket) the next bucket's first.
-    boundary = x.where((F.col("__rn") == 1) | (F.col("__rnd") == 1)).select(
-        bucket_col, *[c for c in order_by if c != bucket_col], "__hit", "__rn", "__rnd"
+    # Boundary information per bucket — the first/last row's key and hit
+    # — comes from a partial-aggregating groupBy over ``df``, NOT from a
+    # second pass over the windowed frame (r18, guide §2.3): the old
+    # form re-ran the bucket window machinery (full-data exchange + sort
+    # + row_number + count) on a second copy of the input that column
+    # pruning kept from being exchange-reused.  min_by/max_by combine
+    # map-side to one row per bucket BEFORE any exchange, so the patch
+    # branch now shuffles |buckets| rows instead of |df| rows (plan:
+    # 4 Window execs -> 2, second full-data Exchange+Sort gone).
+    # Determinism: ``order_by`` is a unique key of df (docstring
+    # contract), so first/last per bucket are well-defined.
+    hitc = F.coalesce(hit, F.lit(False))
+    rkey = F.struct(*[F.col(c) for c in resid]) if len(resid) > 1 else F.col(resid[0])
+    b = df.groupBy(bucket_col).agg(
+        F.min(rkey).alias("__first_key"),
+        F.min_by(hitc, rkey).alias("__first_hit"),
+        F.max(rkey).alias("__last_key"),
+        F.max_by(hitc, rkey).alias("__last_hit"),
     )
-    wg = Window.orderBy(*order)  # tiny: 2 rows per bucket
-    patch = boundary.select(
-        *order_by,
-        F.when(F.col("__rn") == 1, F.lag("__hit").over(wg)).alias("__ext_lag"),
-        F.when(F.col("__rnd") == 1, F.lead("__hit").over(wg)).alias("__ext_lead"),
+    # One row per bucket — bounded by the bucket domain (the calendar for
+    # date buckets), the same bounded-window exception the old 2-rows-
+    # per-bucket global window relied on.  In bucket order, the previous
+    # bucket's last row is the global predecessor of this bucket's first
+    # row, and the next bucket's first row the successor of its last.
+    wb = Window.orderBy(F.col(bucket_col))
+    b2 = b.select(
+        bucket_col,
+        "__first_key",
+        "__last_key",
+        F.lag("__last_hit").over(wb).alias("__prev_last"),
+        F.lead("__first_hit").over(wb).alias("__next_first"),
+    )
+    single = F.col("__first_key") == F.col("__last_key")
+    first_row = F.struct(
+        F.col("__first_key").alias("k"),
+        F.col("__prev_last").alias("__ext_lag"),
+        # A single-row bucket's one row is both first and last: it takes
+        # the successor patch too (the old form's rn==1 AND rnd==1 row).
+        F.when(single, F.col("__next_first")).alias("__ext_lead"),
+    )
+    last_row = F.struct(
+        F.col("__last_key").alias("k"),
+        F.lit(None).cast("boolean").alias("__ext_lag"),
+        F.col("__next_first").alias("__ext_lead"),
+    )
+    key_cols = (
+        [F.col(f"pr.k.{c}").alias(c) for c in resid]
+        if len(resid) > 1
+        else [F.col("pr.k").alias(resid[0])]
+    )
+    patch = b2.select(
+        bucket_col,
+        F.explode(
+            F.when(single, F.array(first_row)).otherwise(
+                F.array(first_row, last_row)
+            )
+        ).alias("pr"),
+    ).select(
+        bucket_col,
+        *key_cols,
+        F.col("pr.__ext_lag").alias("__ext_lag"),
+        F.col("pr.__ext_lead").alias("__ext_lead"),
     )
     stitched = x.join(F.broadcast(patch), order_by, "left").withColumn(
         out_col,
@@ -88,7 +134,7 @@ def stitched_adjacency_flag(
         | F.coalesce(F.col("__lag"), F.col("__ext_lag"), F.lit(False))
         | F.coalesce(F.col("__lead"), F.col("__ext_lead"), F.lit(False)),
     )
-    return stitched.drop("__hit", "__lag", "__lead", "__rn", "__rnd", "__ext_lag", "__ext_lead")
+    return stitched.drop("__hit", "__lag", "__lead", "__ext_lag", "__ext_lead")
 
 
 def gap_fill(

@@ -396,6 +396,9 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     ("operators/similarity.py", "signlsh_topk"): 2,
     ("operators/windows.py", "global_rank"): 1,
     ("operators/windows.py", "grouped_prefix_sum"): 1,
+    # stitched_adjacency_flag's bucket-order window: one row per bucket
+    # (bounded domain), ordered by the structurally non-null bucket key.
+    ("operators/windows.py", "stitched_adjacency_flag"): 1,
     ("plans/streaming_merge.py", "latest_per_key"): 1,
     ("queries/aggregates.py", "a25_survival_curve"): 2,
     ("queries/aggregates.py", "a30_bottomk_distinct_sample"): 2,
@@ -450,7 +453,7 @@ WINDOW_ORDER_STARRED_INVENTORY: dict[tuple[str, str], int] = {
     ("operators/windows.py", "gap_fill"): 2,
     ("operators/windows.py", "global_rank"): 1,
     ("operators/windows.py", "grouped_prefix_sum"): 1,
-    ("operators/windows.py", "stitched_adjacency_flag"): 2,
+    ("operators/windows.py", "stitched_adjacency_flag"): 1,
 }
 
 
