@@ -962,6 +962,11 @@ _BNLJ_OK = {
     # here — entry derived from test_staged_r15's own sweep).
     "a29_cms_heavy_hitters", "sim13_int8_quant_error",
     "sp12_grouped_split_balance", "w15_ks_two_sample",
+    # r18 histogram-first dp8: the 6-row broadcast probe frame joins the
+    # bounded (value-domain-sized) histogram on a rank-range predicate —
+    # BNLJ over |distinct cents| × 6, the same bounded-broadcast-totals
+    # shape as the entries above.
+    "dp8_exact_quantiles",
 }
 
 # SinglePartition exchanges over already-aggregated bounded frames
