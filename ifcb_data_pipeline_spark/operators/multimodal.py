@@ -45,20 +45,48 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+#: Floor on ROIs per expansion task.  Per-ROI work downstream of the
+#: explode is cheap vectorized numpy (decode/resize/hash — ~0.1 ms/ROI);
+#: what dominates tiny tasks is the per-task Python-runner attach, which
+#: this box pays ~0.5-1 s for when a full-width wave of chained
+#: mapInPandas stages launches at once (measured r18: 32 one-row tasks ×
+#: 3 chained nodes = 96 simultaneous worker attaches → 2-15 s/pass; the
+#: same pass at data-derived width ≤ 4 is ~0.8 s).  2048 ROIs ≈ 0.2-0.5 s
+#: of kernel CPU per task — enough to amortize the attach at any scale.
+_ROIS_PER_TASK = 2048
+
+
 def explode_bins_to_rois(bins: DataFrame, rois_per_bin_col: str = "n_rois") -> DataFrame:
     """Bin → ROI expansion (S2, the only UDTF-shaped operator): one row per
     ROI.  The payload is a real (deterministic) PGM image so downstream
     kernels exercise the actual decode path, not a byte-length stand-in.
 
-    Bins are spread across the full parallelism first: the bins frame
-    usually arrives with the scan's few input splits, and without the
-    repartition every downstream CPU-bound kernel stage would run on
-    those few tasks (observed 3 tasks on a 32-core local run — the
-    expansion multiplies rows ~25×, so balance BEFORE the explode)."""
+    Bins are spread BEFORE the explode (the bins frame usually arrives
+    with the scan's few input splits, and the expansion multiplies rows
+    ~25×), but to a SCALE-DERIVED width, not the core-count constant
+    (guide §2.2: partitioning must adapt to input size).  The width comes
+    from the measured ROI total — one bounded 1-row aggregation job over
+    the pre-explosion bins frame (column-pruned scan + partial agg, the
+    same cheap-scalar pattern as dedup's max-id) — targeting
+    ``_ROIS_PER_TASK`` ROIs per task, capped by the bin count (round-robin
+    cannot split a bin) and by the session parallelism (the downstream
+    per-ROI work is a CPU-bound map stage; more tasks than cores only add
+    Python-runner attach overhead).  A 38-ROI sf0.01 frame gets 1 task
+    instead of 32; a 100 TB corpus hits the parallelism cap, which on a
+    real cluster is the executor-core total."""
     from .image_codec import encode_pgm
 
     parallelism = bins.sparkSession.sparkContext.defaultParallelism
-    bins = bins.repartition(parallelism)  # round-robin: even bin spread
+    # 1-row bounded driver action: (count, sum) over the PRE-explosion
+    # bins frame — never content-scaled ROI rows.
+    stats = bins.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum(rois_per_bin_col).alias("n_rois"),
+    ).first()
+    n_bins = int(stats["n_bins"] or 0)
+    n_rois = int(stats["n_rois"] or 0)
+    width = max(1, min(parallelism, n_bins, -(-n_rois // _ROIS_PER_TASK)))
+    bins = bins.repartition(width)  # round-robin: even bin spread
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -479,39 +479,43 @@ FROM px GROUP BY sample, roi, w, h
 
 @register("mm3_resize_normalize", MM3_SQL, survey_ref="north-star multimodal: batch resize normalization")
 def mm3_resize_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_rois
-
     (orders,) = tables(spark, sf_dir, "orders")
     bins = orders.where(F.col("o_orderkey") % 200 == 0).select(
         F.col("o_orderkey").cast("string").alias("sample"),
         ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
     )
-    resized = resize_rois(explode_bins_to_rois(bins), out_h=16, out_w=16)
+    rois = explode_bins_to_rois(bins)
 
-    # mean over the decoded resized pixels, computed in the same
-    # mapInPandas pass (Arrow-batched, numpy inside)
     import pandas as pd
     from collections.abc import Iterator
 
+    # resize + mean FUSED into one mapInPandas (guide §4: the separate
+    # resize_rois stage was a JVM↔Python round trip plus a PGM
+    # re-encode/re-decode whose only purpose was carrying pixels to this
+    # stage; see mm8 for the measured full-width worker-stampede cost of
+    # the 3-node chain).  PGM is lossless and resize_nearest
+    # deterministic, so decode→resize→mean in one pass is value-identical
+    # to the old resize_rois→decode chain — oracle-verified at all 3 SFs.
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.image_codec import resize_nearest
         from ..operators.multimodal import decode_image
 
         for pdf in batches:
             means = [
-                float(decode_image(bytes(b), w, h).mean())
+                float(resize_nearest(decode_image(bytes(b), w, h), 16, 16).mean())
                 for b, w, h in zip(pdf["image"], pdf["width"], pdf["height"])
             ]
             yield pd.DataFrame(
                 {
                     "sample": pdf["sample"],
                     "roi_number": pdf["roi_number"],
-                    "out_w": pdf["width"].astype("int32"),
-                    "out_h": pdf["height"].astype("int32"),
+                    "out_w": pd.Series([16] * len(pdf), dtype="int32"),
+                    "out_h": pd.Series([16] * len(pdf), dtype="int32"),
                     "mean_px": means,
                 }
             )
 
-    out = resized.mapInPandas(
+    out = rois.mapInPandas(
         stats,
         schema="sample string, roi_number int, out_w int, out_h int, mean_px double",
     )
@@ -1264,21 +1268,28 @@ FROM px GROUP BY sample, roi, patch_row, patch_col
 
 @register("mm8_patchify", MM8_SQL, survey_ref="beyond reference: ViT patch tokenization (decode -> resize -> 4x4 patch grid, exact sums)")
 def mm8_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import resize_rois
-
     (orders,) = tables(spark, sf_dir, "orders")
     bins = orders.where(F.col("o_orderkey") % 400 == 0).select(
         F.col("o_orderkey").cast("string").alias("sample"),
         ((F.col("o_orderkey") % 50) + 1).cast("int").alias("n_rois"),
     )
-    resized = resize_rois(explode_bins_to_rois(bins), out_h=16, out_w=16)
+    rois = explode_bins_to_rois(bins)
 
     import pandas as pd
     from collections.abc import Iterator
 
+    # resize + patchify FUSED into one mapInPandas (guide §4: every
+    # chained Python node is a JVM↔Python round trip plus, here, a PGM
+    # re-encode/re-decode that exists only to carry pixels between the
+    # two stages; r18 measured the 3-node chain's full-width worker
+    # stampede at 2-15 s/pass on 38 rows).  PGM is lossless and
+    # resize_nearest deterministic, so decode→resize→patch-sum in one
+    # pass is value-identical to the old resize_rois→decode chain —
+    # oracle-verified at all 3 SFs.
     def patchify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        from ..operators.image_codec import resize_nearest
         from ..operators.multimodal import decode_image
 
         for pdf in batches:
@@ -1286,10 +1297,13 @@ def mm8_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample": [], "roi_number": [], "patch_row": [],
                 "patch_col": [], "patch_idx": [], "sum_px": [],
             }
-            for sample, roi, blob in zip(
-                pdf["sample"], pdf["roi_number"], pdf["image"]
+            for sample, roi, blob, w, h in zip(
+                pdf["sample"], pdf["roi_number"], pdf["image"],
+                pdf["width"], pdf["height"],
             ):
-                img = decode_image(bytes(blob), 16, 16).astype(np.int64)
+                img = resize_nearest(
+                    decode_image(bytes(blob), w, h), 16, 16
+                ).astype(np.int64)
                 sums = img.reshape(4, 4, 4, 4).sum(axis=(1, 3))
                 for pr in range(4):
                     for pc in range(4):
@@ -1301,7 +1315,7 @@ def mm8_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["sum_px"].append(int(sums[pr, pc]))
             yield pd.DataFrame(out)
 
-    return resized.mapInPandas(
+    return rois.mapInPandas(
         patchify,
         schema=(
             "sample string, roi_number int, patch_row int, patch_col int, "

@@ -914,10 +914,20 @@ def test_tp3_incremental_is_unioned_pushed_scans(spark, sf_dir):
 
 def test_mm9_dhash_grouping_stays_hash_keyed(spark, sf_dir):
     """mm9 groups the decoded corpus by the 64-bit dHash halves — a
-    balanced hash shuffle; no pair join, no global partition."""
+    balanced hash shuffle; no pair join, no clustering funnel.
+
+    r18: `explode_bins_to_rois` sizes its round-robin width from the
+    measured ROI count (guide §2.2), so at test SFs the expansion
+    exchange legitimately resolves to ONE partition — visible as
+    `SinglePartition, REPARTITION_BY_NUM` (an explicit repartition(n)
+    with data-derived n, parallelism-capped at scale).  The scale
+    killer this test guards against is a SinglePartition that Catalyst
+    INSERTS to satisfy a global sort/window/agg requirement
+    (ENSURE_REQUIREMENTS) — still banned."""
     plan = plan_of(spark, "mm9_perceptual_dedup", sf_dir)
     assert "MapInPandas" in plan  # Arrow-batched decode
-    assert "SinglePartition" not in plan
+    for origin in re.findall(r"SinglePartition, (\w+)", plan):
+        assert origin == "REPARTITION_BY_NUM", plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
@@ -988,6 +998,19 @@ _SINGLEPART_OK = {
     "w15_ks_two_sample",
 }
 
+# r18: `explode_bins_to_rois` consumers — the expansion's round-robin
+# width is derived from the measured ROI count (guide §2.2,
+# operators/multimodal.py), so at test SFs it resolves to ONE partition.
+# That exchange prints as `SinglePartition, REPARTITION_BY_NUM` (an
+# explicit repartition(n) whose data-derived n is parallelism-capped at
+# scale) — structurally different from a SinglePartition that Catalyst
+# inserts to satisfy a global ordering/grouping requirement
+# (ENSURE_REQUIREMENTS), which stays banned for these names.
+_EXPLODE_WIDTH_OK = {
+    "mm1_multimodal_features", "mm3_resize_normalize", "mm8_patchify",
+    "mm9_perceptual_dedup",
+}
+
 
 def test_registry_wide_no_scale_killers(spark, sf_dir):
     violations = []
@@ -998,7 +1021,13 @@ def test_registry_wide_no_scale_killers(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
             violations.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         if "SinglePartition" in plan and name not in _SINGLEPART_OK:
-            violations.append(f"{name}: unexpected SinglePartition exchange")
+            origins = re.findall(r"SinglePartition, (\w+)", plan)
+            if not (
+                name in _EXPLODE_WIDTH_OK
+                and origins
+                and all(o == "REPARTITION_BY_NUM" for o in origins)
+            ):
+                violations.append(f"{name}: unexpected SinglePartition exchange")
     assert not violations, "\n".join(violations)
 
 

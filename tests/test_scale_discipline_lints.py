@@ -157,6 +157,10 @@ ACTION_INVENTORY: dict[tuple[str, str, str], int] = {
     # fallback taken only when the runtime never delivers observe
     # metrics (obs.get would hang — ADVICE r16)
     ("operators/graph.py", "checkpoint_with_fingerprint", "collect"): 1,
+    # 1-row (count, sum) agg over the PRE-explosion bins frame, sizing
+    # the expansion width from measured ROIs (guide §2.2) — bounded by
+    # construction (aggregation output, never ROI-scaled rows)
+    ("operators/multimodal.py", "explode_bins_to_rois", "first"): 1,
     ("operators/resolver.py", "resolve_and_broadcast", "collect"): 1,  # distinct names
     ("operators/windows.py", "gap_fill", "first"): 1,
     ("queries/dedup.py", "_lsh_cluster_labels", "collect"): 2,  # size-gated union-find
