@@ -150,6 +150,34 @@ def signlsh_topk(
     )
 
 
+def _cells_one_row(centroid_arrays: DataFrame) -> DataFrame:
+    """Collapse the (bounded, |cells|-row) coarse quantizer to ONE row
+    holding ``array<struct<label, cv>>`` — the broadcastable shape the
+    map-only assignment below consumes."""
+    return centroid_arrays.agg(
+        F.collect_list(F.struct("label", "cv")).alias("__cells")
+    )
+
+
+def _cell_scores(vec_col: str) -> "Column":
+    """Per-row (d2, cell) struct array over the collected cell array:
+    the same ``v·v − 2·v·c + c·c`` expression the pre-r18 exploded form
+    evaluated per (vector, cell) ROW, so the doubles agree bit-for-bit;
+    struct comparison is field-lexicographic, so min/sort over these
+    structs IS the old ``row_number() ORDER BY d2, cell`` selection."""
+    return F.transform(
+        F.col("__cells"),
+        lambda c: F.struct(
+            (
+                dot(F.col(vec_col), F.col(vec_col))
+                - 2 * dot(F.col(vec_col), c["cv"])
+                + dot(c["cv"], c["cv"])
+            ).alias("d2"),
+            c["label"].alias("cell"),
+        ),
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroid_arrays: DataFrame,
@@ -163,23 +191,39 @@ def ivf_assign(
     ``centroid_arrays``: (label, cv array<double>) — the IVF coarse
     quantizer, always broadcast-sized (|cells| ≪ |vectors|).  The output
     keeps (id, vec, cell); downstream search is an equi-join on cell —
-    the inverted-file property that makes ANN linear at 100 TB."""
-    d2 = (
-        dot(F.col(vec_col), F.col(vec_col))
-        - 2 * dot(F.col(vec_col), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
-    )
-    scored = vectors.crossJoin(F.broadcast(centroid_arrays)).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col("label").alias("cell"),
-        d2.alias("__d2"),
-    )
-    w = Window.partitionBy("id").orderBy("__d2", "cell")
+    the inverted-file property that makes ANN linear at 100 TB.
+
+    Scale shape (r18, guide §2.4 — remove shuffles outright): the old
+    form exploded the corpus ×|cells| (crossJoin against the broadcast
+    quantizer) and shuffled that expanded frame — full vectors included
+    — through a per-id ``row_number`` window just to take the argmin:
+    an exchange of |cells|× corpus bytes at any scale, plus an
+    Exchange+Sort pair per assign call locally (×3 inside sim8's Lloyd
+    loop).  Assignment is a pure per-row decision once every centroid
+    is visible to the row, so the quantizer is collapsed to ONE
+    ``array<struct<label, cv>>`` row (bounded by construction),
+    broadcast, and the argmin runs as ``array_min`` over the per-row
+    (d2, cell) structs — a map-only stage with ZERO shuffle.  Result-
+    identical: same d2 expression tree per (vector, cell), and
+    lexicographic struct-min == ORDER BY d2, cell (pinned by
+    tests/test_physical_plans.py::test_ivf_assign_is_map_only and the
+    tie-break unit test)."""
+    # Two-step select: the argmin expression references ``vec_col``, so
+    # renaming in the SAME projection would make Spark resolve it as a
+    # lateral column alias (an internal error under Generate for the
+    # probes twin below; avoided here too for symmetry).
+    best = F.array_min(_cell_scores(vec_col))
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("id", "v", "cell")
+        vectors.crossJoin(F.broadcast(_cells_one_row(centroid_arrays)))
+        .select(id_col, vec_col, best.alias("__best"))
+        # empty quantizer → array_min(empty) is NULL; the old form
+        # produced zero rows there (empty crossJoin) — keep that contract
+        .where(F.col("__best").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("__best")["cell"].alias("cell"),
+        )
     )
 
 
@@ -226,23 +270,27 @@ def ivf_assign_probes(
     """Like :func:`ivf_assign` but keeps each vector's ``nprobe``
     nearest cells with their rank (probe 1 = the primary cell).  The
     corpus is indexed under probe 1 only; queries probe all ``nprobe``
-    cells — the standard IVF recall/latency dial."""
-    d2 = (
-        dot(F.col(vec_col), F.col(vec_col))
-        - 2 * dot(F.col(vec_col), F.col("cv"))
-        + dot(F.col("cv"), F.col("cv"))
-    )
-    scored = vectors.crossJoin(F.broadcast(centroid_arrays)).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.col("label").alias("cell"),
-        d2.alias("__d2"),
-    )
-    w = Window.partitionBy("id").orderBy("__d2", "cell")
+    cells — the standard IVF recall/latency dial.
+
+    Same r18 map-only rewrite as :func:`ivf_assign`: ``array_sort``
+    over the per-row (d2, cell) structs is lexicographic — exactly the
+    old window's ``ORDER BY d2, cell`` — so slicing the first
+    ``nprobe`` and posexploding reproduces the ``row_number <= nprobe``
+    rows (probe = position + 1) with zero shuffle; an empty quantizer
+    posexplodes to zero rows, matching the old empty crossJoin."""
+    top = F.slice(F.array_sort(_cell_scores(vec_col)), 1, nprobe)
     return (
-        scored.withColumn("probe", F.row_number().over(w))
-        .where(F.col("probe") <= nprobe)
-        .select("id", "v", "cell", "probe")
+        vectors.crossJoin(F.broadcast(_cells_one_row(centroid_arrays)))
+        # original column names here — aliasing vec_col in the same
+        # projection as the generator would turn its vec_col reference
+        # into a LateralColumnAliasReference (internal error)
+        .select(id_col, vec_col, F.posexplode(top).alias("__pos", "__sc"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.col("__sc")["cell"].alias("cell"),
+            (F.col("__pos") + 1).alias("probe"),
+        )
     )
 
 

@@ -1,0 +1,118 @@
+"""Focused pins for the r18 map-only IVF assignment rewrite.
+
+``ivf_assign`` / ``ivf_assign_probes`` replaced the corpus×|cells|
+explode + per-id ``row_number`` window (an exchange of |cells|× corpus
+bytes at any scale) with a per-row ``array_min`` / ``array_sort`` over
+the broadcast-collected cell array.  Three things must hold forever:
+
+1. the assignment stage is MAP-ONLY over the vector side — the only
+   exchange in the operator's plan is the bounded 1-row quantizer
+   collapse feeding the broadcast;
+2. the tie-break is the old window's ``ORDER BY d2, cell`` — equal
+   distances resolve to the LOWER cell label (struct-min field order);
+3. the selection is value-identical to an independent argmin replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ifcb_data_pipeline_spark.operators.similarity import (
+    ivf_assign,
+    ivf_assign_probes,
+)
+
+
+def _toy_frames(spark):
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            (F.col("id") % 3).cast("double"),
+        ).alias("v"),
+    )
+    cents = spark.range(4).select(
+        F.col("id").alias("label"),
+        F.array(
+            F.col("id").cast("double"),
+            (F.col("id") % 2).cast("double"),
+            F.lit(1.0),
+        ).alias("cv"),
+    )
+    return vecs, cents
+
+
+def _plan(df) -> str:
+    return df.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_ivf_assign_is_map_only(spark):
+    vecs, cents = _toy_frames(spark)
+    for df in (ivf_assign(vecs, cents), ivf_assign_probes(vecs, cents, nprobe=2)):
+        plan = _plan(df)
+        assert "Window" not in plan, "per-id window argmin crept back"
+        # the ONLY exchange is the 1-row quantizer collapse under the
+        # broadcast build side (partial agg -> SinglePartition -> final);
+        # the vector side must reach the output without any exchange.
+        exchanges = [
+            m for m in plan.splitlines() if m.strip().startswith("Arguments: SinglePartition")
+        ]
+        assert plan.count("(1) Scan") or True  # formatted plan sanity
+        n_exchange = len(
+            [ln for ln in plan.splitlines() if ln.lstrip().startswith("(")
+             and " Exchange" in ln]
+        )
+        assert n_exchange == 1, f"expected only the quantizer-collapse exchange:\n{plan}"
+        assert exchanges, "quantizer collapse should be the single-partition agg"
+
+
+def test_ivf_assign_tie_breaks_on_lower_label(spark):
+    # v is equidistant from both centroids; the old window's
+    # ORDER BY d2, cell picked the lower label — so must struct-min.
+    vecs = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (3, [-1.0, 0.0])], "label long, cv array<double>"
+    )
+    got = ivf_assign(vecs, cents).collect()
+    assert len(got) == 1 and got[0]["cell"] == 3
+
+    probes = ivf_assign_probes(vecs, cents, nprobe=2).collect()
+    by_probe = {r["probe"]: r["cell"] for r in probes}
+    assert by_probe == {1: 3, 2: 7}
+
+
+def test_ivf_assign_matches_argmin_replay(spark):
+    vecs, cents = _toy_frames(spark)
+    got = {r["id"]: r["cell"] for r in ivf_assign(vecs, cents).collect()}
+    vrows = {r["vec_id"]: r["v"] for r in vecs.collect()}
+    crows = sorted((r["label"], r["cv"]) for r in cents.collect())
+
+    def d2(v, c):
+        dvv = sum(x * x for x in v)
+        dvc = sum(x * y for x, y in zip(v, c))
+        dcc = sum(x * x for x in c)
+        return dvv - 2 * dvc + dcc
+
+    want = {
+        vid: min(crows, key=lambda lc: (d2(v, lc[1]), lc[0]))[0]
+        for vid, v in vrows.items()
+    }
+    assert got == want
+
+    # nprobe=2 replay: first two cells in (d2, label) order, probe = rank
+    probes = ivf_assign_probes(vecs, cents, nprobe=2).collect()
+    got2 = {(r["id"], r["probe"]): r["cell"] for r in probes}
+    for vid, v in vrows.items():
+        ranked = sorted(crows, key=lambda lc: (d2(v, lc[1]), lc[0]))
+        assert got2[(vid, 1)] == ranked[0][0]
+        assert got2[(vid, 2)] == ranked[1][0]
+
+
+def test_ivf_assign_empty_quantizer_yields_no_rows(spark):
+    vecs, cents = _toy_frames(spark)
+    empty = cents.where(F.lit(False))
+    assert ivf_assign(vecs, empty).count() == 0
+    assert ivf_assign_probes(vecs, empty, nprobe=2).count() == 0

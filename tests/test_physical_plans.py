@@ -991,6 +991,11 @@ _SINGLEPART_OK = {
     "sp8_importance_resampling", "tp4_curriculum_order", "tp5_funnel_report",
     "tx10_tfidf_top_terms", "tx13_bm25_topk", "tx6_trigram_logprob",
     "w10_cumulative_distinct",
+    # r18 map-only IVF assignment: the coarse quantizer (|cells| rows by
+    # construction) is collapsed to ONE array<struct<label, cv>> row
+    # before broadcast — that bounded collect_list agg is the only
+    # SinglePartition in these plans.
+    "sim4_ivf_search", "sim5_ivf_nprobe2", "sim8_kmeans_refine",
     # staged-pool candidates (inert until registered): 1-row total aggs,
     # global_rank's bounded offsets cumsum, w15's domain-bounded CDF window
     "a29_cms_heavy_hitters", "sim13_int8_quant_error",

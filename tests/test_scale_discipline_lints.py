@@ -393,8 +393,8 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     # final-rank window, both ordered by the same non-null cos_sim
     # measure (query/corpus vectors are non-null by schema).
     ("operators/similarity.py", "cosine_topk"): 2,
-    ("operators/similarity.py", "ivf_assign"): 1,
-    ("operators/similarity.py", "ivf_assign_probes"): 1,
+    # ivf_assign / ivf_assign_probes: window argmin replaced by the
+    # map-only array_min/array_sort form in r18 — no window remains
     ("operators/similarity.py", "ivf_topk"): 1,
     ("operators/similarity.py", "ivf_topk_nprobe"): 1,
     ("operators/similarity.py", "signlsh_topk"): 2,
