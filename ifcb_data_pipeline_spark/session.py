@@ -25,6 +25,16 @@ def get_spark(app_name: str = "ifcb_data_pipeline_spark", cpus: int | None = Non
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Allow shuffled-hash join where the planner's per-partition size
+        # conditions hold (guide §3.1/§9 baseline).  r18 interleaved A/B
+        # over the 8 join-heavy headline queries (configs alternated
+        # every pass, probes matched): SHJ-allowed wins 7/8 queries,
+        # sum-of-medians 11.85 → 11.03 s, sum-of-mins 10.41 → 9.40 s.
+        # Results are join-semantics-identical (216/216 driver-sim after
+        # the flip); the build side stays bounded by the planner's own
+        # size conditions + AQE skew split, and sort-merge remains the
+        # fallback whenever those don't hold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
