@@ -123,12 +123,56 @@ def _small_star(e: DataFrame) -> DataFrame:
     return connected.unionByName(self_edges)
 
 
+def _local_components(e: DataFrame) -> DataFrame:
+    """Single-stage contraction endgame (round 19, guide §1.2/§2.4):
+    once the (checkpointed, exactly-counted) edge set fits ONE
+    advisory-sized shuffle partition, further star rounds are pure
+    overhead — every round still pays 4 window exchanges + 2 dedups +
+    a checkpoint job over data a single task holds comfortably.
+    Finish the contraction in one Arrow ``mapInPandas`` task instead:
+    vectorized min-label propagation with pointer-jumping compression
+    (O(log n) numpy passes, each a full-array op), which converges to
+    exactly the component-minimum labeling the star contraction
+    produces.  ``coalesce(1)`` is a narrow dependency — no exchange is
+    added; the input blocks are already materialized by the caller's
+    localCheckpoint.  Deterministic: the fixpoint labeling is unique
+    (component minimum), independent of batch arrival order."""
+
+    def finish(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b["u"].to_numpy(dtype="int64"))
+            vs.append(b["v"].to_numpy(dtype="int64"))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        nodes, idx = np.unique(np.concatenate([u, v]), return_inverse=True)
+        iu, iv = idx[: len(u)], idx[len(u):]
+        lab = np.arange(len(nodes), dtype="int64")
+        while True:
+            nxt = lab.copy()
+            np.minimum.at(nxt, iu, lab[iv])
+            np.minimum.at(nxt, iv, lab[iu])
+            nxt = nxt[nxt]  # pointer jumping: halve remaining depth
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        yield pd.DataFrame({"node": nodes, "cluster": nodes[lab]})
+
+    return e.coalesce(1).mapInPandas(finish, "node long, cluster long")
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = 25,
     _round_counter: list | None = None,
+    local_finish_edges: int | None = None,
 ) -> DataFrame:
     """Label every non-isolated node with its component's minimum node id.
 
@@ -209,6 +253,18 @@ def connected_components(
 
     def _iter_parts(n_edges: int) -> int:
         return max(1, -(-int(n_edges) * 48 // max(advisory, 1 << 20)))
+
+    # Local-finish threshold (round 19): hand the endgame to ONE task as
+    # soon as the measured edge count fits a single advisory-sized
+    # partition — the same ~48 B/row estimate that sizes the iteration
+    # exchanges, so the trigger is scale-adaptive, not a local[32]
+    # constant.  At a 64 MB advisory that is ~1.4M edges (a few tens of
+    # MB in Arrow), far below task memory; a 100 TB corpus graph runs
+    # O(log n) star rounds until it contracts under the threshold, then
+    # finishes in one stage instead of ~3 more checkpointed rounds.
+    # ``local_finish_edges=0`` disables (tests force the star path).
+    if local_finish_edges is None:
+        local_finish_edges = max(advisory, 1 << 20) // 48
     # Two star-pair rounds per materialization: locally the cost is
     # action-count (checkpoint + fingerprint jobs), so batching halves the
     # job count at the price of at most one redundant (no-op) pair after
@@ -226,6 +282,10 @@ def connected_components(
     converged = False
     try:
         while rounds_done < max_rounds:
+            if fp[0] <= local_finish_edges:
+                if _round_counter is not None:
+                    _round_counter.append(rounds_done)
+                return _local_components(e)
             spark.conf.set("spark.sql.shuffle.partitions", str(_iter_parts(fp[0])))
             nxt = _canonical(_small_star(_large_star(e)))
             nxt, nfp = checkpoint_with_fingerprint(
@@ -233,9 +293,13 @@ def connected_components(
             )
             rounds_done += 2
             if nfp == fp:
-                # fingerprints agree — prove set equality (one job) before
-                # stopping, so a fingerprint collision can't end early
-                if nxt.exceptAll(e).unionAll(e.exceptAll(nxt)).isEmpty():
+                # fingerprints agree — prove set equality before stopping,
+                # so a fingerprint collision can't end early.  Both frames
+                # are exact sets (dropDuplicates) whose cardinalities the
+                # fingerprints just matched, so equality ⟺ e \ nxt = ∅:
+                # ONE anti-join job instead of the two-way exceptAll union
+                # (round 19; halves the proof job's stages).
+                if e.join(nxt, ["u", "v"], "left_anti").isEmpty():
                     if _round_counter is not None:
                         _round_counter.append(rounds_done)
                     converged = True

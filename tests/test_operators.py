@@ -376,10 +376,68 @@ def test_connected_components_chain_logarithmic(spark):
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
     rounds: list = []
-    labels = connected_components(edges, _round_counter=rounds)
+    # local_finish_edges=0 forces the star path: the r19 single-task
+    # endgame would otherwise absorb a 199-edge graph before round 1.
+    labels = connected_components(
+        edges, _round_counter=rounds, local_finish_edges=0
+    )
     rows = {r["node"]: r["cluster"] for r in labels.collect()}
     assert rows == {n: 0 for n in range(200)}
     assert rounds and rounds[0] <= 10, rounds
+
+
+def test_connected_components_local_finish_endgame(spark):
+    """r19 single-task endgame: below the advisory-derived edge
+    threshold the contraction finishes in one mapInPandas stage with
+    ZERO star rounds, and the labeling is identical to the star path."""
+    from pyspark.sql import functions as F
+
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.range(199).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    rounds: list = []
+    labels = connected_components(edges, _round_counter=rounds)
+    assert rounds == [0], rounds  # default threshold absorbs 199 edges
+    assert "MapInPandas" in labels._jdf.queryExecution().executedPlan().toString()
+    rows = {r["node"]: r["cluster"] for r in labels.collect()}
+    assert rows == {n: 0 for n in range(200)}
+
+
+def test_connected_components_local_finish_mid_loop(spark):
+    """A dense random graph contracts below a small local-finish
+    threshold mid-fixpoint: star rounds run first (threshold < initial
+    edge count), the endgame fires once the measured count fits, and
+    the labels match the pure star path exactly."""
+    import random
+
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    rng = random.Random(7)
+    raw = list({
+        (a, b)
+        for a, b in (
+            (rng.randrange(80), rng.randrange(80)) for _ in range(400)
+        )
+        if a != b
+    })
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    rounds: list = []
+    # threshold between the star-forest size (< 80) and |raw| (~390):
+    # at least one star pair must run before the endgame triggers.
+    got = {
+        r["node"]: r["cluster"]
+        for r in connected_components(
+            edges, _round_counter=rounds, local_finish_edges=150
+        ).collect()
+    }
+    assert rounds and rounds[0] >= 2, rounds
+    want = {
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_finish_edges=0).collect()
+    }
+    assert got == want
 
 
 def test_connected_components_forest_and_direction_insensitivity(spark):
@@ -423,11 +481,16 @@ def test_pagerank_cycle_and_star(spark):
     assert s[2] == pytest.approx(s[3]) == pytest.approx(s[4]) == pytest.approx(s[5])
 
 
-@pytest.mark.parametrize("seed,n_nodes,n_edges", [(1, 60, 40), (2, 80, 100), (3, 50, 25)])
-def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
-    """Cross-check the star contraction against a plain Python
-    union-find on deterministic pseudo-random graphs (sparse,
-    near-critical, and super-critical densities)."""
+@pytest.mark.parametrize(
+    "seed,n_nodes,n_edges,lfe",
+    [(1, 60, 40, 0), (2, 80, 100, 0), (3, 50, 25, 0),
+     (1, 60, 40, None), (2, 80, 100, None), (3, 50, 25, None)],
+)
+def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges, lfe):
+    """Cross-check BOTH closure paths (lfe=0 forces star contraction;
+    None takes the r19 local-finish endgame at these sizes) against a
+    plain Python union-find on deterministic pseudo-random graphs
+    (sparse, near-critical, and super-critical densities)."""
     import random
 
     from ifcb_data_pipeline_spark.operators.graph import connected_components
@@ -460,7 +523,8 @@ def test_connected_components_matches_union_find(spark, seed, n_nodes, n_edges):
 
     edges = spark.createDataFrame(raw, "src long, dst long")
     got = {
-        r["node"]: r["cluster"] for r in connected_components(edges).collect()
+        r["node"]: r["cluster"]
+        for r in connected_components(edges, local_finish_edges=lfe).collect()
     }
     assert got == expected
 

@@ -122,6 +122,9 @@ def main() -> int:
     full = "--full" in sys.argv
     reg = load_all()
     names = list(reg) if full else list(PREFIX_ORDER)
+    for a in sys.argv:  # --only=q1,q2 — targeted re-verify (r19)
+        if a.startswith("--only="):
+            names = [n.strip() for n in a[len("--only="):].split(",") if n.strip()]
     import os
 
     spark = get_spark("driver-sim", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
