@@ -1,11 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
 sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line (queries carry [median, min, max] of 3 passes; a
-query whose max/min spread exceeds 3x gets ONE extra pass and reports
-best-of-4 — see the spread-retry note in main):
+Prints ONE final JSON line in the driver-contract shape (scalar
+median seconds per query; a query whose max/min spread exceeds 3x gets
+ONE extra pass and reports best-of-4 — see the spread-retry note):
   {"metric": "...", "value": N, "unit": "sec",
-   "queries": {"q1": [med, lo, hi], ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "sf": ...}
+plus two diagnostic lines above it: `headline_query_spread` (the
+per-query [median, min, max] triples) and `machine_probe`.
 
 Each query is forced end-to-end with a noop sink (full computation, no
 write cost).  The headline set spans the operator families: composed
@@ -141,24 +143,34 @@ def main() -> None:
             run_query(registry[name].fn(spark, sf_dir))
             s.append(time.perf_counter() - t0)
 
-    # Per-query [median, min, max] IN the headline line (VERDICT r16
-    # item 5): the r16 driver bench ran in a contended window and only
-    # the per-pass spreads exonerated the +66% suite number — they must
-    # be machine-readable from BENCH_rN.json itself.  Budget: the
-    # driver keeps a 2000-char stdout tail and parses the FINAL line;
-    # with 31 queries the triple form is ~1.6 kB (median 3dp, min/max
-    # 2dp), under the cap — unlike round 6's 3.4 kB casualty — and the
-    # ~160 B probe line above it still fits in the same tail.
-    timings = {
+    # MEASUREMENT-HANDSHAKE FIX (VERDICT r18 item 2, a measurement bug
+    # per the round rules — stated explicitly in OPTIMIZATION_r19.md):
+    # rounds 1-16 emitted scalar per-query seconds and the driver's
+    # comparator produced per-query tables; round 17 switched the
+    # `queries` values to [median, min, max] triples and the comparator
+    # has parsed NOTHING since (PERF_r18: prev/now_bench_ok false,
+    # n_common 0, geomean null, for two rounds of BENCH files that both
+    # parse as JSON).  The final line therefore goes back to the
+    # documented contract shape — {"name": median_sec} scalars — and the
+    # triples move to their own `headline_query_spread` line ABOVE it,
+    # so no information is dropped (spread data still printed and kept
+    # in any full-stdout capture) and no entry is removed or renamed.
+    # Budget: the driver keeps a ~2000-char stdout tail and parses the
+    # FINAL line; scalar headline (~1.0 kB worst case, pinned in
+    # tests/test_registry_budget.py) + probe (~160 B) always fit; the
+    # spread line is the one that truncates first, by design.
+    medians = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spreads = {
         n: [round(statistics.median(s), 3), round(min(s), 2), round(max(s), 2)]
         for n, s in samples.items()
     }
-    total = round(sum(m for m, _, _ in timings.values()), 3)
+    total = round(sum(medians.values()), 3)
+    probe_after = machine_probe()
+    print(json.dumps({"metric": "headline_query_spread", "queries": spreads}))
     # One compact (<160 B) run-conditions line ABOVE the headline: small
     # enough that the driver's bounded stdout tail keeps both lines, and
     # the headline stays the final line for the parser.  before/after
     # bracket the suite — co-tenancy windows shift within minutes here.
-    probe_after = machine_probe()
     print(
         json.dumps(
             {"metric": "machine_probe", "before": probe_before, "after": probe_after}
@@ -170,7 +182,7 @@ def main() -> None:
                 "metric": "headline_suite_wall_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": sf,
             }
         )

@@ -991,11 +991,6 @@ _SINGLEPART_OK = {
     "sp8_importance_resampling", "tp4_curriculum_order", "tp5_funnel_report",
     "tx10_tfidf_top_terms", "tx13_bm25_topk", "tx6_trigram_logprob",
     "w10_cumulative_distinct",
-    # r18 map-only IVF assignment: the coarse quantizer (|cells| rows by
-    # construction) is collapsed to ONE array<struct<label, cv>> row
-    # before broadcast — that bounded collect_list agg is the only
-    # SinglePartition in these plans.
-    "sim4_ivf_search", "sim5_ivf_nprobe2", "sim8_kmeans_refine",
     # staged-pool candidates (inert until registered): 1-row total aggs,
     # global_rank's bounded offsets cumsum, w15's domain-bounded CDF window
     "a29_cms_heavy_hitters", "sim13_int8_quant_error",
@@ -1016,6 +1011,30 @@ _EXPLODE_WIDTH_OK = {
     "mm9_perceptual_dedup",
 }
 
+# r18 map-only IVF assignment (ADVICE r18: gate on exchange CONTEXT, not
+# a wholesale name allowlist): the coarse quantizer (|cells| rows by
+# construction) is collapsed to ONE array<struct<label, cv>> row before
+# broadcast.  That collapse prints as `SinglePartition,
+# ENSURE_REQUIREMENTS` — the same origin tag as a Catalyst-inserted
+# global sort/window funnel — so the sweep instead requires every
+# SinglePartition exchange in these plans to be fed by a
+# partial_collect_list aggregate (the bounded collapse), which a
+# regression funnel would not be.
+_QUANTIZER_COLLAPSE_OK = {
+    "sim4_ivf_search", "sim5_ivf_nprobe2", "sim8_kmeans_refine",
+}
+
+
+def _singlepart_blocks_all_collect_list(plan: str) -> bool:
+    """True iff every `Exchange ... SinglePartition` detail block is
+    immediately preceded by a partial_collect_list aggregate block."""
+    blocks = plan.split("\n\n")
+    for i, b in enumerate(blocks):
+        if re.search(r"\(\d+\) Exchange", b) and "SinglePartition" in b:
+            if i == 0 or "partial_collect_list" not in blocks[i - 1]:
+                return False
+    return True
+
 
 def test_registry_wide_no_scale_killers(spark, sf_dir):
     violations = []
@@ -1027,7 +1046,13 @@ def test_registry_wide_no_scale_killers(spark, sf_dir):
             violations.append(f"{name}: unexpected BroadcastNestedLoopJoin")
         if "SinglePartition" in plan and name not in _SINGLEPART_OK:
             origins = re.findall(r"SinglePartition, (\w+)", plan)
-            if not (
+            if name in _QUANTIZER_COLLAPSE_OK:
+                if not _singlepart_blocks_all_collect_list(plan):
+                    violations.append(
+                        f"{name}: SinglePartition exchange not fed by the "
+                        "bounded quantizer collect_list collapse"
+                    )
+            elif not (
                 name in _EXPLODE_WIDTH_OK
                 and origins
                 and all(o == "REPARTITION_BY_NUM" for o in origins)

@@ -46,14 +46,18 @@ def test_prefix_sweep_within_budget(spark, sf_dir):
     names = list(reg)[:PREFIX]
     total, timings = _sweep(spark, sf_dir, names, reg)
     if total >= BUDGET_S:
-        probe = machine_probe()
+        probe_mid = machine_probe()
         retry_total, retry_timings = _sweep(spark, sf_dir, names, reg)
+        # probe BOTH windows (ADVICE r18): the failure message must
+        # describe the sweep actually judged, not the discarded draw.
+        probe_after = machine_probe()
         if retry_total < total:
             total, timings = retry_total, retry_timings
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
         assert total < BUDGET_S, (
             f"first-{PREFIX} prefix took {total:.1f}s best-of-2 "
-            f"(> {BUDGET_S}s budget; probe {probe}); "
+            f"(> {BUDGET_S}s budget; probe between sweeps {probe_mid}, "
+            f"after retry {probe_after}); "
             f"slowest: {[(n, round(s, 2)) for n, s in slowest]}"
         )
 
@@ -74,13 +78,16 @@ def test_bench_summary_line_fits_tail_window():
             "metric": "headline_suite_wall_time",
             "value": 99999.999,
             "unit": "sec",
-            # r17 format: per-query [median(3dp), min(2dp), max(2dp)]
-            "queries": {
-                n: [99999.999, 99999.99, 99999.99] for n in bench.HEADLINE
-            },
+            # r19 format: scalar medians (the r1-16 contract shape the
+            # driver's comparator parses; triples moved to their own
+            # `headline_query_spread` line, which truncates first)
+            "queries": {n: 99999.999 for n in bench.HEADLINE},
             "sf": 0.1,
         }
     )
+    # worst-case probe line rides the same tail and must fit WITH the
+    # headline: {"metric": "machine_probe", ...} ≈ 160 B
+    worst = worst + " " * 170
     assert len(worst) < 1900, (
         f"bench summary line worst-case {len(worst)} B — trim HEADLINE or "
         "drop the min/max digits before it overflows the driver's "
