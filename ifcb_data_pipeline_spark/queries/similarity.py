@@ -784,55 +784,68 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("j"), "v", ms)
         .select("j", "m", F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)).alias("c"))
     )
-    enc = e.crossJoin(F.broadcast(codebook)).select(
-        "vec_id",
-        "m",
-        "j",
-        _pq_l2(F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("c")).alias("d"),
-    )
-    w_enc = Window.partitionBy("vec_id", "m").orderBy("d", "j")
+    # r19 (guide §2.4, the sim4 quantizer-collapse precedent): the old
+    # encoding exploded the corpus ×(M·K) against the broadcast codebook
+    # — FULL 64-dim vectors included — and shuffled that frame through a
+    # per-(vec_id, m) row_number window plus a pivot groupBy just to take
+    # the per-subspace argmin.  The codebook is bounded (M·K = 16 rows by
+    # construction), so collapse it to ONE sorted array<struct<m, j, c>>
+    # row, broadcast it, and take each subspace's argmin per row as
+    # array_min over (d, j) structs: lexicographic struct-min IS the old
+    # ORDER BY d, j selection, and the d expression tree is unchanged —
+    # every double agrees bit-for-bit.  Encoding is now map-only: zero
+    # exchange, zero window over anything corpus-sized.
+    # bounded (ONE row) multiply-consumed frame — localCheckpoint per the
+    # tx6/sim12 doctrine so the two broadcast builds below don't each
+    # re-derive the scan→explode→collapse chain
+    cb_one = codebook.agg(
+        F.array_sort(F.collect_list(F.struct("m", "j", "c"))).alias("__cb")
+    ).localCheckpoint()
+
+    def sub_d(s):
+        # identical _pq_l2 tree over the same slice as the old enc/lut
+        return _pq_l2(
+            F.slice("v", s["m"] * _PQ_SUB + 1, F.lit(_PQ_SUB)), s["c"]
+        )
+
+    def code_at(m: int):
+        cands = F.filter(F.col("__cb"), lambda s: s["m"] == F.lit(m))
+        return F.array_min(
+            F.transform(cands, lambda s: F.struct(sub_d(s).alias("d"), s["j"].alias("j")))
+        )["j"]
+
     codes = (
-        enc.withColumn("rn", F.row_number().over(w_enc))
-        .where(F.col("rn") == 1)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("m") == m, F.col("j"))).alias(f"code{m}")
-                for m in range(_PQ_M)
-            ]
-        )
-    )
-    # The LUT (160 rows) feeds the 4 per-subspace broadcast joins plus
-    # the query-id frame; localCheckpoint (I3, the tp2/tp5 pattern)
-    # computes the query scan × codebook once instead of per consumer —
-    # the SQL twin marks the same CTE MATERIALIZED.
-    lut = (
-        e.where(F.col("vec_id") < 10)
-        .select(F.col("vec_id").alias("query_id"), "v")
-        .crossJoin(F.broadcast(codebook))
+        e.crossJoin(F.broadcast(cb_one))
         .select(
-            "query_id",
-            "m",
-            "j",
-            _pq_l2(F.slice("v", F.col("m") * _PQ_SUB + 1, F.lit(_PQ_SUB)), F.col("c")).alias("d"),
+            "vec_id", *[code_at(m).alias(f"code{m}") for m in range(_PQ_M)]
         )
-        .localCheckpoint()
+        # empty codebook → array_min(empty) is NULL; the old exploded
+        # form produced zero rows there — keep that contract
+        .where(F.col("code0").isNotNull())
     )
-    adc = codes.crossJoin(
-        F.broadcast(lut.select("query_id").dropDuplicates())
+    # Query-side ADC lookup tables (queries bounded at 10 by
+    # construction): one 16-entry distance array per query, indexed by
+    # m·K + j (__cb is array_sorted by (m, j), so position IS that
+    # index).  The old form materialized a 160-row LUT frame and
+    # re-attached it with FOUR broadcast hash joins; one bounded
+    # 10-row broadcast + element_at lookups computes the same doubles
+    # (identical _pq_l2 tree) with a single join.
+    qlut = (
+        e.where(F.col("vec_id") < 10)
+        .crossJoin(F.broadcast(cb_one))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(F.col("__cb"), sub_d).alias("__lut"),
+        )
     )
-    for m in range(_PQ_M):
-        lm = lut.where(F.col("m") == m).select(
-            F.col("query_id").alias(f"q{m}"),
-            F.col("j").alias(f"j{m}"),
-            F.col("d").alias(f"d{m}"),
+    adc = codes.crossJoin(F.broadcast(qlut))
+    dm = [
+        F.element_at(
+            "__lut", (F.lit(m * _PQ_K) + F.col(f"code{m}") + 1).cast("int")
         )
-        adc = adc.join(
-            F.broadcast(lm),
-            (F.col("query_id") == F.col(f"q{m}"))
-            & (F.col(f"code{m}") == F.col(f"j{m}")),
-        )
-    dist = (F.col("d0") + F.col("d1")) + (F.col("d2") + F.col("d3"))
+        for m in range(_PQ_M)
+    ]
+    dist = (dm[0] + dm[1]) + (dm[2] + dm[3])
     scored = adc.where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),

@@ -498,10 +498,10 @@ def test_dp8_rank_is_distributed(spark, sf_dir):
 
 def test_sim10_corpus_never_broadcast(spark, sf_dir):
     """PQ's whole point is that the CORPUS side stays partitioned: only
-    bounded frames broadcast (the 16-row codebook and 160-row LUT — both
-    gated by a vec_id < k filter — and the deduplicated query-id frame);
-    a broadcast hint on an unfiltered embeddings subtree has inverted
-    the design."""
+    bounded frames broadcast (r19 shape: the checkpointed ONE-row
+    codebook collapse, twice, and the ≤10-row query LUT gated by a
+    vec_id < k filter); a broadcast hint on an unfiltered embeddings
+    subtree has inverted the design."""
     df = REGISTRY["sim10_pq_adc"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().analyzed()
     n_hints = 0
@@ -512,19 +512,17 @@ def test_sim10_corpus_never_broadcast(spark, sf_dir):
         if "broadcast" not in s.lower():
             continue
         n_hints += 1
-        # the checkpointed 160-row LUT renders as an RDD scan; accept it
-        # ONLY with the LUT's exact schema (query_id, m, j, d) — a
+        # the checkpointed 1-row codebook collapse renders as an RDD
+        # scan; accept it ONLY with its exact single-column schema — a
         # checkpointed corpus-shaped frame must still fail this pin.
-        lut_rdd = re.search(
-            r"LogicalRDD \[query_id#\d+L?, m#\d+, j#\d+L?, d#\d+\]", s
-        )
+        cb_rdd = re.search(r"LogicalRDD \[__cb#\d+\]", s)
         bounded = (
             re.search(r"vec_id#\d+L? < cast\(", s) is not None
-            or lut_rdd is not None
+            or cb_rdd is not None
             or "Aggregate [" in s
         )
         assert bounded, f"sim10 broadcast an unbounded corpus subtree:\n{s[:500]}"
-    assert n_hints >= 6, "sim10 lost its codebook/LUT broadcast hints"
+    assert n_hints >= 3, "sim10 lost its codebook/LUT broadcast hints"
 
 
 def test_i9_windows_are_user_partitioned(spark, sf_dir):

@@ -84,7 +84,9 @@ BROADCAST_INVENTORY: dict[tuple[str, str], int] = {
     ("queries/qc_extra.py", "a9_class_counts"): 1,
     ("queries/qc_extra.py", "c4_taxa_resolver"): 1,
     ("queries/qc_extra.py", "c5_trophic_lookup"): 1,
-    ("queries/similarity.py", "sim10_pq_adc"): 4,
+    # r19 map-only PQ encode: codebook collapsed to one broadcast row
+    # (2 consumers) + the 10-row query-LUT broadcast — 4 sites -> 3
+    ("queries/similarity.py", "sim10_pq_adc"): 3,
     ("queries/similarity.py", "sim11_mips_topk"): 2,
     ("queries/similarity.py", "sim13_int8_quant_error"): 1,
     ("queries/similarity.py", "sim9_quantized_rerank"): 2,
@@ -420,7 +422,10 @@ WINDOW_ORDER_INVENTORY: dict[tuple[str, str], int] = {
     # a struct-min aggregation (25 hot keys made the window a built-in
     # skew), so the query has no window at all.
     ("queries/profiling.py", "dp7_binned_quantiles"): 1,
-    ("queries/similarity.py", "sim10_pq_adc"): 2,
+    # r19: the per-(vec_id, m) encode window became a map-side HOF
+    # argmin; only the final top-5 window (non-null dist, id tiebreak)
+    # remains
+    ("queries/similarity.py", "sim10_pq_adc"): 1,
     ("queries/similarity.py", "sim12_knn_graph"): 1,
     ("queries/similarity.py", "sim2_signlsh_ann"): 1,
     ("queries/similarity.py", "sim9_quantized_rerank"): 2,
