@@ -78,7 +78,14 @@ def explode_bins_to_rois(bins: DataFrame, rois_per_bin_col: str = "n_rois") -> D
 
     parallelism = bins.sparkSession.sparkContext.defaultParallelism
     # 1-row bounded driver action: (count, sum) over the PRE-explosion
-    # bins frame — never content-scaled ROI rows.
+    # bins frame — never content-scaled ROI rows.  The bins lineage runs
+    # once extra here (ADVICE r18, considered): NOT checkpointed, because
+    # the stats pass is a column-pruned scalar agg over two narrow
+    # columns while a checkpoint would materialize the whole
+    # content-scaled bins frame — strictly more I/O for every consumer
+    # whose lineage is a pruned scan + filter (all four mm consumers).
+    # Deterministic-width concern: every bins frame here derives from a
+    # deterministic parquet scan, so both executions see the same rows.
     stats = bins.agg(
         F.count(F.lit(1)).alias("n_bins"),
         F.sum(rois_per_bin_col).alias("n_rois"),

@@ -1204,6 +1204,14 @@ def sp8_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cs"),
         F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("ct"),
     )
+    # r19 (guide §2.4 — don't compute the same aggregation twice): model
+    # feeds TWO consumers (the 1-row stats broadcast below and ratio's
+    # own left side), and each lazily re-ran the full corpus-wide
+    # groupBy over the checkpointed trigram frame.  model is BOUNDED at
+    # ≤ SP8_BUCKETS rows at any corpus scale (the hashed-model property
+    # this query exists to exercise), so checkpoint it — the corpus
+    # aggregation runs once; stats and ratio ride the ≤2^20-row frame.
+    model = model.localCheckpoint()
     stats = model.agg(
         F.sum("cs").cast("double").alias("ns"),
         F.count(F.lit(1)).cast("double").alias("v"),

@@ -34,6 +34,16 @@ def get_spark(app_name: str = "ifcb_data_pipeline_spark", cpus: int | None = Non
         # the flip); the build side stays bounded by the planner's own
         # size conditions + AQE skew split, and sort-merge remains the
         # fallback whenever those don't hold.
+        # FAILURE MODE AT SCALE (ADVICE r18, on record): SHJ's build-side
+        # hash map does not spill, and canBuildLocalHashMap gates on
+        # LOGICAL size estimates that can be badly wrong downstream of
+        # filters/joins — a mis-estimate at 100 TB surfaces as an
+        # executor OOM instead of a slower SMJ.  Deployments at real
+        # scale should either verify estimate quality on their plans
+        # (stats collected, post-filter sizes sane) or re-enable
+        # preferSortMergeJoin and opt into SHJ per-query with
+        # SHUFFLE_HASH hints on the joins A/B'd in OPTIMIZATION_r18.md.
+        # AQE skew-split further bounds per-partition build sizes here.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
