@@ -215,10 +215,15 @@ def ivf_assign(
     best = F.array_min(_cell_scores(vec_col))
     return (
         vectors.crossJoin(F.broadcast(_cells_one_row(centroid_arrays)))
+        # empty quantizer → zero rows (the old exploded form's contract).
+        # Guarded BEFORE the argmin on the cheap array size (r19): the
+        # earlier `.where(best.isNotNull())` form made Catalyst evaluate
+        # the whole interpreted HOF argmin TWICE per row — once in the
+        # collapsed Filter, once in the Project (HOFs are CodegenFallback,
+        # so no codegen subexpression elimination saves it) — measured
+        # ~1.2× on sim8's Lloyd loop.
+        .where(F.size(F.col("__cells")) > 0)
         .select(id_col, vec_col, best.alias("__best"))
-        # empty quantizer → array_min(empty) is NULL; the old form
-        # produced zero rows there (empty crossJoin) — keep that contract
-        .where(F.col("__best").isNotNull())
         .select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
