@@ -816,12 +816,15 @@ def sim10_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     codes = (
         e.crossJoin(F.broadcast(cb_one))
+        # empty codebook → zero rows (the old exploded form's contract).
+        # Guarded on the cheap array size BEFORE the argmin projection:
+        # a `code0.isNotNull()` guard gets pushed into the BNLJ join
+        # condition and re-evaluates the interpreted HOF argmin per row
+        # (the ivf_assign duplicate-evaluation lesson, r19).
+        .where(F.size(F.col("__cb")) > 0)
         .select(
             "vec_id", *[code_at(m).alias(f"code{m}") for m in range(_PQ_M)]
         )
-        # empty codebook → array_min(empty) is NULL; the old exploded
-        # form produced zero rows there — keep that contract
-        .where(F.col("code0").isNotNull())
     )
     # Query-side ADC lookup tables (queries bounded at 10 by
     # construction): one 16-entry distance array per query, indexed by
