@@ -89,94 +89,80 @@ def register(name: str, oracle: str | None, survey_ref: str = ""):
 # compare; any non-green sweep result must be recorded HERE with the
 # failing query named.  Round-8 sweep ledger: see SWEEP note below.
 PREFIX_ORDER = [
-    # ROUND 18 — fourth freeze-era rotation (registry frozen at 216;
-    # protocol in SCALE.md).  The precomputed ROUND-18 plan (written at
-    # round 17, see the ROTATION PLAN comment below) applied with ONE
-    # lapse-rule amendment: CORRECTNESS_r17 landed 50/50 green so no
-    # red row displaces slot 1, but the round-18 phase-congruency
-    # anchoring (tools/gen_golden_phasecong.py +
-    # tests/test_golden_phasecong_parity.py — the engine's U1 step 1
-    # adopted the PUBLISHED filtergrid odd-axis divisor n-1, the bare
-    # sumAn division, sqrt-form radius/XEnergy and the (4*covxy)/
-    # norient association, certified bit-for-bit against the
-    # independent published-form transcription on a 20-image panel
-    # incl. odd dims + degenerates) SHIFTED the odd-dimension mm2
-    # panel masks, so the mm2/mm2b/mm6 baked oracles were regenerated
-    # (tools/bake_multimodal_oracles.py, 23 rows moved) and the three
-    # rows re-enter the prefix NOW (slots 48-50) exactly as in rounds
-    # 16 and 17.  The three displaced r14-era rows
-    # (pk2_document_chunking, pk3_length_bucketed_batching,
-    # s6b_json_props_extract) join the ROUND-19 staleness head.
-    # tools/rotation_audit.py re-run after the amendment confirmed
-    # plan/artifact consistency.  This drains the r13 era entirely;
-    # the staleness head becomes the 20 remaining r14-era rows (the
-    # sim10/sim9/sp11/sp12/sp2b/sp5/sp7/st1/st2/st3/st4/tx5/tx7/tx8/
-    # tx9/u13/w14/w1/w3/w6 keys) + the 3 displaced rows, which head
-    # the ROUND-19 plan.
-    # slots 1-22: the 22 r13-era rows that spilled past round 17 — the
-    # 19 pre-planned spill rows plus the 3 displaced by the round-17
-    # mm lapse-rule re-entry (alphabetical)
-    "p2_hab_alert",
-    "p3_dashboard_metadata",
-    "pk1_sequence_packing",
-    "pk4_cdc_chunking",
-    "sim13_int8_quant_error",
-    "sim2_signlsh_ann",
-    "sim5_ivf_nprobe2",
-    "sim6_embedding_quantize",
-    "sim7_filtered_ann",
-    "sim8_kmeans_refine",
-    "sp10_decontaminated_split",
-    "sp2_stratified_sample",
-    "sp3_shuffle_shards",
-    "sp4_mixture_materialize",
-    "tp1_training_corpus",
-    "tx10_tfidf_top_terms",
-    "tx16_bigram_vocab_coverage",
-    "tx3_lang_id",
-    "tx4_fingerprint",
-    "tx6_trigram_logprob",
-    "u13b_psd_fit_pandas",
-    "w13_mad_anomaly",
-    # slots 23-47: the first 25 of the 48 r14-era rows (alphabetical;
-    # the planned slots 48-50 — pk2/pk3/s6b — were displaced by the
-    # lapse-rule re-entry below, and spill to round 19 with the other
-    # 20 r14-era rows)
-    "a22_decayed_engagement",
-    "a23_cohort_retention",
-    "dd10_fuzzy_decontamination",
-    "dd11_span_dedup",
-    "dd12_containment_pairs",
-    "dd17_shingle_containment",
-    "dd4_ngram_jaccard",
-    "dd4b_ngram_jaccard_dfcut",
-    "dd5_embedding_cosine_dup",
-    "dp11_psi_drift",
-    "dp6_drift_profile",
-    "i13_incremental_minhash",
-    "i8_snapshot_diff",
-    "i9_scd2_compaction",
-    "j14_bucketed_range_join",
-    "j16_interval_overlap",
-    "j8b_grid_spatial_join",
-    "k7_ecotaxa_export",
-    "mm10_voice_activity",
-    "mm5_audio_frame_features",
-    "mm7_modality_coverage",
-    "mm8_patchify",
-    "mm9_perceptual_dedup",
-    "o10_file_skipping_stats",
-    "o8_zorder_layout",
-    # slots 48-50: LAPSE-RULE RE-ENTRY (round 18, phasecong anchoring):
-    # U1 step 1 moved to the published phasepack/Kovesi forms (odd-axis
-    # grid divisor n-1 being the mask-moving one), the mm2/mm2b/mm6
-    # baked oracles were regenerated, so the three rows re-enter the
-    # prefix NOW.  The three displaced r14-era rows
-    # (pk2_document_chunking, pk3_length_bucketed_batching,
-    # s6b_json_props_extract) join the ROUND-19 staleness head.
+    # ROUND 19 — fifth freeze-era rotation (registry frozen at 216;
+    # protocol in SCALE.md).  The precomputed ROUND-19 plan (below)
+    # applied with the lapse-rule amendment the r18 VERDICT (item 6)
+    # and this round's optimization edits require: CORRECTNESS_r18
+    # landed 50/50 green so no red row displaces slot 1, but (a) the
+    # r18-rebaked mm kernel oracles and the r18 rewrites the r18
+    # sample missed (per VERDICT item 6) and (b) every query whose
+    # code changed in THIS round's optimizations (dd13 local-finish
+    # endgame; sim10 map-only PQ encode; the ivf_assign duplicate-
+    # argmin guard feeding sim4/sim5/sim8; sp8 model checkpoint) must
+    # re-enter the prefix NOW.  dd13 / dp8 / sim10 were already plan
+    # members by staleness; the other 8 re-entries take slots 43-50,
+    # displacing the plan's 8 newest members (the dp9 / g1 / i10 /
+    # i11 / i12 / j17 / j18 / j9-basin keys), which join the post-r19
+    # staleness head.  tools/rotation_audit.py re-run after the
+    # amendment: plan consistent with artifacts.
+    # slots 1-23: the 23 r14-era rows that spilled past round 18
+    # (alphabetical)
+    "pk2_document_chunking",
+    "pk3_length_bucketed_batching",
+    "s6b_json_props_extract",
+    "sim10_pq_adc",
+    "sim9_quantized_rerank",
+    "sp11_class_balanced_resample",
+    "sp12_grouped_split_balance",
+    "sp2b_stratified_topk",
+    "sp5_temperature_resampling",
+    "sp7_epoch_shuffle",
+    "st1_stream_windowed_counts",
+    "st2_stateful_user_counts",
+    "st3_watermarked_append",
+    "st4_stream_stream_join",
+    "tx5_vocabulary",
+    "tx7_repetition_signals",
+    "tx8_pii_scrub",
+    "tx9_bpe_pair_merge",
+    "u13_psd_fit",
+    "w14_spearman_trend",
+    "w1_adjacency_removal",
+    "w3_gap_fill",
+    "w6_moving_average",
+    # slots 24-42: the first 19 of the 49 r15-era rows (alphabetical)
+    "a20_grouped_percentiles",
+    "a21_conversion_funnel",
+    "a24_salted_skew_rollup",
+    "a26_sequence_funnel",
+    "a30_bottomk_distinct_sample",
+    "a9_class_counts",
+    "c4_taxa_resolver",
+    "c5_trophic_lookup",
+    "dd13_star_components",
+    "dd14_lsh_recall",
+    "dd15_lsh_parameter_sweep",
+    "dd18_url_host_dedup",
+    "dd19_repeated_ngram_spans",
+    "dd9_normalized_dedup",
+    "dp12_quantile_drift_gate",
+    "dp13_leading_digit_audit",
+    "dp1_column_profile",
+    "dp2_winsorize",
+    "dp8_exact_quantiles",
+    # slots 43-50: LAPSE-RULE RE-ENTRY (round 19): the three rebaked
+    # kernel-panel oracles (never driver-checked since the r18 rebake
+    # per VERDICT r18 item 6) plus the r18/r19 rewrite set — IVF
+    # assignment (map-only + duplicate-argmin guard), the sp8 model
+    # checkpoint, and the r18 BM25 single-pass rewrite.
     "mm2_real_kernel_features",
     "mm2b_kernel_topologies",
     "mm6_augmentation_panel",
+    "sim4_ivf_search",
+    "sim5_ivf_nprobe2",
+    "sim8_kmeans_refine",
+    "sp8_importance_resampling",
+    "tx13_bm25_topk",
 ]
 # The round-17 rotation plan was EXECUTED as the live PREFIX_ORDER
 # (with the documented mm2/mm2b/mm6 lapse-rule re-entry in slots 48-50)
@@ -209,39 +195,68 @@ PREFIX_ORDER = [
 # 22-row head + 28 r14 rows and 20 r14 rows spill to round 19
 # (steady-state 4.32-round cycle, SCALE.md).
 #
-# ROUND-18 ROTATION PLAN (precomputed; apply verbatim unless round-17
-# driver results dictate otherwise — a red row takes slot 1):
-#   slots 1-22: the 22 r13-era rows that spilled past round 17 — the 19
-#   pre-planned spill rows plus the 3 displaced by the round-17 mm
-#   lapse-rule re-entry (alphabetical):
-#     p2_hab_alert, p3_dashboard_metadata, pk1_sequence_packing,
-#     pk4_cdc_chunking, sim13_int8_quant_error, sim2_signlsh_ann,
-#     sim5_ivf_nprobe2, sim6_embedding_quantize, sim7_filtered_ann,
-#     sim8_kmeans_refine, sp10_decontaminated_split,
-#     sp2_stratified_sample, sp3_shuffle_shards, sp4_mixture_materialize,
-#     tp1_training_corpus, tx10_tfidf_top_terms,
-#     tx16_bigram_vocab_coverage, tx3_lang_id, tx4_fingerprint,
-#     tx6_trigram_logprob, u13b_psd_fit_pandas, w13_mad_anomaly
-#   slots 23-50: the first 28 of the 48 r14-era rows (alphabetical; the
-#   last 20 — the sim10 / sim9 / sp11 / sp12 / sp2b / sp5 / sp7 / st1 /
-#   st2 / st3 / st4 / tx5 / tx7 / tx8 / tx9 / u13 / w14 / w1 / w3 / w6
-#   keys, named here by key only so the plan parser does not count
-#   them — spill to round 19, becoming its staleness head):
-#     a22_decayed_engagement, a23_cohort_retention,
-#     dd10_fuzzy_decontamination, dd11_span_dedup,
-#     dd12_containment_pairs, dd17_shingle_containment,
-#     dd4_ngram_jaccard, dd4b_ngram_jaccard_dfcut,
-#     dd5_embedding_cosine_dup, dp11_psi_drift, dp6_drift_profile,
-#     i13_incremental_minhash, i8_snapshot_diff, i9_scd2_compaction,
-#     j14_bucketed_range_join, j16_interval_overlap,
-#     j8b_grid_spatial_join, k7_ecotaxa_export, mm10_voice_activity,
-#     mm5_audio_frame_features, mm7_modality_coverage, mm8_patchify,
-#     mm9_perceptual_dedup, o10_file_skipping_stats, o8_zorder_layout,
-#     pk2_document_chunking, pk3_length_bucketed_batching,
+# The round-18 rotation plan was EXECUTED as the live PREFIX_ORDER
+# (with the documented mm2/mm2b/mm6 lapse-rule re-entry in slots
+# 48-50) and CORRECTNESS_r18 landed 50/50 green; see commit ef1eb48
+# for the full r18 prefix and its rationale block.
+#
+# ROUND-19 ROTATION PLAN (the pure-staleness plan; the live prefix
+# above implements it with the documented 8-row lapse amendment —
+# re-entries named in the PREFIX_ORDER comment by key only):
+#   slots 1-23: the 23 r14-era rows that spilled past round 18
+#   (alphabetical):
+#     pk2_document_chunking
+#     pk3_length_bucketed_batching
 #     s6b_json_props_extract
-# = exactly 50 (22 + 28); re-run tools/rotation_audit.py at round-18
-# start once CORRECTNESS_r17.json lands (a red row there displaces
-# slot 1 by rule).
+#     sim10_pq_adc
+#     sim9_quantized_rerank
+#     sp11_class_balanced_resample
+#     sp12_grouped_split_balance
+#     sp2b_stratified_topk
+#     sp5_temperature_resampling
+#     sp7_epoch_shuffle
+#     st1_stream_windowed_counts
+#     st2_stateful_user_counts
+#     st3_watermarked_append
+#     st4_stream_stream_join
+#     tx5_vocabulary
+#     tx7_repetition_signals
+#     tx8_pii_scrub
+#     tx9_bpe_pair_merge
+#     u13_psd_fit
+#     w14_spearman_trend
+#     w1_adjacency_removal
+#     w3_gap_fill
+#     w6_moving_average
+#   slots 24-50: the first 27 of the 49 r15-era rows (alphabetical):
+#     a20_grouped_percentiles
+#     a21_conversion_funnel
+#     a24_salted_skew_rollup
+#     a26_sequence_funnel
+#     a30_bottomk_distinct_sample
+#     a9_class_counts
+#     c4_taxa_resolver
+#     c5_trophic_lookup
+#     dd13_star_components
+#     dd14_lsh_recall
+#     dd15_lsh_parameter_sweep
+#     dd18_url_host_dedup
+#     dd19_repeated_ngram_spans
+#     dd9_normalized_dedup
+#     dp12_quantile_drift_gate
+#     dp13_leading_digit_audit
+#     dp1_column_profile
+#     dp2_winsorize
+#     dp8_exact_quantiles
+#     dp9_mutual_information
+#     g1_pagerank
+#     i10_merge_upsert
+#     i11_late_data_audit
+#     i12_incremental_rollup
+#     j17_point_in_time_join
+#     j18_bloom_join_prefilter
+#     j9_basin_tagging
+# = exactly 50 (23 + 27).
 # END PLAN
 #
 # POST-r15 REGISTRY ENDGAME (decided round 12, per VERDICT r11 item 6):

@@ -598,10 +598,17 @@ def test_sp8_broadcasts_only_bucket_model(spark, sf_dir):
         if "broadcast" not in s.lower():
             continue
         n_hints += 1
-        assert "Aggregate [" in s, (
+        # r19: the bucket model is checkpointed (computed once for its
+        # two consumers), so it renders as a LogicalRDD — accept it ONLY
+        # with the model's exact (b, cs, ct) schema; a corpus-shaped
+        # RDD (doc_id column, no bucket key) must still fail this pin.
+        model_rdd = re.search(
+            r"LogicalRDD \[b#\d+L?, cs#\d+L?, ct#\d+L?\]", s
+        )
+        assert "Aggregate [" in s or model_rdd, (
             f"sp8 broadcast a non-aggregated (corpus-shaped) subtree:\n{s[:500]}"
         )
-        if re.search(r"Aggregate \[b#\d+L?\]", s):
+        if re.search(r"Aggregate \[b#\d+L?\]", s) or model_rdd:
             n_bucket_keyed += 1
     assert n_hints >= 2, "sp8 lost its model/stats broadcast hints"
     assert n_bucket_keyed >= 1, "sp8's broadcast model is not keyed by the hash bucket"
