@@ -405,6 +405,19 @@ def test_connected_components_local_finish_endgame(spark):
     assert rows == {n: 0 for n in range(200)}
 
 
+def test_connected_components_empty_after_canonical(spark):
+    """Self-loops-only input canonicalizes to an EMPTY edge set: both
+    closure paths must return zero rows with the (node, cluster)
+    schema (the endgame's mapInPandas sees no batches)."""
+    from ifcb_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    for lfe in (None, 0):
+        out = connected_components(edges, local_finish_edges=lfe)
+        assert out.columns == ["node", "cluster"]
+        assert out.count() == 0
+
+
 def test_connected_components_local_finish_mid_loop(spark):
     """A dense random graph contracts below a small local-finish
     threshold mid-fixpoint: star rounds run first (threshold < initial
